@@ -1,0 +1,94 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle helper."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wrtd_etl_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("wrtd-tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Mimic the driver: register each parquet as a view."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell for order-insensitive comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # full precision: the engine must match the oracle bit-for-bit
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):  # date/datetime — compare wall-clock text
+        return v.isoformat().replace("+00:00", "")
+    return v
+
+
+def normalized_rows(columns, rows):
+    """Sort columns by name, then rows — the driver's comparison shape."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(columns), sorted(out, key=repr)
+
+
+def compare_to_oracle(spark, spec, sf_dir: str):
+    """Run one registry query on Spark and DuckDB; assert equal results."""
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(sf_dir)
+    res = con.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{spec.name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{spec.name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    sc, sn = normalized_rows(s_cols, s_rows)
+    dc, dn = normalized_rows(d_cols, d_rows)
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        assert a == b, f"{spec.name}: first differing row {i}: spark={a} duck={b}"

@@ -1,0 +1,41 @@
+"""Differential tests: every registry query vs its DuckDB oracle.
+
+Mirrors the driver's correctness gate (row count + schema + value match) at
+sf0.001 for speed; the driver re-runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wrtd_etl_spark.plans import REGISTRY
+from wrtd_etl_spark.plans import testdata_queries  # noqa: F401 (registers)
+
+from .conftest import SF_SMOKE, compare_to_oracle
+
+
+def _oracle_specs():
+    return [spec for spec in REGISTRY.values() if spec.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", _oracle_specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spark, spec):
+    compare_to_oracle(spark, spec, SF_SMOKE)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["c_custkey", "c_name", "order_cnt", "rnk"]
+
+
+def test_registry_shape():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 14

@@ -1,0 +1,504 @@
+"""Reference-analog queries over the driver's testdata (FIXTURES.md §C).
+
+Each query re-expresses one operator cluster from the reference
+(SURVEY.md §2) on the TPC-H-ish tables, with a DuckDB oracle. Reference
+citations are to files under /root/reference.
+
+Determinism rules (so the oracle value-hash matches):
+* every computed column is aliased identically on both sides;
+* double SUM/AVG is order-dependent in the last bits (and double→DECIMAL
+  casts round differently per engine), so money aggregates go through an
+  exact integer path: per-row FLOOR(x*10000 + 0.5) (pure IEEE ops — bit-
+  identical on any engine) → exact BIGINT sum → one double division at the
+  end (deterministic);
+* per-row doubles are returned raw (no ROUND) — same bits both engines;
+* double→int uses FLOOR (Spark CAST truncates, DuckDB CAST rounds);
+* every LIMIT has a total deterministic ORDER BY (the reference's
+  rank-tie truncation, queries.py:16-17, is documented divergence —
+  SURVEY.md §4.3.2);
+* dense_rank is cast to BIGINT (SQL engines return BIGINT, Spark int).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.joins import (
+    broadcast_dim_join,
+    double_role_dim_join,
+    lookup_map_join,
+    null_safe_anti_join,
+)
+from ..operators.upsert import upsert_by_key
+from ..operators.windows import dense_rank_top_k
+from .registry import register
+
+# --------------------------------------------------------------------------
+# A1 + O1 — grouped counts/sums ordered by keys
+# (reference: queries.py:4-8 "vehicles by (name,type)"; widened to the
+# classic pricing-summary shape so it doubles as the bench headline query)
+# --------------------------------------------------------------------------
+
+
+def _dsum(expr, alias: str):
+    """Order-independent sum of a double expression (see module docstring)."""
+    return (F.sum(F.floor(expr * 10000 + 0.5)) / F.lit(10000.0)).alias(alias)
+
+
+_DSUM_SQL = "SUM(CAST(FLOOR(({expr}) * 10000 + 0.5) AS BIGINT)) / 10000.0"
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           {_DSUM_SQL.format(expr="l_quantity")}      AS sum_qty,
+           {_DSUM_SQL.format(expr="l_extendedprice")} AS sum_base_price,
+           {_DSUM_SQL.format(expr="l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {_DSUM_SQL.format(expr="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           ({_DSUM_SQL.format(expr="l_quantity")}) / COUNT(*)      AS avg_qty,
+           ({_DSUM_SQL.format(expr="l_extendedprice")}) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY returnflag, linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with filter pushdown (A1 analog, queries.py:4-8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            (
+                F.sum(F.floor(F.col("l_quantity") * 10000 + 0.5))
+                / F.lit(10000.0)
+                / F.count("*")
+            ).alias("avg_qty"),
+            (
+                F.sum(F.floor(F.col("l_extendedprice") * 10000 + 0.5))
+                / F.lit(10000.0)
+                / F.count("*")
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 + O2 + J1 + A2 — "cutlets": join dim, grouped count, global dense_rank,
+# top-5 (reference: queries.py:11-17)
+# --------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_ORACLE = """
+    WITH agg AS (
+        SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS order_cnt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        {where}
+        GROUP BY c.c_custkey, c.c_name
+    ), ranked AS (
+        SELECT c_custkey, c_name, order_cnt,
+               DENSE_RANK() OVER (ORDER BY order_cnt DESC) AS rnk
+        FROM agg
+    )
+    SELECT c_custkey, c_name, order_cnt, rnk
+    FROM ranked ORDER BY rnk, c_custkey LIMIT 5
+"""
+
+
+def _top_customers(spark: SparkSession, sf_dir: str, status: str | None) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    if status is not None:
+        orders = orders.filter(F.col("o_orderstatus") == status)
+    joined = broadcast_dim_join(orders, customer, "o_custkey", "c_custkey").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+    return dense_rank_top_k(
+        joined,
+        ["c_custkey", "c_name"],
+        F.count("o_orderkey"),
+        "order_cnt",
+        k=5,
+        tiebreaker="c_custkey",
+    )
+
+
+@register("top_customers", _TOP_CUSTOMERS_ORACLE.format(where=""))
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by grouped count w/ global dense_rank (queries.py:11-17)."""
+    return _top_customers(spark, sf_dir, None)
+
+
+@register(
+    "top_customers_filtered",
+    _TOP_CUSTOMERS_ORACLE.format(where="WHERE o.o_orderstatus = 'F'"),
+)
+def top_customers_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same with a boolean-ish filter — the "tks" variant (queries.py:20-26)."""
+    return _top_customers(spark, sf_dir, "F")
+
+
+# --------------------------------------------------------------------------
+# O3 / O4 + J3 — first/last event with a left-joined dimension
+# (reference: queries.py:29-44 first-blood / last-hit)
+# --------------------------------------------------------------------------
+
+_EVENT_EDGE_ORACLE = """
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           e.event_type,
+           c.c_name AS user_name,
+           e.value AS value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.ts {dir}, e.event_id LIMIT 1
+"""
+
+
+def _event_edge(spark: SparkSession, sf_dir: str, last: bool) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = broadcast_dim_join(events, customer, "user_id", "c_custkey", how="left")
+    order = [F.col("ts").desc() if last else F.col("ts").asc(), F.col("event_id")]
+    return (
+        joined.orderBy(*order)
+        .limit(1)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            F.col("c_name").alias("user_name"),
+            F.col("value").alias("value"),
+        )
+    )
+
+
+@register("first_event", _EVENT_EDGE_ORACLE.format(dir="ASC"))
+def first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event by ts with left-joined dim (queries.py:29-35)."""
+    return _event_edge(spark, sf_dir, last=False)
+
+
+@register("last_event", _EVENT_EDGE_ORACLE.format(dir="DESC"))
+def last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event by ts (queries.py:38-44)."""
+    return _event_edge(spark, sf_dir, last=True)
+
+
+# --------------------------------------------------------------------------
+# O5 — NULLS-LAST max (reference: queries.py:47-53 `ORDER BY distance IS
+# NULL, distance DESC LIMIT 1`). events.value has no NULLs in the testdata,
+# so a NULL-able column is derived identically on both sides.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "max_value_nulls_last",
+    """
+    SELECT event_id, event_type, val
+    FROM (
+        SELECT event_id, event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val
+        FROM events
+    )
+    ORDER BY val DESC NULLS LAST, event_id LIMIT 1
+    """,
+)
+def max_value_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS-LAST descending top-1 (queries.py:52-53 idiom)."""
+    events = load_table(spark, sf_dir, "events")
+    with_val = events.withColumn(
+        "val",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    return (
+        with_val.orderBy(F.col("val").desc_nulls_last(), F.col("event_id"))
+        .limit(1)
+        .select("event_id", "event_type", "val")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — anti-join via uncorrelated NOT IN (reference: queries.py:56-59
+# "survivors"). The subquery is deliberately unfiltered (SURVEY §4.3.1) —
+# preserved: outer side filtered by segment, inner side scans all events.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "inactive_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+)
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN anti-join with null-aware semantics (queries.py:56-59)."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    filtered = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return null_safe_anti_join(filtered, events, "c_custkey", "user_id").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — grouped count keyed by a CASE-mapped label (reference:
+# queries.py:62-74 survivors-by-side)
+# --------------------------------------------------------------------------
+
+_SIDE_CASE_SQL = """CASE WHEN c_nationkey < 5 THEN 'EAST'
+                 WHEN c_nationkey < 10 THEN 'WEST'
+                 WHEN c_nationkey < 15 THEN 'GUER'
+                 ELSE 'CIV' END"""
+
+
+@register(
+    "inactive_by_side",
+    f"""
+    SELECT {_SIDE_CASE_SQL} AS side, COUNT(*) AS cnt
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey NOT IN (SELECT user_id FROM events)
+    GROUP BY side
+    ORDER BY cnt DESC, side
+    """,
+)
+def inactive_by_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-keyed grouped count over the anti-join (queries.py:62-74)."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    filtered = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    inactive = null_safe_anti_join(filtered, events, "c_custkey", "user_id")
+    side = (
+        F.when(F.col("c_nationkey") < 5, "EAST")
+        .when(F.col("c_nationkey") < 10, "WEST")
+        .when(F.col("c_nationkey") < 15, "GUER")
+        .otherwise("CIV")
+    )
+    return (
+        inactive.groupBy(side.alias("side"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "side")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 at scale — the same dimension joined twice under two roles
+# (reference: queries.py:31-32 killer/victim double left join on d_players;
+# here: nation as supplier-nation and customer-nation, TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_pair_revenue",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    LEFT JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation
+    """,
+)
+def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension joined twice with aliases (queries.py:31-32)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+    )
+    both = double_role_dim_join(
+        fact,
+        nation,
+        roles=[
+            ("sn", "s_nationkey", [("n_name", "supp_nation")]),
+            ("cn", "c_nationkey", [("n_name", "cust_nation")]),
+        ],
+        dim_key="n_nationkey",
+        how="left",
+    )
+    return both.groupBy("supp_nation", "cust_nation").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — grouped collect (reference: functions.py:223-231 vehicles grouped
+# into {type: [...]}) — represented as a sorted joined string so the
+# oracle hash is order-independent inside the group.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "status_collect",
+    """
+    SELECT l_returnflag AS returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def status_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-collect into a deterministic list (functions.py:223-231)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            )
+        )
+        .orderBy("returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/A6 — max-watermark scan (reference: functions.py:19-26 latest posted
+# replay via ORDER BY ... DESC LIMIT 1 ≅ MAX)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "latest_order",
+    "SELECT MAX(o_orderkey) AS max_orderkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit MAX via filtered aggregate (functions.py:19-26)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").agg(
+        F.max("o_orderkey").alias("max_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J6 — literal-map lookup preserving unmatched keys (reference:
+# functions.py:208-231 type→display-name with passthrough)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPE_DISPLAY = {
+    "click": "Click",
+    "view": "View",
+    "purchase": "Purchase",
+    "signup": "Signup",
+    # 'error' deliberately unmapped → passes through (coalesce fallback)
+}
+
+
+@register(
+    "event_type_display",
+    """
+    SELECT CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+                WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+                ELSE event_type END AS display,
+           COUNT(*) AS cnt
+    FROM events GROUP BY display ORDER BY display
+    """,
+)
+def event_type_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lookup w/ passthrough, no shuffle, no UDF (functions.py:208-231)."""
+    events = load_table(spark, sf_dir, "events")
+    mapped = lookup_map_join(events, "event_type", _EVENT_TYPE_DISPLAY, "display")
+    return mapped.groupBy("display").agg(F.count("*").alias("cnt")).orderBy("display")
+
+
+# --------------------------------------------------------------------------
+# F1/F2/F7/F11/F13 — scalar-function surface (reference: functions.py:155,
+# 203, 101-119, 166; queries.py:29)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions",
+    r"""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS date_str,
+           strftime(ts, '%H:%M:%S') AS time_str,
+           CAST(strptime(strftime(ts, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed_date,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+           replace(props, '"', '') AS props_clean,
+           CAST(FLOOR(value) AS INTEGER) AS value_int
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_date/date_format/regexp_extract/quote-strip/casts (F1-F13)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("ts", "HH:mm:ss").alias("time_str"),
+        # round-trip through the reference's 'DD.MM.YYYY' format (functions.py:155)
+        F.to_date(F.date_format("ts", "dd.MM.yyyy"), "dd.MM.yyyy").alias(
+            "parsed_date"
+        ),
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_val"),
+        F.regexp_replace("props", '"', "").alias("props_clean"),
+        F.floor("value").cast("int").alias("value_int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# K3 — upsert (reference: functions.py:178-183 ON CONFLICT DO UPDATE on the
+# d_players dimension). The update set is derived deterministically so an
+# SQL oracle exists for the merged result.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dim_upsert",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey < 50 THEN 'renamed_' || c_custkey ELSE c_name END AS c_name,
+           CASE WHEN c_custkey < 50 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal
+    FROM customer
+    """,
+)
+def dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert as anti-join + union (functions.py:178-183)."""
+    customer = load_table(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_custkey") < 50).withColumns(
+        {
+            "c_name": F.concat(F.lit("renamed_"), F.col("c_custkey").cast("string")),
+            "c_acctbal": F.col("c_acctbal") + 100,
+        }
+    )
+    merged = upsert_by_key(customer, updates, "c_custkey")
+    return merged.select("c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Phase-1 end-to-end slice (SURVEY.md §7.1): the "cutlets" shape —
+    filter → broadcast join → grouped count → global dense_rank → top-5."""
+    return top_customers(spark, sf_dir)
