@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) — wall-clock includes scan,
+shuffle, and result materialization. A tiny warmup query amortizes JVM/
+codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wrtd_etl_spark.plans import REGISTRY
+from wrtd_etl_spark.plans import testdata_queries  # noqa: F401 (registers)
+
+try:
+    from wrtd_etl_spark.plans import pipeline_queries  # noqa: F401
+except ImportError:
+    pass
+
+from wrtd_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("wrtd-bench")
+
+    # warmup: trigger JVM init + whole-stage codegen once
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        start = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
