@@ -1,0 +1,162 @@
+"""Differential + property tests for the data-pipeline layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.plans import REGISTRY
+from wrtd_etl_spark.plans import pipeline_queries  # noqa: F401 (registers)
+
+from .conftest import SF_SMOKE, compare_to_oracle
+
+_PIPELINE_ORACLE = [
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_fingerprint",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", _PIPELINE_ORACLE)
+def test_pipeline_query_matches_oracle(spark, name):
+    compare_to_oracle(spark, REGISTRY[name], SF_SMOKE)
+
+
+def test_rows_only_queries_run(spark):
+    for name in (
+        "dedup_minhash",
+        "dedup_simhash",
+        "embedding_neardup_lsh",
+        "ann_lsh_topk",
+        "multimodal_decode",
+    ):
+        df = REGISTRY[name].fn(spark, SF_SMOKE)
+        assert df.count() >= 0  # runs to completion with a stable schema
+
+
+def test_exact_dedup_keeps_one_per_group(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.dedup.exact import exact_dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # inject exact duplicates (whitespace/case variants must collapse)
+    dupes = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.upper(F.col("text"))
+    )
+    full = docs.unionByName(dupes)
+    deduped = exact_dedup(full, "text", "doc_id")
+    assert deduped.count() == docs.count()
+    # survivors are the min-id variants (originals)
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_agrees_with_true_jaccard(spark):
+    """LSH candidates that pass verification must equal brute-force truth
+    above the threshold (verification is exact, so no false positives; at
+    j>=0.9 collision probability is ~1 so no false negatives either)."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.dedup.minhash import minhash_near_dup_pairs, shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    # build near-dupes: copy docs, drop the last 2 tokens
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    near = (
+        docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn(
+            "text",
+            F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))),
+        )
+    )
+    full = docs.unionByName(near)
+    got = {
+        (r.id1, r.id2)
+        for r in minhash_near_dup_pairs(
+            full, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    # brute-force truth
+    g = full.select(F.col("doc_id").alias("bid"), shingles(F.col("text")).alias("sh"))
+    a = g.select(F.col("bid").alias("id1"), F.col("sh").alias("s1"))
+    b = g.select(F.col("bid").alias("id2"), F.col("sh").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = (F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))).cast(
+        "double"
+    )
+    truth = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("j", inter / union)
+        .filter(F.col("j") >= 0.9)
+        .select("id1", "id2")
+        .collect()
+    }
+    assert got >= truth  # no false negatives at j>=0.9
+    assert got <= truth or all(p in truth for p in got)  # verify step is exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.dedup.simhash import simhash_near_dup_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    clones = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = simhash_near_dup_pairs(
+        docs.unionByName(clones), "text", "doc_id", max_distance=0
+    )
+    got = {(r.id1, r.id2): r.hamming for r in pairs.collect()}
+    for r in docs.select("doc_id").collect():
+        assert got.get((r.doc_id, r.doc_id + 100000)) == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k, lsh_top_k
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_top_k(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id) for r in lsh_top_k(emb, probes, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_multimodal_feature_and_frames(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_features(media).collect()
+    assert all(len(r.feature) == 16 for r in feats)
+    frames = sample_frames(media, n_frames=4)
+    counts = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        decode_image,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        decode_image(media, fake=False).collect()

@@ -1,0 +1,163 @@
+"""MinHash + LSH near-duplicate detection, pure DataFrame ops.
+
+Pipeline (the standard shingle→minhash→band→bucket-join construction):
+
+1. token shingles per doc (array expr, no explode);
+2. MinHash signature: for each of ``num_hashes`` universal hash functions
+   ``(a*h + b) mod p``, the min over shingle hashes — computed entirely
+   inside one ``transform``/``array_min`` expression (JVM codegen, no
+   shuffle, no UDF);
+3. LSH: split the signature into ``bands`` bands of ``rows_per_band``;
+   hash each band; explode to (doc, band_idx, band_hash);
+4. candidate pairs = docs sharing any band bucket (self-join on the
+   bucket key) — with a bucket-size cap so a degenerate hot bucket can't
+   go quadratic at scale;
+5. verify candidates with exact Jaccard over distinct shingle sets.
+
+Scale shape: the only shuffles are the band-bucket exchange and the final
+verify join, both on well-distributed hash keys; signature computation is
+embarrassingly parallel. Probability a pair with Jaccard j collides:
+1 - (1 - j^rows)^bands.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# p > 2^32 prime; hash values are first reduced mod 2^32 so a*h+b stays
+# well under 2^63 (Spark 4 runs ANSI mode: integer overflow raises).
+_P = 4294967311
+_A_MAX = 1 << 25
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _A_MAX), rng.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as an array column (no row explosion)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, sig) — sig is an array<long> MinHash signature."""
+    sh = shingles(F.col(text_col), shingle_k).alias("shingles")
+    base = df.select(F.col(id_col), sh)
+    # 32-bit base hash per shingle, then one min-expression per hash fn
+    hashed = base.withColumn(
+        "h32", F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    )
+    def min_hash(a: int, b: int):
+        # single-arg lambda via closure (defaults would change the arity
+        # PySpark infers for the higher-order function)
+        return F.array_min(
+            F.transform(F.col("h32"), lambda h: F.pmod(h * a + b, F.lit(_P)))
+        )
+
+    sig = F.array(*[min_hash(a, b) for a, b in _hash_params(num_hashes, seed)])
+    return hashed.select(id_col, "shingles", sig.alias("sig"))
+
+
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", F.transform(
+                F.slice(F.col("sig"), i * rows + 1, rows), lambda x: x.cast("string")
+            )), F.lit(i))
+            for i in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id1 < id2, jaccard >= threshold).
+
+    ``max_bucket`` drops degenerate LSH buckets (e.g. every empty doc) so a
+    hot bucket can't turn the candidate join quadratic — at 100 TB this is
+    the difference between a working job and an exploding one; dropped
+    buckets only lose pairs that almost certainly collide in another band.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = sigs.withColumn("sh_size", F.size("shingles"))
+    buckets = _band_buckets(sigs, id_col, bands, rows)
+
+    # cap bucket size (hot-key hygiene), then self-join within buckets
+    bucket_counts = buckets.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bsz")
+    )
+    buckets = buckets.join(
+        bucket_counts.filter(F.col("bsz") <= max_bucket),
+        ["band_idx", "band_hash"],
+    )
+    left = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id1")
+    )
+    right = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id2")
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+    # verify: exact Jaccard over the distinct shingle sets
+    s1 = sigs.select(
+        F.col(id_col).alias("id1"),
+        F.col("shingles").alias("sh1"),
+        F.col("sh_size").alias("sz1"),
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("id2"),
+        F.col("shingles").alias("sh2"),
+        F.col("sh_size").alias("sz2"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    verified = (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("shared", inter)
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return verified

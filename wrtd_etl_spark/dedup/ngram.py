@@ -1,0 +1,73 @@
+"""Character n-gram Jaccard similarity join via an inverted index.
+
+The similarity join no Spark builtin provides, composed from relational
+ops (SURVEY.md §2 custom-operator rule (a)):
+
+1. distinct character n-grams per doc (array expr → explode = postings);
+2. document-frequency cutoff: drop n-grams appearing in more than
+   ``max_df`` docs — they contribute little to Jaccard but dominate the
+   self-join cost (the classic inverted-index pruning for 100 TB);
+3. postings self-join on the n-gram → shared-gram counts per pair;
+4. Jaccard = shared / (|A| + |B| - shared), threshold filter.
+
+Fully SQL-expressible → has a DuckDB oracle in plans/pipeline_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Distinct character n-grams of the lowercased text (array column)."""
+    t = F.lower(text)
+    ln = F.length(t)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1))),
+            lambda i: F.substring(t, i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (id1 < id2) with n-gram Jaccard >= threshold."""
+    grams = df.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        doc_freq = grams.groupBy("g").agg(F.count("*").alias("df"))
+        grams = grams.join(doc_freq.filter(F.col("df") <= max_df), "g")
+    left = grams.select(F.col("g"), F.col(id_col).alias("id1"))
+    right = grams.select(F.col("g"), F.col(id_col).alias("id2"))
+    shared = (
+        left.join(right, "g")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+    )
+    # sizes has one row per doc — NOT broadcastable at corpus scale; the
+    # candidate-pair side is the small one after thresholding, so let
+    # AQE pick the strategy for these key-equi joins.
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "shared", "jaccard")
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+Everything here is a pure Column expression built from JVM-side builtins —
+no Python UDFs in the hot path, so the whole pipeline stays inside
+whole-stage codegen and scales linearly with executors.
+
+Cross-engine determinism: every formula uses only IEEE double ops applied
+in a fixed order, integer counts, and regexes valid in both Java regex
+(Spark) and RE2 (DuckDB) — so each function has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Language-ID stopword sets (tiny n-gram-free heuristic: function-word hit
+# counts per language; the argmax wins, ties broken by fixed priority).
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "es": ("el", "la", "de", "los", "las", "que", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+}
+
+PUNCT_PATTERN = r"([.,!?;:])"
+TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols
+BPE_ISH_PATTERN = r"([A-Za-z0-9_]+|[^\sA-Za-z0-9_])"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (reference-free; the standard unit for counting)."""
+    return F.split(F.trim(col), TOKEN_SPLIT)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + individual punctuation symbols.
+
+    A cheap stand-in for a BPE tokenizer's length signal (no vocab needed).
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 1))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """How many stopword occurrences of ``lang`` appear in the text."""
+    words = "|".join(LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b({words})\b"), 1))
+
+
+def stopword_hits_sql(expr: str, lang: str) -> str:
+    """DuckDB oracle for :func:`stopword_hits`."""
+    words = "|".join(LANG_STOPWORDS[lang])
+    return rf"len(regexp_extract_all(lower({expr}), '\b({words})\b', 1))"
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language over stopword hit counts; fixed priority on ties.
+
+    Heuristic language ID (n-gram-free): good enough to split a corpus for
+    downstream per-language pipelines; not a classifier replacement.
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in LANG_STOPWORDS}
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in fixed order; strict > keeps earlier languages on ties
+    for lang in LANG_STOPWORDS:
+        better = hits[lang] > best
+        result = F.when(better, F.lit(lang)).otherwise(result)
+        best = F.when(better, hits[lang]).otherwise(best)
+    return result
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB oracle for :func:`lang_id` (same fixed-order argmax)."""
+    # The Spark fold updates only on strict improvement, so ties go to the
+    # earliest language — equivalently: the first language (in declaration
+    # order) whose hit count equals the positive maximum.
+    lines = ["CASE"]
+    langs = list(LANG_STOPWORDS)
+    greatest = "GREATEST(" + ", ".join(
+        stopword_hits_sql(expr, lang) for lang in langs
+    ) + ")"
+    for lang in langs:
+        lines.append(
+            f"WHEN {greatest} > 0 AND {stopword_hits_sql(expr, lang)} = {greatest} THEN '{lang}'"
+        )
+    lines.append("ELSE 'und' END")
+    return "\n".join(lines)
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), 1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: length, stopword ratio, punct ratio.
+
+    Fixed-order IEEE arithmetic (see module docstring); oracle in
+    :func:`quality_score_sql`.
+    """
+    n_tok = token_count(col).cast("double")
+    stop_ratio = stopword_hits(col, "en").cast("double") / n_tok
+    punct_ratio = punct_count(col).cast("double") / n_tok
+    length_component = F.least(F.lit(1.0), n_tok / F.lit(256.0))
+    return (
+        length_component * 0.5 + F.least(F.lit(1.0), stop_ratio * 4.0) * 0.3
+        + F.least(F.lit(1.0), punct_ratio * 8.0) * 0.2
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = rf"CAST(len(regexp_split_to_array(trim({expr}), '\s+')) AS DOUBLE)"
+    stop = stopword_hits_sql(expr, "en")
+    punct = rf"len(regexp_extract_all({expr}, '([.,!?;:])', 1))"
+    return (
+        f"LEAST(1.0, {n_tok} / 256.0) * 0.5"
+        f" + LEAST(1.0, CAST({stop} AS DOUBLE) / {n_tok} * 4.0) * 0.3"
+        f" + LEAST(1.0, CAST({punct} AS DOUBLE) / {n_tok} * 8.0) * 0.2"
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized text).
+
+    The exact-dedup key: whitespace/case-insensitive equality.
+    """
+    return F.md5(F.encode(normalized_text(col), "UTF-8"))
+
+
+FINGERPRINT_SQL = r"md5(lower(trim(regexp_replace({expr}, '\s+', ' ', 'g'))))"

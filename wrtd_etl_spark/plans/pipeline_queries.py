@@ -1,0 +1,266 @@
+"""Training-data pipeline queries: text analysis, dedup, similarity,
+multimodal — the north-star extensions (BASELINE.json) over the
+``documents`` and ``embeddings`` tables.
+
+Oracle discipline matches testdata_queries: identical fixed-order IEEE
+arithmetic on both sides; cosines quantized to 1e-6 via the exact integer
+idiom before ranking/thresholding; regexes valid in both Java regex and
+RE2. MinHash/SimHash/LSH queries have no SQL oracle (hash functions differ
+per engine) — they get rows-only checks here and property tests against
+brute-force ground truth in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dedup.exact import exact_dup_groups
+from ..dedup.minhash import minhash_near_dup_pairs
+from ..dedup.ngram import ngram_jaccard_pairs
+from ..dedup.simhash import simhash_near_dup_pairs
+from ..functions import text as TX
+from ..multimodal.binary_ops import attach_binary_payload, payload_metadata
+from ..similarity.ann import brute_force_top_k, embedding_near_dup_pairs, lsh_top_k
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z0-9_]+|[^\sA-Za-z0-9_])', 1)) AS n_bpe_tokens,
+           len(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (north-star text ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id,
+           {TX.stopword_hits_sql("text", "en")} AS en_hits,
+           {TX.stopword_hits_sql("text", "es")} AS es_hits,
+           {TX.lang_id_sql("text")} AS predicted_lang
+    FROM documents
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.stopword_hits(F.col("text"), "en").alias("en_hits"),
+        TX.stopword_hits(F.col("text"), "es").alias("es_hits"),
+        TX.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+    SELECT doc_id, {TX.quality_score_sql("text")} AS quality
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/stopword/punctuation ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {TX.FINGERPRINT_SQL.format(expr="text")} AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (the exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT {TX.FINGERPRINT_SQL.format(expr="text")} AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS cnt
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the fingerprint (1 shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "text", "doc_id")
+
+
+_NGRAM_ORACLE = r"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   substr(lower(text),
+                          CAST(unnest(range(1, greatest(len(text)-4, 1)+1)) AS INT),
+                          5) AS g
+            FROM documents)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        FROM grams a JOIN grams b USING (g)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2, shared,
+           CAST(shared AS DOUBLE) / CAST(s1.sz + s2.sz - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(shared AS DOUBLE) / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= 0.6
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard similarity join (inverted index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.6)
+
+
+@register("dedup_minhash", None)  # hash fns engine-specific → rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (verified vs brute force in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@register("dedup_simhash", None)  # hash fns engine-specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_distance=3)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+    " / sqrt(list_sum(list_transform(list_zip({a}, {a}), x -> x[1]*x[2]))"
+    " * list_sum(list_transform(list_zip({b}, {b}), x -> x[1]*x[2])))"
+)
+_QCOS_SQL = "floor((" + _COS_SQL + ") * 1000000 + 0.5) / 1000000.0"
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_QCOS_SQL.format(a="a.e", b="b.e")} AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_QCOS_SQL.format(a="a.e", b="b.e")} >= 0.35
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; LSH path below)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+
+
+@register("embedding_neardup_lsh", None)  # plane hashes engine-specific
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup (the 100 TB path; recall-tested vs exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, exact=False, bands=8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               {_QCOS_SQL.format(a="p.e", b="c.e")} AS sim
+        FROM v p JOIN v c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10
+    ), ranked AS (
+        SELECT probe_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a probe set (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return brute_force_top_k(emb, probes, k=5)
+
+
+@register("ann_lsh_topk", None)  # plane hashes engine-specific → rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate generation + exact rerank (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_top_k(emb, probes, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata — JVM-only path over opaque bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return payload_metadata(media)
+
+
+@register("multimodal_decode", None)  # mapInPandas fake decoder → rows-only
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing with the deterministic fake codec."""
+    from ..multimodal.binary_ops import decode_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return decode_image(media, fake=True)

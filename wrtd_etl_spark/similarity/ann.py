@@ -1,0 +1,230 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* :func:`brute_force_top_k` — exact cosine top-k: broadcast the (small)
+  probe set against the full corpus, one pass, `TakeOrderedAndProject`-
+  style window per probe. The correctness baseline; O(probes × corpus).
+* :func:`lsh_top_k` — random-hyperplane LSH: each vector gets a compact
+  bit signature from deterministic hyperplanes; candidates share a
+  signature band, then exact cosine re-ranks candidates only. The scale
+  path: the corpus is touched once to sign, and the join is on bucket
+  keys instead of a cross product.
+
+All vector math is `F.aggregate`/`F.zip_with` fold expressions — JVM-side,
+no UDFs. Cosines are quantized to 1e-6 before ranking so orderings are
+reproducible across engines (float sums differ in the last bits).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def _quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine rounded to 1e-6 via exact integer quantization."""
+    return F.floor(cosine(a, b) * 1000000 + 0.5) / F.lit(1000000.0)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per probe: (probe_id, neighbor_id, sim, rank).
+
+    The probe side is broadcast (it is small by definition); the corpus is
+    scanned exactly once with no shuffle of the vectors — only the tiny
+    per-probe top-k results move.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("sim", _quantized_cosine(F.col("pv"), F.col("cv")))
+        .select("probe_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (±1 entries)."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of sign bits, one per hyperplane."""
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for plane in planes
+        ]
+    )
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidate generation + exact rerank.
+
+    Signature = ``n_planes`` sign bits split into ``bands`` bands; a corpus
+    vector is a candidate for a probe if any band matches. Recall rises
+    with ``bands`` (more, smaller bands → more candidates); the rerank is
+    exact cosine, so precision of returned neighbors is exact.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(n_planes, dim, seed)
+    width = n_planes // bands
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        bits = signature_bits(_as_double(F.col(vec_col)), planes)
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    "", F.transform(F.slice(bits, i * width + 1, width), lambda x: x.cast("string"))
+                )
+                for i in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            _as_double(F.col(vec_col)).alias(vec_alias),
+            F.posexplode(band_arr).alias("band_idx", "band_sig"),
+        )
+
+    c = banded(corpus, "neighbor_id", "cv")
+    p = banded(probes, "probe_id", "pv")
+    candidates = (
+        c.join(F.broadcast(p), ["band_idx", "band_sig"])
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", "pv", "cv")
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn("sim", _quantized_cosine(F.col("pv"), F.col("cv")))
+        .select("probe_id", "neighbor_id", "sim")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (id1 < id2) with cosine >= threshold.
+
+    ``exact=True`` does the O(n²) self-join (correctness baseline / small
+    corpora); the default uses hyperplane-LSH banding — near-identical
+    vectors agree on almost all sign bits, so wide-band collisions catch
+    them while the join stays near-linear.
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("v1"))
+        b = df.select(F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("v2"))
+        pairs = a.join(b, F.col("id1") < F.col("id2"))
+    else:
+        planes = _hyperplanes(n_planes, dim, seed)
+        width = n_planes // bands
+        bits = signature_bits(_as_double(F.col(vec_col)), planes)
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.slice(bits, i * width + 1, width), lambda x: x.cast("string")
+                    ),
+                )
+                for i in range(bands)
+            ]
+        )
+        banded = df.select(
+            F.col(id_col).alias("bid"),
+            _as_double(F.col(vec_col)).alias("bv"),
+            F.posexplode(band_arr).alias("band_idx", "band_sig"),
+        )
+        left = banded.select(
+            "band_idx", "band_sig", F.col("bid").alias("id1"), F.col("bv").alias("v1")
+        )
+        right = banded.select(
+            "band_idx", "band_sig", F.col("bid").alias("id2"), F.col("bv").alias("v2")
+        )
+        pairs = (
+            left.join(right, ["band_idx", "band_sig"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "v1", "v2")
+            .distinct()
+        )
+    return (
+        pairs.withColumn("sim", _quantized_cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
