@@ -1,0 +1,124 @@
+"""Streaming / incremental queries graded by the harness (SURVEY §2.10).
+
+Each callable still returns a batch DataFrame: streaming queries are driven
+to completion with an ``availableNow`` trigger into a memory sink, which is
+the deterministic-test shape for micro-batch pipelines (the production
+shape swaps the trigger for ``processingTime`` and the sink for the real
+one — the plan is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming.cursor import incremental_after_cursor, seed_cursor
+from ..streaming.dedup import stream_dedup_counts
+from ..streaming.outbox import drain_outbox, make_outbox, unposted
+from ..streaming.suppression import suppress_alerts
+from .registry import register
+
+
+@register(
+    "stream_event_counts",
+    """
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermark + dropDuplicates + agg, availableNow.
+
+    The oracle is the batch equivalent — event_ids are unique, so the
+    streaming dedup must be a no-op and the counts must match exactly
+    (validates the state plumbing end-to-end).
+    """
+    return stream_dedup_counts(spark, sf_dir)
+
+
+@register(
+    "cursor_incremental",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id > (SELECT MAX(event_id) FROM events WHERE event_type = 'signup')
+    """,
+)
+def cursor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm cursor: high-water mark from processed rows → pushed-down range
+    scan of the remainder (T1/T7; functions.py:19-26,32-38)."""
+    events = load_table(spark, sf_dir, "events")
+    processed = events.filter(F.col("event_type") == "signup")
+    cursor = seed_cursor(events, processed, "event_id")
+    return incremental_after_cursor(events, cursor, "event_id").select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "cursor_cold_start",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id > (SELECT event_id FROM events
+                      ORDER BY event_id DESC LIMIT 1 OFFSET 1)
+    """,
+)
+def cursor_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold start: cursor seeds from the SECOND-newest admitted id so
+    exactly the newest item processes first (quirk §4.3.4,
+    functions.py:29-30)."""
+    events = load_table(spark, sf_dir, "events")
+    processed = events.filter(F.lit(False))
+    cursor = seed_cursor(events, processed, "event_id")
+    return incremental_after_cursor(events, cursor, "event_id").select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "lookback_window",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 2 MINUTES
+    """,
+)
+def lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 2-minute lookback window (T6; bot/botrun.py:89-96) anchored at
+    the newest event (deterministic stand-in for now())."""
+    events = load_table(spark, sf_dir, "events")
+    anchor = events.agg(F.max("ts").alias("max_ts"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 2 MINUTES"))
+        .select("event_id", "event_type")
+    )
+
+
+@register("alert_suppression", None)  # sequential chain per key → no SQL oracle
+def alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hour re-alert suppression per user (T5; bot/botrun.py:250-269).
+
+    The kept set is a per-key sequential chain (each FIRED alert resets the
+    window) — genuinely non-SQL-expressible; property-tested in
+    tests/test_streaming.py."""
+    events = load_table(spark, sf_dir, "events")
+    return suppress_alerts(events, hours=8.0, alert_type="error")
+
+
+@register("outbox_drain", None)  # side-effecting at-least-once sink
+def outbox_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox lifecycle (T3): materialize per-user JSON docs, drain with the
+    null-inclusive ``posted IS NOT TRUE`` poll, flip flags idempotently.
+
+    Returns the outbox after one full drain — every row posted."""
+    events = load_table(spark, sf_dir, "events")
+    payload = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    outbox = make_outbox(payload, "user_id")
+    drained = drain_outbox(outbox, "user_id", send=None)
+    return drained.select("user_id", "posted")

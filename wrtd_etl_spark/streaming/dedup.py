@@ -1,0 +1,69 @@
+"""Streaming dedup with state (T4).
+
+Reference: bot/botrun.py:279-289 — clip dedup via a SQLite seen-set scanned
+per poll. Spark shape: ``dropDuplicates`` on the natural key with a
+watermark bounding the state store (the reference's last-10 scan is an
+unbounded-state bug at scale; the watermark is the fix, noted divergence).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # raw nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos→ntz conversion."""
+    from ..session import configure
+
+    configure(spark)
+    # FileStreamSource wants a directory; select the one table via glob
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # keep LTZ here: watermarks require TIMESTAMP, not TIMESTAMP_NTZ
+    # (session TZ is pinned UTC so wall-clock values are unchanged)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_available_now(result: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) via a memory
+    sink and hand back the materialized batch result."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked dropDuplicates on event_id, then per-type counts.
+
+    State shape at scale: one entry per event_id inside the watermark
+    horizon; the 10-minute watermark bounds it (the reference keeps state
+    forever — SQLite grows unboundedly)."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return run_available_now(counts, spark, "complete").orderBy("event_type")
