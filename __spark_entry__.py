@@ -20,6 +20,7 @@ from wrtd_etl_spark.plans import testdata_queries as _tq  # noqa: F401 (register
 
 try:  # optional registrations — keep entry importable if a module breaks
     from wrtd_etl_spark.plans import pipeline_queries as _pq  # noqa: F401
+    from wrtd_etl_spark.plans import replay_queries as _rq  # noqa: F401
     from wrtd_etl_spark.plans import streaming_queries as _sq  # noqa: F401
 except ImportError:  # pragma: no cover
     pass

@@ -23,6 +23,7 @@ from wrtd_etl_spark.plans import testdata_queries  # noqa: F401 (registers)
 
 try:
     from wrtd_etl_spark.plans import pipeline_queries  # noqa: F401
+    from wrtd_etl_spark.plans import replay_queries  # noqa: F401
     from wrtd_etl_spark.plans import streaming_queries  # noqa: F401
 except ImportError:
     pass
