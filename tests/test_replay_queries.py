@@ -15,6 +15,7 @@ from .conftest import SF_SMOKE, compare_to_oracle
 
 _EIGHT = [
     "fs_vehicles",
+    "fs_vehicles_grouped",
     "fs_cutlets",
     "fs_tks",
     "fs_fb",

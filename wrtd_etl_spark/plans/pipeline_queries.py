@@ -119,7 +119,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(docs, "text", "doc_id")
 
 
-_NGRAM_ORACLE = r"""
+# Document-frequency pruning is load-bearing at scale: this corpus has a
+# ~30-word vocabulary, so most 5-grams occur in most documents and the
+# unpruned postings self-join is quadratic (measured: 416 s at sf0.1 vs
+# seconds with max_df). Near-duplicate pairs share their RARE grams, so
+# pruning common grams keeps recall while bounding the join.
+_NGRAM_MAX_DF = 50
+
+_NGRAM_ORACLE = rf"""
     WITH grams AS (
         SELECT DISTINCT doc_id, g FROM (
             SELECT doc_id,
@@ -129,9 +136,14 @@ _NGRAM_ORACLE = r"""
             FROM documents)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), gram_df AS (
+        SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+    ), pruned AS (
+        SELECT grams.doc_id, grams.g
+        FROM grams JOIN gram_df USING (g) WHERE df <= {_NGRAM_MAX_DF}
     ), shared AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
-        FROM grams a JOIN grams b USING (g)
+        FROM pruned a JOIN pruned b USING (g)
         WHERE a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -140,15 +152,20 @@ _NGRAM_ORACLE = r"""
     FROM shared
     JOIN sizes s1 ON s1.doc_id = id1
     JOIN sizes s2 ON s2.doc_id = id2
-    WHERE CAST(shared AS DOUBLE) / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= 0.6
+    WHERE CAST(shared AS DOUBLE) / CAST(s1.sz + s2.sz - shared AS DOUBLE) >= 0.08
 """
 
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard similarity join (inverted index)."""
+    """Character-5-gram Jaccard similarity join (inverted index with
+    document-frequency pruning — the inverted-index shape that survives
+    100 TB; Jaccard is computed over full gram sets, shared counts over
+    pruned postings, identically on both sides)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.6)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+    )
 
 
 @register("dedup_minhash", None)  # hash fns engine-specific → rows-only
@@ -165,35 +182,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, "text", "doc_id", max_distance=3)
 
 
-_COS_SQL = (
-    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
-    " / sqrt(list_sum(list_transform(list_zip({a}, {a}), x -> x[1]*x[2]))"
-    " * list_sum(list_transform(list_zip({b}, {b}), x -> x[1]*x[2])))"
+# cosine with per-vector precomputed squared norms (nn) — matches the
+# engine's op order exactly: dot / sqrt(nn_a * nn_b), quantized to 1e-6
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+_NN_SQL = "list_sum(list_transform(list_zip(e, e), x -> x[1]*x[2]))"
+_QCOS_SQL = (
+    "floor((" + _DOT_SQL + " / sqrt({na} * {nb})) * 1000000 + 0.5) / 1000000.0"
 )
-_QCOS_SQL = "floor((" + _COS_SQL + ") * 1000000 + 0.5) / 1000000.0"
 
 
 @register(
     "embedding_neardup",
     f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 500),
+    v AS (SELECT vec_id, e, {_NN_SQL} AS nn FROM v0)
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           {_QCOS_SQL.format(a="a.e", b="b.e")} AS sim
+           {_QCOS_SQL.format(a="a.e", b="b.e", na="a.nn", nb="b.nn")} AS sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {_QCOS_SQL.format(a="a.e", b="b.e")} >= 0.35
+    WHERE {_QCOS_SQL.format(a="a.e", b="b.e", na="a.nn", nb="b.nn")} >= 0.35
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact baseline; LSH path below)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup pairs — the EXACT O(n²) baseline, bounded
+    to a fixed 500-vector slice (covers the whole corpus at the sf0.01
+    correctness gate). The full-corpus scale path is the LSH variant
+    below; an unbounded brute force is exactly what must not ship."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
 
 
 @register("embedding_neardup_lsh", None)  # plane hashes engine-specific
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH near-dup (the 100 TB path; recall-tested vs exact)."""
+    """Hyperplane-LSH near-dup (the 100 TB path).
+
+    The synthetic embeddings have no true near-dups, so the corpus is
+    unioned with deterministic clones (vec_id + 10_000_000): every clone
+    pair has cosine 1.0 and MUST surface through the LSH bands — making
+    the rows-only check meaningful (≥ one pair per original vector)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35, exact=False, bands=8)
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    return embedding_near_dup_pairs(
+        emb.unionByName(clones), threshold=0.95, exact=False
+    )
 
 
 # --------------------------------------------------------------------------
@@ -204,10 +235,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk",
     f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (SELECT vec_id, e, {_NN_SQL} AS nn FROM v0),
     scored AS (
         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-               {_QCOS_SQL.format(a="p.e", b="c.e")} AS sim
+               {_QCOS_SQL.format(a="p.e", b="c.e", na="p.nn", nb="c.nn")} AS sim
         FROM v p JOIN v c ON c.vec_id <> p.vec_id
         WHERE p.vec_id < 10
     ), ranked AS (

@@ -33,9 +33,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.joins import broadcast_dim_join, double_role_dim_join
-from ..operators.windows import dense_rank_top_k
 from .registry import register
+from .replay_core import (
+    q_cutlets,
+    q_frag_detail,
+    q_survivors,
+    q_survivors_group,
+    q_vehicles,
+    q_vehicles_grouped,
+)
 
 REPLAY = 1  # the {replay_number} parameter of every reference query
 
@@ -153,9 +159,43 @@ def _vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fs_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vehicle roster: 2-key grouped count, 2-key sort (queries.py:4-8)."""
-    v = _vehicles(spark, sf_dir).filter(F.col("replay_number") == REPLAY)
-    return (
-        v.groupBy("name", "type").agg(F.count("*").alias("cnt")).orderBy("type", "name")
+    return q_vehicles(_vehicles(spark, sf_dir), REPLAY)
+
+
+# display mapping over the derived type domain — 'type_4' deliberately
+# unmapped to exercise the passthrough (functions.py:227)
+_DERIVED_TYPE_MAPPING = {
+    "type_0": "Танк",
+    "type_1": "Вертолет",
+    "type_2": "Автомобиль",
+    "type_3": "Авиация",
+}
+
+
+@register(
+    "fs_vehicles_grouped",
+    _DERIVE_SQL
+    + f"""
+    , counted AS (
+        SELECT v.name, v.type, COUNT(*) AS cnt
+        FROM vehicles v WHERE replay_number = {REPLAY}
+        GROUP BY v.name, v.type
+    )
+    SELECT CASE type WHEN 'type_0' THEN 'Танк' WHEN 'type_1' THEN 'Вертолет'
+                WHEN 'type_2' THEN 'Автомобиль' WHEN 'type_3' THEN 'Авиация'
+                ELSE type END AS display_type,
+           string_agg(name || ':' || CAST(cnt AS VARCHAR), ','
+                      ORDER BY name || ':' || CAST(cnt AS VARCHAR)) AS items
+    FROM counted
+    GROUP BY display_type
+    ORDER BY display_type
+    """,
+)
+def fs_vehicles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vehicle embed grouping: display-name map lookup w/ passthrough +
+    sorted group-collect (functions.py:208-231; bot/botrun.py:225-229)."""
+    return q_vehicles_grouped(
+        _vehicles(spark, sf_dir), REPLAY, mapping=_DERIVED_TYPE_MAPPING
     )
 
 
@@ -178,22 +218,7 @@ _CUTLETS_SQL = (
 
 
 def _cutlets(spark: SparkSession, sf_dir: str, is_tk: bool) -> DataFrame:
-    f = _frags(spark, sf_dir).filter(
-        (F.col("is_tk") == is_tk) & (F.col("replay_number") == REPLAY)
-    )
-    dp = _d_players(spark, sf_dir)
-    joined = broadcast_dim_join(f, dp, "killer", "id_from_json").select(
-        "killer", "nickname"
-    )
-    return dense_rank_top_k(
-        joined,
-        ["killer", "nickname"],
-        F.count("killer"),
-        "kills",
-        k=5,
-        tiebreaker="killer",
-        rank_alias="rank",
-    )
+    return q_cutlets(_frags(spark, sf_dir), _d_players(spark, sf_dir), REPLAY, is_tk)
 
 
 @register("fs_cutlets", _CUTLETS_SQL.format(IS_TK="FALSE", REPLAY=REPLAY))
@@ -226,34 +251,7 @@ _FRAG_DETAIL_SQL = (
 
 
 def _frag_detail(spark: SparkSession, sf_dir: str, order) -> DataFrame:
-    f = _frags(spark, sf_dir).filter(F.col("replay_number") == REPLAY)
-    dp = _d_players(spark, sf_dir)
-    both = double_role_dim_join(
-        f,
-        dp,
-        roles=[
-            ("dp", "killer", [("nickname", "killer_nickname")]),
-            ("dp2", "victim", [("nickname", "victim_nickname")]),
-        ],
-        dim_key="id_from_json",
-        how="left",
-    )
-    return (
-        both.orderBy(*order, F.col("id"))
-        .limit(1)
-        .select(
-            F.col("time").cast("string").alias("time"),
-            "killer",
-            "victim",
-            "killer_nickname",
-            "victim_nickname",
-            "killer_vehicle",
-            "victim_vehicle",
-            "distance",
-            "is_tk",
-            "gun",
-        )
-    )
+    return q_frag_detail(_frags(spark, sf_dir), _d_players(spark, sf_dir), REPLAY, order)
 
 
 @register("fs_fb", _FRAG_DETAIL_SQL.format(REPLAY=REPLAY, ORDER="f.time"))
@@ -292,16 +290,15 @@ _SURVIVORS_SQL = (
 
 
 def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _players(spark, sf_dir).filter(F.col("replay_number") == REPLAY)
-    dp = _d_players(spark, sf_dir)
-    f = _frags(spark, sf_dir)  # deliberately NOT filtered by replay (§4.3.1)
-    joined = broadcast_dim_join(p, dp, "id_from_json", "id_from_json").select(
-        p["id_from_json"].alias("id_from_json"), "nickname", "side"
-    )
     # NOT IN with a non-null subquery ≡ left_anti (victims are never NULL
     # in this derivation, matching create_tables.sql:57 NOT NULL)
-    victims = f.select(F.col("victim").alias("id_from_json"))
-    return joined.join(victims, on="id_from_json", how="left_anti")
+    return q_survivors(
+        _players(spark, sf_dir),
+        _d_players(spark, sf_dir),
+        _frags(spark, sf_dir),
+        REPLAY,
+        cross_replay=True,
+    )
 
 
 @register("fs_survivors", _SURVIVORS_SQL)
@@ -327,14 +324,13 @@ def fs_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fs_survivors_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corrected per-replay variant behind a 'flag' (SURVEY §4.3.1:
     implement literal semantics AND expose the fix)."""
-    p = _players(spark, sf_dir).filter(F.col("replay_number") == REPLAY)
-    dp = _d_players(spark, sf_dir)
-    f = _frags(spark, sf_dir).filter(F.col("replay_number") == REPLAY)
-    joined = broadcast_dim_join(p, dp, "id_from_json", "id_from_json").select(
-        p["id_from_json"].alias("id_from_json"), "nickname", "side"
+    return q_survivors(
+        _players(spark, sf_dir),
+        _d_players(spark, sf_dir),
+        _frags(spark, sf_dir),
+        REPLAY,
+        cross_replay=False,
     )
-    victims = f.select(F.col("victim").alias("id_from_json"))
-    return joined.join(victims, on="id_from_json", how="left_anti")
 
 
 @register(
@@ -357,15 +353,10 @@ def fs_survivors_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fs_survivors_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors grouped by CASE-mapped side label with emoji markers
     (queries.py:62-74; deterministic tiebreaker on the label added)."""
-    surv = _survivors(spark, sf_dir)
-    label = (
-        F.when(F.col("side") == 1, ":red_square: EAST")
-        .when(F.col("side") == 2, ":blue_square: WEST")
-        .when(F.col("side") == 3, ":green_square: GUER")
-        .when(F.col("side") == 4, ":purple_square: CIV")
-    )
-    return (
-        surv.groupBy(label.alias("side_label"))
-        .agg(F.count("id_from_json").alias("cnt"))
-        .orderBy(F.desc("cnt"), "side_label")
+    return q_survivors_group(
+        _players(spark, sf_dir),
+        _d_players(spark, sf_dir),
+        _frags(spark, sf_dir),
+        REPLAY,
+        cross_replay=True,
     )

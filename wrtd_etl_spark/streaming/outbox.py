@@ -56,8 +56,10 @@ def drain_outbox(
     rows = todo.collect()  # the side-effecting sink is inherently driver/worker-side
     if send is not None:
         send(rows)
-    flipped = todo.sparkSession.createDataFrame(
-        [(r[key], r["text_data"], True) for r in rows],
-        schema=outbox.schema,
-    ) if rows else todo.limit(0).withColumn("posted", F.lit(True))
+    if rows:
+        flipped = todo.sparkSession.createDataFrame(
+            [{**r.asDict(), "posted": True} for r in rows], schema=outbox.schema
+        )
+    else:
+        flipped = todo.limit(0).withColumn("posted", F.lit(True))
     return upsert_by_key(outbox, flipped, key)

@@ -60,3 +60,57 @@ def suppress_alerts(
         return _keep_chain(pdf, window_s)
 
     return alerts.groupBy("user_id").applyInPandas(run, schema=OUT_SCHEMA)
+
+
+STREAM_OUT_SCHEMA = "user_id long, ts timestamp, alert_rank int"
+STATE_SCHEMA = "last_fired timestamp, fired int"
+
+
+def suppress_alerts_stream(
+    events,  # streaming DataFrame with (user_id, ts timestamp, event_type)
+    hours: float = 8.0,
+    alert_type: str = "error",
+):
+    """Streaming twin of :func:`suppress_alerts`: the last-FIRED timestamp
+    lives in GroupState (one row per key — the bounded-state shape), so the
+    suppression chain survives across micro-batches.
+
+    ``applyInPandasWithState`` contract: per key, an iterator of pandas
+    batches + a GroupState; emits the alerts that fire this batch."""
+    from collections.abc import Iterator
+
+    window_s = hours * 3600.0
+
+    def fn(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last, fired = state.get
+        else:
+            last, fired = None, 0
+        out_ts, out_rank = [], []
+        for pdf in batches:
+            for t in pdf.sort_values("ts")["ts"]:
+                t_py = t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
+                if last is None or (t_py - last).total_seconds() >= window_s:
+                    fired += 1
+                    last = t_py
+                    out_ts.append(t_py)
+                    out_rank.append(fired)
+        state.update((last, fired))
+        if out_ts:
+            yield pd.DataFrame(
+                {"user_id": user_id, "ts": out_ts, "alert_rank": out_rank}
+            )
+
+    return (
+        events.filter(F.col("event_type") == alert_type)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAM_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
