@@ -34,6 +34,7 @@ def test_rows_only_queries_run(spark):
         "dedup_simhash",
         "embedding_neardup_lsh",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "multimodal_decode",
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
@@ -160,3 +161,23 @@ def test_multimodal_decode_stub_raises(spark):
     media = attach_binary_payload(docs, "text", "doc_id")
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         decode_image(media, fake=False).collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k
+    from wrtd_etl_spark.similarity.ivf import ivf_top_k
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_top_k(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_top_k(emb, probes, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"

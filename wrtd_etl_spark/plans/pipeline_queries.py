@@ -266,6 +266,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_top_k(emb, probes, k=5)
 
 
+@register("ann_ivf_topk", None)  # centroid choice engine-specific → rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (cells + nprobe fan-out + exact rerank) —
+    the second scale path next to LSH; recall-tested vs brute force."""
+    from ..similarity.ivf import ivf_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_top_k(emb, probes, k=5)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

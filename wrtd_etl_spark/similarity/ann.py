@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +60,30 @@ def _quantized_cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _make_pandas_cosine():
+    """Arrow-vectorized quantized cosine for the APPROXIMATE paths.
+
+    Catalyst higher-order-function folds are interpreted (not codegen'd):
+    reranking ~300k candidate pairs of dim-64 vectors costs ~15 s at sf0.1.
+    A pandas_udf moves the math to numpy over Arrow batches (~40x).
+    Oracle-matched queries keep the sequential fold — numpy's pairwise
+    summation has different last-bit behavior; approximate rerank only
+    needs the same 1e-6 quantization, not cross-engine bit-equality."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def pd_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        dot = np.einsum("ij,ij->i", va, vb)
+        na = np.einsum("ij,ij->i", va, va)
+        nb = np.einsum("ij,ij->i", vb, vb)
+        sim = dot / np.sqrt(na * nb)
+        return pd.Series(np.floor(sim * 1_000_000 + 0.5) / 1_000_000)
+
+    return pd_cosine
 
 
 def brute_force_top_k(
@@ -132,6 +157,37 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def _make_pandas_band_sig(planes: list[list[float]], bands: int):
+    """Arrow-vectorized band signatures: V @ P.T > 0, packed per band.
+
+    The expression form (:func:`signature_bits`) is interpreted per
+    element — 64 planes x 64 dims x N rows of lambda evals was the
+    dominant LSH cost at sf0.1 (9.6 s for 4k vectors); one numpy matmul
+    per Arrow batch replaces it."""
+    import numpy as np
+
+    n_planes = len(planes)
+    width = n_planes // bands
+
+    @F.pandas_udf("array<string>")
+    def band_sig(v: pd.Series) -> pd.Series:
+        P = np.asarray(planes)  # n_planes x dim
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (V @ P.T > 0).astype(np.uint8)  # n x n_planes
+        chars = bits + ord("0")
+        return pd.Series(
+            [
+                [
+                    row[i * width : (i + 1) * width].tobytes().decode("ascii")
+                    for i in range(bands)
+                ]
+                for row in chars.astype(np.uint8)
+            ]
+        )
+
+    return band_sig
+
+
 def lsh_top_k(
     corpus: DataFrame,
     probes: DataFrame,
@@ -155,20 +211,15 @@ def lsh_top_k(
     planes = _hyperplanes(n_planes, dim, seed)
     width = n_planes // bands
 
+    band_sig = _make_pandas_band_sig(planes, bands)
+
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        bits = signature_bits(_as_double(F.col(vec_col)), planes)
-        band_arr = F.array(
-            *[
-                F.concat_ws(
-                    "", F.transform(F.slice(bits, i * width + 1, width), lambda x: x.cast("string"))
-                )
-                for i in range(bands)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(id_alias),
             _as_double(F.col(vec_col)).alias(vec_alias),
-            F.posexplode(band_arr).alias("band_idx", "band_sig"),
+            F.posexplode(band_sig(_as_double(F.col(vec_col)))).alias(
+                "band_idx", "band_sig"
+            ),
         )
 
     c = banded(corpus, "neighbor_id", "cv")
@@ -179,14 +230,10 @@ def lsh_top_k(
         .select("probe_id", "neighbor_id", "pv", "cv")
         .distinct()
     )
+    pd_cosine = _make_pandas_cosine()
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        candidates.withColumn(
-            "sim",
-            _quantized_cosine_with_norms(
-                F.col("pv"), F.col("cv"), sq_norm(F.col("pv")), sq_norm(F.col("cv"))
-            ),
-        )
+        candidates.withColumn("sim", pd_cosine(F.col("pv"), F.col("cv")))
         .select("probe_id", "neighbor_id", "sim")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -227,22 +274,12 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, F.col("id1") < F.col("id2"))
     else:
         planes = _hyperplanes(n_planes, dim, seed)
-        width = n_planes // bands
-        bits = signature_bits(_as_double(F.col(vec_col)), planes)
-        band_arr = F.array(
-            *[
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.slice(bits, i * width + 1, width), lambda x: x.cast("string")
-                    ),
-                )
-                for i in range(bands)
-            ]
-        )
+        band_sig = _make_pandas_band_sig(planes, bands)
         banded = df.select(
             F.col(id_col).alias("bid"),
-            F.posexplode(band_arr).alias("band_idx", "band_sig"),
+            F.posexplode(band_sig(_as_double(F.col(vec_col)))).alias(
+                "band_idx", "band_sig"
+            ),
         )
         left = banded.select("band_idx", "band_sig", F.col("bid").alias("id1"))
         right = banded.select("band_idx", "band_sig", F.col("bid").alias("id2"))
@@ -256,11 +293,18 @@ def embedding_near_dup_pairs(
         )
         v1 = df.select(
             F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("v1")
-        ).withColumn("n1", sq_norm(F.col("v1")))
+        )
         v2 = df.select(
             F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("v2")
-        ).withColumn("n2", sq_norm(F.col("v2")))
+        )
         pairs = ids.join(v1, "id1").join(v2, "id2")
+        pd_cosine = _make_pandas_cosine()
+        return (
+            pairs.withColumn("sim", pd_cosine(F.col("v1"), F.col("v2")))
+            .filter(F.col("sim") >= threshold)
+            .select("id1", "id2", "sim")
+        )
+    # exact path: sequential-fold cosine — bit-identical to the SQL oracle
     return (
         pairs.withColumn(
             "sim",
