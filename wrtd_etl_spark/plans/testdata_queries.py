@@ -502,3 +502,66 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Phase-1 end-to-end slice (SURVEY.md §7.1): the "cutlets" shape —
     filter → broadcast join → grouped count → global dense_rank → top-5."""
     return top_customers(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Beyond-parity relational surface (free from Spark; exposed + graded so a
+# reference user gets a superset: distinct aggs, ROLLUP, set operations)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "distinct_parts_rollup",
+    """
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def distinct_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation over a ROLLUP lattice (superset surface —
+    grouping-set NULL indicator rows must match the SQL oracle's)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "segment_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT user_id FROM events
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / UNION / EXCEPT with SQL set semantics (distinct rows).
+
+    SQL chains set ops left-to-right at equal precedence EXCEPT that
+    INTERSECT binds tighter: ((A ∩ B) ∪ C) \\ D — mirrored explicitly.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    b = events.select(F.col("user_id").alias("c_custkey"))
+    c = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey")
+    )
+    d = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    return a.intersect(b).union(c).exceptAll(d).distinct()
