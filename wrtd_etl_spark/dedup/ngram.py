@@ -38,11 +38,23 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
-    """Pairs (id1 < id2) with n-gram Jaccard >= threshold."""
+    """Pairs (id1 < id2) with n-gram Jaccard >= threshold.
+
+    The postings list feeds three consumers (set sizes, document
+    frequencies, the pair join); without persistence each one re-explodes
+    the corpus — Catalyst has no cross-action subplan reuse. At cluster
+    scale the postings would be a checkpointed table; locally
+    MEMORY_AND_DISK persistence serves the same role.
+    """
     grams = df.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("g")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         doc_freq = grams.groupBy("g").agg(F.count("*").alias("df"))

@@ -565,3 +565,107 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_custkey")
     )
     return a.intersect(b).union(c).exceptAll(d).distinct()
+
+
+# --------------------------------------------------------------------------
+# Time-series operators Spark lacks natively: as-of join, sessionization
+# (guide "Common OLAP patterns"; core training-pipeline time ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           r.last_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the most recent order (at or before its
+    ts) of the same customer — composed via union + carry-forward window
+    (operators/asof.py); DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = as_of_join(
+        events, orders, key="user_id", left_time="ts", right_time="ots",
+        payload_cols=["last_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "last_orderkey",
+    )
+
+
+@register(
+    "event_sessions",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ), sessioned AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection (30 min) + running session ids +
+    per-session rollup — the batch twin of session_window streaming."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("prev_ts").cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (
+            F.max("ts").cast("timestamp").cast("long")
+            - F.min("ts").cast("timestamp").cast("long")
+        ).alias("duration_s"),
+    )
