@@ -1,0 +1,80 @@
+"""Operator-level unit tests: skew salting, upsert, null-safe anti-join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.catalog import load_table
+from wrtd_etl_spark.operators.joins import null_safe_anti_join
+from wrtd_etl_spark.operators.skew import salted_count, salted_join
+from wrtd_etl_spark.operators.upsert import upsert_by_key
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    customer = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = {
+        (r.event_id, r.c_name)
+        for r in events.join(customer, "user_id").collect()
+    }
+    salted = {
+        (r.event_id, r.c_name)
+        for r in salted_join(events, customer, "user_id", n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_count_equals_plain_count(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type, r["count"])
+        for r in events.groupBy("event_type").count().collect()
+    }
+    salted = {
+        (r.event_type, r.cnt)
+        for r in salted_count(events, "event_type", n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def test_null_safe_anti_join_null_semantics(spark):
+    left = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    right_clean = spark.createDataFrame([(2,), (3,)], "k long")
+    right_null = spark.createDataFrame([(2,), (None,)], "k long")
+    # SQL NOT IN: NULL left keys never qualify
+    got = {r.k for r in null_safe_anti_join(left, right_clean, "k", "k").collect()}
+    assert got == {1}
+    # SQL NOT IN: any NULL on the right empties the result
+    assert null_safe_anti_join(left, right_null, "k", "k").count() == 0
+
+
+def test_upsert_insert_and_update(spark):
+    current = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {(r.k, r.v) for r in upsert_by_key(current, updates, "k").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_approx_sketches_within_bounds(spark):
+    from wrtd_etl_spark.plans import REGISTRY
+    import wrtd_etl_spark.plans.testdata_queries  # noqa: F401
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        (r.l_returnflag): (r.n, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    approx = REGISTRY["approx_sketches"].fn(spark, SF_SMOKE).collect()
+    for r in approx:
+        n, med = exact[r.returnflag]
+        assert abs(r.approx_parts - n) / n < 0.05
+        assert abs(r.approx_median - med) / med < 0.05

@@ -4,15 +4,19 @@ Pipeline (the standard shingle→minhash→band→bucket-join construction):
 
 1. token shingles per doc (array expr, no explode);
 2. MinHash signature: for each of ``num_hashes`` universal hash functions
-   ``(a*h + b) mod p``, the min over shingle hashes — computed entirely
-   inside one ``transform``/``array_min`` expression (JVM codegen, no
-   shuffle, no UDF);
+   ``(a*h + b) mod p``, the min over shingle hashes — base hashes are
+   JVM-side xxhash64, the min-reduction is one Arrow-vectorized numpy
+   pass (the pure-expression form was the dominant cost: interpreted
+   higher-order functions, see plans/pipeline_queries notes);
 3. LSH: split the signature into ``bands`` bands of ``rows_per_band``;
    hash each band; explode to (doc, band_idx, band_hash);
 4. candidate pairs = docs sharing any band bucket (self-join on the
    bucket key) — with a bucket-size cap so a degenerate hot bucket can't
    go quadratic at scale;
-5. verify candidates with exact Jaccard over distinct shingle sets.
+5. verify candidates with exact Jaccard over the distinct hashed
+   shingle sets (32-bit shingle hashes — collision probability is
+   negligible for near-dup verification and the arrays shuffle 10x
+   smaller than raw shingle strings).
 
 Scale shape: the only shuffles are the band-bucket exchange and the final
 verify join, both on well-distributed hash keys; signature computation is
@@ -24,6 +28,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,22 +66,57 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, shingles, sig) — sig is an array<long> MinHash signature."""
-    sh = shingles(F.col(text_col), shingle_k).alias("shingles")
-    base = df.select(F.col(id_col), sh)
-    # 32-bit base hash per shingle, then one min-expression per hash fn
-    hashed = base.withColumn(
-        "h32", F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
-    )
-    def min_hash(a: int, b: int):
-        # single-arg lambda via closure (defaults would change the arity
-        # PySpark infers for the higher-order function)
-        return F.array_min(
-            F.transform(F.col("h32"), lambda h: F.pmod(h * a + b, F.lit(_P)))
-        )
+    """(id, sh_hashes, sig): distinct hashed shingle set + MinHash sig.
 
-    sig = F.array(*[min_hash(a, b) for a, b in _hash_params(num_hashes, seed)])
-    return hashed.select(id_col, "shingles", sig.alias("sig"))
+    Split: per-TOKEN hashing stays JVM-side (one xxhash64 per token);
+    shingle combination (rolling window over token hashes), dedup, and the
+    ``min((a*h+b) mod p)`` reduction are one Arrow-vectorized numpy pass.
+    The pure-expression form (slice+concat per shingle, then num_hashes
+    lambda folds) was the dominant corpus-scan cost — interpreted
+    higher-order functions, ~10 s for 5k docs at sf0.1 vs <1 s vectorized.
+    Shingle identity is the hash-tuple combine rather than the joined
+    string — equivalent partitioning modulo negligible 32-bit collisions.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    base = df.select(F.col(id_col), th.alias("th"))
+
+    params = _hash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.uint64)
+    B = np.array([b for _, b in params], dtype=np.uint64)
+    k = shingle_k
+    COMBINE = np.uint64(1_000_003)  # polynomial combine base
+    M32 = np.uint64((1 << 32) - 1)
+
+    @F.pandas_udf("sh_hashes array<long>, sig array<long>")
+    def sig_udf(th_col: pd.Series) -> pd.DataFrame:
+        sh_out, sig_out = [], []
+        empty_sig = np.full(len(A), _P - 1, dtype=np.int64)
+        for h in th_col:
+            t = np.asarray(h, dtype=np.uint64)
+            n = t.size
+            if n == 0:
+                sh_out.append(np.empty(0, dtype=np.int64))
+                sig_out.append(empty_sig)
+                continue
+            # same window count as the string form: max(n-k, 0) + 1
+            if n >= k:
+                win = np.lib.stride_tricks.sliding_window_view(t, k)
+            else:
+                win = t[None, :]
+            acc = np.zeros(win.shape[0], dtype=np.uint64)
+            for j in range(win.shape[1]):  # k is tiny; wraps are intended
+                acc = acc * COMBINE + win[:, j]
+            sh = np.unique(acc & M32)
+            m = (A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_P)
+            sh_out.append(sh.astype(np.int64))
+            sig_out.append(m.min(axis=1).astype(np.int64))
+        return pd.DataFrame({"sh_hashes": sh_out, "sig": sig_out})
+
+    packed = base.select(F.col(id_col), sig_udf(F.col("th")).alias("p"))
+    return packed.select(
+        id_col, F.col("p.sh_hashes").alias("sh_hashes"), F.col("p.sig").alias("sig")
+    )
 
 
 def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
@@ -112,7 +153,11 @@ def minhash_near_dup_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    sigs = sigs.withColumn("sh_size", F.size("shingles"))
+    sigs = sigs.withColumn("sh_size", F.size("sh_hashes"))
+    # two consumers (banding, verification) — persist the one corpus scan
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = _band_buckets(sigs, id_col, bands, rows)
 
     # cap bucket size (hot-key hygiene), then self-join within buckets
@@ -139,12 +184,12 @@ def minhash_near_dup_pairs(
     # verify: exact Jaccard over the distinct shingle sets
     s1 = sigs.select(
         F.col(id_col).alias("id1"),
-        F.col("shingles").alias("sh1"),
+        F.col("sh_hashes").alias("sh1"),
         F.col("sh_size").alias("sz1"),
     )
     s2 = sigs.select(
         F.col(id_col).alias("id2"),
-        F.col("shingles").alias("sh2"),
+        F.col("sh_hashes").alias("sh2"),
         F.col("sh_size").alias("sz2"),
     )
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))

@@ -669,3 +669,42 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.min("ts").cast("timestamp").cast("long")
         ).alias("duration_s"),
     )
+
+
+@register(
+    "status_pivot",
+    f"""
+    SELECT l_returnflag AS returnflag,
+           {_DSUM_SQL.format(expr="CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_O,
+           {_DSUM_SQL.format(expr="CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+    """,
+)
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per linestatus value (conditional-aggregation
+    oracle — SQL's spelling of the same plan Catalyst builds for pivot)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") * 10000 + 0.5)
+    return (
+        li.withColumn("__q", qty)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg((F.sum(F.when(F.lit(True), F.col("__q")).otherwise(0)) / F.lit(10000.0)))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+        .orderBy("returnflag")
+    )
+
+
+@register("approx_sketches", None)  # sketch algorithms engine-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, quantile sketch) — the
+    at-scale substitutes for exact distinct/percentile; error bounds are
+    asserted vs exact values in tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count("*").alias("cnt"),
+    )
