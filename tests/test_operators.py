@@ -78,3 +78,27 @@ def test_approx_sketches_within_bounds(spark):
         n, med = exact[r.returnflag]
         assert abs(r.approx_parts - n) / n < 0.05
         assert abs(r.approx_median - med) / med < 0.05
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """append_partitioned's bucket layout must show PartitionFilters in the
+    physical plan for a key-filtered read (the per-replay query pattern)."""
+    import io, contextlib
+    from wrtd_etl_spark import sinks
+
+    events = load_table(spark, SF_SMOKE, "events").limit(1000)
+    path = str(tmp_path / "ev")
+    sinks.append_partitioned(events, path, "user_id", buckets=8)
+
+    raw = spark.read.parquet(path)
+    filtered = raw.filter(
+        F.col("__bucket") == F.pmod(F.hash(F.lit(7)), F.lit(8))
+    ).filter(F.col("user_id") == 7)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    # correctness: bucket-filtered read returns exactly the key's rows
+    expect = events.filter(F.col("user_id") == 7).count()
+    assert filtered.count() == expect

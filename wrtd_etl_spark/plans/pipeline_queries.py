@@ -307,3 +307,86 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "text", "doc_id")
     return decode_image(media, fake=True)
+
+
+# --------------------------------------------------------------------------
+# Dataset assembly: deterministic splits + the composite prepare step
+# --------------------------------------------------------------------------
+
+# Knuth multiplicative hash on the id — engine-portable (pure integer
+# arithmetic), uniform, and stable across runs/engines; rand()/hash()
+# differ per engine and per task retry.
+_SPLIT_SQL = "((doc_id * 2654435761) % 4294967296) % 100"
+
+
+@register(
+    "dataset_split",
+    f"""
+    SELECT CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+                WHEN {_SPLIT_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY split ORDER BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via multiplicative
+    hashing of the id — reproducible across engines, runs and retries
+    (unlike rand()-based sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "training_corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               {TX.quality_score_sql("text")} AS quality,
+               {TX.FINGERPRINT_SQL.format(expr="text")} AS fp
+        FROM documents
+    ), deduped AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5
+          AND doc_id IN (SELECT MIN(doc_id) FROM scored GROUP BY fp)
+    )
+    SELECT lang,
+           CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+                WHEN {_SPLIT_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM deduped
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite prepare-training-data step: quality filter → exact
+    dedup (min-id survivor) → deterministic split → per-(lang, split)
+    accounting. One declarative plan; Catalyst fuses the scoring with the
+    scan and the dedup is the one hash shuffle."""
+    from ..dedup.exact import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", TX.quality_score(F.col("text")))
+    deduped = exact_dedup(scored, "text", "doc_id").filter(F.col("quality") >= 0.5)
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        deduped.groupBy("lang", split.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "split")
+    )
