@@ -155,3 +155,29 @@ def test_parse_listing_and_admission(spark):
     assert got == {(3405, 120), (3406, 85), (3407, 101)}
     admitted = {r.replay_id for r in admitted_replays(pairs).collect()}
     assert admitted == {3405, 3407}
+
+
+def test_rank_tie_determinism(spark):
+    """§4.3.2: six killers tied at rank 1 — the reference's LIMIT 5 cuts
+    arbitrarily; our tiebreaker must return the 5 lowest killer ids,
+    stably across runs."""
+    from wrtd_etl_spark.plans.replay_core import q_cutlets
+
+    frags = spark.createDataFrame(
+        [
+            (i * 10 + j, 1, f"00:0{j}:00", 99, None, k, None, None, None, False)
+            for j, k in enumerate([11, 12, 13, 14, 15, 16])
+            for i in range(3)  # every killer has exactly 3 kills → all tie
+        ],
+        "id long, replay_number long, time string, victim long, "
+        "victim_vehicle string, killer long, killer_vehicle string, "
+        "gun string, distance long, is_tk boolean",
+    )
+    dp = spark.createDataFrame(
+        [(k, f"nick{k}") for k in range(11, 17)], "id_from_json long, nickname string"
+    )
+    first = q_cutlets(frags, dp, 1, is_tk=False).collect()
+    second = q_cutlets(frags, dp, 1, is_tk=False).collect()
+    assert [r.killer for r in first] == [11, 12, 13, 14, 15]
+    assert first == second
+    assert all(r.rank == 1 for r in first)

@@ -22,3 +22,59 @@ def test_stream_suppression_agrees_with_batch(spark):
     want = {(r.user_id, r.ts, r.alert_rank) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_session_window_streaming_counts(spark):
+    """session_window streaming sessionization must produce the same
+    per-user session count as the batch lag-gap implementation."""
+    from pyspark.sql import functions as F
+    from wrtd_etl_spark.plans.registry import REGISTRY
+    import wrtd_etl_spark.plans.testdata_queries  # noqa: F401
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = run_available_now(sessions, spark, "append")
+    got_counts = {
+        (r.user_id): r.n
+        for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    # batch twin with session_window's boundary semantics: windows are
+    # [start, end) so a gap of EXACTLY 30 min starts a new session (>=),
+    # while the registered event_sessions query uses strict > (both are
+    # legitimate sessionizations; the oracle pins each one's contract)
+    from pyspark.sql import Window
+    from wrtd_etl_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("prev_ts").cast("timestamp").cast("long")
+                >= 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    want_counts = {
+        r.user_id: r.n
+        for r in marked.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n"))
+        .collect()
+    }
+    # Append-mode semantics: a session is only emitted once the watermark
+    # passes it, so each user's final session may be withheld when the
+    # stream ends — at most ONE short per user, never more, never extra.
+    assert set(got_counts) == set(want_counts)
+    for user, want in want_counts.items():
+        got = got_counts[user]
+        assert want - 1 <= got <= want, (user, got, want)
+    # and the withheld-tail explanation must hold for the bulk of users
+    assert sum(got_counts.values()) >= sum(want_counts.values()) - len(want_counts)

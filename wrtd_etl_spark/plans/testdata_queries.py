@@ -708,3 +708,75 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "range_join_sessions",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 2 HOURS
+    """,
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: clicks within 2 hours after a
+    purchase by the same user — bucketized equi-join construction
+    (operators/range_join.py); the oracle is the plain inequality join."""
+    from ..operators.range_join import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        clicks, purchases, key="user_id", point_time="ts",
+        start_col="start_ts", end_col="end_ts",
+        bucket_seconds=2 * 3600,
+    )
+    return joined.select("click_id", "purchase_id")
+
+
+@register(
+    "topk_orders_per_segment",
+    """
+    WITH ranked AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderkey,
+               o.o_totalprice AS totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment, o_orderkey, totalprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: partitioned window + row_number <= K — the
+    partitioned counterpart of the reference's global dense_rank (W1),
+    which is the shape that scales (per-group parallel, no single
+    partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = broadcast_dim_join(orders, customer, "o_custkey", "c_custkey").select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
