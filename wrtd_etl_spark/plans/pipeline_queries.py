@@ -390,3 +390,63 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang", "split")
     )
+
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, (len(t) + 63) // 64)) AS BIGINT) AS chunk_idx,
+           array_to_string(t[(unnest(range(0, (len(t) + 63) // 64)) * 64 + 1):
+                             (unnest(range(0, (len(t) + 63) // 64)) * 64 + 64)],
+                           ' ') AS chunk_text
+    FROM toks
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 64-token chunks
+    (the LLM-training prep step) — pure array expressions, one explode,
+    no UDF; chunk count = ceil(n_tokens/64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / 64).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("chunk_idx") * 64 + 1, 64)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    FROM documents
+    WHERE {_SPLIT_SQL} < 20
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% per-stratum sample via the same multiplicative
+    hash as dataset_split — reproducible, no rand(), survives retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    return (
+        docs.filter(bucket < 20)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars"))
+        .orderBy("lang")
+    )
