@@ -11,7 +11,12 @@ exposes its query registry in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable no matter the driver's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
