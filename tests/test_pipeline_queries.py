@@ -20,6 +20,10 @@ _PIPELINE_ORACLE = [
     "embedding_neardup",
     "ann_cosine_topk",
     "multimodal_meta",
+    "dataset_split",
+    "training_corpus",
+    "doc_chunks",
+    "stratified_sample",
 ]
 
 
@@ -39,6 +43,15 @@ def test_rows_only_queries_run(spark):
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
         assert df.count() >= 0  # runs to completion with a stable schema
+
+
+def test_training_corpus_is_non_vacuous(spark):
+    """The quality gate must keep a real corpus on the testdata — a 0-row
+    result would make the oracle match vacuous (VERDICT r1)."""
+    result = REGISTRY["training_corpus"].fn(spark, SF_SMOKE)
+    rows = result.collect()
+    assert len(rows) > 0
+    assert sum(r.n_docs for r in rows) > 0
 
 
 def test_exact_dedup_keeps_one_per_group(spark):

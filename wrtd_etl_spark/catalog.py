@@ -53,6 +53,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Ensure enough input parallelism for a CPU-bound downstream stage.
+
+    A Spark scan parallelizes by file split, and a parquet file is only
+    splittable at row-group boundaries — so a small single-row-group file
+    yields ONE task, and everything up to the first exchange (shingling,
+    signature computation, vector scoring) serializes on one core no
+    matter how many executors exist. At 100 TB a scan has thousands of
+    splits and this returns the input unchanged (the gate keeps it a
+    policy no-op); on degenerate inputs it buys full-cluster parallelism
+    for one round-robin exchange of the raw rows — measured 32× stage
+    speedup on the single-file local testdata.
+
+    Only worth it when the next stage is CPU-heavy: plain filters or
+    aggregations are cheaper than the exchange they'd need.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

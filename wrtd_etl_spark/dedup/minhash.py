@@ -30,7 +30,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # p > 2^32 prime; hash values are first reduced mod 2^32 so a*h+b stays
@@ -77,9 +77,13 @@ def minhash_signatures(
     Shingle identity is the hash-tuple combine rather than the joined
     string — equivalent partitioning modulo negligible 32-bit collisions.
     """
+    from ..catalog import spread
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
-    base = df.select(F.col(id_col), th.alias("th"))
+    # tokenize + signature UDF are the CPU-bound corpus scan: guarantee it
+    # isn't serialized by a single-split file (no-op on multi-split input)
+    base = spread(df).select(F.col(id_col), th.alias("th"))
 
     params = _hash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.uint64)
@@ -160,13 +164,15 @@ def minhash_near_dup_pairs(
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = _band_buckets(sigs, id_col, bands, rows)
 
-    # cap bucket size (hot-key hygiene), then self-join within buckets
-    bucket_counts = buckets.groupBy("band_idx", "band_hash").agg(
-        F.count("*").alias("bsz")
-    )
-    buckets = buckets.join(
-        bucket_counts.filter(F.col("bsz") <= max_bucket),
-        ["band_idx", "band_hash"],
+    # cap bucket size (hot-key hygiene) with a count() window over the
+    # bucket key: one exchange on (band_idx, band_hash) that the self-join
+    # below then reuses — vs. the aggregate+join form which shuffles the
+    # postings twice (once for the count, once to join it back)
+    wb = Window.partitionBy("band_idx", "band_hash")
+    buckets = (
+        buckets.withColumn("bsz", F.count("*").over(wb))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
     left = buckets.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id1")

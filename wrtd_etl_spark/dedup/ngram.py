@@ -42,25 +42,46 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id1 < id2) with n-gram Jaccard >= threshold.
 
-    The postings list feeds three consumers (set sizes, document
-    frequencies, the pair join); without persistence each one re-explodes
-    the corpus — Catalyst has no cross-action subplan reuse. At cluster
-    scale the postings would be a checkpointed table; locally
+    Shuffle budget (the 100 TB lens): per-doc set sizes come from
+    ``F.size`` on the gram ARRAY before the explode — a scan-stage
+    projection, not a groupBy over the (much larger) exploded postings —
+    and join the small POST-aggregation pair table, so the wide self-join
+    rows stay narrow (g, id1, id2 only). Remaining exchanges: the
+    document-frequency groupBy on ``g``, the df-prune join on ``g`` (whose
+    output partitioning the self-join reuses), the pair groupBy, and the
+    two key-equi size joins on the aggregated pairs (AQE picks the
+    strategy; the pair side is the small one after thresholding).
+
+    The persisted gram-array table feeds three consumers (sizes, document
+    frequencies, the pair join); without persistence each one re-derives
+    the n-grams from raw text — Catalyst has no cross-action subplan
+    reuse. At cluster scale it would be a checkpointed table; locally
     MEMORY_AND_DISK persistence serves the same role.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("g")
+    from ..catalog import spread
+
+    # shingling is CPU-bound: guarantee the gram stage sees full
+    # parallelism even when the scan is a single small file (no-op on a
+    # real multi-split 100 TB scan)
+    arr = spread(df).select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("__arr")
     )
     if persist:
         from pyspark import StorageLevel
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+        # persist the per-doc ARRAY (one row per doc), not the exploded
+        # postings: the array form is ~n× smaller in the cache, and
+        # re-exploding from memory is a pure codegen pass — measured
+        # faster than caching the postings themselves at sf0.1
+        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = arr.select(F.col(id_col), F.size("__arr").alias("sz"))
+    pos = arr.select(F.col(id_col), F.explode("__arr").alias("g"))
     if max_df is not None:
-        doc_freq = grams.groupBy("g").agg(F.count("*").alias("df"))
-        grams = grams.join(doc_freq.filter(F.col("df") <= max_df), "g")
-    left = grams.select(F.col("g"), F.col(id_col).alias("id1"))
-    right = grams.select(F.col("g"), F.col(id_col).alias("id2"))
+        # postings are distinct per doc (array_distinct) → count(*) = df
+        doc_freq = pos.groupBy("g").agg(F.count("*").alias("df"))
+        pos = pos.join(doc_freq.filter(F.col("df") <= max_df), "g")
+    left = pos.select("g", F.col(id_col).alias("id1"))
+    right = pos.select("g", F.col(id_col).alias("id2"))
     shared = (
         left.join(right, "g")
         .filter(F.col("id1") < F.col("id2"))
@@ -68,8 +89,8 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("shared"))
     )
     # sizes has one row per doc — NOT broadcastable at corpus scale; the
-    # candidate-pair side is the small one after thresholding, so let
-    # AQE pick the strategy for these key-equi joins.
+    # candidate-pair side is the small one after aggregation, so let AQE
+    # pick the strategy for these key-equi joins.
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
     return (

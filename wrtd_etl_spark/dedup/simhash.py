@@ -30,6 +30,11 @@ N_BANDS = 4  # 16 bits each → exact for max_distance <= 3
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash) — 64-bit signature as a long."""
+    from ..catalog import spread
+
+    # tokenize + 64 map-side partial sums are CPU-bound: ensure the stage
+    # isn't serialized by a single-split scan (no-op on multi-split input)
+    df = spread(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),

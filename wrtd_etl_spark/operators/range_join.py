@@ -39,7 +39,18 @@ def range_join(
     """Rows of ``points`` joined to every interval of the same ``key``
     with ``start <= t < end``. ``bucket_seconds`` must be >= the maximum
     interval length (asserted per row at plan level via the replica
-    sequence, which would explode otherwise)."""
+    sequence, which would explode otherwise).
+
+    Only ``inner`` is supported: the residual range filter runs AFTER the
+    join, so any outer mode's unmatched rows (NULL interval columns) would
+    be silently dropped by the filter — an outer mode here degenerates to
+    inner and is rejected rather than pretending to work.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports only how='inner' (got {how!r}): the "
+            "post-join range filter drops outer-mode NULL rows"
+        )
     p = points.withColumn(
         "__bucket", F.floor(_epoch(point_time) / bucket_seconds)
     )

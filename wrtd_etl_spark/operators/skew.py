@@ -27,7 +27,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``key`` with the hot-key load spread over ``n_salts``
     partitions. The salt is a deterministic hash of the whole fact row
-    (xxhash64 of all columns) — stable across retries, unlike rand()."""
+    (xxhash64 of all columns) — stable across retries, unlike rand().
+
+    Only ``inner``/``left`` are supported: the dim side is replicated
+    ``n_salts`` times, so right/full modes would emit each unmatched dim
+    row once per salt replica — rejected rather than silently wrong.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' (got {how!r}): the "
+            "exploded dim emits unmatched rows n_salts times in right/full"
+        )
     fact_s = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -326,7 +326,7 @@ _SPLIT_SQL = "((doc_id * 2654435761) % 4294967296) % 100"
                 WHEN {_SPLIT_SQL} < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY split ORDER BY split
     """,
@@ -357,7 +357,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), deduped AS (
         SELECT * FROM scored
-        WHERE quality >= 0.5
+        WHERE quality >= 0.1
           AND doc_id IN (SELECT MIN(doc_id) FROM scored GROUP BY fp)
     )
     SELECT lang,
@@ -365,7 +365,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_SPLIT_SQL} < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM deduped
     GROUP BY lang, split
     ORDER BY lang, split
@@ -379,8 +379,12 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.exact import exact_dedup
 
     docs = load_table(spark, sf_dir, "documents")
+    # Threshold calibrated to the synthetic corpus: its ~30-word vocabulary
+    # scores quality in [0.02, 0.20] (no English stopwords, sparse
+    # punctuation), so 0.1 ≈ the median — a real filter that keeps a
+    # non-trivial corpus instead of the vacuous 0.5 gate.
     scored = docs.withColumn("quality", TX.quality_score(F.col("text")))
-    deduped = exact_dedup(scored, "text", "doc_id").filter(F.col("quality") >= 0.5)
+    deduped = exact_dedup(scored, "text", "doc_id").filter(F.col("quality") >= 0.1)
     bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -433,7 +437,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stratified_sample",
     f"""
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
     WHERE {_SPLIT_SQL} < 20
     GROUP BY lang ORDER BY lang

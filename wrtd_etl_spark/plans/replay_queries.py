@@ -258,7 +258,9 @@ def _frag_detail(spark: SparkSession, sf_dir: str, order) -> DataFrame:
 def fs_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First blood: double left join on the role-playing dim, min-by time
     (queries.py:29-35)."""
-    return _frag_detail(spark, sf_dir, [F.col("time").asc()])
+    # asc() is NULLS FIRST in Spark; the oracle's plain ASC is NULLS LAST
+    # in DuckDB — pin NULLS LAST so a NULL time can't flip the LIMIT 1.
+    return _frag_detail(spark, sf_dir, [F.col("time").asc_nulls_last()])
 
 
 @register("fs_lh", _FRAG_DETAIL_SQL.format(REPLAY=REPLAY, ORDER="f.time DESC"))

@@ -173,7 +173,12 @@ def _event_edge(spark: SparkSession, sf_dir: str, last: bool) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
     joined = broadcast_dim_join(events, customer, "user_id", "c_custkey", how="left")
-    order = [F.col("ts").desc() if last else F.col("ts").asc(), F.col("event_id")]
+    # asc() is NULLS FIRST in Spark but the oracle's plain ASC is NULLS
+    # LAST in DuckDB — pin NULLS LAST so a NULL ts can't flip the LIMIT 1.
+    order = [
+        F.col("ts").desc_nulls_last() if last else F.col("ts").asc_nulls_last(),
+        F.col("event_id"),
+    ]
     return (
         joined.orderBy(*order)
         .limit(1)
@@ -564,7 +569,10 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = events.filter(F.col("event_type") == "error").select(
         F.col("user_id").alias("c_custkey")
     )
-    return a.intersect(b).union(c).exceptAll(d).distinct()
+    # subtract == SQL EXCEPT (distinct): removes EVERY occurrence of a row
+    # present in d. exceptAll would remove only one occurrence per match,
+    # which diverges when a row reaches the union from both branches.
+    return a.intersect(b).union(c).distinct().subtract(d)
 
 
 # --------------------------------------------------------------------------
@@ -629,8 +637,8 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ordered
     ), sessioned AS (
         SELECT user_id, ts,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM marked
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -642,24 +650,15 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap detection (30 min) + running session ids +
-    per-session rollup — the batch twin of session_window streaming."""
+    per-session rollup — the batch twin of session_window streaming.
+    The lag-gap construction lives in operators/sessionize.py, where the
+    truncation-vs-boundary semantics are pinned by a sub-second fixture."""
+    from ..operators.sessionize import sessionize
+
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
-        "new_sess",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (
-                F.col("ts").cast("timestamp").cast("long")
-                - F.col("prev_ts").cast("timestamp").cast("long")
-                > 1800
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sessioned = marked.withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sessioned = sessionize(
+        events, key="user_id", ts_col="ts",
+        order_tiebreak="event_id", gap_seconds=1800,
     )
     return sessioned.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),

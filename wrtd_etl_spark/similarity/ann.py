@@ -101,7 +101,12 @@ def brute_force_top_k(
     """
     from pyspark.sql import Window
 
-    c = corpus.select(
+    from ..catalog import spread
+
+    # per-(corpus × probe) cosine arithmetic is the CPU-bound stage: make
+    # sure a single-split corpus scan doesn't serialize it on one core
+    # (no-op on a real multi-split scan)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", sq_norm(F.col("cv")))
     p = probes.select(
@@ -222,7 +227,11 @@ def lsh_top_k(
             ),
         )
 
-    c = banded(corpus, "neighbor_id", "cv")
+    from ..catalog import spread
+
+    # the banding matmul UDF is the CPU-bound corpus pass — don't let a
+    # single-split scan serialize it (no-op on multi-split input)
+    c = banded(spread(corpus), "neighbor_id", "cv")
     p = banded(probes, "probe_id", "pv")
     candidates = (
         c.join(F.broadcast(p), ["band_idx", "band_sig"])
@@ -273,8 +282,12 @@ def embedding_near_dup_pairs(
         ).withColumn("n2", sq_norm(F.col("v2")))
         pairs = a.join(b, F.col("id1") < F.col("id2"))
     else:
+        from ..catalog import spread
+
         planes = _hyperplanes(n_planes, dim, seed)
         band_sig = _make_pandas_band_sig(planes, bands)
+        # the banding matmul is the CPU-bound corpus pass (see lsh_top_k)
+        df = spread(df)
         banded = df.select(
             F.col(id_col).alias("bid"),
             F.posexplode(band_sig(_as_double(F.col(vec_col)))).alias(

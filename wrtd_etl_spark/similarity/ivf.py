@@ -2,9 +2,11 @@
 
 The second scale path next to hyperplane LSH (similarity/ann.py):
 
-1. **Train**: K coarse centroids. Here: deterministic — the first K corpus
-   vectors (a real deployment would k-means them; the pipeline shape is
-   identical and this keeps every run reproducible).
+1. **Train**: K coarse centroids. Here: deterministic — K corpus vectors
+   sampled by a multiplicative hash of the id (a real deployment would
+   k-means them; the pipeline shape is identical and this keeps every run
+   reproducible while avoiding the skewed cells a first-K pick produces
+   on sorted/clustered data).
 2. **Assign**: every vector goes to its nearest centroid's cell — one pass,
    a pure expression (argmax over K dot products with centroid literals),
    no shuffle.
@@ -17,40 +19,49 @@ and inlined as literals, i.e. broadcast by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ann import _as_double, _dot, _quantized_cosine_with_norms, sq_norm
+from .ann import _as_double, _quantized_cosine_with_norms, sq_norm
 
 
-def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of cosine-proportional scores against each centroid literal.
+def _make_pandas_assign(centroids: list[list[float]], nprobe: int):
+    """Arrow-vectorized cell assignment: top-``nprobe`` centroid indices.
 
-    Norm of ``vec`` is constant across centroids, so dot/|c| ranks cells
-    identically to full cosine — one sqrt per centroid, precomputed in
-    Python."""
-    import math
+    Vector norm is constant across centroids, so dot/|c| ranks cells
+    identically to full cosine. The expression form (K dot products as
+    interpreted ``aggregate``/``zip_with`` HOFs per row — K x dim lambda
+    evals) dominated the IVF wall-time at sf0.1; one numpy matmul per
+    Arrow batch replaces it, the same trade measured for the LSH band
+    signatures (ann.py)."""
+    import numpy as np
 
-    cols = []
-    for c in centroids:
-        norm = math.sqrt(sum(x * x for x in c)) or 1.0
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        cols.append(_dot(vec, lit) / F.lit(norm))
-    return F.array(*cols)
+    C = np.asarray(centroids, dtype=np.float64)  # K x dim
+    norms = np.sqrt((C * C).sum(axis=1))
+    norms[norms == 0] = 1.0
+
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        sims = (V @ C.T) / norms  # n x K
+        # stable sort = deterministic tie-break by centroid index
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return assign
 
 
 def _assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids, nprobe: int):
-    sims = _centroid_sims(_as_double(F.col(vec_col)), centroids)
-    # top-nprobe cells: indices of the nprobe largest scores
-    sorted_desc = F.reverse(F.array_sort(sims))
-    cells = F.transform(
-        F.slice(sorted_desc, 1, nprobe),
-        lambda s: F.array_position(sims, s).cast("int") - 1,
-    )
-    return df.select(
+    from ..catalog import spread
+
+    assign = _make_pandas_assign(centroids, nprobe)
+    # assignment is the CPU-bound corpus pass — don't let a single-split
+    # scan serialize it (no-op on multi-split input)
+    return spread(df).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        F.explode(F.array_distinct(cells)).alias("cell"),
+        F.explode(assign(_as_double(F.col(vec_col)))).alias("cell"),
     )
 
 
@@ -68,9 +79,20 @@ def ivf_top_k(
     Corpus vectors are assigned to 1 cell; probes fan out to ``nprobe``
     cells. Recall/cost trade on ``nprobe`` exactly like a real IVF index.
     """
+    # Centroid pick: K ids sampled by multiplicative hash (same idiom as
+    # dataset_split) — deterministic like first-K but spread uniformly over
+    # the id space, so sorted/clustered corpora don't produce K near-equal
+    # centroids (skewed cells). TakeOrderedAndProject keeps it one cheap
+    # pass, K rows to the driver.
     centroids = [
         [float(x) for x in r[0]]
-        for r in corpus.select(vec_col).limit(n_cells).collect()
+        for r in corpus.select(
+            vec_col,
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+        .collect()
     ]
     c = _assign_cells(corpus, vec_col, id_col, centroids, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
@@ -88,8 +110,11 @@ def ivf_top_k(
             ),
         )
         .select("probe_id", "neighbor_id", "sim")
-        .distinct()
     )
+    # no dedup pass: each corpus vector lives in exactly one cell
+    # (nprobe=1 assignment) and probe cells are array_distinct'ed, so a
+    # (probe, neighbor) pair cannot appear twice — a .distinct() here
+    # would be a redundant full shuffle of all scored pairs
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
