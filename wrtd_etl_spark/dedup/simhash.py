@@ -6,11 +6,15 @@ small Hamming distance.
 
 Implementation shape (scale-first):
 
-* token explode → xxhash64 per token (one narrow stage);
-* ONE groupBy(doc) with 64 conditional-sum aggregates — a single shuffle
-  with map-side partials, instead of exploding 64 bit-rows per token;
-* signature assembled from the 64 sums with bitwise ORs (no overflow —
-  Spark 4 runs ANSI mode, so additions on bit 63 would raise);
+* per-token xxhash64 stays JVM-side (``transform`` over the split array —
+  one narrow stage, no explode);
+* the 64 per-bit ±1 sums + sign-bit packing are one Arrow-vectorized
+  numpy pass per document — NO shuffle at all for signature computation.
+  (The previous form — explode to token rows + ONE groupBy(doc) with 64
+  conditional-sum aggregates — was already single-shuffle, but 64
+  interpreted CASE evaluations per token row dominated the corpus scan:
+  4.2 s at sf0.1 vs ~1 s vectorized, the same trade measured for the
+  MinHash signatures);
 * candidates: 4 disjoint 16-bit bands of the signature — two signatures
   within Hamming distance 3 must agree on at least one band (pigeonhole),
   so the band join finds all pairs with dist <= 3 exactly;
@@ -19,9 +23,8 @@ Implementation shape (scale-first):
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BITS = 64
@@ -29,35 +32,42 @@ N_BANDS = 4  # 16 bits each → exact for max_distance <= 3
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) — 64-bit signature as a long."""
+    """(id, simhash) — 64-bit signature as a long.
+
+    Bit semantics: bit b is set iff more token hashes have bit b set than
+    clear (strict majority — a 0-sum tie leaves the bit clear), duplicates
+    counted. ``split`` on an empty text yields the single token ``""``, so
+    every document gets a signature.
+    """
+    import numpy as np
+
     from ..catalog import spread
 
-    # tokenize + 64 map-side partial sums are CPU-bound: ensure the stage
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # tokenize + signature UDF are the CPU-bound corpus scan: ensure it
     # isn't serialized by a single-split scan (no-op on multi-split input)
-    df = spread(df)
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    )
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("th"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(N_BITS)
-    ]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
-    sig = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+    base = spread(df).select(F.col(id_col), th.alias("th"))
+
+    shifts = np.arange(N_BITS, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig_udf(th_col: pd.Series) -> pd.Series:
+        out = []
+        for h in th_col:
+            t = np.asarray(h, dtype=np.uint64)
+            # bits: n_tokens x 64 {0,1}; per-bit sum of (2b-1) == ±1 votes
+            bits = ((t[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
             )
-        ),
-        range(N_BITS),
-        F.lit(0).cast("long"),
-    )
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+            votes = 2 * bits.sum(axis=0) - t.size
+            packed = np.bitwise_or.reduce(
+                (votes > 0).astype(np.uint64) << shifts
+            )
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return base.select(F.col(id_col), sig_udf(F.col("th")).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -88,9 +98,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    counts = bands.groupBy("band_idx", "band_val").agg(F.count("*").alias("bsz"))
-    bands = bands.join(
-        counts.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_val"]
+    # hot-bucket cap via a count window over the bucket key: one exchange
+    # on (band_idx, band_val) that the self-join below reuses, vs. the
+    # aggregate+join form which shuffles the bands twice
+    wb = Window.partitionBy("band_idx", "band_val")
+    bands = (
+        bands.withColumn("bsz", F.count("*").over(wb))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
     left = bands.select(
         "band_idx", "band_val", F.col(id_col).alias("id1"), F.col("simhash").alias("h1")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 from ..dedup.exact import exact_dup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..dedup.ngram import ngram_jaccard_pairs
@@ -30,6 +30,19 @@ from .registry import register
 # --------------------------------------------------------------------------
 
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with guaranteed scan parallelism.
+
+    Every consumer below runs CPU-heavy per-document expressions (regex
+    token/lang/quality passes, md5 fingerprints, chunk explosion, binary
+    codecs), so the gated :func:`~wrtd_etl_spark.catalog.spread` pays for
+    itself: a no-op on a real multi-split scan, full-core parallelism when
+    the testdata is one parquet row group (which otherwise serializes the
+    whole scan stage on one core)."""
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "doc_token_stats",
     r"""
@@ -42,7 +55,7 @@ from .registry import register
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex (north-star text ops)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -63,7 +76,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID heuristic."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         TX.stopword_hits(F.col("text"), "en").alias("en_hits"),
@@ -81,7 +94,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length/stopword/punctuation ratios)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -94,7 +107,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-text md5 fingerprint (the exact-dedup key)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -115,7 +128,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: hash-groupBy on the fingerprint (1 shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dup_groups(docs, "text", "doc_id")
 
 
@@ -294,7 +307,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload metadata — JVM-only path over opaque bytes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = attach_binary_payload(docs, "text", "doc_id")
     return payload_metadata(media)
 
@@ -304,7 +317,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing with the deterministic fake codec."""
     from ..multimodal.binary_ops import decode_image
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = attach_binary_payload(docs, "text", "doc_id")
     return decode_image(media, fake=True)
 
@@ -378,7 +391,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and the dedup is the one hash shuffle."""
     from ..dedup.exact import exact_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     # Threshold calibrated to the synthetic corpus: its ~30-word vocabulary
     # scores quality in [0.02, 0.20] (no English stopwords, sparse
     # punctuation), so 0.1 ≈ the median — a real filter that keeps a
@@ -415,7 +428,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split each document into 64-token chunks
     (the LLM-training prep step) — pure array expressions, one explode,
     no UDF; chunk count = ceil(n_tokens/64)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.ceil(F.size(toks) / 64).cast("int")
     return (

@@ -274,13 +274,21 @@ def embedding_near_dup_pairs(
     measured: 2-bit bands were SLOWER than brute force at sf0.1.
     """
     if exact:
-        a = df.select(
+        from ..catalog import spread
+
+        # the streamed side of the O(n²) nested-loop join carries the
+        # per-pair cosine arithmetic — parallelize it even when the
+        # (bounded) input is a single partition
+        a = spread(df).select(
             F.col(id_col).alias("id1"), _as_double(F.col(vec_col)).alias("v1")
         ).withColumn("n1", sq_norm(F.col("v1")))
         b = df.select(
             F.col(id_col).alias("id2"), _as_double(F.col(vec_col)).alias("v2")
         ).withColumn("n2", sq_norm(F.col("v2")))
-        pairs = a.join(b, F.col("id1") < F.col("id2"))
+        # pin the plan: broadcast b, STREAM the spread side — otherwise the
+        # nested-loop join may broadcast a and stream the single-partition
+        # b, serializing the per-pair cosine arithmetic again
+        pairs = a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
     else:
         from ..catalog import spread
 

@@ -25,7 +25,10 @@ OUT_SCHEMA = "user_id long, ts timestamp_ntz, alert_rank int"
 
 
 def _keep_chain(pdf: pd.DataFrame, window_s: float) -> pd.DataFrame:
-    """Sequential suppression scan for one key (sorted by ts)."""
+    """Sequential suppression scan for one key (sorted by ts).
+
+    Retained as the single-group reference implementation (used by the
+    property tests as the truth model for :func:`suppress_alerts`)."""
     pdf = pdf.sort_values("ts")
     kept_ts = []
     kept_idx = []
@@ -52,14 +55,52 @@ def suppress_alerts(
     window has elapsed since the last FIRED one (not the last seen one —
     exactly the reference's semantics where only fired alerts update the
     SQLite timestamp, bot/botrun.py:264).
+
+    Plan shape: ONE exchange on the key + a partition-local sort, then the
+    chain runs over whole Arrow batches in ``mapInPandas`` with int64
+    nanosecond arithmetic, carrying (key, last_fired, rank) across batch
+    boundaries — the same single-shuffle layout as
+    ``groupBy().applyInPandas`` but one Python crossing per ~10k-row Arrow
+    batch instead of one per key (measured 3× at sf0.1: per-key pandas
+    slicing dominated, not the chain itself).
     """
-    window_s = hours * 3600.0
-    alerts = events.filter(F.col("event_type") == alert_type).select("user_id", "ts")
+    window_ns = int(hours * 3600.0 * 1e9)
+    alerts = (
+        events.filter(F.col("event_type") == alert_type)
+        .select("user_id", "ts")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+    )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _keep_chain(pdf, window_s)
+    def run(batches):
+        import numpy as np
 
-    return alerts.groupBy("user_id").applyInPandas(run, schema=OUT_SCHEMA)
+        cur = None  # carry across Arrow batches within the partition
+        last = 0
+        rank = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            tsi = pdf["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            keep = np.zeros(n, dtype=bool)
+            ranks = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                if cur is None or uid[i] != cur:
+                    cur = uid[i]
+                    rank = 0
+                    last = None
+                if last is None or tsi[i] - last >= window_ns:
+                    rank += 1
+                    last = tsi[i]
+                    keep[i] = True
+                    ranks[i] = rank
+            out = pdf.loc[keep, ["user_id", "ts"]].copy()
+            out["alert_rank"] = ranks[keep]
+            yield out
+
+    return alerts.mapInPandas(run, schema=OUT_SCHEMA)
 
 
 STREAM_OUT_SCHEMA = "user_id long, ts timestamp, alert_rank int"
