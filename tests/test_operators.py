@@ -102,3 +102,46 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     # correctness: bucket-filtered read returns exactly the key's rows
     expect = events.filter(F.col("user_id") == 7).count()
     assert filtered.count() == expect
+
+
+def test_distributed_cumsum_matches_naive_window(spark):
+    """Two-pass prefix sum == the single-task global window, on an order
+    where buckets are range-monotone in the key."""
+    from pyspark.sql import Window
+
+    from wrtd_etl_spark.operators.prefix_sum import distributed_cumsum
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 4294967296).alias("k"),
+            (F.col("id") % 7 + 1).alias("v"),
+        )
+        .withColumn("b", F.floor(F.col("k") / (4294967296 // 16)).cast("long"))
+    )
+    got = {
+        (r.id, r.cum)
+        for r in distributed_cumsum(
+            df, "v", order_cols=["k", "id"], bucket_col="b", out_col="cum"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r.id, r.cum) for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_distributed_cumsum_plan_partitions_the_fact_window(spark):
+    """The fact-table window must be partitioned by the bucket (the whole
+    point: no single-task global sort of the facts)."""
+    from wrtd_etl_spark.operators.prefix_sum import distributed_cumsum
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("b"), F.lit(1).alias("v")
+    )
+    plan = distributed_cumsum(
+        df, "v", order_cols=["id"], bucket_col="b", out_col="cum"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy=[b" in plan.replace("#", "@").replace("bL", "b") or (
+        "hashpartitioning(b" in plan
+    )

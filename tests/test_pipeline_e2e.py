@@ -8,7 +8,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from wrtd_etl_spark.pipeline import ReplayWarehouse, render_message
+from wrtd_etl_spark.pipeline import ReplayWarehouse, render_embeds, render_message
 
 
 def _page(replay: int, active: int = 120, slots: int = 150) -> str:
@@ -91,6 +91,30 @@ def test_full_pipeline(spark, warehouse):
     doc = json.loads(sent[0]["text_data"])
     text = render_message(doc)
     assert "Mission 3405" in text and "Alpha — 2" in text
+
+    # embed-level parity (bot/botrun.py:187-231): 4 titled embeds + the
+    # link footer, side filtering, kill sentences, [:-3] time trims
+    embeds = render_embeds(doc)
+    assert len(embeds) == 5
+    stats, personal, frags_e, vehicles_e, footer = embeds
+    assert stats["title"].endswith("Общая статистика:")
+    names = [f["name"] for f in stats["fields"]]
+    assert names == [
+        "Информация", "Стороны и командиры", "Всего игроков",
+        "Время", "Итоги", "До конца миссии дожили",
+    ]
+    sides_val = stats["fields"][1]["value"]
+    assert "**EAST:**" in sides_val and "**WEST:**" in sides_val
+    assert "CIV" not in sides_val  # zero-count sides are filtered out
+    assert "Начало 19:05," in stats["fields"][3]["value"]  # [:-3] trim
+    assert "Alpha **2**" in personal["fields"][0]["value"]
+    assert all(
+        f["value"].startswith("Произошел в ") for f in frags_e["fields"]
+    )
+    assert "Жертвой стал **" in frags_e["fields"][0]["value"]
+    assert vehicles_e["title"].endswith("Доступная техника:")
+    assert footer["description"].endswith("/games/3405//")
+
     # drained outbox is fully posted
     assert warehouse.table("messages").filter(~F.coalesce("posted", F.lit(False))).count() == 0
 

@@ -24,6 +24,8 @@ _PIPELINE_ORACLE = [
     "training_corpus",
     "doc_chunks",
     "stratified_sample",
+    "contamination_check",
+    "context_packing",
 ]
 
 
@@ -194,3 +196,30 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_contamination_check_fires_on_testdata(spark):
+    """The prefix-fingerprint key must actually detect leakage on the
+    corpus (an exact-duplicate key finds nothing here — vacuous)."""
+    rows = REGISTRY["contamination_check"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.n_train_hits >= 1 for r in rows)
+
+
+def test_context_packing_invariants(spark):
+    """Packing conserves tokens, numbers windows contiguously from 0, and
+    every window starts strictly inside its budget boundary."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.functions import text as TX
+
+    rows = sorted(
+        REGISTRY["context_packing"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.window_id,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total = docs.select(
+        F.sum(TX.token_count(F.col("text"))).alias("t")
+    ).collect()[0].t
+    assert sum(r.total_tokens for r in rows) == total
+    assert [r.window_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_docs > 0 for r in rows)

@@ -198,6 +198,162 @@ class ReplayWarehouse:
         os.rename(self._path("messages") + ".tmp", self._path("messages"))
 
 
+_SIDE_SQUARES = {
+    "EAST": ":red_square: ",
+    "WEST": ":blue_square: ",
+    "GUER": ":green_square: ",
+    "CIV": ":purple_square: ",
+}
+
+
+def _square(winner: str | None) -> str:
+    """bot/botrun.py:173-184 — side-colored emoji prefix ('' if unknown)."""
+    return _SIDE_SQUARES.get(winner, "")
+
+
+def _kill_sentence(rows: list[dict]) -> str:
+    """bot/botrun.py:112-129 (``sk``): one frag as a human sentence —
+    victim, killer (if known), distance, weapon precedence gun > vehicle >
+    unknown, optional teamkill suffix."""
+    k = rows[0]
+    weapon = " Орудие убийства неизвестно."
+    if k.get("killer_vehicle"):
+        weapon = f"Орудие убийства - {k['killer_vehicle']}"
+    if k.get("gun"):
+        weapon = f"Орудие убийства - {k['gun']}"
+    tk = " Кажется, это был тимкилл." if k.get("is_tk") else ""
+    if k.get("killer_nickname"):
+        return (
+            f"Жертвой стал **{k['victim_nickname']}**, погибший от выстрела "
+            f"**{k['killer_nickname']}** с расстояния {k['distance']} м. "
+            f"{weapon}.{tk}"
+        )
+    return f"Жертвой стал **{k['victim_nickname']}**. Убийца неизвестен."
+
+
+def _tks_or_not(tks: list[dict]) -> str:
+    """bot/botrun.py:105-109 — teamkiller list or the no-teamkills line."""
+    if not tks:
+        return "Удивительно, но тимкиллов не зафиксировано."
+    return "\n".join(f"{r['nickname']} **{r['kills']}**" for r in tks)
+
+
+def render_embeds(doc: dict) -> list[dict]:
+    """The 4+1 Discord embeds as plain dicts (K6 presentation;
+    bot/botrun.py:187-231): same titles, colors, field layout, zero-count
+    side filtering, ``[:-3]`` time trims and kill sentences. discord.py is
+    deliberately absent — a sender maps each dict 1:1 onto
+    ``discord.Embed``/``add_field`` (keys: title/color/fields[name, value,
+    inline] or description).
+    """
+    import json
+
+    m = json.loads(doc["replay"]) if isinstance(doc["replay"], str) else doc["replay"]
+
+    sides = []
+    for side in ("east", "west", "guer", "civ"):
+        if (m.get(f"count_players_{side}") or 0) > 0:
+            sides.append(
+                f"{_SIDE_SQUARES[side.upper()]}**{side.upper()}:** "
+                f"{m[f'count_players_{side}']}, {m.get(f'commander_{side}')}"
+            )
+    survivors = "\n".join(
+        f"**{r['side_label']}:** {r['cnt']}" for r in doc.get("survivors_group", [])
+    )
+    embeds = [
+        {
+            "title": ":chart_with_downwards_trend: Общая статистика:",
+            "color": 2326507,
+            "fields": [
+                {
+                    "name": "Информация",
+                    "value": f"**Дата:** {m.get('date')}\n"
+                    f"**Миссия:** {m.get('name_mission')}\n"
+                    f"**Остров:** {m.get('island')}",
+                    "inline": True,
+                },
+                {"name": "Стороны и командиры", "value": "\n".join(sides), "inline": True},
+                {
+                    "name": "Всего игроков",
+                    "value": f"{m.get('count_players_active')}/{m.get('count_players_slots')}",
+                    "inline": True,
+                },
+                {
+                    "name": "Время",
+                    "value": f"Начало {str(m.get('start_time'))[:-3]},\n"
+                    f"конец {str(m.get('end_time'))[:-3]},\n"
+                    f"длительность {m.get('duration')}",
+                    "inline": True,
+                },
+                {
+                    "name": "Итоги",
+                    "value": f"Победитель:\n{_square(m.get('winner'))} **{m.get('winner')}**",
+                    "inline": True,
+                },
+                {"name": "До конца миссии дожили", "value": survivors, "inline": True},
+            ],
+        },
+        {
+            "title": ":pencil: Личная статистика:",
+            "color": 2326507,
+            "fields": [
+                {
+                    "name": "Лучшие кибератлеты",
+                    "value": "\n".join(
+                        f"{r['nickname']} **{r['kills']}**"
+                        for r in doc.get("cutlets", [])
+                    ),
+                    "inline": True,
+                },
+                {
+                    "name": "Лучшие тимкиллеры",
+                    "value": _tks_or_not(doc.get("tks", [])),
+                    "inline": True,
+                },
+            ],
+        },
+        {
+            "title": ":gun: Выдающиеся фраги:",
+            "color": 2326507,
+            "fields": [
+                {
+                    "name": name,
+                    "value": f"Произошел в {rows[0]['time']}. {_kill_sentence(rows)}",
+                    "inline": True,
+                }
+                for name, rows in (
+                    ("Первый фраг", doc.get("fb")),
+                    ("Последний фраг", doc.get("lh")),
+                    ("Самый дальний фраг", doc.get("ls")),
+                )
+                if rows
+            ],
+        },
+        {
+            "title": ":truck: Доступная техника:",
+            "color": 2326507,
+            "fields": [
+                {
+                    "name": r["display_type"],
+                    "value": "\n".join(
+                        f"{item.rsplit(':', 1)[1]}x{item.rsplit(':', 1)[0]}"
+                        for item in r["items"].split(",")
+                        if item
+                    ),
+                    "inline": True,
+                }
+                for r in doc.get("grouped_vehicles", [])
+            ],
+        },
+        {
+            "description": "С полным реплеем и статистикой миссии можно "
+            f"ознакомиться по ссылке: {m.get('replay_url')}/",
+            "color": 0x0099FF,
+        },
+    ]
+    return embeds
+
+
 def render_message(doc: dict) -> str:
     """Presentation layer (F14): the Discord message text from the outbox
     JSON document (bot/botrun.py:131-170). Driver-side string formatting of

@@ -87,15 +87,28 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality",
-    f"""
-    SELECT doc_id, {TX.quality_score_sql("text")} AS quality
+    rf"""
+    SELECT doc_id, {TX.quality_score_sql("text")} AS quality,
+           1.0 - len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                 / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+               AS dup_token_ratio
     FROM documents
     """,
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length/stopword/punctuation ratios)."""
+    """Composite quality score (length/stopword/punctuation ratios) plus
+    the repetition signal: share of tokens that are repeats of an earlier
+    token (boilerplate / degenerate-generation filter)."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+        ).alias("dup_token_ratio"),
+    )
 
 
 @register(
@@ -466,4 +479,151 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars"))
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Contamination + context packing (training-corpus hygiene at scale)
+# --------------------------------------------------------------------------
+
+# first-N-token prefix fingerprint: the standard weaker contamination key —
+# exact-duplicate fps miss near-verbatim leakage that shares an opening
+_PREFIX_N = 8
+_PREFIX_FP_SQL = (
+    r"md5(array_to_string(list_slice("
+    r"regexp_split_to_array(lower(trim({expr})), '\s+'), 1, "
+    + str(_PREFIX_N)
+    + r"), ' '))"
+)
+
+
+def _prefix_fp(col: Column) -> Column:
+    return F.md5(
+        F.encode(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.lower(F.trim(col)), r"\s+"), 1, _PREFIX_N),
+            ),
+            "UTF-8",
+        )
+    )
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, {_PREFIX_FP_SQL.format(expr="text")} AS fp,
+               CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+                    WHEN {_SPLIT_SQL} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT t.doc_id AS test_doc_id, MIN(tr.doc_id) AS train_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_train_hits
+    FROM fp t JOIN fp tr ON t.fp = tr.fp
+    WHERE t.split = 'test' AND tr.split = 'train'
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test leakage scan: test-split docs whose first-{N}-token
+    prefix fingerprint also appears in the train split.
+
+    Scale shape: ONE equi-join on a 128-bit hash key (uniform, no skew),
+    both sides pruned to (doc_id, fp) before the exchange — the same
+    linear-cost layout as exact dedup. The split is the engine's own
+    deterministic multiplicative-hash split (dataset_split), so the check
+    composes with it at any SF.
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    fp = docs.select(
+        "doc_id",
+        _prefix_fp(F.col("text")).alias("fp"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    test = fp.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    train = fp.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    return (
+        test.join(train, "fp")
+        .groupBy("test_doc_id")
+        .agg(
+            F.min("train_doc_id").alias("train_doc_id"),
+            F.count("*").alias("n_train_hits"),
+        )
+    )
+
+
+_PACK_BUDGET = 4096  # tokens per context window
+_PACK_BUCKETS = 64
+# shuffle key: same multiplicative hash (full 32-bit range, not mod 100);
+# bucket = key DIV (2^32 / buckets) is MONOTONE in key → valid range bucket
+_SHUFFLE_KEY_SQL = "((doc_id * 2654435761) % 4294967296)"
+
+
+@register(
+    "context_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               {_SHUFFLE_KEY_SQL} AS k
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY window_id
+    ORDER BY window_id
+    """,
+)
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the (deterministically shuffled) corpus into fixed token-budget
+    context windows: window_id = exclusive-prefix-sum DIV budget.
+
+    The shuffle order is the same multiplicative hash as dataset_split —
+    a reproducible global training order with no rand(). The running sum
+    uses the two-pass distributed prefix sum (operators/prefix_sum.py):
+    a naive ``SUM OVER (ORDER BY ...)`` with no partition collapses 100 TB
+    onto one window task; here the fact table only exchanges on a range
+    bucket that is arithmetic on the key (no sampling pass needed).
+    """
+    from ..operators.prefix_sum import distributed_cumsum
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 4294967296).alias("k"),
+    ).withColumn("b", (F.col("k") / F.lit(4294967296 // _PACK_BUCKETS)).cast("long"))
+    c = distributed_cumsum(
+        t, "n_tokens", order_cols=["k", "doc_id"], bucket_col="b", out_col="cum"
+    )
+    return (
+        c.groupBy(
+            # floor-div (values are non-negative; DuckDB's // is the twin —
+            # a double division + CAST would ROUND there and truncate here)
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("long")
+            .alias("window_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("window_id")
     )
