@@ -114,5 +114,16 @@ def test_jdbc_round_trip(spark, tmp_path):
         back = read_jdbc(spark, url, "t_round_trip", properties=props)
         got = sorted((int(r[0]), int(r[1])) for r in back.collect())
         assert got == [(i, i * 10) for i in range(5)]
+
+        # partitioned (parallel) read path: range-bounded query per
+        # partition, same rows, >1 scan partition
+        par = read_jdbc(
+            spark, url, "t_round_trip", properties=props,
+            partition_column="k", lower_bound=0, upper_bound=5,
+            num_partitions=3,
+        )
+        assert par.rdd.getNumPartitions() == 3
+        got_par = sorted((int(r[0]), int(r[1])) for r in par.collect())
+        assert got_par == got
     finally:
         shutil.rmtree(db_dir, ignore_errors=True)

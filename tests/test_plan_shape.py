@@ -7,7 +7,10 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from wrtd_etl_spark.plans import REGISTRY
+from wrtd_etl_spark.plans import pipeline_queries  # noqa: F401 (registers)
 from wrtd_etl_spark.plans import testdata_queries  # noqa: F401 (registers)
 
 from .conftest import SF_SMOKE
@@ -54,3 +57,66 @@ def test_global_window_runs_on_preaggregated_input(spark):
 def test_anti_join_is_join_not_collect(spark):
     plan = _plan(spark, "inactive_customers")
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_bucketed_join_runs_without_exchange(spark):
+    """Co-bucketed tables must join with NO shuffle: bucketBy records the
+    hash partitioning in the catalog, so the sort-merge join reads
+    pre-shuffled data — the pay-shuffle-once-at-write 100 TB layout."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.sinks import write_bucketed
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(events, "t_events_bucketed", "user_id", buckets=8)
+    write_bucketed(orders, "t_orders_bucketed", "user_id", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_events_bucketed").join(
+            spark.table("t_orders_bucketed"), "user_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually runs correctly co-located
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_events_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_contamination_join_prunes_to_id_and_text(spark):
+    """The leakage join must read only (doc_id, text) from the scan — no
+    payload columns ride through the fp exchange."""
+    plan = _plan(spark, "contamination_check")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_context_packing_window_is_partitioned(spark):
+    """The fact-table running sum must be a PARTITIONED window (two-pass
+    prefix sum), never a global single-task window over the corpus."""
+    import re
+
+    plan = _plan(spark, "context_packing")
+    specs = re.findall(
+        r"Arguments: \[[^\]]*windowspecdefinition\(([^)]*)\)", plan
+    )
+    # the fact-side running sum and the bucket-offset window both appear
+    assert len(specs) >= 2, plan
+    # the FACT window must be partitioned by the bucket column b#N;
+    # partition-less specs start directly with the order expression
+    fact_specs = [s for s in specs if s.strip().startswith("b#")]
+    assert fact_specs, specs
+    # the only unpartitioned window allowed is the bounded per-bucket
+    # offsets one (its order column is the bucket b#N itself)
+    for s in specs:
+        if not s.strip().startswith("b#"):
+            assert s.strip().split(" ")[0].split("#")[0] == "b", s

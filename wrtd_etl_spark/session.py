@@ -71,6 +71,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed (co-located) tables land here, not in the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/wrtd-spark-warehouse"),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

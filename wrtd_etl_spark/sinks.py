@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.upsert import upsert_parquet
+from .session import default_parallelism
 
 #: number of hash buckets used when partitioning fact tables by key
 DEFAULT_BUCKETS = 64
@@ -51,6 +52,29 @@ def append_partitioned(
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a bucket-partitioned table, hiding the layout column."""
     return spark.read.parquet(path).drop("__bucket")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = DEFAULT_BUCKETS,
+    sort: bool = True,
+) -> None:
+    """K1 co-location path: hash-bucketed (+ sorted) table layout.
+
+    The 100 TB join strategy the directory-partition layout above cannot
+    give: ``bucketBy`` records the hash partitioning in the catalog, so
+    every downstream equi-join or aggregation on ``key`` between
+    co-bucketed tables reads pre-shuffled (and pre-sorted) data and runs
+    WITHOUT an Exchange — the nightly fact build pays the shuffle once at
+    write time instead of every query paying it at read time
+    (tests/test_plan_shape.py proves the exchange-free plan).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
 
 
 def overwrite_state(spark: SparkSession, path: str, updates: DataFrame, key: str) -> None:
@@ -84,16 +108,39 @@ def show(df: DataFrame, n: int = 20) -> None:
 
 # --- JDBC (S4 / K1-jdbc) ----------------------------------------------------
 # The reference's primary store is Postgres; a cluster deployment would use
-# these. No JDBC driver jar ships in this container, so they are thin,
-# untestable-here wrappers kept import-safe.
+# these. Round-trip-tested against the embedded Derby driver that ships
+# with the PySpark distribution (tests/test_fetch_jdbc.py).
 
 
 def read_jdbc(
-    spark: SparkSession, url: str, table: str, properties: dict | None = None
-) -> DataFrame:  # pragma: no cover - needs a live database + driver jar
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:  # pragma: no cover - exercised via the Derby round-trip test
     """S4: ``spark.read.jdbc`` replacement for psycopg2 SELECTs
-    (functions.py:43-76). Use ``predicates``/``partitionColumn`` options for
-    parallel reads on big tables."""
+    (functions.py:43-76).
+
+    A bare JDBC read is ONE task pulling the whole table through one
+    connection — the classic single-executor bottleneck. For big tables
+    pass ``partition_column`` (a roughly-uniform numeric key) + bounds +
+    ``num_partitions``: Spark then issues one range-bounded query per
+    partition and the scan parallelizes across executors.
+    """
+    if partition_column is not None:
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions or default_parallelism(),
+            properties=properties or {},
+        )
     return spark.read.jdbc(url, table, properties=properties or {})
 
 
