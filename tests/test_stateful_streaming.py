@@ -78,3 +78,41 @@ def test_session_window_streaming_counts(spark):
         assert want - 1 <= got <= want, (user, got, want)
     # and the withheld-tail explanation must hold for the bulk of users
     assert sum(got_counts.values()) >= sum(want_counts.values()) - len(want_counts)
+
+
+def test_foreach_batch_sender_is_incremental_across_restarts(spark, tmp_path):
+    """K6/T3 streaming twin + T1/T7 checkpointed cursor semantics: the
+    foreachBatch sender delivers every row exactly once across a
+    stop/resume — the checkpoint WAL is the cursor, so a restarted query
+    sends only files that arrived after the last commit."""
+    from wrtd_etl_spark.streaming.foreach_sink import send_stream
+
+    watch = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, v long"
+
+    def arrive(lo, hi):
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(watch)
+
+    sent: list[tuple[int, int]] = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(watch)
+        q = send_stream(
+            stream,
+            lambda epoch, rows: sent.extend((epoch, r.event_id) for r in rows),
+            ckpt,
+        )
+        q.awaitTermination()
+
+    arrive(0, 5)
+    run_once()
+    assert sorted(e for _, e in sent) == list(range(5))
+
+    # new file arrives; resume from the same checkpoint → ONLY the new
+    # rows are sent (no re-delivery of committed batches)
+    arrive(5, 8)
+    run_once()
+    assert sorted(e for _, e in sent) == list(range(8))
