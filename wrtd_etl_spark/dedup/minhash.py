@@ -10,9 +10,10 @@ Pipeline (the standard shingle→minhash→band→bucket-join construction):
    higher-order functions, see plans/pipeline_queries notes);
 3. LSH: split the signature into ``bands`` bands of ``rows_per_band``;
    hash each band; explode to (doc, band_idx, band_hash);
-4. candidate pairs = docs sharing any band bucket (self-join on the
-   bucket key) — with a bucket-size cap so a degenerate hot bucket can't
-   go quadratic at scale;
+4. candidate pairs = docs sharing any band bucket (groupBy the bucket
+   key, enumerate pairs from the sorted member array) — with a
+   bucket-size cap so a degenerate hot bucket can't go quadratic at
+   scale;
 5. verify candidates with exact Jaccard over the distinct hashed
    shingle sets (32-bit shingle hashes — collision probability is
    negligible for near-dup verification and the arrays shuffle 10x
@@ -30,7 +31,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # p > 2^32 prime; hash values are first reduced mod 2^32 so a*h+b stays
@@ -65,15 +66,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    bands: int | None = None,
 ) -> DataFrame:
-    """(id, sh_hashes, sig): distinct hashed shingle set + MinHash sig.
+    """(id, sh_hashes, sig[, band_hashes]): hashed shingle set + MinHash sig.
 
     Split: per-TOKEN hashing stays JVM-side (one xxhash64 per token);
-    shingle combination (rolling window over token hashes), dedup, and the
-    ``min((a*h+b) mod p)`` reduction are one Arrow-vectorized numpy pass.
-    The pure-expression form (slice+concat per shingle, then num_hashes
-    lambda folds) was the dominant corpus-scan cost — interpreted
-    higher-order functions, ~10 s for 5k docs at sf0.1 vs <1 s vectorized.
+    shingle combination (rolling window over token hashes), dedup, the
+    ``min((a*h+b) mod p)`` reduction, AND the per-band LSH bucket hashes
+    are one Arrow-vectorized numpy pass. Two measured reasons to keep all
+    of this in the UDF rather than expressions:
+
+    * the slice+concat-per-shingle / num_hashes-lambda-folds form ran as
+      interpreted higher-order functions (~10 s for 5k docs at sf0.1 vs
+      <1 s vectorized);
+    * a 16-band ``xxhash64(concat_ws(transform(slice(sig ...))))`` array
+      expression compiled ~6 s of whole-stage codegen on first execution
+      (Janino, one giant Generate function) — per fresh query, since each
+      run builds a new plan. Banding inside the UDF is one reshape+poly
+      combine and removes the expression entirely.
+
     Shingle identity is the hash-tuple combine rather than the joined
     string — equivalent partitioning modulo negligible 32-bit collisions.
     """
@@ -89,19 +100,37 @@ def minhash_signatures(
     A = np.array([a for a, _ in params], dtype=np.uint64)
     B = np.array([b for _, b in params], dtype=np.uint64)
     k = shingle_k
+    n_bands = bands or 0
+    rows = num_hashes // n_bands if n_bands else 0
     COMBINE = np.uint64(1_000_003)  # polynomial combine base
     M32 = np.uint64((1 << 32) - 1)
+    M63 = np.uint64((1 << 63) - 1)  # keep band hashes positive int64
 
-    @F.pandas_udf("sh_hashes array<long>, sig array<long>")
+    schema = "sh_hashes array<long>, sig array<long>"
+    if n_bands:
+        schema += ", band_hashes array<long>"
+
+    @F.pandas_udf(schema)
     def sig_udf(th_col: pd.Series) -> pd.DataFrame:
-        sh_out, sig_out = [], []
-        empty_sig = np.full(len(A), _P - 1, dtype=np.int64)
+        sh_out, sig_out, bh_out = [], [], []
+        empty_sig = np.full(len(A), _P - 1, dtype=np.uint64)
+
+        def band_hash(sig_u64: np.ndarray) -> np.ndarray:
+            # poly-combine each band's rows + band-index salt, one pass
+            b = sig_u64.reshape(n_bands, rows)
+            acc = np.arange(n_bands, dtype=np.uint64) * np.uint64(0x9E3779B9)
+            for j in range(rows):
+                acc = acc * COMBINE + b[:, j]
+            return (acc & M63).astype(np.int64)
+
         for h in th_col:
             t = np.asarray(h, dtype=np.uint64)
             n = t.size
             if n == 0:
                 sh_out.append(np.empty(0, dtype=np.int64))
-                sig_out.append(empty_sig)
+                sig_out.append(empty_sig.astype(np.int64))
+                if n_bands:
+                    bh_out.append(band_hash(empty_sig))
                 continue
             # same window count as the string form: max(n-k, 0) + 1
             if n >= k:
@@ -113,27 +142,31 @@ def minhash_signatures(
                 acc = acc * COMBINE + win[:, j]
             sh = np.unique(acc & M32)
             m = (A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_P)
+            sig_u64 = m.min(axis=1)
             sh_out.append(sh.astype(np.int64))
-            sig_out.append(m.min(axis=1).astype(np.int64))
-        return pd.DataFrame({"sh_hashes": sh_out, "sig": sig_out})
+            sig_out.append(sig_u64.astype(np.int64))
+            if n_bands:
+                bh_out.append(band_hash(sig_u64))
+        out = {"sh_hashes": sh_out, "sig": sig_out}
+        if n_bands:
+            out["band_hashes"] = bh_out
+        return pd.DataFrame(out)
 
     packed = base.select(F.col(id_col), sig_udf(F.col("th")).alias("p"))
-    return packed.select(
-        id_col, F.col("p.sh_hashes").alias("sh_hashes"), F.col("p.sig").alias("sig")
-    )
+    cols = [
+        F.col(id_col),
+        F.col("p.sh_hashes").alias("sh_hashes"),
+        F.col("p.sig").alias("sig"),
+    ]
+    if n_bands:
+        cols.append(F.col("p.band_hashes").alias("band_hashes"))
+    return packed.select(*cols)
 
 
-def _band_buckets(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", F.transform(
-                F.slice(F.col("sig"), i * rows + 1, rows), lambda x: x.cast("string")
-            )), F.lit(i))
-            for i in range(bands)
-        ]
-    )
+def _band_buckets(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_hash) postings from precomputed band hashes."""
     return sigs.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+        F.col(id_col), F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
 
 
@@ -155,35 +188,43 @@ def minhash_near_dup_pairs(
     the difference between a working job and an exploding one; dropped
     buckets only lose pairs that almost certainly collide in another band.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed, bands=bands
+    )
     sigs = sigs.withColumn("sh_size", F.size("sh_hashes"))
-    # two consumers (banding, verification) — persist the one corpus scan
-    from pyspark import StorageLevel
+    # Three consumers (banding, both verify sides) — materialize the one
+    # corpus scan ONCE. localCheckpoint stores plain row blocks; .persist()
+    # would route the array<long> columns through the columnar cache
+    # builder's generic per-element encoder, which was measured ~7x slower
+    # than recomputing the signatures (11 s vs 1.5 s at sf0.1). On a
+    # cluster the same role is played by a reliable checkpoint / temp
+    # table; the plan shape is identical.
+    sigs = sigs.localCheckpoint(eager=False)
+    buckets = _band_buckets(sigs, id_col)
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    buckets = _band_buckets(sigs, id_col, bands, rows)
-
-    # cap bucket size (hot-key hygiene) with a count() window over the
-    # bucket key: one exchange on (band_idx, band_hash) that the self-join
-    # below then reuses — vs. the aggregate+join form which shuffles the
-    # postings twice (once for the count, once to join it back)
-    wb = Window.partitionBy("band_idx", "band_hash")
-    buckets = (
-        buckets.withColumn("bsz", F.count("*").over(wb))
-        .filter(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+    # Candidate pairs straight from the grouped bucket: one exchange on the
+    # bucket key, pair enumeration as an array expression over the sorted
+    # member list. The bucket-size cap (hot-key hygiene) is a filter on the
+    # same aggregate — no second shuffle, no self-join. The earlier
+    # window-count + bucket self-join form shuffled the postings through
+    # two more exchanges for the same candidate set.
+    grouped = (
+        buckets.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = buckets.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id1")
-    )
-    right = buckets.select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id2")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
     )
     candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id1", "p.id2")
         .distinct()
     )
 

@@ -6,8 +6,9 @@ ops (SURVEY.md §2 custom-operator rule (a)):
 1. distinct character n-grams per doc (array expr → explode = postings);
 2. document-frequency cutoff: drop n-grams appearing in more than
    ``max_df`` docs — they contribute little to Jaccard but dominate the
-   self-join cost (the classic inverted-index pruning for 100 TB);
-3. postings self-join on the n-gram → shared-gram counts per pair;
+   pair-enumeration cost (the classic inverted-index pruning for 100 TB);
+3. group postings by n-gram, enumerate doc pairs per gram, count shared
+   grams per pair;
 4. Jaccard = shared / (|A| + |B| - shared), threshold filter.
 
 Fully SQL-expressible → has a DuckDB oracle in plans/pipeline_queries.
@@ -44,19 +45,22 @@ def ngram_jaccard_pairs(
 
     Shuffle budget (the 100 TB lens): per-doc set sizes come from
     ``F.size`` on the gram ARRAY before the explode — a scan-stage
-    projection, not a groupBy over the (much larger) exploded postings —
-    and join the small POST-aggregation pair table, so the wide self-join
-    rows stay narrow (g, id1, id2 only). Remaining exchanges: the
-    document-frequency groupBy on ``g``, the df-prune join on ``g`` (whose
-    output partitioning the self-join reuses), the pair groupBy, and the
+    projection, not a groupBy over the (much larger) exploded postings.
+    Candidate pairs are enumerated from the grouped postings list (one
+    groupBy on ``g``), which makes the document-frequency cutoff a FREE
+    ``size(ids)`` filter on the same aggregate — the earlier
+    doc_freq-groupBy + prune-join + postings-self-join form paid three
+    more exchanges of the widest table for the same pair set. Remaining
+    exchanges: the postings groupBy on ``g``, the pair groupBy, and the
     two key-equi size joins on the aggregated pairs (AQE picks the
     strategy; the pair side is the small one after thresholding).
 
-    The persisted gram-array table feeds three consumers (sizes, document
-    frequencies, the pair join); without persistence each one re-derives
-    the n-grams from raw text — Catalyst has no cross-action subplan
-    reuse. At cluster scale it would be a checkpointed table; locally
-    MEMORY_AND_DISK persistence serves the same role.
+    The gram-array table feeds two consumers (sizes, postings) —
+    materialized once via localCheckpoint: plain row blocks, because
+    ``.persist()`` routes array columns through the columnar cache
+    builder's generic per-element encoder (measured slower than
+    recomputing at sf0.1). On a cluster: a reliable checkpoint/temp table,
+    same plan shape.
     """
     from ..catalog import spread
 
@@ -67,25 +71,27 @@ def ngram_jaccard_pairs(
         F.col(id_col), char_ngrams(F.col(text_col), n).alias("__arr")
     )
     if persist:
-        from pyspark import StorageLevel
-
-        # persist the per-doc ARRAY (one row per doc), not the exploded
-        # postings: the array form is ~n× smaller in the cache, and
-        # re-exploding from memory is a pure codegen pass — measured
-        # faster than caching the postings themselves at sf0.1
-        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+        arr = arr.localCheckpoint(eager=False)
     sizes = arr.select(F.col(id_col), F.size("__arr").alias("sz"))
     pos = arr.select(F.col(id_col), F.explode("__arr").alias("g"))
+    # group the postings by gram; doc-frequency pruning (drop grams in
+    # more than max_df docs) is a size filter on the grouped list
+    grouped = pos.groupBy("g").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    grouped = grouped.filter(F.size("ids") >= 2)
     if max_df is not None:
-        # postings are distinct per doc (array_distinct) → count(*) = df
-        doc_freq = pos.groupBy("g").agg(F.count("*").alias("df"))
-        pos = pos.join(doc_freq.filter(F.col("df") <= max_df), "g")
-    left = pos.select("g", F.col(id_col).alias("id1"))
-    right = pos.select("g", F.col(id_col).alias("id2"))
+        grouped = grouped.filter(F.size("ids") <= max_df)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     shared = (
-        left.join(right, "g")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.id1", "p.id2")
         .agg(F.count("*").alias("shared"))
     )
     # sizes has one row per doc — NOT broadcastable at corpus scale; the
