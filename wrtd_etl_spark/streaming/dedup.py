@@ -14,32 +14,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanos→ntz conversion."""
+    """readStream over the events parquet, ts normalized to TIMESTAMP.
+
+    ``events.ts`` has shipped both as TIMESTAMP(NANOS) (read as raw int64
+    via nanosAsLong) and as TIMESTAMP(MICROS); peek the batch reader's
+    resolved dtype and adapt, mirroring catalog.load_table's guard.
+    """
     from ..session import configure
 
     configure(spark)
+    batch_ts = dict(
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .dtypes
+    )["ts"]
+    nanos_as_long = batch_ts == "bigint"
+    ts_type = T.LongType() if nanos_as_long else T.TimestampNTZType()
     # FileStreamSource wants a directory; select the one table via glob
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # keep LTZ here: watermarks require TIMESTAMP, not TIMESTAMP_NTZ
     # (session TZ is pinned UTC so wall-clock values are unchanged)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos_as_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(
