@@ -116,3 +116,42 @@ def test_foreach_batch_sender_is_incremental_across_restarts(spark, tmp_path):
     arrive(5, 8)
     run_once()
     assert sorted(e for _, e in sent) == list(range(8))
+
+
+def test_events_stream_reader_adapts_to_parquet_ts_encoding(spark, tmp_path):
+    """The driver has regenerated events.parquet with different physical ts
+    types across rounds (TIMESTAMP(NANOS) int64 vs TIMESTAMP(MICROS)); the
+    stream reader must produce identical TIMESTAMP values for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_704_160_533_050_000, 1_704_160_540_000_000]
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [7, 7],
+        "event_type": ["error", "error"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+
+    def write(dirname: str, ts_arr: pa.Array) -> str:
+        d = tmp_path / dirname
+        d.mkdir()
+        cols = dict(rows)
+        cols["ts"] = ts_arr
+        pq.write_table(pa.table(cols), d / "events.parquet")
+        return str(d)
+
+    ns_dir = write(
+        "ns", pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
+    )
+    us_dir = write("us", pa.array(micros, type=pa.timestamp("us")))
+
+    got = {}
+    for tag, d in (("ns", ns_dir), ("us", us_dir)):
+        df = run_available_now(read_events_stream(spark, d), spark, "append")
+        got[tag] = sorted((r.event_id, r.ts) for r in df.collect())
+    assert got["ns"] == got["us"]
+    assert len(got["us"]) == 2
+    # wall-clock value survives the conversion exactly (UTC session tz)
+    assert got["us"][0][1].microsecond == 50000
