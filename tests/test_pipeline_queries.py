@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from wrtd_etl_spark.plans import REGISTRY
 from wrtd_etl_spark.plans import pipeline_queries  # noqa: F401 (registers)
 
-from .conftest import SF_SMOKE, compare_to_oracle
+from .conftest import SF_CORRECT, SF_SMOKE, compare_to_oracle
 
 _PIPELINE_ORACLE = [
     "doc_token_stats",
@@ -26,6 +26,8 @@ _PIPELINE_ORACLE = [
     "stratified_sample",
     "contamination_check",
     "context_packing",
+    "per_source_cap",
+    "corpus_vocab",
 ]
 
 
@@ -223,3 +225,44 @@ def test_context_packing_invariants(spark):
     assert sum(r.total_tokens for r in rows) == total
     assert [r.window_id for r in rows] == list(range(len(rows)))
     assert all(r.n_docs > 0 for r in rows)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Hash-min label propagation == union-find truth on a graph with a
+    4-chain (diameter 3 — forces multiple propagation rounds), a triangle,
+    one isolated pair, and ids deliberately out of order."""
+    from wrtd_etl_spark.dedup.clusters import connected_components, dup_clusters
+
+    edges = [
+        (40, 30), (30, 20), (20, 10),      # chain: min label travels 3 hops
+        (7, 9), (9, 8), (7, 8),            # triangle
+        (100, 99),                          # pair
+    ]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == want
+
+    sizes = {r.doc_id: r.cluster_size for r in dup_clusters(df).collect()}
+    assert sizes == {10: 4, 20: 4, 30: 4, 40: 4, 7: 3, 8: 3, 9: 3, 99: 2, 100: 2}
+
+
+def test_dedup_clusters_matches_oracle(spark):
+    from wrtd_etl_spark.plans.registry import REGISTRY
+
+    compare_to_oracle(spark, REGISTRY["dedup_clusters"], SF_CORRECT)

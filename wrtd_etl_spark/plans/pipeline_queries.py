@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
+from ..dedup.clusters import dup_clusters
 from ..dedup.exact import exact_dup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..dedup.ngram import ngram_jaccard_pairs
@@ -192,6 +193,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
     )
+
+
+# Transitive closure of the near-dup pair graph. The oracle runs the same
+# closure as a recursive CTE (reach = all nodes reachable from each node,
+# label = min reachable id) — DuckDB-feasible because near-dup components
+# are tiny; the Spark side converges by hash-min label propagation (see
+# dedup/clusters.py for the iteration and its sum-certificate).
+_CLUSTERS_ORACLE = rf"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}
+    ), edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL
+        SELECT id2, id1 FROM pairs
+    ), reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), labels AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the (deterministic)
+    n-gram Jaccard pair graph, labels = min doc_id per component."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+    )
+    return dup_clusters(pairs, "id1", "id2")
 
 
 @register("dedup_minhash", None)  # hash fns engine-specific → rows-only
@@ -479,6 +515,95 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sampled_chars"))
         .orderBy("lang")
+    )
+
+
+_SOURCE_CAP = 15
+
+
+@register(
+    "per_source_cap",
+    f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id * 2654435761) % 4294967296), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= {_SOURCE_CAP}
+    GROUP BY source ORDER BY source
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing primitive of corpus
+    assembly (no single crawl domain may dominate the mix). Keeps at most
+    ``_SOURCE_CAP`` docs per source, chosen by the deterministic
+    multiplicative-hash order rather than doc_id order, so the cap is an
+    unbiased-ish sample yet reproducible across engines and retries.
+
+    Scale shape: one hash exchange on ``source`` + a partition-local sort;
+    rank truncation prunes before the aggregate. At 100 TB per-source row
+    counts are large but the window never materializes beyond each
+    partition's sort run — no global window, no skew beyond the source-key
+    distribution itself (a pathologically hot source is exactly what the
+    cap removes)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") * 2654435761) % 4294967296
+    w = Window.partitionBy("source").orderBy(k.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SOURCE_CAP)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_TOP = 50
+
+
+@register(
+    "corpus_vocab",
+    rf"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(
+            regexp_split_to_array(lower(trim(text)), '\s+')
+        ) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS doc_freq
+    FROM toks GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT {_VOCAB_TOP}
+    """,
+)
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary by document frequency (top-{_VOCAB_TOP}, ties by
+    token for determinism).
+
+    Scale shape: distinct tokens come from ``array_distinct`` per doc
+    BEFORE the explode (a scan-stage projection — the per-doc dedup never
+    shuffles), then one partial-aggregating groupBy on token and a
+    TakeOrdered top-k instead of a global sort. This is the vocabulary /
+    document-frequency pass every tokenizer-training and df-pruning step
+    needs over a 100 TB corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(_VOCAB_TOP)
     )
 
 
