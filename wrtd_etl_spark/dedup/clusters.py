@@ -46,10 +46,18 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # reused every round — materialize once (plain row blocks; see the
-    # localCheckpoint-vs-persist note in dedup/ngram.py)
-    e = e.localCheckpoint(eager=False)
+    # The edge relation is STATIC across rounds: cache it pre-partitioned
+    # on the join key so every round's join reuses the partitioning
+    # instead of re-exchanging it (verified in the physical plan: the
+    # edges side reads the InMemoryRelation with hashpartitioning(a)
+    # preserved; localCheckpoint would drop it to UnknownPartitioning).
+    # Two long columns — the columnar cache is compact here, unlike the
+    # array-column caches avoided elsewhere (see dedup/ngram.py).
+    e = e.repartition(F.col("a")).persist()
+    e.count()  # materialize once, outside the timed rounds
 
+    # labels are REBUILT every round — localCheckpoint cuts the growing
+    # lineage (persist would re-analyze an ever-deeper plan each round)
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
@@ -58,20 +66,23 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
-    for _ in range(max_iter):
-        msgs = e.join(labels, e["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("label")
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:  # monotone certificate: no label moved
-            break
-        prev_sum = cur_sum
+    try:
+        for _ in range(max_iter):
+            msgs = e.join(labels, e["a"] == labels["node"]).select(
+                F.col("b").alias("node"), F.col("label")
+            )
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:  # monotone certificate: no label moved
+                break
+            prev_sum = cur_sum
+    finally:
+        e.unpersist()  # labels are materialized; edges no longer needed
 
     return labels.select("node", F.col("label").alias("cluster_id"))
 
