@@ -43,6 +43,7 @@ def test_rows_only_queries_run(spark):
         "embedding_neardup_lsh",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
         "multimodal_decode",
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
@@ -266,3 +267,53 @@ def test_dedup_clusters_matches_oracle(spark):
     from wrtd_etl_spark.plans.registry import REGISTRY
 
     compare_to_oracle(spark, REGISTRY["dedup_clusters"], SF_CORRECT)
+
+
+def test_kmeans_centroids_improve_or_match_ivf(spark):
+    """Lloyd training must (a) be deterministic, (b) produce more balanced
+    cells than the hash-sample init, (c) keep recall at least as high."""
+    from pyspark.sql import functions as F
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k
+    from wrtd_etl_spark.similarity.ivf import _assign_cells, ivf_top_k
+    from wrtd_etl_spark.similarity.kmeans import train_centroids_kmeans
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    trained = train_centroids_kmeans(emb, n_cells=16, rounds=2)
+    assert trained == train_centroids_kmeans(emb, n_cells=16, rounds=2)
+
+    # baseline init = rounds=0 (exactly the hash-sample ivf.py uses)
+    init = train_centroids_kmeans(emb, n_cells=16, rounds=0)
+
+    def cell_sizes(cents):
+        rows = (
+            _assign_cells(emb, "embedding", "vec_id", cents, nprobe=1)
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        return [r["count"] for r in rows]
+
+    def imbalance(sizes):  # max/mean: 1.0 = perfectly even
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    assert imbalance(cell_sizes(trained)) <= imbalance(cell_sizes(init))
+
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_top_k(emb, probes, k=5).collect()
+    }
+    def recall(cents):
+        approx = {
+            (r.probe_id, r.neighbor_id)
+            for r in ivf_top_k(
+                emb, probes, k=5, n_cells=16, nprobe=4, centroids=cents
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r_init, r_trained = recall(init), recall(trained)
+    assert r_trained >= r_init - 0.05, (r_init, r_trained)
+    assert r_trained >= 0.3

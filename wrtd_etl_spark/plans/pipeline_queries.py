@@ -339,6 +339,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(emb, probes, k=5)
 
 
+@register("ann_ivf_kmeans_topk", None)  # float centroid training → rows-only
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with k-means-trained coarse centroids (Lloyd rounds over the
+    corpus, see similarity/kmeans.py) — the production IVF shape: trained
+    cells even out sizes and raise recall at the same nprobe."""
+    from ..similarity.ivf import ivf_top_k
+    from ..similarity.kmeans import train_centroids_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = train_centroids_kmeans(emb, rounds=2)
+    return ivf_top_k(emb, probes, k=5, centroids=cents)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

@@ -73,27 +73,33 @@ def ivf_top_k(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors per probe via IVF cells + exact rerank.
 
     Corpus vectors are assigned to 1 cell; probes fan out to ``nprobe``
     cells. Recall/cost trade on ``nprobe`` exactly like a real IVF index.
+    ``centroids`` overrides the default pick (e.g. k-means-trained via
+    :func:`wrtd_etl_spark.similarity.kmeans.train_centroids_kmeans`).
     """
-    # Centroid pick: K ids sampled by multiplicative hash (same idiom as
-    # dataset_split) — deterministic like first-K but spread uniformly over
-    # the id space, so sorted/clustered corpora don't produce K near-equal
-    # centroids (skewed cells). TakeOrderedAndProject keeps it one cheap
-    # pass, K rows to the driver.
-    centroids = [
-        [float(x) for x in r[0]]
-        for r in corpus.select(
-            vec_col,
-            ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)).alias("__h"),
-        )
-        .orderBy("__h", id_col)
-        .limit(n_cells)
-        .collect()
-    ]
+    if centroids is None:
+        # Centroid pick: K ids sampled by multiplicative hash (same idiom
+        # as dataset_split) — deterministic like first-K but spread
+        # uniformly over the id space, so sorted/clustered corpora don't
+        # produce K near-equal centroids (skewed cells).
+        # TakeOrderedAndProject keeps it one cheap pass, K rows to driver.
+        centroids = [
+            [float(x) for x in r[0]]
+            for r in corpus.select(
+                vec_col,
+                ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)).alias(
+                    "__h"
+                ),
+            )
+            .orderBy("__h", id_col)
+            .limit(n_cells)
+            .collect()
+        ]
     c = _assign_cells(corpus, vec_col, id_col, centroids, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     ).withColumn("cn", sq_norm(F.col("cv")))

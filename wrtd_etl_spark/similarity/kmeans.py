@@ -1,0 +1,91 @@
+"""Distributed k-means (Lloyd) for IVF coarse-centroid training.
+
+Upgrades the deterministic hash-sample centroid pick in
+:mod:`wrtd_etl_spark.similarity.ivf`: a few Lloyd rounds move centroids to
+the actual density of the corpus, evening out cell sizes (the quantity that
+bounds IVF search cost) and raising recall at the same ``nprobe``.
+
+Scale shape per round (the 100 TB lens):
+
+* **assign** — one corpus pass; nearest-centroid argmax is a numpy matmul
+  per Arrow batch against the K×dim centroid matrix baked into the UDF
+  closure (broadcast by construction, same trade as ivf._make_pandas_assign);
+* **update** — one exchange keyed by cell id (K keys ≤ a few thousand →
+  partial aggregation upstream would be ideal, but vector means need the
+  vectors; ``applyInPandas`` per cell keeps the mean a single vectorized
+  reduction per group). K bounds the shuffle width, not the corpus;
+* **driver round-trip** — exactly K×dim floats per round (the new
+  centroids), the canonical bounded-state crossing of an iterative
+  algorithm. Rounds are FIXED (default 4) — deterministic results, no
+  convergence action needed; empty cells keep their previous centroid.
+
+No SQL oracle (centroid trajectories are engine-specific float math) —
+rows-only in the registry, with recall/balance pytest coverage against the
+hash-sample baseline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann import _as_double
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    rounds: int = 4,
+) -> list[list[float]]:
+    """K centroids after ``rounds`` Lloyd iterations.
+
+    Init = the same multiplicative-hash sample ivf.py uses, so round 0
+    reproduces the untrained behavior exactly and every extra round is a
+    strict refinement of the same deterministic start.
+    """
+    import numpy as np
+
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
+    )
+
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in vecs.select(
+            "v", ((F.col("__id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h")
+        )
+        .orderBy("__h", "__id")
+        .limit(n_cells)
+        .collect()
+    ]
+
+    for _ in range(rounds):
+        C = np.asarray(centroids, dtype=np.float64)
+
+        @F.pandas_udf("int")
+        def nearest(v: pd.Series) -> pd.Series:
+            V = np.stack(v.to_numpy()).astype(np.float64)
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "mean_v": [M.mean(axis=0)]}
+            )
+
+        means = (
+            vecs.withColumn("cell", nearest(F.col("v")))
+            .groupBy("cell")
+            .applyInPandas(cell_mean, schema="cell int, mean_v array<double>")
+            .collect()
+        )
+        new_c = list(centroids)  # empty cells keep their previous centroid
+        for r in means:
+            new_c[r["cell"]] = [float(x) for x in r["mean_v"]]
+        centroids = new_c
+
+    return centroids
