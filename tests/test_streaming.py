@@ -18,6 +18,7 @@ _ORACLE = [
     "cursor_incremental",
     "cursor_cold_start",
     "lookback_window",
+    "stream_interval_join",
 ]
 
 

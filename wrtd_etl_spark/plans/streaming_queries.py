@@ -97,6 +97,30 @@ def lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_interval_join",
+    """
+    SELECT e.user_id AS user_id, e.ts AS error_ts, c.ts AS click_ts
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks within the hour before each
+    error, both sides watermarked (state evicted past watermark+interval —
+    the bounded-state contract; see streaming/stream_join.py). availableNow
+    over the single-file source emits every inner match in one micro-batch,
+    so the batch inequality join is an exact oracle."""
+    from ..streaming.dedup import read_events_stream, run_available_now
+    from ..streaming.stream_join import interval_join_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = interval_join_stream(stream, minutes=60)
+    return run_available_now(joined, spark, "append")
+
+
 @register("alert_suppression", None)  # sequential chain per key → no SQL oracle
 def alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-hour re-alert suppression per user (T5; bot/botrun.py:250-269).
