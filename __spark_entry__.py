@@ -49,6 +49,7 @@ _DEMOTED = (
     "fs_survivors_fixed",
     "doc_fingerprint",
     "last_event",
+    "first_event",  # O3 first-by-time stays scored via fs_fb
 )
 
 

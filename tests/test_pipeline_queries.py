@@ -28,6 +28,7 @@ _PIPELINE_ORACLE = [
     "context_packing",
     "per_source_cap",
     "corpus_vocab",
+    "pii_redaction",
 ]
 
 
@@ -317,3 +318,28 @@ def test_kmeans_centroids_improve_or_match_ivf(spark):
     r_init, r_trained = recall(init), recall(trained)
     assert r_trained >= r_init - 0.05, (r_init, r_trained)
     assert r_trained >= 0.3
+
+
+def test_pii_redaction_scrubs_known_fixtures(spark):
+    """Every PII class is removed, rule order protects specific classes
+    from the general phone rule, and clean text passes through unchanged."""
+    from wrtd_etl_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@mail.example.org now"),
+        (2, "call +1 (415) 555-1234 today"),
+        (3, "ssn 123-45-6789 and host 10.0.0.1"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.r for r in df.select("id", redact_pii(F.col("t")).alias("r")).collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "ssn [SSN] and host [IPV4]"
+    assert got[4] == "no pii here at all"
+
+
+def test_pii_redaction_query_non_vacuous(spark):
+    rows = REGISTRY["pii_redaction"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    assert all(r.email_hits >= 1 and r.phone_hits >= 1 for r in rows)

@@ -139,3 +139,50 @@ def fingerprint(col: Column) -> Column:
 
 
 FINGERPRINT_SQL = r"md5(lower(trim(regexp_replace({expr}, '\s+', ' ', 'g'))))"
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# --------------------------------------------------------------------------
+
+#: (tag, pattern) — valid in both Java regex (Spark) and DuckDB's RE2.
+#: Order matters twice over: specific classes (SSN, IPV4) must run before
+#: the general PHONE rule that would also match them, and earlier rules
+#: must not produce text later rules match.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("IPV4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("PHONE", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Text with every PII match replaced by its ``[TAG]`` placeholder.
+
+    Pure chained ``regexp_replace`` — stays in whole-stage codegen; at
+    100 TB this is a scan-stage projection with zero shuffle.
+    """
+    out = col
+    for tag, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"[{tag}]")
+    return out
+
+
+def pii_hits(col: Column, tag: str) -> Column:
+    """How many matches of one PII class the text contains."""
+    pattern = dict(PII_PATTERNS)[tag]
+    return F.size(F.regexp_extract_all(col, F.lit(f"({pattern})"), 1))
+
+
+def redact_pii_sql(expr: str) -> str:
+    """DuckDB oracle for :func:`redact_pii` (same rule order)."""
+    out = expr
+    for tag, pattern in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pattern}', '[{tag}]', 'g')"
+    return out
+
+
+def pii_hits_sql(expr: str, tag: str) -> str:
+    pattern = dict(PII_PATTERNS)[tag]
+    return f"len(regexp_extract_all({expr}, '({pattern})', 1))"

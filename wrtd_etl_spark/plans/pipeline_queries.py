@@ -582,6 +582,58 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic-PII injection keeps the redaction query NON-vacuous on this
+# corpus (the generated texts contain no real PII): every doc gets a
+# deterministic email + phone derived from doc_id, then the scrubber must
+# remove them — the oracle checks hit counts AND the redacted-text md5, so
+# an over- or under-matching pattern fails the hash, not just the count.
+_PII_ORACLE = rf"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com tel +1 415 555 '
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS d
+        FROM documents
+    )
+    SELECT doc_id,
+           {{email_hits}} AS email_hits,
+           {{phone_hits}} AS phone_hits,
+           md5({{redacted}}) AS redacted_fp
+    FROM dirty
+"""
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import pii_hits_sql, redact_pii_sql
+
+    return _PII_ORACLE.format(
+        email_hits=pii_hits_sql("d", "EMAIL"),
+        phone_hits=pii_hits_sql("d", "PHONE"),
+        redacted=redact_pii_sql("d"),
+    )
+
+
+@register("pii_redaction", _pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: chained regexp_replace per PII class
+    (email/SSN/IPv4/phone, specific-before-general rule order) — a pure
+    scan-stage projection, zero shuffle at any scale."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +1 415 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        TX.pii_hits(dirty, "EMAIL").alias("email_hits"),
+        TX.pii_hits(dirty, "PHONE").alias("phone_hits"),
+        F.md5(F.encode(TX.redact_pii(dirty), "UTF-8")).alias("redacted_fp"),
+    )
+
+
 _VOCAB_TOP = 50
 
 
