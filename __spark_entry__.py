@@ -50,6 +50,7 @@ _DEMOTED = (
     "doc_fingerprint",
     "last_event",
     "first_event",  # O3 first-by-time stays scored via fs_fb
+    "max_value_nulls_last",  # O5 NULLS-LAST stays scored via fs_ls
 )
 
 

@@ -779,3 +779,53 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "price_outliers",
+    """
+    WITH p AS (
+        SELECT l_returnflag, quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag AS l_returnflag,
+           COUNT(*) AS n_outliers,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           MAX(p99) AS p99
+    FROM lineitem l JOIN p USING (l_returnflag)
+    WHERE l.l_extendedprice > p99
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile outlier detection: rows above the per-group p99 of
+    l_extendedprice (count + exact-integer cents sum).
+
+    percentile_disc picks an ACTUAL data value (no interpolation), so the
+    threshold is bit-identical across engines — interpolated percentiles
+    diverge in float math. Plan: one grouped percentile pass (sort-based
+    within each of the 3 groups), thresholds broadcast back over the fact
+    scan, map-side-combined aggregate. At 100 TB swap the exact grouped
+    percentile for approx_percentile to keep the threshold pass one
+    sort-free scan; the outlier filter+agg is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99")
+    )
+    return (
+        li.join(F.broadcast(p), "l_returnflag")
+        .filter(F.col("l_extendedprice") > F.col("p99"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents_sum"),
+            F.max("p99").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

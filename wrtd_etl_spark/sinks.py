@@ -151,3 +151,46 @@ def write_jdbc(
     """K1 via JDBC: replaces the reference's executemany loop — one
     distributed write instead of row-at-a-time inserts."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+# --------------------------------------------------------------------------
+# Text format surface (CSV / JSON lines)
+# --------------------------------------------------------------------------
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV with header; timestamps ISO-8601 so a schema'd read round-trips."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema'd CSV read — NEVER inferSchema in a pipeline path (schema
+    inference is an extra full scan and silently drifts with the data;
+    SURVEY §1.2's explicit-schema rule)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+#: default JSON/CSV timestamp format truncates to milliseconds — force
+#: full microsecond precision so event-time round-trips losslessly
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines (one doc per row) — the interchange format of document
+    pipelines; nested structs/arrays survive, unlike CSV."""
+    df.write.mode(mode).option("timestampNTZFormat", _TS_FMT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema'd JSON-lines read (same no-inference rule as read_csv)."""
+    return spark.read.schema(schema).option("timestampNTZFormat", _TS_FMT).json(path)
