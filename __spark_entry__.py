@@ -51,6 +51,9 @@ _DEMOTED = (
     "last_event",
     "first_event",  # O3 first-by-time stays scored via fs_fb
     "max_value_nulls_last",  # O5 NULLS-LAST stays scored via fs_ls
+    "event_type_display",  # J6 lookup-map join stays scored via fs_vehicles_grouped
+    "inactive_by_side",  # A3 CASE-keyed agg + O6 stay scored via fs_survivors_group
+    "status_collect",  # A5 group-collect stays scored via fs_vehicles_grouped
 )
 
 

@@ -19,6 +19,7 @@ _ORACLE = [
     "cursor_cold_start",
     "lookback_window",
     "stream_interval_join",
+    "stream_windowed_counts",
 ]
 
 

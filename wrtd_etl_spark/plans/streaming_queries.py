@@ -98,6 +98,43 @@ def lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — the
+    windowed-agg shape of every streaming dashboard. Spark's epoch-aligned
+    ``window()`` buckets equal DuckDB's ``time_bucket``, so the batch
+    GROUP BY is an exact oracle. Complete output mode emits every window
+    (append would withhold windows inside the lateness horizon when the
+    stream ends); at production scale the same query runs append-mode with
+    the watermark bounding state."""
+    from ..streaming.dedup import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_available_now(windowed, spark, "complete").orderBy(
+        "w_start", "event_type"
+    )
+
+
+@register(
     "stream_interval_join",
     """
     SELECT e.user_id AS user_id, e.ts AS error_ts, c.ts AS click_ts

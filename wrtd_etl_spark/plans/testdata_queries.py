@@ -829,3 +829,96 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_DSUM_SQL.format(expr="l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two fact equi-joins →
+    grouped revenue → top-10.
+
+    Plan intent at 100 TB: the filtered customer side broadcasts into
+    orders (dim-sized after the segment filter), orders⋈lineitem shuffles
+    on orderkey (both facts — the one unavoidable exchange), date filters
+    push down to both parquet scans, and the top-10 is TakeOrdered, never
+    a global sort. Deterministic ties via orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy(
+            li["l_orderkey"].alias("orderkey"),
+            o["o_orderdate"].alias("orderdate"),
+            o["o_orderpriority"].alias("orderpriority"),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "rolling_revenue",
+    f"""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               {_DSUM_SQL.format(expr="o_totalprice")} AS day_rev
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT d, day_rev,
+           CAST(SUM(CAST(FLOOR(day_rev * 10000 + 0.5) AS BIGINT))
+                OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) / 10000.0 AS rev_7d
+    FROM daily ORDER BY d
+    """,
+)
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME-spec analytics (rowsBetween): 7-day moving revenue
+    over the daily aggregate — the frame-bounded running-window shape the
+    reference never uses (SURVEY §2.6) and a training-data-rate dashboard
+    does. Window is ABOVE a day-level aggregate (bounded rows), never over
+    the raw fact table; the quantized-cents sum keeps the running total
+    bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        _dsum(F.col("o_totalprice"), "day_rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "rev_7d",
+            (
+                F.sum(F.floor(F.col("day_rev") * 10000 + 0.5).cast("long")).over(w)
+                / F.lit(10000.0)
+            ),
+        )
+        .orderBy("d")
+    )
