@@ -48,3 +48,46 @@ def test_jsonl_round_trip_with_nested(spark, tmp_path):
     a = sorted((r.user_id, tuple(r.types), r.last_ts) for r in df.collect())
     b = sorted((r.user_id, tuple(r.types), r.last_ts) for r in back.collect())
     assert a == b
+
+
+def test_jsonl_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    from wrtd_etl_spark.sinks import read_jsonl_permissive
+
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": "not-a-number", "text": "bad type"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "another good row"}\n'
+    )
+    schema = "doc_id long, text string"
+    from pyspark.sql import types as T
+
+    df = read_jsonl_permissive(
+        spark, str(p), T.StructType.fromDDL(schema)
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in good} == {1, 3}
+    assert len(bad) == 2
+    # quarantined rows keep the raw text for the dead-letter path
+    assert any("not json" in r._corrupt_record for r in bad)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    from wrtd_etl_spark.sinks import read_parquet_merged
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(p)
+    # v2 of the pipeline adds a column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    df = read_parquet_merged(spark, p)
+    assert set(df.columns) == {"id", "v", "score"}
+    got = {r.id: r.score for r in df.collect()}
+    assert got[1] is None and got[2] == 9.5

@@ -194,3 +194,36 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     """Schema'd JSON-lines read (same no-inference rule as read_csv)."""
     return spark.read.schema(schema).option("timestampNTZFormat", _TS_FMT).json(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """JSON-lines read that QUARANTINES malformed rows instead of failing
+    the job or silently nulling them — at 100 TB a crawl batch always
+    contains garbage, and FAILFAST-ing a thousand-executor job on row one
+    billion is not an option. Malformed rows land intact in
+    ``corrupt_col`` (select it to route them to a dead-letter table);
+    well-formed rows parse normally.
+    """
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("timestampNTZFormat", _TS_FMT)
+        .json(path)
+    )
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across schema versions (``mergeSchema``): columns added
+    by newer pipeline versions appear as NULL in old files instead of
+    breaking the read — the append-only schema-evolution contract. Off by
+    default in Spark because footer-merging costs one pass over file
+    metadata; that price is right when a table spans schema versions."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
