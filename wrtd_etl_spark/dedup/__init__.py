@@ -9,14 +9,20 @@ Five strategies, all expressed as DataFrame transforms (no Python UDFs):
 * ngram      — character n-gram Jaccard similarity join via inverted index
 * embedding  — cosine near-dup over embedding columns (brute-force +
                hyperplane-LSH scale path)
+
+plus cluster resolution: ``connected_components`` / ``dup_clusters`` turn
+any strategy's pair output into transitive duplicate clusters.
 """
 
+from .clusters import connected_components, dup_clusters
 from .exact import exact_dedup, exact_dup_groups
 from .minhash import minhash_near_dup_pairs, minhash_signatures
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash, simhash_near_dup_pairs
 
 __all__ = [
+    "connected_components",
+    "dup_clusters",
     "exact_dedup",
     "exact_dup_groups",
     "minhash_signatures",
