@@ -120,3 +120,73 @@ def test_context_packing_window_is_partitioned(spark):
     for s in specs:
         if not s.strip().startswith("b#"):
             assert s.strip().split(" ")[0].split("#")[0] == "b", s
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    """Scrubbing is a scan-stage projection — ANY exchange would mean the
+    operator stopped scaling linearly. (The registry query adds the gated
+    ``spread`` exchange for single-split LOCAL inputs, a no-op at scale —
+    so the claim is tested on the operator over a plain scan.)"""
+    import contextlib
+    import io
+
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.functions.text import redact_pii
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = docs.select("doc_id", redact_pii(F.col("text")).alias("clean"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_per_source_cap_is_single_exchange(spark):
+    """One hash exchange on source feeds both the ranking window and the
+    aggregate; rank truncation must prune before the final agg."""
+    plan = _plan(spark, "per_source_cap")
+    assert plan.count(") Exchange") <= 2  # source window + agg (AQE may fuse)
+    assert "Window" in plan
+    # rank filter sits above the window, below the aggregate
+    assert "rn" in plan
+
+
+def test_price_outliers_broadcasts_thresholds(spark):
+    """The 3-row percentile thresholds must broadcast back over the fact
+    scan — a shuffle join here would re-exchange the whole fact table."""
+    plan = _plan(spark, "price_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_is_takeordered_with_pushdown(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    # date filters reach both fact scans
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:250] for seg in pushed[1:])
+    assert any("o_orderdate" in seg[:250] for seg in pushed[1:])
+
+
+def test_rolling_window_sits_above_daily_aggregate(spark):
+    """The frame-spec window must consume the day-level aggregate, never
+    the raw orders scan (global window over raw facts = the anti-pattern)."""
+    import re
+
+    plan = _plan(spark, "rolling_revenue")
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    assert win_ids and agg_ids
+    assert min(agg_ids) < min(win_ids)
+
+
+def test_corpus_vocab_dedups_before_explode(spark):
+    """Per-doc distinct tokens must come from array_distinct in the scan
+    stage projection, not a post-explode distinct (which would shuffle the
+    full token stream)."""
+    plan = _plan(spark, "corpus_vocab")
+    # TakeOrdered top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # exactly one aggregation exchange (token groupBy); a post-explode
+    # distinct would add a second
+    assert plan.count(") Exchange") <= 2
