@@ -43,6 +43,8 @@ def _make_pandas_assign(centroids: list[list[float]], nprobe: int):
 
     @F.pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch (empty split/partition)
+            return pd.Series([], dtype=object)
         V = np.stack(v.to_numpy()).astype(np.float64)
         sims = (V @ C.T) / norms  # n x K
         # stable sort = deterministic tie-break by centroid index
@@ -100,6 +102,12 @@ def ivf_top_k(
             .limit(n_cells)
             .collect()
         ]
+    if not centroids:
+        # empty corpus (an empty partition/day at scale must not crash the
+        # job): no cells exist, so no probe has any neighbor
+        return corpus.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, sim double, rank long"
+        )
     c = _assign_cells(corpus, vec_col, id_col, centroids, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     ).withColumn("cn", sq_norm(F.col("cv")))

@@ -62,11 +62,16 @@ def train_centroids_kmeans(
         .collect()
     ]
 
+    if not centroids:  # empty corpus: nothing to train on
+        return []
+
     for _ in range(rounds):
         C = np.asarray(centroids, dtype=np.float64)
 
         @F.pandas_udf("int")
         def nearest(v: pd.Series) -> pd.Series:
+            if len(v) == 0:  # empty Arrow batch
+                return pd.Series([], dtype="int32")
             V = np.stack(v.to_numpy()).astype(np.float64)
             d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             return pd.Series(d.argmin(axis=1).astype(np.int32))
