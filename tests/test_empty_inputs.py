@@ -34,3 +34,36 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name_fn):
     name, fn = name_fn
     rows = fn(spark, empty_sf_dir).collect()
     assert rows == [] or len(rows) >= 0
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(tmp_path_factory):
+    """20 rows per table with every non-key column NULL."""
+    import pyarrow as pa
+
+    keys = {
+        "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey",
+        "s_suppkey", "p_partkey", "o_orderkey", "o_custkey", "l_orderkey",
+        "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    }
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLE_NAMES:
+        tb = pq.read_table(f"{SF_SMOKE}/{t}.parquet").slice(0, 20)
+        cols = {
+            f.name: tb.column(f.name)
+            if f.name in keys
+            else pa.nulls(len(tb), type=f.type)
+            for f in tb.schema
+        }
+        pq.write_table(pa.table(cols), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name_fn", _all_specs(), ids=lambda nf: nf[0])
+def test_query_survives_all_null_columns(spark, nulled_sf_dir, name_fn):
+    """NULL text/embeddings/timestamps are routine in crawl data — every
+    operator must treat them as 'cannot match / cannot score', never crash
+    (NULL-vector rows are filtered at the scan; NULL group keys follow SQL
+    grouping semantics)."""
+    name, fn = name_fn
+    fn(spark, nulled_sf_dir).collect()

@@ -92,6 +92,10 @@ def minhash_signatures(
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    # NULL documents have no shingles and can't near-duplicate anything —
+    # drop them at the scan (pushed-down IsNotNull) so the UDF never sees
+    # a None token array
+    df = df.filter(F.col(text_col).isNotNull())
     # tokenize + signature UDF are the CPU-bound corpus scan: guarantee it
     # isn't serialized by a single-split file (no-op on multi-split input)
     base = spread(df).select(F.col(id_col), th.alias("th"))

@@ -43,6 +43,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     from ..catalog import spread
 
+    df = df.filter(F.col(text_col).isNotNull())  # NULL text: no signature
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # tokenize + signature UDF are the CPU-bound corpus scan: ensure it

@@ -58,6 +58,13 @@ def _quantized_cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -
     ) / F.lit(1000000.0)
 
 
+def _non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop NULL-vector rows (pushed-down IsNotNull): a NULL embedding can
+    be neither a neighbor nor a probe, and the vectorized numpy paths
+    cannot stack None."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -102,6 +109,9 @@ def brute_force_top_k(
     from pyspark.sql import Window
 
     from ..catalog import spread
+
+    corpus = _non_null_vectors(corpus, vec_col)
+    probes = _non_null_vectors(probes, vec_col)
 
     # per-(corpus × probe) cosine arithmetic is the CPU-bound stage: make
     # sure a single-split corpus scan doesn't serialize it on one core
@@ -213,6 +223,8 @@ def lsh_top_k(
     """
     from pyspark.sql import Window
 
+    corpus = _non_null_vectors(corpus, vec_col)
+    probes = _non_null_vectors(probes, vec_col)
     planes = _hyperplanes(n_planes, dim, seed)
     width = n_planes // bands
 
@@ -273,6 +285,7 @@ def embedding_near_dup_pairs(
     >0.999 (recall); narrower bands would blow the bucket size up —
     measured: 2-bit bands were SLOWER than brute force at sf0.1.
     """
+    df = _non_null_vectors(df, vec_col)
     if exact:
         from ..catalog import spread
 

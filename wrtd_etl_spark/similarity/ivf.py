@@ -84,6 +84,10 @@ def ivf_top_k(
     ``centroids`` overrides the default pick (e.g. k-means-trained via
     :func:`wrtd_etl_spark.similarity.kmeans.train_centroids_kmeans`).
     """
+    from .ann import _non_null_vectors
+
+    corpus = _non_null_vectors(corpus, vec_col)
+    probes = _non_null_vectors(probes, vec_col)
     if centroids is None:
         # Centroid pick: K ids sampled by multiplicative hash (same idiom
         # as dataset_split) — deterministic like first-K but spread

@@ -48,6 +48,9 @@ def train_centroids_kmeans(
     """
     import numpy as np
 
+    from .ann import _non_null_vectors
+
+    corpus = _non_null_vectors(corpus, vec_col)
     vecs = corpus.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
     )
