@@ -145,3 +145,21 @@ def test_distributed_cumsum_plan_partitions_the_fact_window(spark):
     assert "partitionBy=[b" in plan.replace("#", "@").replace("bL", "b") or (
         "hashpartitioning(b" in plan
     )
+
+
+def test_delete_by_key_round_trip(spark, tmp_path):
+    """CRUD completion: upsert then delete, swap-persisted — survivors are
+    exactly the non-deleted keys and a re-read sees the swap."""
+    from wrtd_etl_spark.operators.upsert import delete_parquet, upsert_parquet
+
+    p = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(20)], "id long, name string"
+    )
+    upsert_parquet(spark, p, base, "id")
+    doomed = spark.createDataFrame([(3,), (7,), (11,), (999,)], "id long")
+    delete_parquet(spark, p, doomed, "id")
+    back = spark.read.parquet(p)
+    assert sorted(r.id for r in back.collect()) == sorted(
+        set(range(20)) - {3, 7, 11}
+    )

@@ -155,3 +155,42 @@ def test_events_stream_reader_adapts_to_parquet_ts_encoding(spark, tmp_path):
     assert len(got["us"]) == 2
     # wall-clock value survives the conversion exactly (UTC session tz)
     assert got["us"][0][1].microsecond == 50000
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    """Overlapping (sliding) event-time windows: every event lands in
+    width/slide windows; complete-mode availableNow output must equal the
+    batch expansion (each event contributes to exactly two 20-min/10-min
+    windows)."""
+    from pyspark.sql import functions as F
+    from wrtd_etl_spark.catalog import load_table
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    slid = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"), "cnt")
+    )
+    got = {
+        (r.w_start, r.cnt)
+        for r in run_available_now(slid, spark, "complete").collect()
+    }
+
+    events = load_table(spark, SF_SMOKE, "events")
+    bucket = F.timestamp_seconds(
+        (F.col("ts").cast("timestamp").cast("long") / 600).cast("long") * 600
+    )
+    expanded = events.select(
+        F.explode(
+            F.array(bucket, bucket - F.expr("INTERVAL 10 MINUTES"))
+        ).alias("w_start")
+    )
+    want = {
+        (r.w_start, r.cnt)
+        for r in expanded.groupBy("w_start")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w_start", F.col("w_start").cast("timestamp_ntz"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

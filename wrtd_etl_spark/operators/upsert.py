@@ -55,3 +55,27 @@ def upsert_parquet(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def delete_by_key(current: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Rows of ``current`` whose key appears in ``keys`` are removed.
+
+    The GDPR/right-to-erasure primitive a training-data store needs next
+    to upsert: one broadcast anti-join (the delete-key set is small
+    relative to the corpus), the fact side never shuffles.
+    """
+    return current.join(F.broadcast(keys.select(key)), on=key, how="left_anti")
+
+
+def delete_parquet(
+    spark: SparkSession, path: str, keys: DataFrame, key: str
+) -> None:
+    """Persisted keyed delete with the same write-temp-then-swap contract
+    as :func:`upsert_parquet` (single-writer; Delta/Iceberg DELETE at
+    production scale)."""
+    current = spark.read.parquet(path)
+    remaining = delete_by_key(current, keys, key)
+    tmp = f"{path}.__tmp_{uuid.uuid4().hex}"
+    remaining.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
