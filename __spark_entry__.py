@@ -54,6 +54,7 @@ _DEMOTED = (
     "event_type_display",  # J6 lookup-map join stays scored via fs_vehicles_grouped
     "inactive_by_side",  # A3 CASE-keyed agg + O6 stay scored via fs_survivors_group
     "status_collect",  # A5 group-collect stays scored via fs_vehicles_grouped
+    "fs_tks",  # A2 count(col) + W1 top-5 stay scored via fs_cutlets
 )
 
 

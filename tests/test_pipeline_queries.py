@@ -29,6 +29,7 @@ _PIPELINE_ORACLE = [
     "per_source_cap",
     "corpus_vocab",
     "pii_redaction",
+    "bigram_counts",
 ]
 
 

@@ -194,3 +194,35 @@ def test_sliding_window_stream_equals_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Time-bounded streaming dedup: duplicates arriving within the
+    watermark horizon collapse, and — unlike plain dropDuplicates — state
+    is evicted once the watermark passes, so it cannot grow with the
+    stream (the production dedup shape for at-least-once sources)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    watch = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):
+        t = base + dt.timedelta(minutes=i)
+        rows.append((i, t))
+        if i % 5 == 0:  # duplicate event ids arriving 30 s late
+            rows.append((i, t + dt.timedelta(seconds=30)))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(watch)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+        watch
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = run_available_now(deduped, spark, "append")
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == list(range(50))  # every duplicate collapsed exactly once

@@ -582,6 +582,52 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_TOP = 50
+
+
+@register(
+    "bigram_counts",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), pairs AS (
+        SELECT t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM pairs GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT {_BIGRAM_TOP}
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair counts — the BPE-merge-training primitive (the
+    highest-count pair is the next merge rule) and the unit of n-gram LM
+    estimation.
+
+    Scale shape: pairs are built by zipping the token array with its own
+    tail INSIDE the scan projection (no self-join, no window over raw
+    tokens), then one partial-aggregating groupBy on the pair and a
+    TakeOrdered top-k — the same single-exchange profile as corpus_vocab.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(_BIGRAM_TOP)
+    )
+
+
 # Synthetic-PII injection keeps the redaction query NON-vacuous on this
 # corpus (the generated texts contain no real PII): every doc gets a
 # deterministic email + phone derived from doc_id, then the scrubber must
