@@ -344,3 +344,44 @@ def test_pii_redaction_query_non_vacuous(spark):
     rows = REGISTRY["pii_redaction"].fn(spark, SF_SMOKE).collect()
     assert len(rows) > 0
     assert all(r.email_hits >= 1 and r.phone_hits >= 1 for r in rows)
+
+
+def test_connected_components_random_graphs_property(spark):
+    """Property: hash-min label propagation equals union-find on random
+    edge sets (chains, cliques, forests, self-loops, duplicate edges)."""
+    from hypothesis import given, settings, strategies as st
+
+    from wrtd_etl_spark.dedup.clusters import connected_components
+
+    edge_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges=edge_st)
+    def check(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+        assert got == want
+
+    check()
