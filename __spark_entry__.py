@@ -55,6 +55,9 @@ _DEMOTED = (
     "inactive_by_side",  # A3 CASE-keyed agg + O6 stay scored via fs_survivors_group
     "status_collect",  # A5 group-collect stays scored via fs_vehicles_grouped
     "fs_tks",  # A2 count(col) + W1 top-5 stay scored via fs_cutlets
+    # composite of two scored queries (dedup_clusters + groupBy); its
+    # oracle runs in pytest — parked outside the window by choice
+    "dedup_apply",
 )
 
 

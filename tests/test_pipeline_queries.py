@@ -30,6 +30,7 @@ _PIPELINE_ORACLE = [
     "corpus_vocab",
     "pii_redaction",
     "bigram_counts",
+    "dedup_apply",
 ]
 
 

@@ -230,6 +230,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs, "id1", "id2")
 
 
+# Survivors = min-id per near-dup cluster + every unclustered doc. The
+# oracle reuses the recursive-CTE closure and anti-joins the losers.
+_DEDUP_APPLY_ORACLE = rf"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}
+    ), edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL
+        SELECT id2, id1 FROM pairs
+    ), reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), losers AS (
+        SELECT node AS doc_id FROM reach GROUP BY node
+        HAVING node <> MIN(r)
+    )
+    SELECT d.lang AS lang, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@register("dedup_apply", _DEDUP_APPLY_ORACLE)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step users actually run: near-dup clusters APPLIED to the
+    corpus — keep the min-id survivor per cluster, pass every unclustered
+    doc through, report the surviving corpus per language.
+
+    Scale shape: cluster labels are tiny relative to the corpus (only
+    docs that appeared in a near-dup pair), so the loser set broadcasts
+    into one anti-join against the full scan — the corpus shuffles zero
+    times before the final per-lang aggregate."""
+    from ..dedup.clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+    )
+    labels = connected_components(pairs, "id1", "id2")
+    losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register("dedup_minhash", None)  # hash fns engine-specific → rows-only
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (verified vs brute force in tests)."""
