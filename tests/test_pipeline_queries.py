@@ -386,3 +386,48 @@ def test_connected_components_random_graphs_property(spark):
         assert got == want
 
     check()
+
+
+def test_dedup_apply_catches_boilerplate_clones(spark, tmp_path):
+    """An 80%-clone corpus (the boilerplate-page scenario): identical docs
+    share ALL n-grams, so df-pruning hides them from the near-dup pair
+    graph — the exact-fingerprint layer must catch them. Survivors =
+    distinct texts; and the bucket caps keep the clone flood from going
+    quadratic in the near-dup path."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conftest import TABLE_NAMES
+
+    d = tmp_path / "sf_clones"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    boiler = "cookie notice accept all rights reserved terms of service apply"
+    texts = [boiler] * 80 + [f"unique document number {i} with words" for i in range(20)]
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["web"] * n),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = REGISTRY["dedup_apply"].fn(spark, str(d)).collect()
+    survivors = sum(r.n_docs for r in rows)
+    # 80 clones collapse to 1; the 20 unique docs are near-dups of each
+    # other pairwise only if jaccard >= threshold — count them precisely:
+    # they differ in one token, so they MAY cluster; survivors must at
+    # least collapse all clones and keep >= 1 of each text family
+    assert survivors <= 21
+    assert survivors >= 2
+    # and the oracle agrees on this adversarial corpus
+    compare_to_oracle(spark, REGISTRY["dedup_apply"], str(d))

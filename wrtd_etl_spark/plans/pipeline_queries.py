@@ -230,8 +230,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs, "id1", "id2")
 
 
-# Survivors = min-id per near-dup cluster + every unclustered doc. The
-# oracle reuses the recursive-CTE closure and anti-joins the losers.
+# Survivors = min-id per exact-dup group AND per near-dup cluster + every
+# untouched doc. BOTH layers matter: identical documents share ALL their
+# n-grams, so document-frequency pruning removes heavy boilerplate from
+# the pair graph — exact dedup is what catches it (the standard pipeline
+# layering: exact first, then near-dup). The oracle reuses the
+# recursive-CTE closure and unions both loser sets.
 _DEDUP_APPLY_ORACLE = rf"""
     WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}
     ), edges AS (
@@ -242,9 +246,19 @@ _DEDUP_APPLY_ORACLE = rf"""
         SELECT a, a FROM edges
         UNION
         SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
-    ), losers AS (
+    ), near_losers AS (
         SELECT node AS doc_id FROM reach GROUP BY node
         HAVING node <> MIN(r)
+    ), exact_losers AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (
+                       PARTITION BY {TX.FINGERPRINT_SQL.format(expr="text")}
+                   ) AS keep_id
+            FROM documents)
+        WHERE doc_id <> keep_id
+    ), losers AS (
+        SELECT doc_id FROM near_losers UNION SELECT doc_id FROM exact_losers
     )
     SELECT d.lang AS lang, COUNT(*) AS n_docs,
            CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
@@ -257,24 +271,41 @@ _DEDUP_APPLY_ORACLE = rf"""
 
 @register("dedup_apply", _DEDUP_APPLY_ORACLE)
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The step users actually run: near-dup clusters APPLIED to the
-    corpus — keep the min-id survivor per cluster, pass every unclustered
-    doc through, report the surviving corpus per language.
+    """The step users actually run: dedup APPLIED to the corpus — exact
+    duplicates collapse to their min-id survivor, near-dup clusters keep
+    their min-id survivor, everything untouched passes through; report
+    the surviving corpus per language.
 
-    Scale shape: cluster labels are tiny relative to the corpus (only
-    docs that appeared in a near-dup pair), so the loser set broadcasts
-    into one anti-join against the full scan — the corpus shuffles zero
-    times before the final per-lang aggregate."""
+    Exact-before-near layering is load-bearing: identical docs share all
+    n-grams, so df-pruning hides boilerplate from the near-dup pair graph
+    — only the fingerprint layer catches it (tested with an 80%-clone
+    corpus in tests/test_pipeline_queries.py).
+
+    Scale shape: both loser sets are small relative to the corpus (only
+    docs implicated in a duplicate), so they broadcast into one anti-join
+    against the full scan — the corpus itself shuffles zero times before
+    the final per-lang aggregate."""
     from ..dedup.clusters import connected_components
+    from ..dedup.exact import exact_dup_groups
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
     )
     labels = connected_components(pairs, "id1", "id2")
-    losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
+    near_losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
+    exact_losers = (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .join(
+            exact_dup_groups(docs, "text", "doc_id").select("fp", "keep_id"),
+            "fp",
+        )
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    losers = near_losers.unionByName(exact_losers).distinct()
     return (
         docs.join(F.broadcast(losers), "doc_id", "left_anti")
         .groupBy("lang")
