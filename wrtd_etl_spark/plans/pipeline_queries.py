@@ -462,6 +462,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_metadata(media)
 
 
+@register("embedding_clusters", None)  # float centroid training → rows-only
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster report over the embedding corpus: per-cell size and
+    quantized mean within-cell cosine-to-centroid (the cluster-quality
+    readout of the trained IVF index). Rows-only (float centroid math);
+    balance/determinism pinned in the kmeans pytest."""
+    from ..similarity.ivf import _assign_cells
+    from ..similarity.kmeans import train_centroids_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids_kmeans(emb, rounds=2)
+    assigned = _assign_cells(emb, "embedding", "vec_id", cents, nprobe=1)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
 @register("multimodal_decode", None)  # mapInPandas fake decoder → rows-only
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing with the deterministic fake codec."""
