@@ -56,7 +56,14 @@ def _make_pandas_assign(centroids: list[list[float]], nprobe: int):
 
 def _assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids, nprobe: int):
     from ..catalog import spread
+    from .ann import _non_null_vectors
 
+    df = _non_null_vectors(df, vec_col)  # None rows cannot be stacked
+    if not centroids:
+        # no cells exist (empty corpus): typed empty assignment
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, v array<double>, cell int"
+        )
     assign = _make_pandas_assign(centroids, nprobe)
     # assignment is the CPU-bound corpus pass — don't let a single-split
     # scan serialize it (no-op on multi-split input)
