@@ -91,3 +91,25 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     got = {r.id: r.score for r in df.collect()}
     assert got[1] is None and got[2] == 9.5
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trips values AND supports predicate pushdown like
+    parquet (the plan must show the pushed filter on the ORC scan)."""
+    import contextlib
+    import io
+
+    from wrtd_etl_spark.sinks import read_orc, write_orc
+
+    df = _orders_sample(spark)
+    p = str(tmp_path / "orders_orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, back.collect()))
+
+    filtered = back.filter(F.col("o_orderkey") == 42).select("o_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]

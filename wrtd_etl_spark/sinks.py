@@ -227,3 +227,15 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     default in Spark because footer-merging costs one pass over file
     metadata; that price is right when a table spans schema versions."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC — the second columnar format (zlib by default, predicate
+    pushdown + column pruning like parquet); the interchange format for
+    Hive-ecosystem consumers."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read (self-describing schema, no inference pass needed)."""
+    return spark.read.orc(path)
