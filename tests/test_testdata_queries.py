@@ -39,3 +39,20 @@ def test_registry_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 14
+
+
+def test_demoted_queries_remain_oracle_verified(spark):
+    """Queries parked outside the driver's 50-slot scoring window must
+    each carry an oracle and pass the full comparison here — demotion
+    changes where they are scored, never whether."""
+    import __spark_entry__ as e
+    from wrtd_etl_spark.plans import (  # noqa: F401 (register all)
+        pipeline_queries,
+        replay_queries,
+        streaming_queries,
+    )
+
+    for name in e._DEMOTED:
+        spec = REGISTRY[name]
+        assert spec.oracle is not None, name
+        compare_to_oracle(spark, spec, SF_SMOKE)
