@@ -190,3 +190,30 @@ def test_corpus_vocab_dedups_before_explode(spark):
     # exactly one aggregation exchange (token groupBy); a post-explode
     # distinct would add a second
     assert plan.count(") Exchange") <= 2
+
+
+def test_distributed_cumsum_scans_fact_table_once(spark):
+    """The two-pass prefix sum must reuse the window's shuffle for the
+    bucket totals (ReusedExchange) — not scan and exchange the fact
+    table twice."""
+    import contextlib
+    import io
+
+    from wrtd_etl_spark.operators.prefix_sum import distributed_cumsum
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.range(10000)
+            .withColumn("b", (F.col("id") / 1000).cast("long"))
+            .withColumn("v", F.lit(1))
+        )
+        out = distributed_cumsum(df, "v", ["id"], "b")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -9,9 +9,12 @@ closure: if A~B and B~C, then {A,B,C} is ONE duplicate cluster even when
 * every node starts labeled with its own id;
 * each round, every node adopts the minimum label among itself and its
   neighbors (one join edges→labels + one groupBy-min = two shuffles);
-* fixpoint when no label changes — certified by ``sum(label)``, which is
-  strictly decreasing until convergence (labels only ever decrease), so
-  one scalar aggregate per round detects it with no row-level diff.
+* fixpoint when no label changes — certified by ``sum(label)`` (as
+  DECIMAL(38,0): int64 node ids times billions of nodes overflow BIGINT,
+  and under ANSI mode that would abort the round), strictly decreasing
+  until convergence, so one scalar aggregate per round detects it with
+  no row-level diff. Non-convergence within ``max_iter`` raises instead
+  of returning partially-propagated labels.
 
 Scale shape (the 100 TB lens): rounds needed = graph diameter. Near-dup
 graphs are overwhelmingly tiny dense cliques (diameter 1-2), so this
@@ -37,7 +40,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
-    max_iter: int = 30,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``.
 
@@ -64,8 +67,10 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    cert = F.sum(F.col("label").cast("decimal(38,0)"))  # overflow-free
+    prev_sum = labels.agg(cert).collect()[0][0]
 
+    converged = False
     try:
         for _ in range(max_iter):
             msgs = e.join(labels, e["a"] == labels["node"]).select(
@@ -77,13 +82,20 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            cur_sum = labels.agg(cert).collect()[0][0]
             if cur_sum == prev_sum:  # monotone certificate: no label moved
+                converged = True
                 break
             prev_sum = cur_sum
     finally:
         e.unpersist()  # labels are materialized; edges no longer needed
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — raise max_iter or use a "
+            "large-star/small-star variant for long-chain graphs"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

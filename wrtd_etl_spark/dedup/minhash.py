@@ -100,6 +100,12 @@ def minhash_signatures(
     # isn't serialized by a single-split file (no-op on multi-split input)
     base = spread(df).select(F.col(id_col), th.alias("th"))
 
+    if bands and num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes (got {num_hashes=} {bands=}): "
+            "the in-UDF banding reshapes the signature into "
+            "(bands, num_hashes//bands)"
+        )
     params = _hash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.uint64)
     B = np.array([b for _, b in params], dtype=np.uint64)
@@ -206,16 +212,30 @@ def minhash_near_dup_pairs(
     sigs = sigs.localCheckpoint(eager=False)
     buckets = _band_buckets(sigs, id_col)
 
+    # Hot-bucket cap BEFORE the bucket lists materialize: a degenerate
+    # bucket (every empty/boilerplate doc colliding) must never reach
+    # collect_list — the aggregation buffer for one giant bucket does not
+    # spill element-wise and would OOM the task, defeating the cap's whole
+    # purpose. Bucket sizes come from a count aggregate (map-side
+    # combined, rows not lists); the oversized keys are by construction a
+    # tiny set, so the anti-join against them broadcasts.
+    hot = (
+        buckets.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    cold = buckets.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    )
     # Candidate pairs straight from the grouped bucket: one exchange on the
     # bucket key, pair enumeration as an array expression over the sorted
-    # member list. The bucket-size cap (hot-key hygiene) is a filter on the
-    # same aggregate — no second shuffle, no self-join. The earlier
-    # window-count + bucket self-join form shuffled the postings through
-    # two more exchanges for the same candidate set.
+    # member list (singleton buckets are dropped post-agg — they cannot
+    # OOM and need no pre-pruning).
     grouped = (
-        buckets.groupBy("band_idx", "band_hash")
+        cold.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") >= 2)
     )
     pairs = F.flatten(
         F.transform(

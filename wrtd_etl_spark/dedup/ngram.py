@@ -74,12 +74,21 @@ def ngram_jaccard_pairs(
         arr = arr.localCheckpoint(eager=False)
     sizes = arr.select(F.col(id_col), F.size("__arr").alias("sz"))
     pos = arr.select(F.col(id_col), F.explode("__arr").alias("g"))
-    # group the postings by gram; doc-frequency pruning (drop grams in
-    # more than max_df docs) is a size filter on the grouped list
+    # Document-frequency pruning BEFORE the postings lists materialize: a
+    # boilerplate gram shared by most of the corpus must never reach
+    # collect_list (one giant non-spillable aggregation buffer). Gram
+    # frequencies come from a count aggregate (map-side combined); the
+    # over-df grams are a tiny set by construction → broadcast anti-join.
+    if max_df is not None:
+        hot = (
+            pos.groupBy("g")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        pos = pos.join(F.broadcast(hot), "g", "left_anti")
     grouped = pos.groupBy("g").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     grouped = grouped.filter(F.size("ids") >= 2)
-    if max_df is not None:
-        grouped = grouped.filter(F.size("ids") <= max_df)
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),

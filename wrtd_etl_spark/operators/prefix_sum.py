@@ -35,13 +35,24 @@ def distributed_cumsum(
     IS a range partitioning of the leading order column) — callers derive
     it arithmetically, e.g. ``key DIV (key_space / n_buckets)``.
     """
+    # Pre-filter the (never legitimately NULL) bucket key: the final join
+    # would push an isnotnull filter into ONE branch only, making the two
+    # otherwise-identical Exchange subtrees non-canonical and defeating
+    # exchange reuse — with the filter shared, Catalyst plans the totals
+    # branch as a ReusedExchange of the window's shuffle.
+    df = df.filter(F.col(bucket_col).isNotNull())
     w_in = (
         Window.partitionBy(bucket_col)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = df.withColumn("__local", F.sum(value_col).over(w_in))
-    totals = df.groupBy(bucket_col).agg(F.sum(value_col).alias("__tot"))
+    # Bucket totals come from the WINDOWED intermediate (max of the
+    # running sum per bucket), not a second scan of df — the aggregate's
+    # required hash partitioning matches the window's, so Catalyst plans
+    # a ReusedExchange instead of scanning and exchanging the fact table
+    # twice (verified in the plan test).
+    totals = local.groupBy(bucket_col).agg(F.max("__local").alias("__tot"))
     # exclusive prefix over the bucket totals: n_buckets rows, a bounded
     # single-task window by construction (NOT over the fact table)
     w_off = (

@@ -216,7 +216,8 @@ def _kill_sentence(rows: list[dict]) -> str:
     victim, killer (if known), distance, weapon precedence gun > vehicle >
     unknown, optional teamkill suffix."""
     k = rows[0]
-    weapon = " Орудие убийства неизвестно."
+    # no leading space / period: the format below adds both uniformly
+    weapon = "Орудие убийства неизвестно"
     if k.get("killer_vehicle"):
         weapon = f"Орудие убийства - {k['killer_vehicle']}"
     if k.get("gun"):

@@ -281,10 +281,11 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     — only the fingerprint layer catches it (tested with an 80%-clone
     corpus in tests/test_pipeline_queries.py).
 
-    Scale shape: both loser sets are small relative to the corpus (only
-    docs implicated in a duplicate), so they broadcast into one anti-join
-    against the full scan — the corpus itself shuffles zero times before
-    the final per-lang aggregate."""
+    Scale shape: the loser sets scale with the corpus DUPLICATE RATE
+    (tens of percent on real crawls), so the anti-join strategy is left
+    to AQE — broadcast when the set fits, shuffled hash join when it
+    doesn't. Forcing a broadcast here would OOM exactly when dedup
+    matters most."""
     from ..dedup.clusters import connected_components
     from ..dedup.exact import exact_dup_groups
 
@@ -307,7 +308,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = near_losers.unionByName(exact_losers).distinct()
     return (
-        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        docs.join(losers, "doc_id", "left_anti")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -4,6 +4,9 @@ Upgrades the deterministic hash-sample centroid pick in
 :mod:`wrtd_etl_spark.similarity.ivf`: a few Lloyd rounds move centroids to
 the actual density of the corpus, evening out cell sizes (the quantity that
 bounds IVF search cost) and raising recall at the same ``nprobe``.
+Assignment during training is SPHERICAL (cosine argmax) — the same metric
+the IVF index uses at assignment/query time, so trained centroids optimize
+the geometry that is actually searched.
 
 Scale shape per round (the 100 TB lens):
 
@@ -70,14 +73,22 @@ def train_centroids_kmeans(
 
     for _ in range(rounds):
         C = np.asarray(centroids, dtype=np.float64)
+        Cn = np.sqrt((C * C).sum(axis=1))
+        Cn[Cn == 0] = 1.0
 
         @F.pandas_udf("int")
         def nearest(v: pd.Series) -> pd.Series:
+            # SPHERICAL assignment (cosine argmax), the SAME metric
+            # ivf._make_pandas_assign uses at index/query time — training
+            # under Euclidean while assigning under cosine would optimize
+            # centroids for the wrong geometry on heterogeneous-norm
+            # embeddings. Vector norm is constant across centroids, so
+            # dot/|c| ranks identically to full cosine.
             if len(v) == 0:  # empty Arrow batch
                 return pd.Series([], dtype="int32")
             V = np.stack(v.to_numpy()).astype(np.float64)
-            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d.argmin(axis=1).astype(np.int32))
+            sims = (V @ C.T) / Cn
+            return pd.Series(sims.argmax(axis=1).astype(np.int32))
 
         def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)

@@ -132,6 +132,11 @@ def read_jdbc(
     partition and the scan parallelizes across executors.
     """
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(Spark issues one range-bounded query per partition)"
+            )
         return spark.read.jdbc(
             url,
             table,
