@@ -431,3 +431,26 @@ def test_dedup_apply_catches_boilerplate_clones(spark, tmp_path):
     assert survivors >= 2
     # and the oracle agrees on this adversarial corpus
     compare_to_oracle(spark, REGISTRY["dedup_apply"], str(d))
+
+
+def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """A flood of identical docs makes every band bucket hot; the cap must
+    drop those buckets (before their member lists ever materialize) while
+    pairs from cold buckets survive untouched."""
+    from wrtd_etl_spark.dedup.minhash import minhash_near_dup_pairs
+
+    flood = [(i, "identical boilerplate text repeated everywhere") for i in range(200)]
+    # two genuine near-dups in a cold bucket
+    distinct = [
+        (1000, "completely different unique words alpha beta gamma delta"),
+        (1001, "completely different unique words alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(flood + distinct, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(
+        df, "text", "doc_id", threshold=0.5, max_bucket=50
+    ).collect()
+    ids = {(r.id1, r.id2) for r in pairs}
+    # the flood's buckets are all oversized -> no pairs among them
+    assert not any(a < 1000 and b < 1000 for a, b in ids)
+    # the cold-bucket pair is found and verified
+    assert (1000, 1001) in ids
