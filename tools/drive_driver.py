@@ -28,8 +28,8 @@ print(f"SMOKE entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
 for r in rows:
     print("   ", tuple(r))
 
-# 2. correctness: queries vs oracles at sf0.01
-SF = "/root/testdata/sf0.01"
+# 2. correctness: queries vs oracles at sf0.01 (override with argv[1])
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
