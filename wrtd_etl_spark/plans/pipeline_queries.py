@@ -7,7 +7,7 @@ arithmetic on both sides; cosines quantized to 1e-6 via the exact integer
 idiom before ranking/thresholding; regexes valid in both Java regex and
 RE2. MinHash/SimHash/LSH queries have no SQL oracle (hash functions differ
 per engine) — they get rows-only checks here and property tests against
-brute-force ground truth in tests/test_dedup.py.
+brute-force ground truth in tests/test_pipeline_queries.py.
 """
 
 from __future__ import annotations
