@@ -131,6 +131,34 @@ def test_distributed_cumsum_matches_naive_window(spark):
     assert got == want
 
 
+def test_distributed_cumsum_mixed_sign_values(spark):
+    """Bucket totals must be a true sum, not max-of-running-sum — the two
+    only coincide for non-negative values. Mixed-sign input is the
+    regression case."""
+    from pyspark.sql import Window
+
+    from wrtd_etl_spark.operators.prefix_sum import distributed_cumsum
+
+    df = (
+        spark.range(500)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 4294967296).alias("k"),
+            (F.col("id") % 9 - 4).alias("v"),  # values in [-4, 4]
+        )
+        .withColumn("b", F.floor(F.col("k") / (4294967296 // 8)).cast("long"))
+    )
+    got = {
+        (r.id, r.cum)
+        for r in distributed_cumsum(
+            df, "v", order_cols=["k", "id"], bucket_col="b", out_col="cum"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r.id, r.cum) for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
 def test_distributed_cumsum_plan_partitions_the_fact_window(spark):
     """The fact-table window must be partitioned by the bucket (the whole
     point: no single-task global sort of the facts)."""

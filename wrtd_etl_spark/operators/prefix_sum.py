@@ -47,12 +47,17 @@ def distributed_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = df.withColumn("__local", F.sum(value_col).over(w_in))
-    # Bucket totals come from the WINDOWED intermediate (max of the
-    # running sum per bucket), not a second scan of df — the aggregate's
-    # required hash partitioning matches the window's, so Catalyst plans
-    # a ReusedExchange instead of scanning and exchanging the fact table
-    # twice (verified in the plan test).
-    totals = local.groupBy(bucket_col).agg(F.max("__local").alias("__tot"))
+    # Bucket totals = the running sum at the LAST row of each bucket
+    # (max_by on the order key), which is the true bucket total for any
+    # sign of value_col — NOT max of the running sum, which only equals
+    # the total when values are non-negative. Aggregating __local (not
+    # value_col) keeps the window in the totals subtree so the
+    # aggregate's required hash partitioning matches the window's and
+    # Catalyst plans a ReusedExchange instead of scanning and exchanging
+    # the fact table twice (verified in the plan test).
+    totals = local.groupBy(bucket_col).agg(
+        F.max_by("__local", F.struct(*order_cols)).alias("__tot")
+    )
     # exclusive prefix over the bucket totals: n_buckets rows, a bounded
     # single-task window by construction (NOT over the fact table)
     w_off = (
