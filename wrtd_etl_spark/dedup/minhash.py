@@ -67,8 +67,14 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
     bands: int | None = None,
+    include_sig: bool = True,
 ) -> DataFrame:
-    """(id, sh_hashes, sig[, band_hashes]): hashed shingle set + MinHash sig.
+    """(id, sh_hashes[, sig][, band_hashes]): hashed shingle set + MinHash sig.
+
+    ``include_sig=False`` (requires ``bands``) omits the raw signature from
+    the UDF output — the near-dup pipeline only consumes ``band_hashes``
+    (banding) and ``sh_hashes`` (verify), so the 64-longs-per-doc signature
+    would be Arrow-transferred and checkpointed for nothing.
 
     Split: per-TOKEN hashing stays JVM-side (one xxhash64 per token);
     shingle combination (rolling window over token hashes), dedup, the
@@ -106,6 +112,8 @@ def minhash_signatures(
             "the in-UDF banding reshapes the signature into "
             "(bands, num_hashes//bands)"
         )
+    if not include_sig and not bands:
+        raise ValueError("include_sig=False requires bands (nothing to return)")
     params = _hash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.uint64)
     B = np.array([b for _, b in params], dtype=np.uint64)
@@ -116,7 +124,9 @@ def minhash_signatures(
     M32 = np.uint64((1 << 32) - 1)
     M63 = np.uint64((1 << 63) - 1)  # keep band hashes positive int64
 
-    schema = "sh_hashes array<long>, sig array<long>"
+    schema = "sh_hashes array<long>"
+    if include_sig:
+        schema += ", sig array<long>"
     if n_bands:
         schema += ", band_hashes array<long>"
 
@@ -157,17 +167,17 @@ def minhash_signatures(
             sig_out.append(sig_u64.astype(np.int64))
             if n_bands:
                 bh_out.append(band_hash(sig_u64))
-        out = {"sh_hashes": sh_out, "sig": sig_out}
+        out = {"sh_hashes": sh_out}
+        if include_sig:
+            out["sig"] = sig_out
         if n_bands:
             out["band_hashes"] = bh_out
         return pd.DataFrame(out)
 
     packed = base.select(F.col(id_col), sig_udf(F.col("th")).alias("p"))
-    cols = [
-        F.col(id_col),
-        F.col("p.sh_hashes").alias("sh_hashes"),
-        F.col("p.sig").alias("sig"),
-    ]
+    cols = [F.col(id_col), F.col("p.sh_hashes").alias("sh_hashes")]
+    if include_sig:
+        cols.append(F.col("p.sig").alias("sig"))
     if n_bands:
         cols.append(F.col("p.band_hashes").alias("band_hashes"))
     return packed.select(*cols)
@@ -199,7 +209,8 @@ def minhash_near_dup_pairs(
     buckets only lose pairs that almost certainly collide in another band.
     """
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, seed, bands=bands
+        df, text_col, id_col, num_hashes, shingle_k, seed, bands=bands,
+        include_sig=False,
     )
     sigs = sigs.withColumn("sh_size", F.size("sh_hashes"))
     # Three consumers (banding, both verify sides) — materialize the one
