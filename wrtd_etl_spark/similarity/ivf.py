@@ -41,6 +41,20 @@ def _make_pandas_assign(centroids: list[list[float]], nprobe: int):
     norms = np.sqrt((C * C).sum(axis=1))
     norms[norms == 0] = 1.0
 
+    if nprobe == 1:
+        # the corpus-side pass: a plain argmax (no K-wide argsort, no
+        # array build, no downstream explode) — argmax returns the FIRST
+        # maximal index, matching the stable-sort tie-break below
+        @F.pandas_udf("int")
+        def assign1(v: pd.Series) -> pd.Series:
+            if len(v) == 0:  # empty Arrow batch (empty split/partition)
+                return pd.Series([], dtype="int32")
+            V = np.stack(v.to_numpy()).astype(np.float64)
+            sims = (V @ C.T) / norms  # n x K
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+        return assign1
+
     @F.pandas_udf("array<int>")
     def assign(v: pd.Series) -> pd.Series:
         if len(v) == 0:  # empty Arrow batch (empty split/partition)
@@ -67,10 +81,15 @@ def _assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids, nprobe: i
     assign = _make_pandas_assign(centroids, nprobe)
     # assignment is the CPU-bound corpus pass — don't let a single-split
     # scan serialize it (no-op on multi-split input)
+    cell = (
+        assign(_as_double(F.col(vec_col)))
+        if nprobe == 1
+        else F.explode(assign(_as_double(F.col(vec_col))))
+    )
     return spread(df).select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        F.explode(assign(_as_double(F.col(vec_col)))).alias("cell"),
+        cell.alias("cell"),
     )
 
 
