@@ -191,3 +191,82 @@ def test_delete_by_key_round_trip(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == sorted(
         set(range(20)) - {3, 7, 11}
     )
+
+
+def test_upsert_crash_between_renames_recovers_old_table(spark, tmp_path):
+    """Crash window #1: table renamed aside, replacement not yet published.
+    The pre-crash table must survive and the next upsert must see it."""
+    import os
+
+    from wrtd_etl_spark.operators.upsert import upsert_parquet
+
+    p = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, name string"
+    )
+    upsert_parquet(spark, p, base, "id")
+    # simulate the crash state: aside-rename done, publish never happened,
+    # plus an orphaned tmp write dir
+    os.rename(p, f"{p}.__old")
+    os.makedirs(f"{p}.__tmp_deadbeef")
+    upd = spark.createDataFrame([(3, "NEW"), (99, "ins")], "id long, name string")
+    upsert_parquet(spark, p, upd, "id")
+    got = {(r.id, r.name) for r in spark.read.parquet(p).collect()}
+    want = {(i, f"v{i}") for i in range(10) if i != 3} | {(3, "NEW"), (99, "ins")}
+    assert got == want
+    assert not os.path.exists(f"{p}.__old")
+    assert not os.path.exists(f"{p}.__tmp_deadbeef")
+
+
+def test_upsert_crash_before_old_cleanup_keeps_new_table(spark, tmp_path):
+    """Crash window #2: new table published, stale aside copy not deleted.
+    Recovery must keep the NEW table and drop the stale one."""
+    import os
+    import shutil
+
+    from wrtd_etl_spark.operators.upsert import upsert_parquet
+
+    p = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([(1, "old")], "id long, name string")
+    upsert_parquet(spark, p, v1, "id")
+    shutil.copytree(p, f"{p}.__old")  # stale pre-swap copy left behind
+    v2 = spark.createDataFrame([(1, "new")], "id long, name string")
+    upsert_parquet(spark, p, v2, "id")
+    assert [(r.id, r.name) for r in spark.read.parquet(p).collect()] == [(1, "new")]
+    assert not os.path.exists(f"{p}.__old")
+
+
+def test_upsert_injected_crash_never_loses_table(spark, tmp_path, monkeypatch):
+    """Kill the swap at the publish rename (the exact step the old
+    rmtree-then-rename protocol died on with the table already deleted):
+    the original table must still be fully readable after recovery."""
+    import os
+
+    from wrtd_etl_spark.operators import upsert as up
+
+    p = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(5)], "id long, val long"
+    )
+    up.upsert_parquet(spark, p, base, "id")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first = aside, second = publish
+            raise OSError("injected crash at publish")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(up.os, "rename", crashing_rename)
+    upd = spark.createDataFrame([(0, 999)], "id long, val long")
+    try:
+        up.upsert_parquet(spark, p, upd, "id")
+    except OSError:
+        pass
+    monkeypatch.setattr(up.os, "rename", real_rename)
+    # recovery is automatic on the next entry; the retried upsert lands
+    up.upsert_parquet(spark, p, upd, "id")
+    got = {(r.id, r.val) for r in spark.read.parquet(p).collect()}
+    assert got == {(0, 999), (1, 10), (2, 20), (3, 30), (4, 40)}

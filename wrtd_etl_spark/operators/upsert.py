@@ -36,15 +36,66 @@ def upsert_by_key(current: DataFrame, updates: DataFrame, key: str) -> DataFrame
     return updates.unionByName(kept)
 
 
+def _old_dir(path: str) -> str:
+    return f"{path}.__old"
+
+
+def recover_swap(path: str) -> None:
+    """Make the table at ``path`` consistent after an unclean exit.
+
+    The swap protocol below has exactly two non-atomic windows and both
+    are repaired here, so callers (and the upsert/delete entry points)
+    converge to a consistent table:
+
+    * crash between ``rename(path, old)`` and ``rename(tmp, path)`` —
+      ``path`` is missing but ``old`` holds the full pre-swap table:
+      roll back by renaming it into place;
+    * crash before ``rmtree(old)`` completed — ``path`` is the new table
+      and ``old`` is stale: drop it.
+
+    Orphaned ``path.__tmp_*`` write dirs are removed either way.
+    """
+    old = _old_dir(path)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # swap completed, cleanup didn't
+        else:
+            os.rename(old, path)  # swap half-done: roll back
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(f"{base}.__tmp_"):
+                shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def _swap_in(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` without a window where the table is
+    deleted but the replacement not yet in place (the old rmtree-then-
+    rename lost the table on a crash in between — the reference's
+    Postgres ``ON CONFLICT`` upsert is atomic, functions.py:178-183).
+    Every crash point leaves a state :func:`recover_swap` repairs."""
+    old = _old_dir(path)
+    if os.path.exists(path):
+        os.rename(path, old)  # atomic aside, data never unlinked
+    os.rename(tmp, path)  # atomic publish
+    if os.path.exists(old):
+        shutil.rmtree(old)  # point of no return is already behind us
+
+
 def upsert_parquet(
     spark: SparkSession, path: str, updates: DataFrame, key: str
 ) -> None:
-    """Persisted upsert with write-temp-then-swap (K3/K5 on parquet).
+    """Persisted upsert with write-temp-then-rename-aside swap (K3/K5).
 
     Parquet is immutable, so the merged table is materialized next to the
-    target and renamed into place. Single-writer only — concurrent writers
-    need a transactional format (Delta MERGE INTO).
+    target and swapped into place; the pre-swap table is renamed aside
+    (never deleted) until the new one is published, so a crash at any
+    point leaves either the old or the new table recoverable
+    (:func:`recover_swap`, run automatically on entry). Single-writer
+    only — concurrent writers need a transactional format (Delta MERGE
+    INTO).
     """
+    recover_swap(path)
     if os.path.exists(path):
         current = spark.read.parquet(path)
         merged = upsert_by_key(current, updates, key)
@@ -52,9 +103,7 @@ def upsert_parquet(
         merged = updates
     tmp = f"{path}.__tmp_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(path, tmp)
 
 
 def delete_by_key(current: DataFrame, keys: DataFrame, key: str) -> DataFrame:
@@ -73,9 +122,9 @@ def delete_parquet(
     """Persisted keyed delete with the same write-temp-then-swap contract
     as :func:`upsert_parquet` (single-writer; Delta/Iceberg DELETE at
     production scale)."""
+    recover_swap(path)
     current = spark.read.parquet(path)
     remaining = delete_by_key(current, keys, key)
     tmp = f"{path}.__tmp_{uuid.uuid4().hex}"
     remaining.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_in(path, tmp)
