@@ -64,6 +64,12 @@ def ngram_jaccard_pairs(
     """
     from ..catalog import spread
 
+    # NULL text must be unmatchable, not a bucket: char_ngrams(NULL)
+    # evaluates to [NULL] (greatest(NULL,1)=1 keeps one window whose
+    # substring is NULL), so without this filter every NULL-text doc
+    # shares a NULL gram with every other and they all pair at jaccard
+    # 1.0. Pushed-down IsNotNull at the scan.
+    df = df.filter(F.col(text_col).isNotNull())
     # shingling is CPU-bound: guarantee the gram stage sees full
     # parallelism even when the scan is a single small file (no-op on a
     # real multi-split 100 TB scan)

@@ -255,7 +255,7 @@ _DEDUP_APPLY_ORACLE = rf"""
                    MIN(doc_id) OVER (
                        PARTITION BY {TX.FINGERPRINT_SQL.format(expr="text")}
                    ) AS keep_id
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
         WHERE doc_id <> keep_id
     ), losers AS (
         SELECT doc_id FROM near_losers UNION SELECT doc_id FROM exact_losers
@@ -290,17 +290,26 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.exact import exact_dup_groups
 
     docs = load_table(spark, sf_dir, "documents")
+    # One materialization of the pair table feeds BOTH directions of the
+    # edge union inside connected_components — without it each union
+    # branch recomputes the full posting/pair plan (same subtree, two
+    # physical branches).
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
-    )
+    ).localCheckpoint(eager=False)
     labels = connected_components(pairs, "id1", "id2")
     near_losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
+    # NULL-text docs have no fingerprint and are never exact-dup losers —
+    # made explicit here AND in the oracle (WHERE text IS NOT NULL) so the
+    # two engines can't diverge on NULL grouping: Spark's equi-join drops
+    # NULL fingerprints while SQL's PARTITION BY groups them together.
+    nn = docs.filter(F.col("text").isNotNull())
     exact_losers = (
-        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        nn.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
         .join(
-            exact_dup_groups(docs, "text", "doc_id").select("fp", "keep_id"),
+            exact_dup_groups(nn, "text", "doc_id").select("fp", "keep_id"),
             "fp",
         )
         .filter(F.col("doc_id") != F.col("keep_id"))
