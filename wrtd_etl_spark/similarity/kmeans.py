@@ -57,6 +57,11 @@ def train_centroids_kmeans(
     vecs = corpus.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # Every Lloyd round re-reads vecs for assign + update, and the init
+    # sample adds one more pass — persist the two-column projection once
+    # so `rounds` rounds cost `rounds` cached scans, not 2x`rounds`
+    # parquet scans of the full corpus.
+    vecs = vecs.persist()
 
     centroids = [
         [float(x) for x in r[0]]
@@ -69,6 +74,7 @@ def train_centroids_kmeans(
     ]
 
     if not centroids:  # empty corpus: nothing to train on
+        vecs.unpersist()
         return []
 
     for _ in range(rounds):
@@ -91,6 +97,11 @@ def train_centroids_kmeans(
             return pd.Series(sims.argmax(axis=1).astype(np.int32))
 
         def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            # Row order inside a group depends on shuffle/partition order,
+            # and float summation is non-associative — sort by the stable
+            # id so the reduction order (and thus the trained centroids)
+            # is bit-identical run to run, as the determinism test asserts.
+            pdf = pdf.sort_values("__id")
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             return pd.DataFrame(
                 {"cell": [int(pdf["cell"].iloc[0])], "mean_v": [M.mean(axis=0)]}
@@ -107,4 +118,5 @@ def train_centroids_kmeans(
             new_c[r["cell"]] = [float(x) for x in r["mean_v"]]
         centroids = new_c
 
+    vecs.unpersist()
     return centroids
