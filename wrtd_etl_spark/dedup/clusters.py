@@ -19,10 +19,13 @@ closure: if A~B and B~C, then {A,B,C} is ONE duplicate cluster even when
 Scale shape (the 100 TB lens): rounds needed = graph diameter. Near-dup
 graphs are overwhelmingly tiny dense cliques (diameter 1-2), so this
 converges in 2-3 rounds of well-partitioned hash joins on node id. For
-adversarial long-chain graphs the alternating large-star/small-star
-construction halves path lengths per round (O(log n) rounds); noted as the
-escalation path, deliberately not the default — its extra per-round cost
-buys nothing on duplicate-cluster workloads. Each round is checkpointed:
+adversarial long-chain graphs, after ``escalate_after`` rounds without a
+fixpoint each subsequent round ALSO pointer-jumps (``label(x) :=
+label(label(x))`` — one extra self-join of the label table, the classic
+Shiloach–Vishkin shortcutting), which halves label-chain depth per round
+→ O(log diameter) total. The escalation is not the default-from-round-0
+because its extra join buys nothing on diameter-1-2 duplicate-cluster
+workloads (the plan for those is unchanged). Each round is checkpointed:
 iterative lineage otherwise grows the plan unboundedly and re-executes
 prior rounds at every action.
 
@@ -41,11 +44,16 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_iter: int = 50,
+    escalate_after: int = 8,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``.
 
     ``cluster_id`` is the minimum node id of the component — deterministic,
     join-able back to the source table, and stable under edge order.
+
+    Rounds past ``escalate_after`` add pointer-jumping (see module doc):
+    a graph whose diameter exceeds ``escalate_after`` converges in
+    ``escalate_after + O(log diameter)`` rounds instead of ``diameter``.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -72,7 +80,7 @@ def connected_components(
 
     converged = False
     try:
-        for _ in range(max_iter):
+        for rnd in range(max_iter):
             msgs = e.join(labels, e["a"] == labels["node"]).select(
                 F.col("b").alias("node"), F.col("label")
             )
@@ -80,8 +88,24 @@ def connected_components(
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
             )
+            if rnd >= escalate_after:
+                # pointer-jump: adopt the label OF the label. Labels are
+                # always node ids (min over ids), and every node id has a
+                # label row, so the inner-join form is total; coalesce
+                # guards the invariant anyway. label(y) <= y for all y
+                # keeps the sum certificate monotone, so convergence
+                # detection is unchanged.
+                parents = labels.select(
+                    F.col("node").alias("__pn"), F.col("label").alias("__pl")
+                )
+                labels = labels.join(
+                    parents, labels["label"] == parents["__pn"], "left"
+                ).select(
+                    "node",
+                    F.coalesce(F.col("__pl"), F.col("label")).alias("label"),
+                )
+            labels = labels.localCheckpoint(eager=True)
             cur_sum = labels.agg(cert).collect()[0][0]
             if cur_sum == prev_sum:  # monotone certificate: no label moved
                 converged = True
@@ -93,8 +117,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(graph diameter exceeds max_iter) — raise max_iter or use a "
-            "large-star/small-star variant for long-chain graphs"
+            f"(pointer-jumping active after round {escalate_after}; "
+            f"2^{max_iter - escalate_after} exceeds any real diameter — "
+            "this indicates label oscillation, not a long chain)"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
