@@ -454,3 +454,156 @@ def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
     assert not any(a < 1000 and b < 1000 for a, b in ids)
     # the cold-bucket pair is found and verified
     assert (1000, 1001) in ids
+
+
+def test_dedup_apply_null_texts_match_oracle(spark, tmp_path):
+    """>=2 NULL-text docs: Spark's null-dropping fingerprint join and the
+    oracle's PARTITION BY fingerprint must agree that NULL-text docs are
+    never exact-dup losers (pinned by symmetric IS NOT NULL filters)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .conftest import TABLE_NAMES, compare_to_oracle
+
+    d = tmp_path / "sf_nulls"
+    d.mkdir()
+    for t in TABLE_NAMES:
+        if t != "documents":
+            shutil.copy(f"{SF_SMOKE}/{t}.parquet", str(d / f"{t}.parquet"))
+    texts = (
+        [None, None, None]
+        + ["same duplicated text body here"] * 3
+        + [f"unique document number {i} with words" for i in range(5)]
+    )
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * n),
+                "source": pa.array(["web"] * n),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = {r.lang: r.n_docs for r in REGISTRY["dedup_apply"].fn(spark, str(d)).collect()}
+    # 3 NULL-text docs all survive (never losers) + 1 of the 3 identical
+    # + 5 unique (near-dup clustering may collapse some of the 5)
+    assert rows["en"] >= 3 + 1 + 1
+    compare_to_oracle(spark, REGISTRY["dedup_apply"], str(d))
+
+
+def _tiny_png(w=3, h=2, rgb=(10, 200, 30)) -> bytes:
+    """A real, spec-valid RGB PNG built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_sniff_image_dims_real_headers():
+    """Header parse of real PNG/GIF/JPEG bytes — no codec library."""
+    import struct
+
+    from wrtd_etl_spark.multimodal.binary_ops import sniff_image_dims
+
+    assert sniff_image_dims(_tiny_png(3, 2)) == (3, 2, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 7, 5) + b"\x00" * 10
+    assert sniff_image_dims(gif) == (7, 5, 3)
+    # minimal JPEG: SOI + APP0 stub + SOF0 (1 component gray, 4x6)
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", 6, 4) + b"\x01"
+    assert sniff_image_dims(b"\xff\xd8" + app0 + sof0) == (4, 6, 1)
+    with pytest.raises(ValueError):
+        sniff_image_dims(b"just some text bytes")
+
+
+def test_decode_image_real_png_via_spark(spark):
+    """decode_image(fake=False) on a real PNG payload: real dimensions out
+    of the mapInPandas path (header parse here; Pillow where installed)."""
+    from wrtd_etl_spark.multimodal.binary_ops import decode_image
+
+    png = _tiny_png(5, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), None)],
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = decode_image(media, fake=False).collect()
+    assert [(r.media_id, r.width, r.height, r.n_channels) for r in rows] == [
+        (1, 5, 4, 3)
+    ]
+
+
+def test_decode_image_pillow_full_decode(spark):
+    """Full raster decode when Pillow is installed (skips in this
+    container, runs wherever PIL exists — same fixture, same expectation)."""
+    pytest.importorskip("PIL")
+    from wrtd_etl_spark.multimodal.binary_ops import decode_image
+
+    png = _tiny_png(5, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), None)],
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = decode_image(media, fake=False).collect()
+    assert [(r.media_id, r.width, r.height, r.n_channels) for r in rows] == [
+        (1, 5, 4, 3)
+    ]
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 100-node path graph (diameter 99): plain hash-min needs ~99
+    rounds; with pointer-jumping after `escalate_after` it must converge
+    in escalate_after + O(log n) rounds — max_iter=20 forces the
+    escalation to actually do the work."""
+    from wrtd_etl_spark.dedup.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id1 long, id2 long"
+    )
+    labels = connected_components(edges, max_iter=20, escalate_after=4)
+    got = {(r.node, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(100)}
+
+
+def test_connected_components_two_chains_and_clique(spark):
+    """Mixed topology under escalation: two disjoint chains + one clique
+    keep distinct min-labels (pointer jumps must not cross components)."""
+    from wrtd_etl_spark.dedup.clusters import connected_components
+
+    chain1 = [(i, i + 1) for i in range(0, 19)]          # nodes 0..19
+    chain2 = [(i, i + 1) for i in range(100, 119)]       # nodes 100..119
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    edges = spark.createDataFrame(
+        chain1 + chain2 + clique, "id1 long, id2 long"
+    )
+    labels = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            edges, max_iter=15, escalate_after=3
+        ).collect()
+    }
+    assert all(labels[i] == 0 for i in range(20))
+    assert all(labels[i] == 100 for i in range(100, 120))
+    assert all(labels[i] == 200 for i in range(200, 205))

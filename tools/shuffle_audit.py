@@ -33,6 +33,25 @@ def _parse_bytes(s: str) -> int:
     return int(val * _UNITS.get(m.group(2), 1))
 
 
+def _parse_size_dist(s: str) -> tuple[int, int, int, int]:
+    """(total, min, med, max) bytes from a SQL size metric.
+
+    Handles both render forms the status store emits:
+    plain ``"81.9 KiB"`` and the per-task distribution
+    ``"total (min, med, max (stageId: taskId))\\n81.9 KiB (2.5 KiB,
+    2.6 KiB, 2.6 KiB (stage 0.0: task 22))"``.
+    """
+    sizes = [
+        int(float(v.replace(",", "")) * _UNITS[u])
+        for v, u in re.findall(r"([\d.,]+)\s*([KMG]i?B|B)", s)
+    ]
+    if len(sizes) >= 4:
+        return sizes[0], sizes[1], sizes[2], sizes[3]
+    if sizes:
+        return sizes[0], 0, 0, 0
+    return 0, 0, 0, 0
+
+
 def _parse_count(s: str) -> int:
     try:
         return int(s.replace(",", "").strip())
@@ -78,6 +97,8 @@ def audit(spark, sf_dir: str) -> dict[str, dict]:
             "shuffle_bytes": 0,
             "shuffle_records": 0,
             "broadcasts": 0,
+            "max_task_bytes": 0,
+            "skew": 0.0,
         }
         for i in range(before, execs.size()):
             for node, metric, value in _execution_metrics(
@@ -87,7 +108,15 @@ def audit(spark, sf_dir: str) -> dict[str, dict]:
                     agg["scan_rows"] += _parse_count(value)
                 elif node == "Exchange" and metric == "shuffle bytes written":
                     agg["exchanges"] += 1
-                    agg["shuffle_bytes"] += _parse_bytes(value)
+                    total, _mn, med, mx = _parse_size_dist(value)
+                    agg["shuffle_bytes"] += total
+                    agg["max_task_bytes"] = max(agg["max_task_bytes"], mx)
+                    # skew = worst max/median write across this query's
+                    # exchanges: the early warning a 100x run turns into
+                    # a straggler task (a hot key shows up here long
+                    # before it OOMs anything)
+                    if med > 0:
+                        agg["skew"] = max(agg["skew"], mx / med)
                 elif node == "Exchange" and metric == "shuffle records written":
                     agg["shuffle_records"] += _parse_count(value)
                 elif node == "BroadcastExchange":
@@ -113,17 +142,20 @@ def main() -> None:
         "wall-clock depends on host load and is tracked separately in",
         "BENCH_*.json.",
         "",
-        "| Query | Scan rows | Exchanges | Shuffle records | Shuffle bytes | Broadcasts |",
-        "|---|---|---|---|---|---|",
+        "| Query | Scan rows | Exchanges | Shuffle records | Shuffle bytes | Broadcasts | Max task bytes | Skew max/med |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, m in results.items():
         if "error" in m:
-            lines.append(f"| {name} | — | — | — | error: {m['error']} | — |")
+            lines.append(
+                f"| {name} | — | — | — | error: {m['error']} | — | — | — |"
+            )
             continue
+        skew = f"{m['skew']:.1f}" if m["skew"] else "—"
         lines.append(
             f"| {name} | {m['scan_rows']:,} | {m['exchanges']} "
             f"| {m['shuffle_records']:,} | {m['shuffle_bytes']:,} "
-            f"| {m['broadcasts']} |"
+            f"| {m['broadcasts']} | {m['max_task_bytes']:,} | {skew} |"
         )
     heavy = sorted(
         (r for r in results.items() if "error" not in r[1]),
@@ -140,6 +172,24 @@ def main() -> None:
             f"- **{name}** — {m['shuffle_bytes']:,} B shuffled, "
             f"{m['shuffle_records']:,} records "
             f"({ratio:.2f} shuffle-records per scanned row)"
+        )
+    skewed = sorted(
+        (r for r in results.items() if r[1].get("skew", 0) > 4),
+        key=lambda kv: -kv[1]["skew"],
+    )
+    lines += ["", "## Skewed exchanges (max/median task write > 4x)", ""]
+    if skewed:
+        for name, m in skewed:
+            lines.append(
+                f"- **{name}** — worst exchange max/med = {m['skew']:.1f} "
+                f"(max task {m['max_task_bytes']:,} B): a hot key here "
+                "becomes a straggler at 100x — candidate for salting or "
+                "AQE skew-join"
+            )
+    else:
+        lines.append(
+            "- none above threshold — no exchange writes a partition "
+            ">4x its median"
         )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SHUFFLE_AUDIT.md")
     with open(out, "w") as f:
