@@ -58,6 +58,14 @@ _DEMOTED = (
     # composite of two scored queries (dedup_clusters + groupBy); its
     # oracle runs in pytest — parked outside the window by choice
     "dedup_apply",
+    # round 3: four slots freed for the new corpus-hygiene operators
+    # (doc_repetition, doc_tfidf_topk, dedup_fuzzy_verify,
+    # quality_weighted_sample) — each demotion is a variant whose operator
+    # coverage stays scored via a sibling:
+    "cursor_cold_start",  # T1/T2 cursor seed: scored twin cursor_incremental (cursor.py:20,43)
+    "fs_vehicles",  # A1 2-key grouped count + O1 multi-key sort: scored via pricing_summary
+    "dataset_split",  # L16: the same _SPLIT_SQL split is embedded in scored training_corpus
+    "doc_token_stats",  # L10 token counts: the same expressions drive scored context_packing/doc_chunks
 )
 
 

@@ -31,6 +31,10 @@ _PIPELINE_ORACLE = [
     "pii_redaction",
     "bigram_counts",
     "dedup_apply",
+    "doc_repetition",
+    "doc_tfidf_topk",
+    "dedup_fuzzy_verify",
+    "quality_weighted_sample",
 ]
 
 
@@ -607,3 +611,57 @@ def test_connected_components_two_chains_and_clique(spark):
     assert all(labels[i] == 0 for i in range(20))
     assert all(labels[i] == 100 for i in range(100, 120))
     assert all(labels[i] == 200 for i in range(200, 205))
+
+
+def test_doc_repetition_is_non_vacuous(spark):
+    """The gate must flag real docs on the testdata — a corpus where no
+    doc trips either threshold would make the oracle match vacuous."""
+    rows = REGISTRY["doc_repetition"].fn(spark, SF_SMOKE).collect()
+    assert sum(1 for r in rows if r.repetitive) >= 1
+    assert all(0.0 <= r.top_word_frac <= 1.0 for r in rows)
+
+
+def test_doc_repetition_zero_shuffle_stats(spark):
+    """The per-doc stats are HOF projections — no exchange may appear
+    below the driver-facing sort (the whole point vs explode+groupBy)."""
+    df = REGISTRY["doc_repetition"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly the ORDER BY's rangepartitioning exchange, nothing keyed
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_dedup_fuzzy_verify_finds_near_clones(spark):
+    """Blocked + levenshtein-verified pairs must exist on the testdata
+    (it carries near-clone docs) and every pair must satisfy the 25%
+    bound symmetrically."""
+    rows = REGISTRY["dedup_fuzzy_verify"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) >= 1
+    assert all(r.id1 < r.id2 and r.dist >= 0 for r in rows)
+
+
+def test_quality_weighted_sample_downsamples(spark):
+    """The sample must be a strict, non-empty subset: keeping everything
+    (or nothing) would mean the hash-vs-quality comparison is vacuous."""
+    from wrtd_etl_spark.catalog import load_table
+
+    kept = (
+        REGISTRY["quality_weighted_sample"].fn(spark, SF_SMOKE)
+        .agg(F.sum("n_kept"))
+        .collect()[0][0]
+    )
+    total = load_table(spark, SF_SMOKE, "documents").count()
+    assert 0 < kept < total
+
+
+def test_doc_tfidf_topk_ranks_within_doc(spark):
+    """Every doc contributes at most 3 terms, rk is 1..3, and the scores
+    are non-increasing within a doc (ties broken by term)."""
+    rows = REGISTRY["doc_tfidf_topk"].fn(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        assert 1 <= len(doc_rows) <= 3
+        assert [r.rk for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        scores = [r.score for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)

@@ -980,3 +980,280 @@ def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus hygiene, round 2: repetition signals, salient terms, edit-distance
+# verification, quality-weighted sampling (Gopher/C4-style filter stages a
+# production training-data pipeline runs between dedup and packing)
+# --------------------------------------------------------------------------
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1 use a family of
+# duplicate-fraction thresholds; these two are the word/bigram members)
+_REP_WORD_MAX = 0.20
+_REP_BIGRAM_MAX = 0.18
+
+
+@register(
+    "doc_repetition",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), words AS (
+        SELECT doc_id, unnest(t) AS w FROM toks
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ), wstat AS (
+        SELECT doc_id, MAX(c) AS max_c, SUM(c) AS tot FROM wc GROUP BY doc_id
+    ), pairs AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+        FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+    ), bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM pairs GROUP BY doc_id, bg
+    ), bstat AS (
+        SELECT doc_id, MAX(c) AS max_b, SUM(c) AS btot FROM bc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.max_c AS DOUBLE) / w.tot AS top_word_frac,
+           CAST(COALESCE(b.max_b, 0) AS DOUBLE) / COALESCE(b.btot, 1)
+               AS top_bigram_frac,
+           (CAST(w.max_c AS DOUBLE) / w.tot > {_REP_WORD_MAX}
+            OR CAST(COALESCE(b.max_b, 0) AS DOUBLE) / COALESCE(b.btot, 1)
+               > {_REP_BIGRAM_MAX}) AS repetitive
+    FROM wstat w LEFT JOIN bstat b USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition ratios: most-frequent-word fraction and
+    most-frequent-bigram fraction, plus the Gopher-style gate flag.
+
+    Scale shape: ZERO shuffles for the stats — where the obvious plan
+    (explode → two keyed aggregations, the oracle's shape) exchanges the
+    full token stream twice, this one never leaves the scan projection:
+    sort the token array per doc, find run starts with a higher-order
+    ``filter`` over the index sequence, and the max run length (= the top
+    term's count) is the max gap between consecutive starts. The whole
+    query is scan → project; the only exchange is the driver-facing
+    ORDER BY, droppable at scale.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def max_run(arr: Column) -> Column:
+        s = F.array_sort(arr)
+        idx = F.sequence(F.lit(1), F.size(s))
+        starts = F.filter(
+            idx,
+            lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+        )
+        nxt = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(F.size(s) + 1),
+        )
+        return F.array_max(F.zip_with(starts, nxt, lambda a, b: b - a))
+
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    stats = docs.select(
+        "doc_id",
+        (max_run(toks).cast("double") / F.size(toks)).alias("top_word_frac"),
+        F.when(
+            F.size(bigrams) >= 1,
+            max_run(bigrams).cast("double") / F.size(bigrams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+    return stats.withColumn(
+        "repetitive",
+        (F.col("top_word_frac") > _REP_WORD_MAX)
+        | (F.col("top_bigram_frac") > _REP_BIGRAM_MAX),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_tfidf_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), tfc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY doc_id, term
+    ), dfc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM toks),
+    scored AS (
+        SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+               CAST(tfc.tf AS DOUBLE) * n.n_docs / CAST(dfc.df AS DOUBLE)
+                   AS score
+        FROM tfc JOIN dfc USING (term), n
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by tf-idf-style score.
+
+    The score is ``tf * N / df`` — idf WITHOUT the log. Deliberate: both
+    engines compute ``ln`` in libm with 1-ulp freedom, so a log-based
+    score could flip a rank between engines; ``tf * N / df`` is two IEEE
+    ops in a fixed order, bit-identical everywhere, and ranks identically
+    to ``tf * (N/df)^1`` (monotone in the same arguments). Ties broken by
+    term for full determinism.
+
+    Scale shape: tf aggregates keyed by (doc, term); df aggregates keyed
+    by term AFTER a per-doc ``array_distinct`` in the scan projection (no
+    doc×term distinct shuffle); the join back to tf is a plain hash join
+    on term (the df side is vocabulary-sized — broadcastable for real
+    vocabularies); the window runs over the already-aggregated tf table
+    partitioned by doc (aggregate-below-window, never over raw tokens).
+    The corpus count crosses the driver boundary as a 1-row broadcast
+    anchor, not a collect.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t"))
+    tf = (
+        base.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = (
+        base.select(F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = base.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
+    "dedup_fuzzy_verify",
+    r"""
+    WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               split_part(lower(trim(text)), ' ', 1) AS w0,
+               CAST(floor(len(lower(trim(text))) / 32) AS BIGINT) AS lb
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.w0 = b.w0 AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) * 4 <= greatest(len(a.t), len(b.t))
+    ORDER BY id1, id2
+    """,
+)
+def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification stage: blocked candidate pairs whose
+    Levenshtein distance is ≤ 25% of the longer text — the precise
+    (O(L²)-per-pair) confirmation pass a pipeline runs AFTER cheap
+    candidate generation, here blocked on (first token, length/32 bucket).
+
+    The 25% threshold is written ``dist * 4 <= max_len`` in BOTH engines:
+    pure integer arithmetic, because ``CAST(0.25*len AS BIGINT)`` ROUNDS
+    in DuckDB and TRUNCATES in Spark — the fractional form would diverge
+    on any text whose length isn't a multiple of 4.
+
+    Scale shape: the self-join shuffles once on the block key; Levenshtein
+    runs only inside blocks (JVM-side built-in, no UDF). Production use
+    feeds minhash/simhash candidates into the same verify filter instead
+    of the blocking join; this query keeps an end-to-end SQL-expressible
+    shape so the oracle can pin the verify semantics exactly.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    t = F.lower(F.trim(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.split_part(t, F.lit(" "), F.lit(1)).alias("w0"),
+        F.floor(F.length(t) / 32).cast("long").alias("lb"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(
+            b,
+            (F.col("a.w0") == F.col("b.w0"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist * 4 <= F.greatest(F.length("a.t"), F.length("b.t")))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+_QUALITY_SAMPLE_ORACLE = f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT *, {TX.quality_score_sql("text")} AS q
+          FROM documents WHERE text IS NOT NULL)
+    WHERE ((doc_id * 2654435761) % 4294967296) % 100
+          < CAST(floor(q * 100) AS BIGINT)
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("quality_weighted_sample", _QUALITY_SAMPLE_ORACLE)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each doc is kept with
+    probability ≈ its quality score, implemented as the deterministic
+    Knuth-hash bucket (the dataset_split idiom) compared against
+    ``floor(quality*100)`` — reproducible across engines, runs and task
+    retries, unlike ``rand() < q``. This is the standard up/down-weighting
+    step for mixing corpus sources at target quality.
+
+    Scale shape: scan-stage filter (hash + quality are projections — no
+    pre-shuffle), then one partial-aggregating groupBy on source.
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    q = TX.quality_score(F.col("text"))
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    return (
+        docs.filter(bucket < F.floor(q * 100))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
