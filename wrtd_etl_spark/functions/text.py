@@ -34,6 +34,36 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
+def sorted_runs(arr: Column) -> Column:
+    """``array<struct<term,cnt>>``: each distinct element of ``arr`` with
+    its occurrence count — computed entirely in the scan projection.
+
+    This is the zero-shuffle replacement for
+    ``explode → groupBy(id, elem) → count``
+    when counts are only needed PER ROW: sort the array, find run starts
+    with a higher-order ``filter`` over the index sequence, and each run's
+    length is the gap to the next start. Used by the repetition gate (max
+    run = top-term count) and the tf pass of tf-idf (explode the runs —
+    already aggregated — instead of the raw token stream)."""
+    s = F.array_sort(arr)
+    idx = F.sequence(F.lit(1), F.size(s))
+    starts = F.filter(
+        idx,
+        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+    nxt = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(s) + 1),
+    )
+    return F.zip_with(
+        starts,
+        nxt,
+        lambda a, b: F.struct(
+            F.element_at(s, a).alias("term"), (b - a).alias("cnt")
+        ),
+    )
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))

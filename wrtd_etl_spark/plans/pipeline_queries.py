@@ -1042,17 +1042,9 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
     def max_run(arr: Column) -> Column:
-        s = F.array_sort(arr)
-        idx = F.sequence(F.lit(1), F.size(s))
-        starts = F.filter(
-            idx,
-            lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+        return F.array_max(
+            F.transform(TX.sorted_runs(arr), lambda r: r["cnt"])
         )
-        nxt = F.concat(
-            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-            F.array(F.size(s) + 1),
-        )
-        return F.array_max(F.zip_with(starts, nxt, lambda a, b: b - a))
 
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -1115,22 +1107,28 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ``tf * (N/df)^1`` (monotone in the same arguments). Ties broken by
     term for full determinism.
 
-    Scale shape: tf aggregates keyed by (doc, term); df aggregates keyed
-    by term AFTER a per-doc ``array_distinct`` in the scan projection (no
-    doc×term distinct shuffle); the join back to tf is a plain hash join
-    on term (the df side is vocabulary-sized — broadcastable for real
-    vocabularies); the window runs over the already-aggregated tf table
-    partitioned by doc (aggregate-below-window, never over raw tokens).
-    The corpus count crosses the driver boundary as a 1-row broadcast
-    anchor, not a collect.
+    Scale shape: tf never shuffles — per-doc term counts are computed in
+    the scan projection with the sorted-run-length HOF
+    (:func:`~wrtd_etl_spark.functions.text.sorted_runs`) and exploded
+    ALREADY AGGREGATED, where the obvious plan exchanges the raw token
+    stream on (doc, term); df aggregates keyed by term AFTER a per-doc
+    ``array_distinct`` in the scan projection (no doc×term distinct
+    shuffle); the join back to tf is a plain hash join on term (the df
+    side is vocabulary-sized — broadcastable for real vocabularies); the
+    window runs over the tf table partitioned by doc
+    (aggregate-below-window, never over raw tokens). The corpus count
+    crosses the driver boundary as a 1-row broadcast anchor, not a
+    collect.
     """
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", toks.alias("t"))
-    tf = (
-        base.select("doc_id", F.explode("t").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    tf = base.select(
+        "doc_id", F.explode(TX.sorted_runs(F.col("t"))).alias("r")
+    ).select(
+        "doc_id",
+        F.col("r.term").alias("term"),
+        F.col("r.cnt").cast("long").alias("tf"),
     )
     dfc = (
         base.select(F.explode(F.array_distinct("t")).alias("term"))
