@@ -1037,13 +1037,17 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     term's count) is the max gap between consecutive starts. The whole
     query is scan → project; the only exchange is the driver-facing
     ORDER BY, droppable at scale.
+
+    The sorted arrays are materialized in their own ``select`` — see the
+    :func:`~wrtd_etl_spark.functions.text.sorted_runs` contract (an
+    inline sort inside the HOF lambdas re-executes per element: 117×).
     """
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
-    def max_run(arr: Column) -> Column:
+    def max_run(sorted_arr: Column) -> Column:
         return F.array_max(
-            F.transform(TX.sorted_runs(arr), lambda r: r["cnt"])
+            F.transform(TX.sorted_runs(sorted_arr), lambda r: r["cnt"])
         )
 
     bigrams = F.zip_with(
@@ -1051,12 +1055,21 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    stats = docs.select(
+    pre = docs.select(
         "doc_id",
-        (max_run(toks).cast("double") / F.size(toks)).alias("top_word_frac"),
+        F.size(toks).alias("n_t"),
+        F.size(bigrams).alias("n_b"),
+        F.array_sort(toks).alias("s_t"),
+        F.array_sort(bigrams).alias("s_b"),
+    )
+    stats = pre.select(
+        "doc_id",
+        (max_run(F.col("s_t")).cast("double") / F.col("n_t")).alias(
+            "top_word_frac"
+        ),
         F.when(
-            F.size(bigrams) >= 1,
-            max_run(bigrams).cast("double") / F.size(bigrams),
+            F.col("n_b") >= 1,
+            max_run(F.col("s_b")).cast("double") / F.col("n_b"),
         )
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
@@ -1123,12 +1136,16 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     base = docs.select("doc_id", toks.alias("t"))
-    tf = base.select(
-        "doc_id", F.explode(TX.sorted_runs(F.col("t"))).alias("r")
-    ).select(
-        "doc_id",
-        F.col("r.term").alias("term"),
-        F.col("r.cnt").cast("long").alias("tf"),
+    # sorted_runs requires the sort materialized in a prior select (HOF
+    # lambdas sit outside codegen CSE — an inline sort re-runs per element)
+    tf = (
+        base.select("doc_id", F.array_sort("t").alias("s"))
+        .select("doc_id", F.explode(TX.sorted_runs(F.col("s"))).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.term").alias("term"),
+            F.col("r.cnt").cast("long").alias("tf"),
+        )
     )
     dfc = (
         base.select(F.explode(F.array_distinct("t")).alias("term"))
@@ -1202,15 +1219,32 @@ def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = d.alias("a")
     b = d.alias("b")
-    dist = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    # banded Levenshtein: dist*4 <= max_len ⇔ dist <= floor(max_len/4)
+    # (dist is an integer), so passing floor(max_len/4) as the threshold
+    # keeps the exact same pair set while the DP runs O(L·L/4) instead of
+    # O(L²) and returns -1 (→ filtered) as soon as the band is exceeded.
+    # The threshold must go through F.expr: the PySpark wrapper only takes
+    # an int literal, but the underlying SQL function accepts a per-row
+    # expression. |len(a)-len(b)| > threshold can't pass (dist >= length
+    # difference) — that guard is pushed into the join as a cheap pre-DP
+    # prune.
+    dist = F.expr(
+        "levenshtein(a.t, b.t, "
+        "cast(greatest(length(a.t), length(b.t)) div 4 as int))"
+    )
+    len_gap_ok = (
+        F.abs(F.length("a.t") - F.length("b.t")) * 4
+        <= F.greatest(F.length("a.t"), F.length("b.t"))
+    )
     return (
         a.join(
             b,
             (F.col("a.w0") == F.col("b.w0"))
             & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_gap_ok,
         )
-        .filter(dist * 4 <= F.greatest(F.length("a.t"), F.length("b.t")))
+        .filter(dist >= 0)
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
