@@ -270,3 +270,57 @@ def test_upsert_injected_crash_never_loses_table(spark, tmp_path, monkeypatch):
     up.upsert_parquet(spark, p, upd, "id")
     got = {(r.id, r.val) for r in spark.read.parquet(p).collect()}
     assert got == {(0, 999), (1, 10), (2, 20), (3, 30), (4, 40)}
+
+
+class TestExactPercentileDisc:
+    """Distributed bounded-memory selection must equal percentile_disc
+    bit-for-bit (operators/percentile.py)."""
+
+    def _truth(self, df, col, p, groups):
+        return {
+            tuple(r[g] for g in groups): r["t"]
+            for r in df.groupBy(*groups)
+            .agg(
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY {col})"
+                ).alias("t")
+            )
+            .collect()
+        }
+
+    def _mine(self, df, col, p, groups, **kw):
+        from wrtd_etl_spark.operators.percentile import exact_percentile_disc
+
+        return {
+            tuple(r[g] for g in groups): r[col]
+            for r in exact_percentile_disc(df, col, p, groups, **kw).collect()
+        }
+
+    def test_matches_builtin_with_forced_iterations(self, spark):
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        for p in (0.0, 0.01, 0.5, 0.99, 1.0):
+            # bracket_limit far below group size forces the narrowing loop
+            assert self._mine(
+                li, "l_extendedprice", p, ["l_returnflag"], bracket_limit=100
+            ) == self._truth(li, "l_extendedprice", p, ["l_returnflag"]), p
+
+    def test_duplicate_heavy_and_tiny_groups(self, spark):
+        import random
+
+        random.seed(7)
+        rows = (
+            [("a", float(random.choice([1, 2, 3]))) for _ in range(2000)]
+            + [("b", 42.0)]
+            + [("c", float(i)) for i in range(10)]
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        for p in (0.25, 0.5, 0.99):
+            assert self._mine(df, "x", p, ["g"], bracket_limit=50) == self._truth(
+                df, "x", p, ["g"]
+            ), p
+
+    def test_integer_column(self, spark):
+        df = spark.createDataFrame([(1, i % 100) for i in range(5000)], "g int, x int")
+        assert self._mine(df, "x", 0.95, ["g"], bracket_limit=64) == self._truth(
+            df, "x", 0.95, ["g"]
+        )

@@ -804,18 +804,20 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     percentile_disc picks an ACTUAL data value (no interpolation), so the
     threshold is bit-identical across engines — interpolated percentiles
-    diverge in float math. Plan: one grouped percentile pass (sort-based
-    within each of the 3 groups), thresholds broadcast back over the fact
-    scan, map-side-combined aggregate. At 100 TB swap the exact grouped
-    percentile for approx_percentile to keep the threshold pass one
-    sort-free scan; the outlier filter+agg is unchanged.
+    diverge in float math. The threshold comes from
+    :func:`~wrtd_etl_spark.operators.percentile.exact_percentile_disc`:
+    the same exact value as ``percentile_disc`` (differential-tested),
+    but via iterative bracket-narrowing selection with bounded memory —
+    the built-in's aggregate buffer holds every group value, which at
+    100 TB IS the dataset. Thresholds broadcast back over the fact scan,
+    map-side-combined aggregate.
     """
+    from ..operators.percentile import exact_percentile_disc
+
     li = load_table(spark, sf_dir, "lineitem")
-    p = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p99")
-    )
+    p = exact_percentile_disc(
+        li, "l_extendedprice", 0.99, ["l_returnflag"]
+    ).withColumnRenamed("l_extendedprice", "p99")
     return (
         li.join(F.broadcast(p), "l_returnflag")
         .filter(F.col("l_extendedprice") > F.col("p99"))
