@@ -324,3 +324,69 @@ class TestExactPercentileDisc:
         assert self._mine(df, "x", 0.95, ["g"], bracket_limit=64) == self._truth(
             df, "x", 0.95, ["g"]
         )
+
+
+class TestAsOfVariants:
+    """Forward direction + tolerance must match a brute-force inequality
+    join (the quadratic reference the operator exists to avoid)."""
+
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0, "a"), (1, 25.0, "b"), (2, 5.0, "c"), (3, 7.0, "d")],
+            "k int, lt double, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 8.0, 100), (1, 25.0, 200), (1, 30.0, 300), (2, 9.0, 400)],
+            "k int, rt double, pay int",
+        )
+        return left, right
+
+    def test_forward_matches_brute_force(self, spark):
+        from wrtd_etl_spark.operators.asof import as_of_join
+
+        left, right = self._data(spark)
+        got = {
+            (r.k, r.lt): r.pay
+            for r in as_of_join(
+                left, right, "k", "lt", "rt", ["pay"], direction="forward"
+            ).collect()
+        }
+        # brute force: earliest right with rt >= lt per (k, lt)
+        rrows = [(r.k, r.rt, r.pay) for r in right.collect()]
+        for r in left.collect():
+            cands = [(rt, pay) for k, rt, pay in rrows if k == r.k and rt >= r.lt]
+            want = min(cands)[1] if cands else None
+            assert got[(r.k, r.lt)] == want, (r.k, r.lt)
+
+    def test_backward_tolerance_nulls_stale_matches(self, spark):
+        from wrtd_etl_spark.operators.asof import as_of_join
+
+        left, right = self._data(spark)
+        got = {
+            (r.k, r.lt): r.pay
+            for r in as_of_join(
+                left, right, "k", "lt", "rt", ["pay"], tolerance_s=3.0
+            ).collect()
+        }
+        rrows = [(r.k, r.rt, r.pay) for r in right.collect()]
+        for r in left.collect():
+            cands = [(rt, pay) for k, rt, pay in rrows if k == r.k and rt <= r.lt]
+            want = max(cands)[1] if cands and r.lt - max(cands)[0] <= 3.0 else None
+            assert got[(r.k, r.lt)] == want, (r.k, r.lt)
+
+    def test_forward_tolerance(self, spark):
+        from wrtd_etl_spark.operators.asof import as_of_join
+
+        left, right = self._data(spark)
+        got = {
+            (r.k, r.lt): r.pay
+            for r in as_of_join(
+                left, right, "k", "lt", "rt", ["pay"],
+                direction="forward", tolerance_s=5.0,
+            ).collect()
+        }
+        rrows = [(r.k, r.rt, r.pay) for r in right.collect()]
+        for r in left.collect():
+            cands = [(rt, pay) for k, rt, pay in rrows if k == r.k and rt >= r.lt]
+            want = min(cands)[1] if cands and min(cands)[0] - r.lt <= 5.0 else None
+            assert got[(r.k, r.lt)] == want, (r.k, r.lt)
