@@ -665,3 +665,23 @@ def test_doc_tfidf_topk_ranks_within_doc(spark):
         assert [r.rk for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         scores = [r.score for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kmeans_cell_cap_binds_without_changing_the_contract(spark):
+    """The per-cell sample cap must (a) be a no-op when it doesn't bind
+    and (b) still produce deterministic, well-formed centroids when it
+    does — the bounded-group guarantee for 100 TB cells."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.kmeans import train_centroids_kmeans
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    uncapped = train_centroids_kmeans(emb, n_cells=8, rounds=2)
+    huge_cap = train_centroids_kmeans(emb, n_cells=8, rounds=2, cell_sample_cap=10**9)
+    assert uncapped == huge_cap  # default cap never binds at test scale
+
+    capped = train_centroids_kmeans(emb, n_cells=8, rounds=2, cell_sample_cap=20)
+    assert capped == train_centroids_kmeans(
+        emb, n_cells=8, rounds=2, cell_sample_cap=20
+    )  # deterministic under a binding cap
+    assert len(capped) == 8 and all(len(c) == len(capped[0]) for c in capped)
+    assert capped != uncapped  # the cap actually bound (sanity)

@@ -42,12 +42,24 @@ def train_centroids_kmeans(
     id_col: str = "vec_id",
     n_cells: int = 16,
     rounds: int = 4,
+    cell_sample_cap: int = 200_000,
 ) -> list[list[float]]:
     """K centroids after ``rounds`` Lloyd iterations.
 
     Init = the same multiplicative-hash sample ivf.py uses, so round 0
     reproduces the untrained behavior exactly and every extra round is a
     strict refinement of the same deterministic start.
+
+    ``cell_sample_cap`` bounds the update step's per-cell pandas group:
+    a 100 TB corpus over K=few-thousand cells would otherwise deliver
+    billions of rows to ONE ``applyInPandas`` group. Each mean is
+    instead computed over at most this many rows per cell, chosen by a
+    deterministic multiplicative hash of the id — an unbiased fixed
+    sample that keeps the group memory bounded, the reduction order
+    stable (the bit-exact determinism contract), and the estimate's
+    standard error ~1/sqrt(cap), far below Lloyd's own movement per
+    round. The cap never binds at test scale, so small-corpus results
+    are the exact means.
     """
     import numpy as np
 
@@ -107,8 +119,21 @@ def train_centroids_kmeans(
                 {"cell": [int(pdf["cell"].iloc[0])], "mean_v": [M.mean(axis=0)]}
             )
 
+        # per-cell exact cap BEFORE the pandas group: row_number over the
+        # cell partition in deterministic (hash, id) order, keep ≤ cap.
+        # The window and the groupBy hash-partition on the same key, so
+        # Catalyst plans ONE exchange (ReusedExchange) — the cap costs a
+        # spill-safe per-cell sort, never a second shuffle, and the
+        # applyInPandas group is bounded by construction.
+        from pyspark.sql import Window
+
+        h = (F.col("__id") * F.lit(2654435761)) % F.lit(4294967296)
+        w = Window.partitionBy("cell").orderBy(h.asc(), F.col("__id").asc())
         means = (
             vecs.withColumn("cell", nearest(F.col("v")))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cell_sample_cap)
+            .drop("__rn")
             .groupBy("cell")
             .applyInPandas(cell_mean, schema="cell int, mean_v array<double>")
             .collect()
