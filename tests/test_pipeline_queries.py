@@ -685,3 +685,118 @@ def test_kmeans_cell_cap_binds_without_changing_the_contract(spark):
     )  # deterministic under a binding cap
     assert len(capped) == 8 and all(len(c) == len(capped[0]) for c in capped)
     assert capped != uncapped  # the cap actually bound (sanity)
+
+
+def test_semantic_dedup_flags_every_clone(spark):
+    """Identical vectors always share a cell (deterministic argmax), so
+    every clone MUST be flagged with dup_of = its original at cosine 1.0
+    — the non-vacuity contract of the registered query."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.semdedup import semantic_dup_losers
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    losers = semantic_dup_losers(
+        emb.unionByName(clones), threshold=0.95, n_cells=8, rounds=1
+    ).collect()
+    flagged = {r.vec_id: r for r in losers}
+    originals = [r.vec_id for r in emb.select("vec_id").collect()]
+    for vid in originals:
+        assert vid + 10_000_000 in flagged, f"clone of {vid} not flagged"
+        r = flagged[vid + 10_000_000]
+        # min-id survivor: the original (or an even-earlier semantic dup)
+        assert r.dup_of <= vid and r.cosine >= 0.95
+    # no original may be dropped in favor of its own higher-id clone
+    assert all(vid not in flagged or flagged[vid].dup_of < vid for vid in originals)
+
+
+def test_semantic_dedup_no_false_positives(spark):
+    """Every flagged pair must truly have cosine >= threshold — verified
+    against the exact pairwise computation on the raw vectors."""
+    import numpy as np
+
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.semdedup import semantic_dup_losers
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 200)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    losers = semantic_dup_losers(emb, threshold=0.5, n_cells=4, rounds=1).collect()
+    for r in losers:
+        a, b = vecs[r.vec_id], vecs[r.dup_of]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.5 - 1e-9, (r.vec_id, r.dup_of, cos)
+        assert abs(cos - r.cosine) < 1e-5
+        assert r.dup_of < r.vec_id
+
+
+def test_semantic_dedup_survivor_join(spark):
+    """semantic_dedup = corpus minus losers, min-id survivor kept."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.semdedup import (
+        semantic_dedup,
+        semantic_dup_losers,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 10_000_000))
+    kwargs = dict(threshold=0.95, n_cells=8, rounds=1)
+    kept = semantic_dedup(both, **kwargs)
+    losers = semantic_dup_losers(both, **kwargs)
+    assert kept.count() == both.count() - losers.count()
+    assert kept.join(losers, "vec_id", "inner").count() == 0
+
+
+def test_incremental_dedup_cross_corpus_truth(spark):
+    """New-batch dedup against a reference corpus: cross-side LSH+verify
+    must equal brute-force cross-side Jaccard truth at j>=0.9, flag no
+    within-side pairs, and never drop a reference doc."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.dedup.incremental import (
+        incremental_dedup,
+        incremental_near_dup_losers,
+    )
+    from wrtd_etl_spark.dedup.minhash import shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    # new batch: fresh docs (odd ids) + near-clones of reference docs
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    clones = ref.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text",
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))),
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(clones)
+
+    losers = incremental_near_dup_losers(
+        new, ref, "text", "doc_id", threshold=0.9
+    ).collect()
+    got = {(r.new_id, r.ref_id) for r in losers}
+    got_new_ids = {r.new_id for r in losers}
+
+    # brute-force cross-side truth
+    a = new.select(F.col("doc_id").alias("new_id"), shingles(F.col("text")).alias("s1"))
+    b = ref.select(F.col("doc_id").alias("ref_id"), shingles(F.col("text")).alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = (
+        F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    ).cast("double")
+    truth_pairs = (
+        a.crossJoin(b).withColumn("j", inter / union).filter(F.col("j") >= 0.9)
+    )
+    truth_new = {r.new_id for r in truth_pairs.select("new_id").distinct().collect()}
+    truth_min_ref = {
+        (r.new_id, r.ref_id)
+        for r in truth_pairs.groupBy("new_id")
+        .agg(F.min("ref_id").alias("ref_id"))
+        .collect()
+    }
+    assert got_new_ids == truth_new  # exactly the true cross-side dups
+    assert got == truth_min_ref  # smallest matching ref id reported
+
+    kept = incremental_dedup(new, ref, "text", "doc_id", threshold=0.9)
+    assert kept.count() == new.count() - len(got_new_ids)
+    # reference side is never touched — only new-side ids are dropped
+    assert all(i >= 100000 or i % 2 == 1 for i in got_new_ids)

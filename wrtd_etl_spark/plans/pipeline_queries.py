@@ -491,6 +491,26 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup", None)  # float centroid training → rows-only
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup removal: k-means cells + within-cell
+    cosine pruning (similarity/semdedup.py; arXiv:2303.09540). Catches
+    paraphrase-level duplicates that share no surface n-grams.
+
+    The synthetic embeddings have no true semantic dups, so the corpus is
+    unioned with deterministic clones (vec_id + 10_000_000): every clone
+    lands in its original's cell (identical vector → identical argmax) and
+    MUST be flagged with dup_of = the original — the rows-only check is
+    ≥ one loser per original vector, pinned exactly in pytest."""
+    from ..similarity.semdedup import semantic_dup_losers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    return semantic_dup_losers(
+        emb.unionByName(clones), threshold=0.95, n_cells=16, rounds=2
+    ).orderBy("vec_id")
+
+
 @register("multimodal_decode", None)  # mapInPandas fake decoder → rows-only
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode plumbing with the deterministic fake codec."""
