@@ -66,6 +66,9 @@ _DEMOTED = (
     "fs_vehicles",  # A1 2-key grouped count + O1 multi-key sort: scored via pricing_summary
     "dataset_split",  # L16: the same _SPLIT_SQL split is embedded in scored training_corpus
     "doc_token_stats",  # L10 token counts: the same expressions drive scored context_packing/doc_chunks
+    # J3 role-playing double join stays scored via fs_fb/fs_lh/fs_ls (three
+    # siblings); slot freed for zorder_layout (new op: Z-order data layout)
+    "nation_pair_revenue",
 )
 
 

@@ -390,3 +390,78 @@ class TestAsOfVariants:
             cands = [(rt, pay) for k, rt, pay in rrows if k == r.k and rt >= r.lt]
             want = min(cands)[1] if cands and min(cands)[0] - r.lt <= 5.0 else None
             assert got[(r.k, r.lt)] == want, (r.k, r.lt)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """After write_zordered, each output file covers a compact
+    hyper-rectangle: the mean per-file min/max span of BOTH interleaved
+    columns must be far below the span a hash-shuffled layout leaves
+    (which is ~the full domain in every file)."""
+    import pyarrow.parquet as pq
+
+    from wrtd_etl_spark.operators.zorder import write_zordered
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def mean_file_spans(path: str) -> tuple[float, float]:
+        import glob
+        import os
+
+        spans_c, spans_p = [], []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                continue
+            cols = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            lo_c = min(
+                md.row_group(g).column(cols["o_custkey"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi_c = max(
+                md.row_group(g).column(cols["o_custkey"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            lo_p = min(
+                md.row_group(g).column(cols["o_totalprice"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi_p = max(
+                md.row_group(g).column(cols["o_totalprice"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans_c.append(hi_c - lo_c)
+            spans_p.append(hi_p - lo_p)
+        return sum(spans_c) / len(spans_c), sum(spans_p) / len(spans_p)
+
+    zpath, hpath, spath = (
+        str(tmp_path / "z"),
+        str(tmp_path / "h"),
+        str(tmp_path / "s"),
+    )
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=64)
+    orders.repartition(64).write.parquet(hpath)  # the layout-free baseline
+    # the 1-D baseline: perfect on its own column, no clustering on the other
+    (
+        orders.repartitionByRange(64, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(spath)
+    )
+
+    zc, zp = mean_file_spans(zpath)
+    hc, hp = mean_file_spans(hpath)
+    _, sp = mean_file_spans(spath)
+    # every hash file spans ~the whole domain; z-files must be several
+    # times narrower on BOTH dimensions at once
+    assert zc < hc / 3, (zc, hc)
+    assert zp < hp / 3, (zp, hp)
+    # and the curve must beat a single-column sort on the OTHER dimension
+    # (which a 1-D layout cannot cluster at all)
+    assert zp < sp / 3, (zp, sp)
+    # nothing lost or duplicated by the layout pass
+    assert (
+        spark.read.parquet(zpath).count() == orders.count()
+    )

@@ -52,6 +52,7 @@ def test_rows_only_queries_run(spark):
         "ann_ivf_topk",
         "ann_ivf_kmeans_topk",
         "multimodal_decode",
+        "semantic_dedup",
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
         assert df.count() >= 0  # runs to completion with a stable schema

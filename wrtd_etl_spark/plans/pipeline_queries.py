@@ -501,13 +501,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioned with deterministic clones (vec_id + 10_000_000): every clone
     lands in its original's cell (identical vector → identical argmax) and
     MUST be flagged with dup_of = the original — the rows-only check is
-    ≥ one loser per original vector, pinned exactly in pytest."""
+    ≥ one loser per original vector, pinned exactly in pytest.
+
+    Centroids are trained on the ORIGINAL corpus and reused for the
+    clone-augmented pruning pass (the train-once/reuse pattern the module
+    documents): clones are identical vectors, so they cannot shift the
+    density the cells should reflect — and the training pass runs on half
+    the rows."""
+    from ..similarity.kmeans import train_centroids_kmeans
     from ..similarity.semdedup import semantic_dup_losers
 
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids_kmeans(emb, n_cells=16, rounds=2)
     clones = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
     return semantic_dup_losers(
-        emb.unionByName(clones), threshold=0.95, n_cells=16, rounds=2
+        emb.unionByName(clones), threshold=0.95, centroids=cents
     ).orderBy("vec_id")
 
 

@@ -924,3 +924,78 @@ def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def _zorder_oracle() -> str:
+    # the 16 interleave terms per dimension, dims at even/odd bit slots
+    t1 = " | ".join(f"(((l1 >> {i}) & 1) << {i * 2})" for i in range(8))
+    t2 = " | ".join(f"(((l2 >> {i}) & 1) << {i * 2 + 1})" for i in range(8))
+    lvl = (
+        "LEAST(CAST(FLOOR(LEAST(GREATEST((CAST({e} AS DOUBLE) - {lo})"
+        " / ({hi} - {lo}), 0.0), 1.0) * 256.0) AS BIGINT), 255)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo1,
+               CAST(MAX(o_custkey) AS DOUBLE) AS hi1,
+               MIN(o_totalprice) AS lo2, MAX(o_totalprice) AS hi2
+        FROM orders
+    ), l AS (
+        SELECT o_custkey, o_totalprice,
+               {lvl.format(e="o_custkey", lo="lo1", hi="hi1")} AS l1,
+               {lvl.format(e="o_totalprice", lo="lo2", hi="hi2")} AS l2
+        FROM orders, b
+    ), z AS (
+        SELECT o_custkey, o_totalprice, (({t1}) | ({t2})) >> 8 AS z_bucket
+        FROM l
+    )
+    SELECT z_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM z GROUP BY z_bucket
+    """
+
+
+@register("zorder_layout", _zorder_oracle())
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report over orders: per curve-bucket row
+    count and min/max spans of BOTH interleaved dimensions
+    (operators/zorder.py — the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    technique). Narrow per-bucket spans on both columns are exactly what
+    makes parquet min/max stats prune multi-dimensional predicates after
+    :func:`write_zordered` lays files out along the curve.
+
+    Bounds come from the same one-row MIN/MAX aggregate in both engines
+    (broadcast 1-row anchor on the Spark side), so the quantization —
+    and therefore every bucket assignment — is bit-identical
+    cross-engine. The layout effect itself (files covering compact
+    hyper-rectangles) is pinned by the row-group-stats pytest."""
+    from ..operators.zorder import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey").cast("double").alias("lo1"),
+        F.max("o_custkey").cast("double").alias("hi1"),
+        F.min("o_totalprice").alias("lo2"),
+        F.max("o_totalprice").alias("hi2"),
+    )
+    z = zorder_key(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        [(F.col("lo1"), F.col("hi1")), (F.col("lo2"), F.col("hi2"))],
+    )
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            F.shiftright(z, 8).alias("z_bucket"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

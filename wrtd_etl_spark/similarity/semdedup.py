@@ -54,15 +54,22 @@ def semantic_dup_losers(
     rounds: int = 2,
     max_cell: int = 4096,
     block: int = 1024,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, dup_of, cosine): rows to DROP, with their earliest semantic dup.
 
     ``cosine`` is quantized to 1e-6 (the engine's cross-engine float
     idiom) so downstream thresholding is stable.
+
+    ``centroids`` skips training and partitions with a precomputed set —
+    the production pattern when the same trained cells already back the
+    IVF index (train once, reuse for search AND dedup; cell geometry only
+    needs to reflect corpus density, not the exact row set).
     """
-    centroids = train_centroids_kmeans(
-        corpus, vec_col, id_col, n_cells=n_cells, rounds=rounds
-    )
+    if centroids is None:
+        centroids = train_centroids_kmeans(
+            corpus, vec_col, id_col, n_cells=n_cells, rounds=rounds
+        )
     assigned = _assign_cells(corpus, vec_col, id_col, centroids, nprobe=1)
     thr = float(threshold)
     blk = int(block)
