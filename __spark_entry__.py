@@ -69,6 +69,10 @@ _DEMOTED = (
     # J3 role-playing double join stays scored via fs_fb/fs_lh/fs_ls (three
     # siblings); slot freed for zorder_layout (new op: Z-order data layout)
     "nation_pair_revenue",
+    # J1/J2 broadcast dim join + W1 dense_rank top-k + O2 tie rule all stay
+    # scored via fs_cutlets; slot freed for daily_gapfill (new op:
+    # time-series gap-fill / locf)
+    "top_customers",
 )
 
 

@@ -465,3 +465,39 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     assert (
         spark.read.parquet(zpath).count() == orders.count()
     )
+
+
+def test_gapfill_locf_semantics(spark):
+    """Carry-forward fill: every gap day exists, carries the latest
+    earlier value, and each key's scaffold spans exactly its own
+    [first, last] observation — no cross-key leakage, no leading NULLs."""
+    import datetime as dt
+
+    from wrtd_etl_spark.operators.gapfill import gapfill_daily
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10.0),
+            ("a", d(2024, 1, 4), 40.0),
+            ("b", d(2024, 2, 1), 1.0),
+        ],
+        "k string, day date, v double",
+    )
+    rows = {
+        (r.k, r.day): r
+        for r in gapfill_daily(daily, "k", "day", ["v"]).collect()
+    }
+    assert set(rows) == {
+        ("a", d(2024, 1, 1)),
+        ("a", d(2024, 1, 2)),
+        ("a", d(2024, 1, 3)),
+        ("a", d(2024, 1, 4)),
+        ("b", d(2024, 2, 1)),
+    }
+    assert rows[("a", d(2024, 1, 2))].v == 10.0  # carried forward
+    assert rows[("a", d(2024, 1, 3))].v == 10.0
+    assert rows[("a", d(2024, 1, 4))].v == 40.0  # real observation wins
+    assert rows[("a", d(2024, 1, 2))].was_gap is True
+    assert rows[("a", d(2024, 1, 1))].was_gap is False
+    assert rows[("b", d(2024, 2, 1))].v == 1.0  # b never sees a's values

@@ -999,3 +999,43 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "daily_gapfill",
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+               {_DSUM_SQL.format(expr="o_totalprice")} AS rev
+        FROM orders GROUP BY k, d
+    ), span AS (
+        SELECT k, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY k
+    ), scaffold AS (
+        SELECT k, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM span
+    ), j AS (
+        SELECT s.k, s.d, daily.rev FROM scaffold s
+        LEFT JOIN daily ON s.k = daily.k AND s.d = daily.d
+    )
+    SELECT k, d,
+           LAST_VALUE(rev IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING
+           ) AS rev,
+           rev IS NULL AS was_gap
+    FROM j
+    """,
+)
+def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapless per-priority daily revenue with carry-forward fill
+    (operators/gapfill.py — the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` idiom). The gap-fill scaffold and window run over the
+    (key × day) AGGREGATE, never the order facts; the fill window
+    partitions by key (bounded per-key state, plan-shape-rule clean)."""
+    from ..operators.gapfill import gapfill_daily
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(_dsum(F.col("o_totalprice"), "rev"))
+    return gapfill_daily(daily, "k", "d", ["rev"])
