@@ -73,6 +73,11 @@ _DEMOTED = (
     # scored via fs_cutlets; slot freed for daily_gapfill (new op:
     # time-series gap-fill / locf)
     "top_customers",
+    # A4 implicit MAX stays scored via cursor_incremental's watermark seed
+    # (A6, the same MAX-scan shape); O7 DESC LIMIT via shipping_priority's
+    # ordered top-10; slot freed for dedup_substring (new op: substring-
+    # level cross-doc duplication, arXiv:2107.06499)
+    "latest_order",
 )
 
 

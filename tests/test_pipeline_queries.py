@@ -35,6 +35,7 @@ _PIPELINE_ORACLE = [
     "doc_tfidf_topk",
     "dedup_fuzzy_verify",
     "quality_weighted_sample",
+    "dedup_substring",
 ]
 
 
@@ -801,3 +802,47 @@ def test_incremental_dedup_cross_corpus_truth(spark):
     assert kept.count() == new.count() - len(got_new_ids)
     # reference side is never touched — only new-side ids are dropped
     assert all(i >= 100000 or i % 2 == 1 for i in got_new_ids)
+
+
+def test_substring_dedup_flags_planted_boilerplate(spark):
+    """Docs sharing a verbatim passage must be flagged at exactly the
+    passage windows; a doc with unique text must show zero dup spans."""
+    from wrtd_etl_spark.dedup.substring import (
+        duplicated_spans,
+        substring_dup_stats,
+    )
+
+    boiler = "all rights reserved contact the site admin for license terms"
+    uniq = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+    ]
+    rows = [
+        (1, f"{uniq[0]} {boiler}"),
+        (2, f"{boiler} {uniq[1]}"),
+        (3, uniq[2]),  # no shared passage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r.doc_id: r
+        for r in substring_dup_stats(
+            df, "text", "doc_id", window=8, stride=1
+        ).collect()
+    }
+    assert stats[1].n_dup_spans > 0 and stats[2].n_dup_spans > 0
+    assert stats[3].n_dup_spans == 0
+    # the flagged windows must actually BE the boilerplate: every flagged
+    # span's window text appears in the shared passage region
+    spans = duplicated_spans(df, "text", "doc_id", window=8, stride=1).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    toks1 = rows[0][1].lower().split()
+    for pos in by_doc[1]:
+        w = " ".join(toks1[pos - 1 : pos - 1 + 8])
+        assert w in f"{boiler}" or any(
+            t in boiler.split() for t in w.split()
+        ), w
+    # doc 3 contributes no flagged spans at all
+    assert 3 not in by_doc

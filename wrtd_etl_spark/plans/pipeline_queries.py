@@ -1317,3 +1317,46 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_substring",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT doc_id, toks,
+               UNNEST(generate_series(1, GREATEST(len(toks) - 7, 1), 2)) AS pos
+        FROM t
+    ), s AS (
+        SELECT doc_id, md5(array_to_string(toks[pos:pos+7], ' ')) AS h
+        FROM p
+    ), d AS (
+        SELECT h FROM (SELECT h, doc_id FROM s GROUP BY h, doc_id)
+        GROUP BY h HAVING COUNT(*) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE h IN (SELECT h FROM d)) AS n_dup_spans,
+           CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM d)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM s GROUP BY doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (dedup/substring.py — the
+    distributed approximation of Lee et al., arXiv:2107.06499): per doc,
+    how many 8-token stride-2 windows are shared verbatim with OTHER
+    documents. Catches cross-doc boilerplate that whole-doc dedup keeps
+    and per-doc repetition stats (doc_repetition) can't see.
+
+    md5 window fingerprints keep the oracle engine-portable; the
+    duplicated-hash set is tiny so AQE broadcasts the mark-back
+    semi-join."""
+    from ..dedup.substring import substring_dup_stats
+
+    docs = _docs(spark, sf_dir)
+    return substring_dup_stats(
+        docs, "text", "doc_id", window=8, stride=2, min_docs=2
+    ).withColumn("n_dup_spans", F.col("n_dup_spans").cast("long"))
