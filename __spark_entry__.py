@@ -78,6 +78,10 @@ _DEMOTED = (
     # ordered top-10; slot freed for dedup_substring (new op: substring-
     # level cross-doc duplication, arXiv:2107.06499)
     "latest_order",
+    # J4 null-aware NOT-IN anti-join stays scored via inactive_customers
+    # (same operator, TPC-H tables); slot freed for corpus_mixture (new
+    # op: per-source token-budget mixture sampling)
+    "fs_survivors",
 )
 
 

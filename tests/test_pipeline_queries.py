@@ -36,6 +36,7 @@ _PIPELINE_ORACLE = [
     "dedup_fuzzy_verify",
     "quality_weighted_sample",
     "dedup_substring",
+    "corpus_mixture",
 ]
 
 
@@ -846,3 +847,43 @@ def test_substring_dedup_flags_planted_boilerplate(spark):
         ), w
     # doc 3 contributes no flagged spans at all
     assert 3 not in by_doc
+
+
+def test_corpus_mixture_caps_and_subsamples(spark):
+    """Both mixture branches must bind on the testdata: over-weighted
+    (even) sources hit the frac=1 cap with a real availability shortfall
+    and pass through whole; under-weighted (odd) sources subsample below
+    their availability with zero shortfall. Deterministic across runs."""
+    rows = REGISTRY["corpus_mixture"].fn(spark, SF_SMOKE).collect()
+    assert rows  # non-vacuous
+    by_src = {r.source: r for r in rows}
+    totals = {
+        r.source: (r.n, r.toks)
+        for r in REGISTRY["corpus_mixture"]
+        .fn(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+        )
+        .collect()
+    }
+    saw_cap = saw_sub = False
+    for src, r in by_src.items():
+        even = int(src[3:]) % 2 == 0
+        n_all, _ = totals[src]
+        if even:
+            assert r.frac == 1.0 and r.shortfall > 0, (src, r)
+            assert r.n_docs_kept == n_all  # cap keeps the whole source
+            saw_cap = True
+        else:
+            assert r.frac < 1.0 and r.shortfall == 0.0, (src, r)
+            assert r.n_docs_kept < n_all
+            saw_sub = True
+    assert saw_cap and saw_sub
+    again = {
+        (r.source, r.n_docs_kept, r.n_tokens_kept)
+        for r in REGISTRY["corpus_mixture"].fn(spark, SF_SMOKE).collect()
+    }
+    assert again == {(r.source, r.n_docs_kept, r.n_tokens_kept) for r in rows}

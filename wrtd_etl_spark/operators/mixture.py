@@ -1,0 +1,110 @@
+"""Corpus mixture sampling: hit per-source token targets deterministically.
+
+Every production corpus is a weighted MIXTURE of sources (web, code,
+reference, dialogue, …) with target proportions set by data strategy, not
+by how much of each source happens to exist. This operator downsamples
+each source to its token budget:
+
+    frac(source) = min(1, weight(source) * token_budget / tokens(source))
+
+keeping a document iff its deterministic hash-uniform falls below its
+source's fraction — the same engine-portable multiplicative-hash idiom as
+``dataset_split`` (no rand(): reruns, retries, and other engines agree on
+every kept id, and the realized sample is unbiased w.r.t. document order).
+
+Scale shape: one map-side-combinable aggregate for per-source token
+totals (rows = #sources), broadcast back onto the corpus scan, one
+filter — the corpus is never shuffled. Expected tokens kept per source =
+min(target, available); sources under budget pass through whole (frac
+capped at 1), a shortfall is reported, not silently re-balanced — at
+100 TB you re-weight deliberately, not implicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash → uniform in [0, 1): the engine-portable
+# deterministic sampler (pure integer arithmetic + one exact division)
+_HASH_MOD = 4294967296
+
+
+def _hash_uniform(id_col: Column) -> Column:
+    return ((id_col * F.lit(2654435761)) % F.lit(_HASH_MOD)).cast("double") / F.lit(
+        float(_HASH_MOD)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weight_col: Column,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Rows of ``df`` kept by the mixture, plus ``__frac`` (the source's
+    sampling fraction) and ``__n_tokens`` (the document's token count).
+
+    ``weight_col`` is an expression giving each row's source weight
+    (typically a CASE/map over ``source_col``); weights should sum to ~1
+    across sources but are used only via ``weight * token_budget``.
+    """
+    from ..functions import text as TX
+
+    n_tok = (
+        tokens_col if tokens_col is not None else TX.token_count(F.col("text"))
+    )
+    with_tok = df.withColumn("__n_tokens", n_tok).withColumn(
+        "__w", weight_col
+    )
+    totals = with_tok.groupBy(source_col).agg(
+        F.sum("__n_tokens").cast("long").alias("__src_tokens")
+    )
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("__w") * F.lit(float(token_budget)))
+        / F.col("__src_tokens").cast("double"),
+    )
+    return (
+        with_tok.join(F.broadcast(totals), source_col)
+        .withColumn("__frac", frac)
+        .filter(_hash_uniform(F.col(id_col)) < F.col("__frac"))
+        .drop("__w")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    weight_col: Column,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source mixture outcome: kept docs/tokens vs the token target.
+
+    ``shortfall`` > 0 flags sources whose AVAILABLE tokens fall short of
+    their budget (frac capped at 1) — the signal to re-weight
+    deliberately; sampling noise around a met target is NOT a shortfall.
+    """
+    kept = mixture_sample(df, weight_col, token_budget, source_col, id_col)
+    target = F.min(weight_col * F.lit(float(token_budget)))
+    return (
+        kept.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("__n_tokens").cast("long").alias("n_tokens_kept"),
+            F.min("__frac").alias("frac"),
+            target.alias("target_tokens"),
+            F.min("__src_tokens").alias("available_tokens"),
+        )
+        .withColumn(
+            "shortfall",
+            F.greatest(
+                F.lit(0.0),
+                F.col("target_tokens") - F.col("available_tokens").cast("double"),
+            ),
+        )
+        .drop("available_tokens")
+    )

@@ -1360,3 +1360,50 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_stats(
         docs, "text", "doc_id", window=8, stride=2, min_docs=2
     ).withColumn("n_dup_spans", F.col("n_dup_spans").cast("long"))
+
+
+_MIX_BUDGET = 30_000  # tokens; even-numbered sources weighted 9x odd ones
+
+
+@register(
+    "corpus_mixture",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN CAST(0.09 AS DOUBLE) ELSE CAST(0.01 AS DOUBLE) END AS w
+        FROM documents
+    ), s AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+        FROM t GROUP BY source
+    ), k AS (
+        SELECT t.doc_id, t.source, t.n_tok, t.w, s.src_tokens,
+               LEAST(1.0, (w * 30000.0) / CAST(src_tokens AS DOUBLE)) AS frac
+        FROM t JOIN s USING (source)
+        WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+              < LEAST(1.0, (w * 30000.0) / CAST(src_tokens AS DOUBLE))
+    )
+    SELECT source, COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept,
+           MIN(frac) AS frac,
+           MIN(w * 30000.0) AS target_tokens,
+           GREATEST(0.0, MIN(w * 30000.0) - CAST(MIN(src_tokens) AS DOUBLE))
+               AS shortfall
+    FROM k GROUP BY source
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling (operators/mixture.py): downsample each source to
+    its share of a token budget via the deterministic hash-uniform, report
+    kept docs/tokens vs target and the availability shortfall. Weights:
+    even-numbered sources 0.09, odd 0.01 (sum 1.0 over the 20 sources) —
+    at the testdata's per-source token mass both branches bind: even
+    sources hit the frac=1 cap (real shortfall), odd sources subsample."""
+    from ..operators.mixture import mixture_report
+
+    docs = _docs(spark, sf_dir)
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.09)
+    ).otherwise(F.lit(0.01))
+    return mixture_report(docs, w, _MIX_BUDGET)
