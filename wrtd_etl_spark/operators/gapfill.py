@@ -44,6 +44,11 @@ def gapfill_daily(
     already be aggregated — this operator's scaffold and window scale
     with keys × days, so feed it the rollup, not the fact table.
     """
+    # two consumers (the span agg and the join's probe side) would each
+    # recompute the upstream fact aggregation — materialize the DAILY
+    # table once (keys x days rows, the small side by construction; same
+    # checkpoint-over-cache rationale as the minhash signature table)
+    daily = daily.localCheckpoint(eager=False)
     span = daily.groupBy(key_col).agg(
         F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
     )
