@@ -58,6 +58,9 @@ _DEMOTED = (
     # composite of two scored queries (dedup_clusters + groupBy); its
     # oracle runs in pytest — parked outside the window by choice
     "dedup_apply",
+    # composite of dedup_clusters' closure + dataset_split's hash, both
+    # independently covered; oracle runs in pytest (same rationale)
+    "leakage_safe_split",
     # round 3: four slots freed for the new corpus-hygiene operators
     # (doc_repetition, doc_tfidf_topk, dedup_fuzzy_verify,
     # quality_weighted_sample) — each demotion is a variant whose operator

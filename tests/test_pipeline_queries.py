@@ -887,3 +887,41 @@ def test_corpus_mixture_caps_and_subsamples(spark):
         for r in REGISTRY["corpus_mixture"].fn(spark, SF_SMOKE).collect()
     }
     assert again == {(r.source, r.n_docs_kept, r.n_tokens_kept) for r in rows}
+
+
+def test_leakage_safe_split_clusters_co_travel(spark):
+    """Every near-dup pair must land in ONE split, and the property must
+    be non-vacuous: at least one pair exists that the doc-id hash split
+    WOULD have separated (i.e. the cluster split actually changed an
+    assignment)."""
+    from wrtd_etl_spark.dedup.ngram import ngram_jaccard_pairs
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.plans.pipeline_queries import _NGRAM_MAX_DF
+
+    split = {
+        r.doc_id: (r.split, r.cluster_id)
+        for r in REGISTRY["leakage_safe_split"].fn(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+    ).collect()
+    assert pairs  # the pair graph is non-empty on the testdata
+
+    def doc_hash_split(i):
+        b = (i * 2654435761) % 4294967296 % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    separated_by_doc_hash = 0
+    for p in pairs:
+        s1, c1 = split[p.id1]
+        s2, c2 = split[p.id2]
+        assert s1 == s2 and c1 == c2, (p.id1, p.id2)  # co-travel
+        if doc_hash_split(p.id1) != doc_hash_split(p.id2):
+            separated_by_doc_hash += 1
+    assert separated_by_doc_hash > 0  # the operator made a difference
+    # singleton docs keep the plain hash split (cluster_id == doc_id)
+    clustered = {p.id1 for p in pairs} | {p.id2 for p in pairs}
+    for d, (s, c) in split.items():
+        if d not in clustered:
+            assert c == d and s == doc_hash_split(d)

@@ -1407,3 +1407,63 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.09)
     ).otherwise(F.lit(0.01))
     return mixture_report(docs, w, _MIX_BUDGET)
+
+
+# Leakage-safe split: near-dup clusters co-travel. Splitting by doc hash
+# (dataset_split) puts ~19% of any near-dup pair across train/test — the
+# exact leakage contamination_check hunts; hashing the CLUSTER label
+# instead makes cross-split near-dup leakage structurally impossible.
+_LEAKAGE_SPLIT_ORACLE = rf"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}
+    ), edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION ALL
+        SELECT id2, id1 FROM pairs
+    ), reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ), labels AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ), lab AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 80
+                THEN 'train'
+                WHEN ((cluster_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM lab
+"""
+
+
+@register("leakage_safe_split", _LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split where near-duplicate CLUSTERS travel together:
+    the deterministic split hash is applied to the connected-component
+    label (min doc_id of the cluster), not the doc id — so a test doc can
+    never have a near-dup in train. Composite of two independently scored
+    operators (dedup_clusters closure + dataset_split hash); its own
+    oracle runs in pytest (parked outside the 50-slot window like
+    dedup_apply)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # CC iterates over the pair table several times — materialize the
+    # expensive ngram pair generation once (the dedup_apply lesson)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+    ).localCheckpoint(eager=False)
+    labels = dup_clusters(pairs, "id1", "id2").select("doc_id", "cluster_id")
+    lab = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    bucket = (F.col("cluster_id") * 2654435761) % 4294967296 % 100
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
