@@ -501,3 +501,72 @@ def test_gapfill_locf_semantics(spark):
     assert rows[("a", d(2024, 1, 2))].was_gap is True
     assert rows[("a", d(2024, 1, 1))].was_gap is False
     assert rows[("b", d(2024, 2, 1))].v == 1.0  # b never sees a's values
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    """Maintained rollup == full recomputation, for any batch split and
+    for groups appearing in only one side — the mergeability contract of
+    incremental aggregate maintenance."""
+    from wrtd_etl_spark.operators.rollup_merge import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    keys = ["o_orderstatus", "o_orderpriority"]
+    metrics = {
+        "n": ("count", "o_orderkey"),
+        "total": ("sum", "o_totalprice"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+    }
+    want = {
+        tuple(r[k] for k in keys): (r.n, r.total, r.lo, r.hi)
+        for r in aggregate_batch(orders, keys, metrics).collect()
+    }
+    # split so some groups exist in only one batch (status F is rare in
+    # the high-key half); fold three deltas into an empty-start rollup
+    cuts = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    rollup = aggregate_batch(cuts[0], keys, metrics)
+    for c in cuts[1:]:
+        rollup = merge_rollup(
+            rollup, aggregate_batch(c, keys, metrics), keys, metrics
+        )
+    got = {
+        tuple(r[k] for k in keys): (r.n, r.total, r.lo, r.hi)
+        for r in rollup.collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, total, lo, hi) in want.items():
+        gn, gtotal, glo, ghi = got[k]
+        assert gn == n and glo == lo and ghi == hi
+        assert abs(gtotal - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_rollup_merge_disjoint_and_empty_sides(spark):
+    """Groups present in only one side pass through unchanged; an empty
+    delta is the identity."""
+    from wrtd_etl_spark.operators.rollup_merge import (
+        aggregate_batch,
+        merge_rollup,
+    )
+
+    a = spark.createDataFrame([("x", 1.0), ("x", 3.0)], "k string, v double")
+    b = spark.createDataFrame([("y", 5.0)], "k string, v double")
+    metrics = {"n": ("count", "v"), "s": ("sum", "v"),
+               "lo": ("min", "v"), "hi": ("max", "v")}
+    ra = aggregate_batch(a, ["k"], metrics)
+    rb = aggregate_batch(b, ["k"], metrics)
+    merged = {r.k: (r.n, r.s, r.lo, r.hi)
+              for r in merge_rollup(ra, rb, ["k"], metrics).collect()}
+    assert merged == {"x": (2, 4.0, 1.0, 3.0), "y": (1, 5.0, 5.0, 5.0)}
+    empty = aggregate_batch(
+        spark.createDataFrame([], "k string, v double"), ["k"], metrics
+    )
+    ident = {r.k: (r.n, r.s, r.lo, r.hi)
+             for r in merge_rollup(ra, empty, ["k"], metrics).collect()}
+    assert ident == {"x": (2, 4.0, 1.0, 3.0)}
