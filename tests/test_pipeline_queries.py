@@ -55,6 +55,7 @@ def test_rows_only_queries_run(spark):
         "ann_ivf_kmeans_topk",
         "multimodal_decode",
         "semantic_dedup",
+        "ann_sq8_topk",
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
         assert df.count() >= 0  # runs to completion with a stable schema
@@ -925,3 +926,46 @@ def test_leakage_safe_split_clusters_co_travel(spark):
     for d, (s, c) in split.items():
         if d not in clustered:
             assert c == d and s == doc_hash_split(d)
+
+
+def test_sq8_quantized_topk_recall_and_rescore_exactness(spark):
+    """SQ8 search must (a) recall nearly all brute-force neighbors with
+    the default margin and (b) report EXACT cosine for every returned
+    pair (the rescore contract: approximation affects candidate choice,
+    never the reported similarity)."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k
+    from wrtd_etl_spark.similarity.quantized import quantized_top_k
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact_rows = brute_force_top_k(emb, probes, k=5).collect()
+    exact = {(r.probe_id, r.neighbor_id) for r in exact_rows}
+    exact_sims = {(r.probe_id, r.neighbor_id): r.sim for r in exact_rows}
+    got_rows = quantized_top_k(emb, probes, k=5).collect()
+    got = {(r.probe_id, r.neighbor_id) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall collapsed: {recall}"
+    for r in got_rows:
+        key = (r.probe_id, r.neighbor_id)
+        if key in exact_sims:
+            assert r.sim == exact_sims[key]  # bit-identical rescore
+
+
+def test_sq8_quantization_error_bound(spark):
+    """Dequantized values stay within half a quantization step of the
+    original in every dimension (the int8 linear-map contract)."""
+    import numpy as np
+
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.quantized import quantize, train_scales
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(100)
+    scales = train_scales(emb)
+    assert len(scales) == 64
+    rows = quantize(emb, scales).select("embedding", "qvec").collect()
+    s = np.array(scales)
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        q = np.array(r.qvec, dtype=np.float64)
+        assert np.all(np.abs(q * s - v) <= s * 0.5 + 1e-12)

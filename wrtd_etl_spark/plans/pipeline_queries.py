@@ -1467,3 +1467,16 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register("ann_sq8_topk", None)  # int8 rounding ties engine-specific
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k (similarity/quantized.py): int8 codes
+    score a 4x-smaller corpus, exact-cosine rescore of the shortlist.
+    Returned sims are bit-identical to brute force for shared pairs
+    (pinned in pytest with a recall floor)."""
+    from ..similarity.quantized import quantized_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    return quantized_top_k(emb, probes, k=5).orderBy("probe_id", "rank")
