@@ -1480,3 +1480,28 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return quantized_top_k(emb, probes, k=5).orderBy("probe_id", "rank")
+
+
+@register("bpe_tokenize", None)  # learned vocab is corpus/engine-specific
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real learned-subword tokenization (functions/bpe.py, Sennrich
+    arXiv:1508.07909): train 15 merges on a bounded sample (tokenizer
+    training is always sample-based in practice — the vocab is
+    persisted, not retrained per query), then tokenize the FULL corpus
+    with the broadcast ranks (zero-shuffle pandas UDF). Output: per-doc
+    BPE token count vs char count (the compression the vocab bought).
+    Truth model: tests/test_bpe.py pins the trainer merge-for-merge to
+    a pure-Python reference implementation."""
+    from ..functions.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(100), "text", 15)
+    return (
+        apply_bpe(docs, "text", merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
