@@ -85,6 +85,13 @@ _DEMOTED = (
     # (same operator, TPC-H tables); slot freed for corpus_mixture (new
     # op: per-source token-budget mixture sampling)
     "fs_survivors",
+    # new ops registered after the window fills: oracle runs in pytest
+    # (tests/test_testdata_queries.py parametrizes over ALL oracles)
+    "scd2_orders",  # SCD type-2 history build (operators/scd2.py)
+    "column_profile",  # single-scan column profiling (operators/profile.py)
+    "event_funnel",  # ordered funnel analysis (operators/funnel.py)
+    "price_histogram",  # equi-width histogram (operators/histogram.py)
+    "stream_session_windows",  # built-in session_window twin of scored event_sessions
 )
 
 

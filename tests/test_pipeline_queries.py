@@ -56,6 +56,7 @@ def test_rows_only_queries_run(spark):
         "multimodal_decode",
         "semantic_dedup",
         "ann_sq8_topk",
+        "bpe_tokenize",
     ):
         df = REGISTRY[name].fn(spark, SF_SMOKE)
         assert df.count() >= 0  # runs to completion with a stable schema

@@ -217,3 +217,28 @@ def test_distributed_cumsum_scans_fact_table_once(spark):
         assert "ReusedExchange" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_scd2_rebuild_is_single_exchange(spark):
+    """scd2_from_changelog promises ONE keyed shuffle: the change-point
+    filter and the interval-close windows share a (partition, order)
+    spec, so the plan must contain exactly one Exchange and one Sort."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.operators.scd2 import scd2_from_changelog
+
+    from .conftest import SF_SMOKE
+
+    log = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("st"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    plan = (
+        scd2_from_changelog(log, ["ck"], ["d", "k"], ["st"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan

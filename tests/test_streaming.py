@@ -20,6 +20,7 @@ _ORACLE = [
     "lookback_window",
     "stream_interval_join",
     "stream_windowed_counts",
+    "stream_session_windows",
 ]
 
 

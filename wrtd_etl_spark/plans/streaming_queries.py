@@ -183,3 +183,54 @@ def outbox_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     outbox = make_outbox(payload, "user_id")
     drained = drain_outbox(outbox, "user_id", send=None)
     return drained.select("user_id", "posted")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows via the BUILT-IN ``session_window``
+    (the streaming twin of the batch gaps-and-islands sessionize in
+    event_sessions): per-user sessions close after a 30-minute gap, the
+    watermark bounds open-session state. Spark defines the session as
+    [first_ts, last_ts + gap), exactly the island formulation the DuckDB
+    oracle uses — so the comparison pins the built-in operator's gap
+    semantics against the hand-rolled one."""
+    from ..streaming.dedup import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(sessions, spark, "complete")

@@ -1039,3 +1039,165 @@ def daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("d"),
     ).agg(_dsum(F.col("o_totalprice"), "rev"))
     return gapfill_daily(daily, "k", "d", ["rev"])
+
+
+@register(
+    "scd2_orders",
+    """
+    WITH log AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+               CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+        FROM orders
+    ), marked AS (
+        SELECT custkey, status, d, k,
+               LAG(status) OVER w AS prev,
+               ROW_NUMBER() OVER w AS rn
+        FROM log WINDOW w AS (PARTITION BY custkey ORDER BY d, k)
+    ), cp AS (
+        SELECT * FROM marked
+        WHERE rn = 1 OR prev IS DISTINCT FROM status
+    )
+    SELECT custkey, status, d AS valid_from,
+           LEAD(d) OVER w2 AS valid_to,
+           LEAD(d) OVER w2 IS NULL AS is_current
+    FROM cp WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k)
+    """,
+)
+def scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each customer's order status
+    (operators/scd2.py): consecutive equal statuses collapse into one
+    validity interval, the open interval is the current value. Replaces
+    the reference's last-value-only ``ON CONFLICT`` upsert
+    (functions.py:178-183) with queryable history. One keyed shuffle;
+    both windows share the (custkey, d, k) sort so the exchange is
+    reused."""
+    from ..operators.scd2 import scd2_from_changelog
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return scd2_from_changelog(
+        log, ["custkey"], ["d", "k"], ["status"]
+    ).select("custkey", "status", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "column_profile",
+    """
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift guard (operators/profile.py): per-column nulls /
+    exact distincts / min-max over orders in ONE scan (single agg +
+    expression unpivot — the DuckDB SUMMARIZE shape without per-column
+    rescans). The reference has no equivalent; its schema drift
+    surfaces as crashed polls (main.py bare except)."""
+    from ..operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    return profile_columns(
+        orders,
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t_1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT s1.user_id, t_1, MIN(e.ts) AS t_2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+         AND e.ts > s1.t_1
+        GROUP BY s1.user_id, t_1
+    ), s3 AS (
+        SELECT s2.user_id, t_1, t_2, MIN(e.ts) AS t_3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         AND e.ts > s2.t_2
+        GROUP BY s2.user_id, t_1, t_2
+    )
+    SELECT user_id, t_1, t_2, t_3,
+           CAST(t_1 IS NOT NULL AS BIGINT) + CAST(t_2 IS NOT NULL AS BIGINT)
+           + CAST(t_3 IS NOT NULL AS BIGINT) AS steps_completed
+    FROM s3
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user (operators/funnel.py):
+    first click strictly after first view, first purchase strictly after
+    that click. All stages keyed on user_id (one reused partitioning);
+    each stage scans only its type-filtered slice."""
+    from ..operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"])
+
+
+@register(
+    "price_histogram",
+    """
+    WITH c AS (
+        SELECT CASE
+                 WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+                 WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 21
+                 ELSE CAST(FLOOR(
+                     (CAST(o_totalprice AS DOUBLE) - 0.0)
+                     / ((600000.0 - 0.0) / 20)) AS BIGINT) + 1
+               END AS bucket,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY bucket
+    ), s AS (
+        SELECT UNNEST(generate_series(1, 20)) AS bucket
+    )
+    SELECT CAST(COALESCE(s.bucket, c.bucket) AS BIGINT) AS bucket,
+           COALESCE(n, 0) AS n
+    FROM s FULL JOIN c ON s.bucket = c.bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width order-price histogram (operators/histogram.py):
+    width_bucket in the scan stage, only 20 partial counts shuffle;
+    zero-count buckets kept dense via a range scaffold, SQL-standard
+    under/overflow buckets preserved. Fixed literal bounds so edges are
+    stable across incremental batches."""
+    from ..operators.histogram import equi_width_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equi_width_histogram(
+        orders, "o_totalprice", 20, bounds=(0.0, 600000.0)
+    ).select("bucket", "n")
