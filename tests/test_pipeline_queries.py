@@ -970,3 +970,26 @@ def test_sq8_quantization_error_bound(spark):
         v = np.array(r.embedding, dtype=np.float64)
         q = np.array(r.qvec, dtype=np.float64)
         assert np.all(np.abs(q * s - v) <= s * 0.5 + 1e-12)
+
+
+def test_sq8_numpy_quantizer_matches_expression_codes(spark):
+    """The in-batch numpy quantizer used by the search path must emit
+    bit-identical codes to the quantize() expression (the persisted-index
+    writer) — including the half-away-from-zero rounding rule."""
+    import numpy as np
+
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.quantized import (
+        _np_quantize,
+        quantize,
+        train_scales,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    scales = train_scales(emb)
+    rows = quantize(emb, scales).select("embedding", "qvec").collect()
+    s = np.array(scales)
+    V = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    got = _np_quantize(V, s)
+    want = np.stack([np.array(r.qvec, dtype=np.float64) for r in rows])
+    assert np.array_equal(got, want)
