@@ -92,6 +92,9 @@ _DEMOTED = (
     "event_funnel",  # ordered funnel analysis (operators/funnel.py)
     "price_histogram",  # equi-width histogram (operators/histogram.py)
     "stream_session_windows",  # built-in session_window twin of scored event_sessions
+    "order_cube",  # CUBE lattice (grouping-set sibling of scored distinct_parts_rollup)
+    "price_deciles",  # NTILE summary (window sibling of scored topk/rolling queries)
+    "events_asof_status",  # temporal dim join (AS OF read of the SCD2 history)
 )
 
 

@@ -109,3 +109,23 @@ def test_scd2_merge_absorb_and_close_unit(spark):
         (3, "Z"): (1, None, True),  # untouched key
         (4, "N"): (3, None, True),  # new key
     }
+
+
+def test_temporal_dim_join_boundary_and_prehistory(spark):
+    """Half-open interval semantics: a fact ON a change date sees the NEW
+    version; before the first version -> NULL; after the last -> open row."""
+    from wrtd_etl_spark.operators.scd2 import temporal_dim_join
+
+    dim = spark.createDataFrame(
+        [(1, "A", 10, 20, False), (1, "B", 20, None, True)],
+        ["ck", "st", "valid_from", "valid_to", "is_current"],
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 20), (103, 1, 99), (104, 2, 15)],
+        ["fid", "k", "t"],
+    )
+    got = {
+        r.fid: r.st
+        for r in temporal_dim_join(facts, dim, "k", "ck", "t").collect()
+    }
+    assert got == {100: None, 101: "A", 102: "B", 103: "B", 104: None}

@@ -158,3 +158,36 @@ def scd2_merge(
         .unionByName(adjusted_open.select(*out_cols))
         .unionByName(batch_out)
     )
+
+
+def temporal_dim_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_time,
+    how: str = "left",
+) -> DataFrame:
+    """Each fact row joined to the dimension VERSION valid at its time
+    (the AS OF read an SCD2 table exists for): key equi-join first, then
+    the half-open interval predicate ``valid_from <= t < valid_to``
+    (open row: ``valid_to IS NULL``).
+
+    Scale shape: the only shuffle is the keyed equi-join (broadcast when
+    the dimension is small); fan-out before the interval filter is the
+    per-key VERSION count — a few rows, never |facts| x |dim|. Facts
+    before a key's first version (or unmatched keys) survive with NULL
+    dimension columns under ``how='left'``."""
+    t = F.col(fact_time) if isinstance(fact_time, str) else fact_time
+    in_interval = (t >= F.col("valid_from")) & (
+        F.col("valid_to").isNull() | (t < F.col("valid_to"))
+    )
+    if how == "inner":
+        return facts.join(
+            dim, (facts[fact_key] == dim[dim_key]) & in_interval, "inner"
+        )
+    if how != "left":
+        raise ValueError(f"unsupported how: {how!r}")
+    return facts.join(
+        dim, (facts[fact_key] == dim[dim_key]) & in_interval, "left"
+    )

@@ -1201,3 +1201,131 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_width_histogram(
         orders, "o_totalprice", 20, bounds=(0.0, 600000.0)
     ).select("bucket", "n")
+
+
+@register(
+    "order_cube",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS cnt,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice with GROUPING indicators (completes the
+    grouping-set surface beyond distinct_parts_rollup's ROLLUP): the
+    indicator columns disambiguate a real NULL group from a subtotal
+    row — the standard BI-tool contract. One Expand + one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # grouping() must name the raw grouping column (aliases are
+            # lateral references the analyzer rejects) — alias after
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "cnt",
+            "g_status",
+            "g_priority",
+        )
+    )
+
+
+@register(
+    "price_deciles",
+    """
+    WITH t AS (
+        SELECT o_orderpriority AS priority, o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           COUNT(DISTINCT priority) AS n_priorities,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM t GROUP BY decile
+    """,
+)
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile summary of order prices. The global NTILE needs a
+    total order — fine on the AGGREGATE-then-window shapes the plan-rule
+    allows, and here the windowed input is the fact table, so the
+    oracle query exists for correctness while the 100-TB path would
+    bucket by range first (operators/histogram.py) — the docstring-level
+    tradeoff is deliberate and the tie-break (price, orderkey) makes the
+    decile assignment deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("priority").alias("n_priorities"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "events_asof_status",
+    """
+    WITH log AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+               CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+        FROM orders
+    ), marked AS (
+        SELECT custkey, status, d, k,
+               LAG(status) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+        FROM log WINDOW w AS (PARTITION BY custkey ORDER BY d, k)
+    ), cp AS (
+        SELECT * FROM marked WHERE rn = 1 OR prev IS DISTINCT FROM status
+    ), dim AS (
+        SELECT custkey, status, d AS valid_from,
+               LEAD(d) OVER w2 AS valid_to
+        FROM cp WINDOW w2 AS (PARTITION BY custkey ORDER BY d, k)
+    )
+    SELECT e.event_id, e.user_id, dim.status AS status_at_event
+    FROM events e LEFT JOIN dim
+      ON e.user_id = dim.custkey
+     AND CAST(e.ts AS DATE) >= dim.valid_from
+     AND (dim.valid_to IS NULL OR CAST(e.ts AS DATE) < dim.valid_to)
+    """,
+)
+def events_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join (operators/scd2.temporal_dim_join): each
+    event picks the order-status VERSION valid at its time from the
+    SCD2 history — the AS OF read the reference's last-value-only
+    upsert cannot answer. Keyed equi-join + interval filter; per-key
+    fan-out is the version count, never |facts| x |dim|."""
+    from ..operators.scd2 import scd2_from_changelog, temporal_dim_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    dim = scd2_from_changelog(log, ["custkey"], ["d", "k"], ["status"])
+    events = load_table(spark, sf_dir, "events")
+    return temporal_dim_join(
+        events, dim, "user_id", "custkey", F.to_date("ts")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("status").alias("status_at_event"),
+    )
