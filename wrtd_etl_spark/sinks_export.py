@@ -71,8 +71,10 @@ def write_sharded_jsonl(
         df, token_col, order_cols, bucket_col, target_tokens
     )
     # repartition on the shard id so each shard is written by one task
-    # (contiguous files, no tiny parts); shard count is data-derived
-    sharded = sharded.repartition("shard")
+    # (contiguous files, no tiny parts); shard count is data-derived.
+    # persist across the write and the manifest aggregate — without it
+    # the two actions each rerun the full prefix-sum pipeline
+    sharded = sharded.repartition("shard").persist()
     sharded.write.partitionBy("shard").json(path)
     stats = (
         sharded.groupBy("shard")
@@ -93,4 +95,5 @@ def write_sharded_jsonl(
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
     os.replace(mpath + ".tmp", mpath)
+    sharded.unpersist()
     return manifest

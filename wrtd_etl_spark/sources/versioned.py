@@ -28,6 +28,14 @@ Consequences, each tested:
 Manifest I/O is driver-side ``os``/``json`` — the same scale shape as any
 metastore commit: O(#files) metadata, never data-sized. Data moves only
 through executor-parallel ``df.write.parquet``.
+
+Concurrency contract: SINGLE WRITER, many readers. Readers are always
+consistent (a manifest never references in-flight files). Two racing
+writers degrade to last-write-wins on the version number — the losing
+commit's files are orphaned (reclaimed by ``vacuum``), never mixed into
+the winner's manifest; a serializable multi-writer log needs a
+put-if-absent commit primitive (the Delta/Iceberg catalog-service role),
+which a bare POSIX directory cannot provide.
 """
 
 from __future__ import annotations
