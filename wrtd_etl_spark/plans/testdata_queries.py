@@ -1256,23 +1256,40 @@ def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE decile summary of order prices. The global NTILE needs a
-    total order — fine on the AGGREGATE-then-window shapes the plan-rule
-    allows, and here the windowed input is the fact table, so the
-    oracle query exists for correctness while the 100-TB path would
-    bucket by range first (operators/histogram.py) — the docstring-level
-    tradeoff is deliberate and the tie-break (price, orderkey) makes the
-    decile assignment deterministic cross-engine."""
-    from pyspark.sql import Window
+    """NTILE decile summary of order prices WITHOUT a single-partition
+    global window: the global row index comes from the two-pass
+    distributed prefix sum (operators/prefix_sum.py) over a price-range
+    bucketing, and NTILE(10)'s exact bucket-size rule (first n%10
+    buckets get the extra row) is reproduced arithmetically from
+    (index, total). The DuckDB oracle uses the real NTILE — the match
+    pins the arithmetic. Tie-break (price, orderkey) makes the
+    assignment deterministic cross-engine."""
+    from ..operators.prefix_sum import distributed_cumsum
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     t = orders.select(
         F.col("o_orderpriority").alias("priority"),
         "o_totalprice",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        "o_orderkey",
+        F.lit(1).alias("__one"),
+        F.floor(F.col("o_totalprice") / 30000).alias("__pb"),
     )
-    return t.groupBy("decile").agg(
+    idx = distributed_cumsum(
+        t, "__one", ["o_totalprice", "o_orderkey"], "__pb", out_col="__idx"
+    )
+    total = orders.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    k = 10
+    q, r = F.col("__n") / k, F.col("__n") % k  # floor-div applied below
+    qf = F.floor(q)
+    cut = (qf + 1) * r  # rows in the first r (fat) buckets
+    i0 = F.col("__idx") - 1
+    decile = (
+        F.when(i0 < cut, F.floor(i0 / (qf + 1)))
+        .otherwise(r + F.floor((i0 - cut) / qf))
+        + 1
+    ).cast("long")
+    with_decile = idx.join(F.broadcast(total)).withColumn("decile", decile)
+    return with_decile.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("priority").alias("n_priorities"),
         F.min("o_totalprice").alias("lo"),
