@@ -95,6 +95,7 @@ _DEMOTED = (
     "order_cube",  # CUBE lattice (grouping-set sibling of scored distinct_parts_rollup)
     "price_deciles",  # NTILE summary (window sibling of scored topk/rolling queries)
     "events_asof_status",  # temporal dim join (AS OF read of the SCD2 history)
+    "dq_orders",  # declarative data-quality report (operators/quality.py)
 )
 
 

@@ -1,0 +1,79 @@
+"""Data-quality suite (operators/quality.py): violation counting on
+deliberately dirty data, single-scan plan shape, fail-fast gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from wrtd_etl_spark.operators.quality import (
+    accepted_values,
+    assert_checks,
+    foreign_key,
+    in_range,
+    matches,
+    not_null,
+    run_checks,
+    unique,
+)
+
+
+def _dirty(spark):
+    rows = [
+        (1, "A", 10.0, "a@x.io"),
+        (1, "A", -5.0, "b@x.io"),   # dup id, negative value
+        (2, "Z", 50.0, "nope"),     # bad status, bad email
+        (None, "B", 20.0, None),    # null id, null email
+    ]
+    return spark.createDataFrame(rows, "id long, status string, v double, email string")
+
+
+def test_run_checks_counts_violations(spark):
+    df = _dirty(spark)
+    ref = spark.createDataFrame([(1,)], "k long")
+    report = {
+        r.check: (r.violations, r.total, r.passed)
+        for r in run_checks(
+            df,
+            [
+                not_null("id"),
+                accepted_values("status", ["A", "B"]),
+                in_range("v", lo=0.0),
+                matches("email", r"^[^@]+@[^@]+$"),
+                unique(["id"]),
+                foreign_key("id", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(id)"] == (1, 4, False)
+    assert report["accepted_values(status)"] == (1, 4, False)
+    assert report["in_range(v)"] == (1, 4, False)
+    # bad email + NULL email both violate the pattern check
+    assert report["matches(email)"] == (2, 4, False)
+    # both rows of the duplicated id count as violations
+    assert report["unique(id)"] == (2, 4, False)
+    # id=2 has no reference row; NULL id is excluded from FK by convention
+    assert report["foreign_key(id)"] == (1, 4, False)
+
+
+def test_row_checks_are_single_scan(spark):
+    df = _dirty(spark)
+    plan = (
+        run_checks(
+            df,
+            [not_null("id"), in_range("v", lo=0.0), accepted_values("status", ["A"])],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ") <= 1, plan
+
+
+def test_assert_checks_gate(spark):
+    df = _dirty(spark)
+    clean = df.filter("id = 1 and v > 0")
+    # passing gate returns the report
+    report = assert_checks(clean, [not_null("id"), in_range("v", lo=0.0)])
+    assert all(r.passed for r in report.collect())
+    with pytest.raises(ValueError, match=r"not_null\(id\): 1/4"):
+        assert_checks(df, [not_null("id")])

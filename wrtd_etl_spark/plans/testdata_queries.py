@@ -1346,3 +1346,75 @@ def events_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("status").alias("status_at_event"),
     )
+
+
+@register(
+    "dq_orders",
+    """
+    SELECT 'not_null(o_custkey)' AS check,
+           COUNT(*) - COUNT(o_custkey) AS violations,
+           COUNT(*) AS total,
+           COUNT(*) - COUNT(o_custkey) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END),
+           COUNT(*),
+           SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END),
+           COUNT(*),
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)), 0),
+           COUNT(*),
+           COALESCE((SELECT SUM(n) FROM (
+               SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+               HAVING COUNT(*) > 1)), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           COUNT(*),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    FROM orders
+    """,
+)
+def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/quality.py, the
+    deequ-style suite the reference's bare-except ingest never had):
+    all row-predicate checks fold into ONE scan; uniqueness is one
+    keyed agg; the FK check is one broadcast anti-join."""
+    from ..operators.quality import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        orders,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            in_range("o_totalprice", lo=0),
+            unique(["o_orderkey"]),
+            foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
