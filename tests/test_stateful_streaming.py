@@ -358,3 +358,48 @@ def test_stream_quota_tws_variant_when_runnable(spark):
     stream = read_documents_stream(spark, SF_SMOKE)
     result = run_available_now(cap_per_source_stream_tws(stream, 10), spark, "append")
     assert result.groupBy("source").count().agg({"count": "max"}).collect()[0][0] <= 10
+
+
+def test_resilient_sender_retries_and_dead_letters(spark, tmp_path):
+    """Transient failures retry with backoff; poison rows land in the
+    DLQ with the error attached and do NOT block the rest of the batch."""
+    import json
+    import os
+
+    from wrtd_etl_spark.streaming.foreach_sink import make_resilient_sender
+
+    rows = spark.createDataFrame(
+        [(1, "ok"), (2, "flaky"), (3, "poison"), (4, "ok")], "id long, kind string"
+    ).collect()
+    delivered, attempts, sleeps = [], {}, []
+
+    def send(epoch_id, row):
+        attempts[row.id] = attempts.get(row.id, 0) + 1
+        if row.kind == "poison":
+            raise RuntimeError("undeliverable")
+        if row.kind == "flaky" and attempts[row.id] < 2:
+            raise TimeoutError("transient")
+        delivered.append(row.id)
+
+    dlq = str(tmp_path / "dlq")
+    sender = make_resilient_sender(
+        send, dlq, max_attempts=3, backoff_s=0.01, sleeper=sleeps.append
+    )
+    sender(7, rows)
+    assert delivered == [1, 2, 4]
+    assert attempts == {1: 1, 2: 2, 3: 3, 4: 1}
+    # backoff doubled: flaky slept once, poison twice
+    assert sleeps == [0.01, 0.01, 0.02]
+    dead = [
+        json.loads(line)
+        for line in open(os.path.join(dlq, "epoch=7.jsonl"))
+    ]
+    assert [d["id"] for d in dead] == ["3"]
+    assert "undeliverable" in dead[0]["__error"]
+    assert dead[0]["__epoch_id"] == 7
+    # DLQ reads back through Spark for replay
+    back = spark.read.json(os.path.join(dlq, "*.jsonl"))
+    assert back.count() == 1
+    # all-success batch writes no DLQ file
+    sender(8, [r for r in rows if r.kind == "ok"])
+    assert not os.path.exists(os.path.join(dlq, "epoch=8.jsonl"))

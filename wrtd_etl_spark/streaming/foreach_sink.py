@@ -45,3 +45,59 @@ def send_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_resilient_sender(
+    send: Callable[[int, object], None],
+    dlq_dir: str,
+    max_attempts: int = 3,
+    backoff_s: float = 0.1,
+    sleeper: Callable[[float], None] | None = None,
+):
+    """Wrap a per-row ``send(epoch_id, row)`` with bounded exponential
+    backoff and a dead-letter queue — the failure half the reference's
+    poll loop handles with a bare except (bot/botrun.py): a transient
+    send error must retry, a poison row must NOT wedge the stream.
+
+    Rows that still fail after ``max_attempts`` are appended to
+    ``dlq_dir/epoch=<id>.jsonl`` (one file per micro-batch — atomic via
+    tmp+rename, readable back with ``spark.read.json`` for replay) with
+    the last error attached; delivery of the REST of the batch
+    continues. ``sleeper`` is injectable so tests don't sleep.
+
+    Returns a batch sender compatible with :func:`send_stream`'s
+    ``send`` argument. At-least-once semantics are unchanged — the DLQ
+    only narrows redelivery to genuinely undeliverable rows."""
+    import json
+    import os
+    import time
+
+    do_sleep = sleeper if sleeper is not None else time.sleep
+
+    def resilient(epoch_id: int, rows: list) -> None:
+        dead = []
+        for row in rows:
+            err = None
+            for attempt in range(max_attempts):
+                try:
+                    send(epoch_id, row)
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001 - DLQ is the handler
+                    err = e
+                    if attempt + 1 < max_attempts:
+                        do_sleep(backoff_s * (2**attempt))
+            if err is not None:
+                dead.append((row, err))
+        if dead:
+            os.makedirs(dlq_dir, exist_ok=True)
+            path = os.path.join(dlq_dir, f"epoch={epoch_id}.jsonl")
+            with open(path + ".tmp", "w") as f:
+                for row, err in dead:
+                    doc = {k: str(v) for k, v in row.asDict().items()}
+                    doc["__error"] = f"{type(err).__name__}: {err}"
+                    doc["__epoch_id"] = epoch_id
+                    f.write(json.dumps(doc) + "\n")
+            os.replace(path + ".tmp", path)
+
+    return resilient
