@@ -101,3 +101,62 @@ def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
     write_snapshot(spark.range(2).withColumnRenamed("id", "v"), t2)
     write_snapshot(spark.range(2).withColumnRenamed("id", "v"), t2)
     assert vacuum(t2, keep_last=2) == []
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import compact, data_file_count
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        write_snapshot(
+            spark.range(lo, lo + 5).repartition(4).withColumnRenamed("id", "v"),
+            t,
+            mode="append" if lo else "overwrite",
+        )
+    before = data_file_count(t)
+    assert before >= 12  # 3 appends x 4 files
+    v = compact(spark, t, target_files=1)
+    assert v == 3
+    assert data_file_count(t) == 1
+    assert _vals(read_snapshot(spark, t)) == list(range(5)) + list(
+        range(10, 15)
+    ) + list(range(20, 25))
+    # pre-compaction version still time-travels with the OLD layout
+    assert data_file_count(t, version=2) == before
+    assert _vals(read_snapshot(spark, t, version=2)) == _vals(
+        read_snapshot(spark, t)
+    )
+    assert history(t)[0]["mode"] == "compact"
+    # retention: vacuum drops the small files, compacted table unharmed
+    deleted = vacuum(t, keep_last=1)
+    assert len(deleted) == before
+    assert len(_vals(read_snapshot(spark, t))) == 15
+
+
+def test_append_schema_evolution_merges_columns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    import pyspark.sql.functions as F
+
+    write_snapshot(
+        spark.range(10, 12)
+        .withColumnRenamed("id", "v")
+        .withColumn("extra", F.lit("x")),
+        t,
+        mode="append",
+    )
+    got = read_snapshot(spark, t)
+    assert set(got.columns) == {"v", "extra"}
+    rows = {r.v: r.extra for r in got.collect()}
+    assert rows[10] == "x" and rows[0] is None  # old rows NULL-fill
+    # non-evolved tables never pay the mergeSchema footer pass
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(spark.range(2).withColumnRenamed("id", "v"), t2)
+    write_snapshot(
+        spark.range(2).withColumnRenamed("id", "v"), t2, mode="append"
+    )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t2, "_manifests", "v1.json")) as f:
+        assert _json.load(f)["schema_evolved"] is False

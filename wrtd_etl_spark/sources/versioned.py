@@ -73,14 +73,31 @@ def latest_version(table: str) -> int | None:
     return _read_pointer(table)
 
 
+def manifest_info(table: str, version: int | None = None) -> dict:
+    """The (latest unless given) manifest minus the file list — version,
+    mode, parent, schema, committed_at, and caller ``extra``."""
+    if version is None:
+        version = _read_pointer(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+    m = dict(_read_manifest(table, version))
+    m.pop("files", None)
+    return m
+
+
 def write_snapshot(
-    df: DataFrame, table: str, mode: str = "overwrite"
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
     ``mode='append'`` carries the previous version's files forward;
     ``'overwrite'`` starts the file list fresh. Either way old data
-    files are untouched (immutable) until ``vacuum``."""
+    files are untouched (immutable) until ``vacuum``. ``extra`` is
+    JSON-serializable caller metadata stored in the manifest (e.g. the
+    source versions a materialized view was built from)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode!r}")
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
@@ -95,8 +112,17 @@ def write_snapshot(
 
     prev = _read_pointer(table)
     files = list(new_files)
+    evolved = False
     if mode == "append" and prev is not None:
-        files = _read_manifest(table, prev)["files"] + files
+        prev_manifest = _read_manifest(table, prev)
+        files = prev_manifest["files"] + files
+        # schema evolution: an append whose schema differs from the
+        # previous version's marks the manifest, and read_snapshot turns
+        # on parquet mergeSchema ONLY then (footer-merging every read of
+        # every table would be pure overhead at 100 TB)
+        evolved = bool(prev_manifest.get("schema_evolved")) or (
+            prev_manifest["schema"] != df.schema.jsonValue()
+        )
     version = 0 if prev is None else prev + 1
     manifest = {
         "version": version,
@@ -104,7 +130,9 @@ def write_snapshot(
         "parent": prev,
         "files": files,
         "schema": df.schema.jsonValue(),
+        "schema_evolved": evolved,
         "committed_at": time.time(),
+        "extra": extra or {},
     }
     # write order IS the crash contract: data files exist, then the
     # manifest, then the pointer swap; a crash anywhere before os.replace
@@ -134,7 +162,10 @@ def read_snapshot(
         return spark.createDataFrame(
             [], schema="struct<>"  # pragma: no cover - empty commit edge
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if manifest.get("schema_evolved"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def history(table: str) -> list[dict]:
@@ -205,3 +236,54 @@ def vacuum(table: str, keep_last: int = 1) -> list[str]:
         if not any(f.endswith(".parquet") for f in os.listdir(snap_dir)):
             shutil.rmtree(snap_dir)
     return sorted(deleted)
+
+
+def compact(
+    spark: SparkSession, table: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the LATEST version's data into ``target_files``
+    coalesced files and commit the rewrite as a new version.
+
+    Append-heavy tables (one file set per micro-batch under
+    streaming/cdc.py) accumulate small files until scan planning is
+    dominated by per-file overhead — the standard lakehouse fix is a
+    background rewrite that changes the FILE LAYOUT but not the rows.
+    Readers are never disturbed: the rewrite commits through the same
+    manifest pointer swap, old versions still reference the old files
+    (time travel intact), and ``vacuum`` reclaims them once retention
+    allows."""
+    df = read_snapshot(spark, table)
+    snap_id = uuid.uuid4().hex
+    data_dir = os.path.join(table, "data", snap_id)
+    df.coalesce(target_files).write.parquet(data_dir)
+    files = sorted(
+        os.path.join("data", snap_id, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    prev = _read_pointer(table)
+    version = prev + 1
+    manifest = {
+        "version": version,
+        "mode": "compact",
+        "parent": prev,
+        "files": files,
+        "schema": df.schema.jsonValue(),
+        "committed_at": time.time(),
+    }
+    mpath = _manifest_path(table, version)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    ppath = os.path.join(table, _LATEST)
+    with open(ppath + ".tmp", "w") as f:
+        f.write(str(version))
+    os.replace(ppath + ".tmp", ppath)
+    return version
+
+
+def data_file_count(table: str, version: int | None = None) -> int:
+    """Number of data files the (latest unless given) manifest references."""
+    if version is None:
+        version = _read_pointer(table)
+    return len(_read_manifest(table, version)["files"])
