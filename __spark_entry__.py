@@ -96,6 +96,7 @@ _DEMOTED = (
     "price_deciles",  # NTILE summary (window sibling of scored topk/rolling queries)
     "events_asof_status",  # temporal dim join (AS OF read of the SCD2 history)
     "dq_orders",  # declarative data-quality report (operators/quality.py)
+    "heavy_hitter_tokens",  # MG sketch+verify heavy hitters (operators/heavy_hitters.py)
 )
 
 

@@ -570,3 +570,50 @@ def test_rollup_merge_disjoint_and_empty_sides(spark):
     ident = {r.k: (r.n, r.s, r.lo, r.hi)
              for r in merge_rollup(ra, empty, ["k"], metrics).collect()}
     assert ident == {"x": (2, 4.0, 1.0, 3.0)}
+
+
+def test_heavy_hitters_exact_vs_naive_on_skewed_data(spark):
+    """Sketch+verify must equal the naive groupBy answer exactly — on a
+    skewed distribution spread across many partitions, including an item
+    sitting just UNDER the threshold."""
+    import pyspark.sql.functions as F
+
+    from wrtd_etl_spark.operators.heavy_hitters import heavy_hitters
+
+    n = 10_000
+    # id%97 spreads values; value distribution: one giant (40%), one at
+    # ~2%, a sub-threshold one at ~0.9%, long uniform tail
+    df = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.when(F.col("id") % 10 < 4, F.lit("giant"))
+            .when(F.col("id") % 50 == 4, F.lit("mid"))      # 2%
+            .when(F.col("id") % 1000 < 9, F.lit("under"))   # 0.9%
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 997)))
+            .alias("v")
+        )
+    )
+    got = {r.v: r.cnt for r in heavy_hitters(df, "v", phi=0.01).collect()}
+    naive = {
+        r.v: r["count"]
+        for r in df.groupBy("v").count().collect()
+        if r["count"] >= -(-n // 100)  # ceil(0.01 * n)
+    }
+    assert got == naive
+    assert "giant" in got and "mid" in got and "under" not in got
+
+
+def test_heavy_hitters_null_and_phi_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from wrtd_etl_spark.operators.heavy_hitters import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], ["v"]
+    )
+    got = {r.v: r.cnt for r in heavy_hitters(df, "v", phi=0.5).collect()}
+    assert got == {"a": 2}  # NULLs excluded from both counts and total
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "v", phi=0.0)

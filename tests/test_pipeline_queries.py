@@ -37,6 +37,7 @@ _PIPELINE_ORACLE = [
     "quality_weighted_sample",
     "dedup_substring",
     "corpus_mixture",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -1505,3 +1505,32 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    r"""
+    WITH toks AS (
+        SELECT unnest(
+            regexp_split_to_array(lower(trim(text)), '\s+')
+        ) AS token
+        FROM documents WHERE text IS NOT NULL
+    ), n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT token, COUNT(*) AS cnt
+    FROM toks GROUP BY token
+    HAVING COUNT(*) >= (SELECT CAST(CEIL(0.01 * total) AS BIGINT) FROM n)
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens making up >=1% of the corpus via Misra-Gries partial
+    summaries + exact verification (operators/heavy_hitters.py): only
+    (#partitions x k) candidates shuffle, never the vocabulary — the
+    scalable twin of corpus_vocab's full groupBy, with EXACT counts (so
+    the plain GROUP BY ... HAVING SQL is the oracle)."""
+    from ..operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", phi=0.01)
