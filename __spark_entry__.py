@@ -97,6 +97,7 @@ _DEMOTED = (
     "events_asof_status",  # temporal dim join (AS OF read of the SCD2 history)
     "dq_orders",  # declarative data-quality report (operators/quality.py)
     "heavy_hitter_tokens",  # MG sketch+verify heavy hitters (operators/heavy_hitters.py)
+    "orders_reconcile",  # keyed table diff / migration verify (operators/diff.py)
 )
 
 

@@ -617,3 +617,26 @@ def test_heavy_hitters_null_and_phi_validation(spark):
     assert got == {"a": 2}  # NULLs excluded from both counts and total
     with _pytest.raises(ValueError):
         heavy_hitters(df, "v", phi=0.0)
+
+
+def test_table_digest_order_invariant_and_change_sensitive(spark):
+    from wrtd_etl_spark.operators.diff import table_digest
+
+    df = spark.range(1000).selectExpr("id", "id % 7 as g", "cast(id * 1.5 as double) as v")
+    d1 = table_digest(df)
+    d2 = table_digest(df.repartition(13).sortWithinPartitions("g"))
+    assert d1 == d2  # partitioning/order free
+    d3 = table_digest(df.withColumn("v", F.when(F.col("id") == 500, 0.0).otherwise(F.col("v"))))
+    assert d3 != d1  # single-row change flips the digest
+    d4 = table_digest(df.filter("id <> 500"))
+    assert d4 != d1 and d4["n"] == 999
+
+
+def test_table_diff_empty_on_identical_inputs(spark):
+    from wrtd_etl_spark.operators.diff import table_diff
+
+    df = spark.range(100).selectExpr("id", "id % 3 as s")
+    assert table_diff(df, df.repartition(7), ["id"]).count() == 0
+    # NULL-valued tracked columns compare null-safely (no phantom change)
+    n = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
+    assert table_diff(n, n, ["id"]).count() == 0

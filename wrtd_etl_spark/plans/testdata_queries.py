@@ -1418,3 +1418,54 @@ def dq_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@register(
+    "orders_reconcile",
+    """
+    WITH a AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ), b AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                THEN 'changed' END AS change
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE CASE WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                 OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+               THEN 'changed' END IS NOT NULL
+    """,
+)
+def orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table reconciliation (operators/diff.table_diff): the
+    migration-verification primitive — emits only added/removed/changed
+    keys from a co-partitioned full outer join; the empty result is the
+    equality proof. The two sides are deterministic derivations of
+    orders (dropped keys + doubled prices) so the FULL JOIN SQL is an
+    exact oracle."""
+    from ..operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return table_diff(a, b, ["o_orderkey"])
