@@ -98,6 +98,8 @@ _DEMOTED = (
     "dq_orders",  # declarative data-quality report (operators/quality.py)
     "heavy_hitter_tokens",  # MG sketch+verify heavy hitters (operators/heavy_hitters.py)
     "orders_reconcile",  # keyed table diff / migration verify (operators/diff.py)
+    "lineitem_unpivot",  # UNPIVOT/melt (inverse of scored status_pivot)
+    "priority_price_windows",  # percent_rank/cume_dist/lag battery
 )
 
 

@@ -1469,3 +1469,66 @@ def orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return table_diff(a, b, ["o_orderkey"])
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    ) UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of status_pivot's PIVOT): wide metric
+    columns to (metric, value) rows via the built-in ``unpivot`` — a
+    scan-stage Expand, no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "priority_price_windows",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           o_totalprice - LAG(o_totalprice) OVER w AS delta_prev
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def priority_price_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window battery per priority partition: percent_rank,
+    cume_dist, and lag-delta over one shared (partition, order) spec —
+    one exchange + one sort serves all three (the window-reuse shape
+    the plan tests pin for scd2). Both ranks are exact IEEE fractions
+    of integer counts, so they hash-match cross-engine."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+            "delta_prev"
+        ),
+    )
