@@ -640,3 +640,54 @@ def test_table_diff_empty_on_identical_inputs(spark):
     # NULL-valued tracked columns compare null-safely (no phantom change)
     n = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
     assert table_diff(n, n, ["id"]).count() == 0
+
+
+def test_rollup_merge_distinct_sketch_folds_across_batches(spark):
+    """Incremental distinct counting: HLL sketch components folded over
+    3 date-split batches must estimate the same distinct-customer count
+    per priority as a one-shot aggregation — and both within 2% of the
+    exact answer."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.operators.rollup_merge import (
+        aggregate_batch,
+        estimate_distinct,
+        merge_rollup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+    ).cache()
+    metrics = {"cust_sketch": ("distinct", "o_custkey")}
+    days = sorted(r.d for r in orders.select("d").distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    batches = [
+        orders.filter(F.col("d") <= F.lit(cuts[0])),
+        orders.filter((F.col("d") > F.lit(cuts[0])) & (F.col("d") <= F.lit(cuts[1]))),
+        orders.filter(F.col("d") > F.lit(cuts[1])),
+    ]
+    rollup = aggregate_batch(batches[0], ["g"], metrics)
+    for b in batches[1:]:
+        rollup = merge_rollup(rollup, aggregate_batch(b, ["g"], metrics), ["g"], metrics)
+    folded = {
+        r.g: r.est
+        for r in rollup.select(
+            "g", estimate_distinct(F.col("cust_sketch")).alias("est")
+        ).collect()
+    }
+    oneshot = {
+        r.g: r.est
+        for r in aggregate_batch(orders, ["g"], metrics)
+        .select("g", estimate_distinct(F.col("cust_sketch")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.g: r.n
+        for r in orders.groupBy("g").agg(F.countDistinct("o_custkey").alias("n")).collect()
+    }
+    assert set(folded) == set(exact)
+    for g, n in exact.items():
+        assert abs(folded[g] - n) <= max(2, 0.02 * n), (g, folded[g], n)
+        assert abs(oneshot[g] - n) <= max(2, 0.02 * n), (g, oneshot[g], n)

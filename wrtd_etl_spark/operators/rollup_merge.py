@@ -47,7 +47,26 @@ _MERGES = {
     ),
     "min": (lambda c: F.min(c), lambda a, b: F.least(a, b)),
     "max": (lambda c: F.max(c), lambda a, b: F.greatest(a, b)),
+    # distinct counts CAN be maintained incrementally — as a mergeable
+    # HLL sketch (Apache DataSketches via the built-in hll_* functions),
+    # the one aggregate the count/sum/min/max component set can't
+    # express. State per group is the ~KB sketch; read the estimate at
+    # query time with estimate_distinct() (same read-time rule as avg).
+    "distinct": (
+        lambda c: F.hll_sketch_agg(c),
+        lambda a, b: (
+            F.when(a.isNull(), b)
+            .when(b.isNull(), a)
+            .otherwise(F.hll_union(a, b))
+        ),
+    ),
 }
+
+
+def estimate_distinct(col) -> "F.Column":
+    """Read-time estimate for a 'distinct'-kind rollup column (~2% HLL
+    error at the default lgK)."""
+    return F.hll_sketch_estimate(col)
 
 
 def aggregate_batch(
