@@ -100,6 +100,7 @@ _DEMOTED = (
     "orders_reconcile",  # keyed table diff / migration verify (operators/diff.py)
     "lineitem_unpivot",  # UNPIVOT/melt (inverse of scored status_pivot)
     "priority_price_windows",  # percent_rank/cume_dist/lag battery
+    "props_json_stats",  # JSON-path extraction + grouped agg over events.props
 )
 
 

@@ -242,3 +242,30 @@ def test_scd2_rebuild_is_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort") == 1, plan
+
+
+def test_partitioned_write_gets_dynamic_partition_pruning(spark, tmp_path):
+    """The scale contract for partitioned fact tables: a join whose dim
+    side is filtered must prune fact PARTITIONS at runtime (DPP), not
+    scan them all. Proven from the physical plan's dynamicpruning
+    subquery on a priority-partitioned orders copy."""
+    from wrtd_etl_spark.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    fact_dir = str(tmp_path / "orders_part")
+    load_table(spark, SF_SMOKE, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("5-LOW", "low")], ["prio", "label"]
+    ).filter(F.col("label") == "urgent")
+    joined = fact.join(dim, fact["o_orderpriority"] == dim["prio"]).select(
+        "o_orderkey", "label"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruning works: only the matching partition's rows survive
+    n_urgent = fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert joined.count() == n_urgent

@@ -1532,3 +1532,35 @@ def priority_price_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_prev"
         ),
     )
+
+
+@register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                    THEN 1 ELSE 0 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying: JSON-path extraction from the events
+    ``props`` string column (get_json_object — evaluated in the scan
+    stage, JVM-side, so the JSON never reaches Python) feeding a
+    grouped aggregate. Extraction-failure rows are counted, not
+    dropped (the tolerant-scan contract)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = F.get_json_object("props", "$.k")
+    k = raw.cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        # missing = key absent PRE-cast (a non-numeric value is a cast
+        # failure, not a missing key — pinned to the oracle's semantics)
+        F.sum(F.when(raw.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
