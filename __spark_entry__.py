@@ -101,6 +101,7 @@ _DEMOTED = (
     "lineitem_unpivot",  # UNPIVOT/melt (inverse of scored status_pivot)
     "priority_price_windows",  # percent_rank/cume_dist/lag battery
     "props_json_stats",  # JSON-path extraction + grouped agg over events.props
+    "order_line_arrays",  # higher-order-function battery (transform/filter/aggregate)
 )
 
 

@@ -1564,3 +1564,64 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # failure, not a missing key — pinned to the oracle's semantics)
         F.sum(F.when(raw.isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@register(
+    "order_line_arrays",
+    """
+    WITH lines AS (
+        SELECT l_orderkey,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               l_linenumber
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    ), arrs AS (
+        SELECT l_orderkey,
+               list(cents ORDER BY l_linenumber) AS arr
+        FROM lines GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(arr) AS n_lines,
+           list_aggregate(arr, 'sum') AS total_cents,
+           list_aggregate(arr, 'max') AS max_cents,
+           len(list_filter(arr, x -> x > 5000000)) AS n_big,
+           list_aggregate(list_transform(arr, x -> x * 2), 'sum')
+               AS doubled_cents
+    FROM arrs
+    """,
+)
+def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery over per-order price arrays
+    (transform / filter / aggregate / array_max — the HOF surface that
+    keeps array logic JVM-side instead of exploding + reshuffling):
+    integer cents via the exact-sum idiom so every metric is
+    bit-identical to DuckDB's list_* twins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    arrs = (
+        li.select("l_orderkey", cents.alias("cents"), "l_linenumber")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "cents"))
+            ).alias("pairs")
+        )
+        .select(
+            "l_orderkey",
+            F.transform(F.col("pairs"), lambda p: p["cents"]).alias("arr"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return arrs.select(
+        "l_orderkey",
+        F.size("arr").cast("long").alias("n_lines"),
+        F.aggregate("arr", zero, lambda a, x: a + x).alias("total_cents"),
+        F.array_max("arr").alias("max_cents"),
+        F.size(F.filter("arr", lambda x: x > 5000000)).cast("long").alias(
+            "n_big"
+        ),
+        F.aggregate(
+            F.transform("arr", lambda x: x * 2), zero, lambda a, x: a + x
+        ).alias("doubled_cents"),
+    )
