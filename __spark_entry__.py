@@ -102,6 +102,7 @@ _DEMOTED = (
     "priority_price_windows",  # percent_rank/cume_dist/lag battery
     "props_json_stats",  # JSON-path extraction + grouped agg over events.props
     "order_line_arrays",  # higher-order-function battery (transform/filter/aggregate)
+    "calendar_revenue",  # time-dimension rollup (year/quarter/dow pinned cross-engine)
 )
 
 

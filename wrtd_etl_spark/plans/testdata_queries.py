@@ -1625,3 +1625,34 @@ def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("arr", lambda x: x * 2), zero, lambda a, x: a + x
         ).alias("doubled_cents"),
     )
+
+
+@register(
+    "calendar_revenue",
+    f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           COUNT(*) AS n_orders,
+           {_DSUM_SQL.format(expr="o_totalprice")} AS revenue
+    FROM orders
+    GROUP BY yr, qtr, dow
+    """,
+)
+def calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension rollup (year / quarter / day-of-week). The
+    cross-engine trap is pinned explicitly: Spark ``dayofweek`` is
+    1-7 Sunday-first, DuckDB's is 0-6 Sunday-first — the oracle adds 1
+    rather than either side silently disagreeing. Revenue uses the
+    exact-integer sum idiom (module docstring)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.to_date("o_orderdate")
+    )
+    return orders.groupBy(
+        F.year("d").cast("long").alias("yr"),
+        F.quarter("d").cast("long").alias("qtr"),
+        F.dayofweek("d").cast("long").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "revenue"),
+    )
