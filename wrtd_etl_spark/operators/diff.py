@@ -39,9 +39,11 @@ def table_digest(df: DataFrame, cols: list[str] | None = None) -> dict:
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(h).alias("xor"),
-        # wrapping sum: keep the low 64 bits via BIGINT overflow-free
-        # accumulation of the hash split into two 32-bit halves
-        F.sum(h % F.lit(2**31)).alias("lo"),
+        # second independent combine: SUM of a 20-bit residue. The
+        # modulus bounds the accumulator at 2^20 * rows, so the BIGINT
+        # sum cannot overflow (ANSI would raise, non-ANSI would wrap
+        # silently) below ~8.7e12 rows — far past any single table here
+        F.sum(h % F.lit(2**20)).alias("lo"),
     ).first()
     return {"n": row["n"], "xor": row["xor"], "sum": row["lo"]}
 
