@@ -88,3 +88,26 @@ def test_streaming_e2e_single_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between write_snapshot and
+    the checkpoint commit re-delivers the SAME batch (same batch_id) on
+    restart. Re-folding it would close each open row at a valid_from
+    earlier than its own — the manifest-recorded batch_id must turn the
+    replay into a no-op instead."""
+    table = str(tmp_path / "dim")
+    log = _log(spark)
+    days = sorted(r.d for r in log.select("d").distinct().collect())
+    cut = days[len(days) // 2]
+    b0 = log.filter(F.col("d") <= F.lit(cut))
+    b1 = log.filter(F.col("d") > F.lit(cut))
+    fold = make_scd2_batch_folder(table, ["ck"], ["d", "k"], ["st"])
+    fold(b0, 0)
+    fold(b0, 0)  # bootstrap-batch replay
+    assert [h["version"] for h in history(table)] == [0]
+    fold(b1, 1)
+    before = sorted(map(_key, read_snapshot(spark, table).collect()))
+    fold(b1, 1)  # replayed delivery of the latest batch
+    assert [h["version"] for h in history(table)] == [1, 0]
+    assert sorted(map(_key, read_snapshot(spark, table).collect())) == before

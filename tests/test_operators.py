@@ -691,3 +691,69 @@ def test_rollup_merge_distinct_sketch_folds_across_batches(spark):
     for g, n in exact.items():
         assert abs(folded[g] - n) <= max(2, 0.02 * n), (g, folded[g], n)
         assert abs(oneshot[g] - n) <= max(2, 0.02 * n), (g, oneshot[g], n)
+
+
+def test_zorder_key_constant_dimension_clamps_instead_of_null(spark):
+    """A constant dimension (min == max) must hit the degenerate-span
+    guard on BOTH bounds paths: Column bounds used to divide by zero and
+    yield NULL z-keys (ADVICE r3), diverging from the literal-bounds
+    clamp."""
+    from wrtd_etl_spark.operators.zorder import zorder_key
+
+    df = spark.range(8).select(
+        F.lit(5.0).alias("c"), F.col("id").cast("double").alias("v")
+    )
+    b = df.agg(
+        F.min("c").alias("lo1"),
+        F.max("c").alias("hi1"),
+        F.min("v").alias("lo2"),
+        F.max("v").alias("hi2"),
+    )
+    z_col = zorder_key(
+        [F.col("c"), F.col("v")],
+        [(F.col("lo1"), F.col("hi1")), (F.col("lo2"), F.col("hi2"))],
+    )
+    got = {
+        r.v: r.z
+        for r in df.crossJoin(F.broadcast(b)).select("v", z_col.alias("z")).collect()
+    }
+    assert all(z is not None for z in got.values())
+    # and agrees with the (already-guarded) literal-bounds path
+    z_lit = zorder_key([F.col("c"), F.col("v")], [(5.0, 5.0), (0.0, 7.0)])
+    want = {r.v: r.z for r in df.select("v", z_lit.alias("z")).collect()}
+    assert got == want
+
+
+def test_heavy_hitters_exact_phi_boundary(spark):
+    """An item whose count sits EXACTLY on phi*n must be returned:
+    phi=0.01, n=300 → threshold 3, but ceil-of-double gave
+    ceil(3.0000000000000004) = 4 (ADVICE r3). The integer-rational
+    comparison has no such 1-ulp boundary."""
+    from wrtd_etl_spark.operators.heavy_hitters import heavy_hitters
+
+    vals = ["a"] * 3 + [f"x{i}" for i in range(297)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.v: r.cnt for r in heavy_hitters(df, "v", phi=0.01).collect()}
+    assert got.get("a") == 3
+    assert all(v == "a" for v in got)
+
+
+def test_mixture_report_includes_zero_kept_sources(spark):
+    """A source whose sampling fraction keeps zero documents must still
+    appear in the report (n_docs_kept = 0) — silently dropping the
+    worst-affected source defeats the report's contract (ADVICE r3)."""
+    from wrtd_etl_spark.operators.mixture import mixture_report
+
+    # doc_ids 1..5 all have Knuth-hash uniforms >= 0.09, so frac=0.002
+    # deterministically keeps none of them
+    rows = [(i, "rare", "w " * 10) for i in range(1, 6)] + [
+        (100 + i, "bulk", "w " * 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = F.when(F.col("source") == "rare", F.lit(0.001)).otherwise(F.lit(0.999))
+    rep = {r.source: r for r in mixture_report(df, w, 100).collect()}
+    assert set(rep) == {"rare", "bulk"}
+    assert rep["rare"].n_docs_kept == 0
+    assert rep["rare"].n_tokens_kept == 0
+    assert rep["rare"].frac < 0.01 and rep["rare"].shortfall == 0.0
+    assert rep["bulk"].n_docs_kept > 0

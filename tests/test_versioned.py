@@ -160,3 +160,38 @@ def test_append_schema_evolution_merges_columns(spark, tmp_path):
 
     with open(_os.path.join(t2, "_manifests", "v1.json")) as f:
         assert _json.load(f)["schema_evolved"] is False
+
+
+def test_rollback_carries_schema_evolution_and_extra(spark, tmp_path):
+    """Restoring an append-evolved version must keep mergeSchema on (or
+    the evolved columns silently vanish) and carry the target's extra
+    metadata; a later append must inherit evolved=True."""
+    from wrtd_etl_spark.sources.versioned import manifest_info
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "v long, s string"),
+        t,
+        extra={"tag": "base"},
+    )
+    write_snapshot(
+        spark.createDataFrame([(2, "b", 9.5)], "v long, s string, x double"),
+        t,
+        mode="append",
+        extra={"tag": "evolved"},
+    )
+    assert manifest_info(t)["schema_evolved"] is True
+    # v2: plain overwrite drops back to a narrow schema
+    write_snapshot(spark.createDataFrame([(3, "c")], "v long, s string"), t)
+    v = rollback(t, 1)
+    info = manifest_info(t, v)
+    assert info["schema_evolved"] is True
+    assert info["extra"] == {"tag": "evolved"}  # consumers index into it
+    assert set(read_snapshot(spark, t).columns) == {"v", "s", "x"}
+    assert {r.v for r in read_snapshot(spark, t).collect()} == {1, 2}
+    # append on top of the restore inherits the evolved flag
+    write_snapshot(
+        spark.createDataFrame([(4, "d")], "v long, s string"), t, mode="append"
+    )
+    assert manifest_info(t)["schema_evolved"] is True
+    assert "x" in read_snapshot(spark, t).columns

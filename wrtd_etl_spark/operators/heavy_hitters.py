@@ -67,6 +67,17 @@ def heavy_hitters(
     non-null rows — exact counts, candidate-only shuffle."""
     if not 0 < phi <= 1:
         raise ValueError(f"phi must be in (0, 1]: {phi}")
+    # The documented contract is EXACT boundary semantics: cnt >= phi*n.
+    # ceil(phi*n) in double excludes a value sitting exactly on the
+    # boundary whenever phi*n picks up a 1-ulp excess (0.01*300 →
+    # 3.0000000000000004 → ceil 4, wrongly dropping cnt=3). Recover the
+    # rational phi from its decimal spelling and compare in pure integer
+    # arithmetic: cnt*den >= num*n. Denominator capped at 1e6 so the
+    # products stay far inside BIGINT even at 100-TB row counts (~1e13).
+    from fractions import Fraction
+
+    frac = Fraction(str(phi)).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
     k = math.ceil(1 / phi) + 1
     vals = df.select(col).filter(F.col(col).isNotNull())
     candidates = (
@@ -82,6 +93,6 @@ def heavy_hitters(
     total = vals.agg(F.count(F.lit(1)).alias("__n"))
     return (
         verified.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("__n")))
+        .filter(F.col("cnt") * F.lit(den) >= F.lit(num) * F.col("__n"))
         .select(col, "cnt")
     )

@@ -87,24 +87,43 @@ def mixture_report(
     ``shortfall`` > 0 flags sources whose AVAILABLE tokens fall short of
     their budget (frac capped at 1) — the signal to re-weight
     deliberately; sampling noise around a met target is NOT a shortfall.
+
+    The report is anchored on the per-source TOTALS frame, not the kept
+    rows: a source whose fraction rounds low enough to keep zero
+    documents still gets its row (n_docs_kept = 0, full target/shortfall
+    columns) — the worst-affected sources are exactly the ones the
+    report must not silently drop. Weights are read per source via MIN
+    (the weight expression is a function of the source by contract).
     """
-    kept = mixture_sample(df, weight_col, token_budget, source_col, id_col)
-    target = F.min(weight_col * F.lit(float(token_budget)))
-    return (
-        kept.groupBy(source_col)
+    from ..functions import text as TX
+
+    with_tok = df.withColumn(
+        "__n_tokens", TX.token_count(F.col("text"))
+    ).withColumn("__w", weight_col)
+    totals = with_tok.groupBy(source_col).agg(
+        F.sum("__n_tokens").cast("long").alias("__src_tokens"),
+        F.min("__w").alias("__w"),
+    )
+    kept = (
+        mixture_sample(df, weight_col, token_budget, source_col, id_col)
+        .groupBy(source_col)
         .agg(
-            F.count("*").alias("n_docs_kept"),
-            F.sum("__n_tokens").cast("long").alias("n_tokens_kept"),
-            F.min("__frac").alias("frac"),
-            target.alias("target_tokens"),
-            F.min("__src_tokens").alias("available_tokens"),
+            F.count("*").alias("__n_docs_kept"),
+            F.sum("__n_tokens").cast("long").alias("__n_tokens_kept"),
         )
-        .withColumn(
-            "shortfall",
-            F.greatest(
-                F.lit(0.0),
-                F.col("target_tokens") - F.col("available_tokens").cast("double"),
-            ),
-        )
-        .drop("available_tokens")
+    )
+    target = F.col("__w") * F.lit(float(token_budget))
+    return totals.join(kept, source_col, "left").select(
+        source_col,
+        F.coalesce("__n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("__n_tokens_kept", F.lit(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.least(
+            F.lit(1.0), target / F.col("__src_tokens").cast("double")
+        ).alias("frac"),
+        target.alias("target_tokens"),
+        F.greatest(
+            F.lit(0.0), target - F.col("__src_tokens").cast("double")
+        ).alias("shortfall"),
     )

@@ -69,7 +69,12 @@ def zorder_key(
     z = F.lit(0)
     for d, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
         if isinstance(lo, Column) or isinstance(hi, Column):
-            frac = (c.cast("double") - lo) / (hi - lo)
+            # degenerate span (constant dimension: min == max) must match
+            # the literal-bounds guard below — unguarded division would
+            # yield NULL z-keys in Spark (and ±inf in DuckDB), breaking
+            # the 'clamped, never incorrect' contract
+            span = F.when(hi != lo, hi - lo).otherwise(F.lit(1.0))
+            frac = (c.cast("double") - lo) / span
         else:
             span = float(hi) - float(lo) or 1.0
             frac = (c.cast("double") - F.lit(float(lo))) / F.lit(span)

@@ -930,9 +930,11 @@ def _zorder_oracle() -> str:
     # the 16 interleave terms per dimension, dims at even/odd bit slots
     t1 = " | ".join(f"(((l1 >> {i}) & 1) << {i * 2})" for i in range(8))
     t2 = " | ".join(f"(((l2 >> {i}) & 1) << {i * 2 + 1})" for i in range(8))
+    # CASE guard = zorder_key's degenerate-span rule (constant dimension)
     lvl = (
         "LEAST(CAST(FLOOR(LEAST(GREATEST((CAST({e} AS DOUBLE) - {lo})"
-        " / ({hi} - {lo}), 0.0), 1.0) * 256.0) AS BIGINT), 255)"
+        " / (CASE WHEN {hi} <> {lo} THEN {hi} - {lo} ELSE 1.0 END),"
+        " 0.0), 1.0) * 256.0) AS BIGINT), 255)"
     )
     return f"""
     WITH b AS (

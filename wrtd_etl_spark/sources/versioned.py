@@ -190,7 +190,13 @@ def history(table: str) -> list[dict]:
 
 def rollback(table: str, version: int) -> int:
     """RESTORE semantics: commit a NEW version whose file list is the
-    target's — history stays intact, vacuum keeps shared files alive."""
+    target's — history stays intact, vacuum keeps shared files alive.
+
+    The restore carries the target's FULL read metadata, not just its
+    files: ``schema_evolved`` (restoring an append-evolved version must
+    keep mergeSchema on, or the evolved columns silently vanish — and a
+    later append would inherit evolved=False and bake the bug in) and
+    ``extra`` (consumers like materialized.is_stale index into it)."""
     target = _read_manifest(table, version)
     prev = _read_pointer(table)
     new_version = prev + 1
@@ -200,7 +206,9 @@ def rollback(table: str, version: int) -> int:
         "parent": prev,
         "files": target["files"],
         "schema": target["schema"],
+        "schema_evolved": bool(target.get("schema_evolved")),
         "committed_at": time.time(),
+        "extra": target.get("extra", {}),
     }
     mpath = _manifest_path(table, new_version)
     with open(mpath + ".tmp", "w") as f:
@@ -269,7 +277,12 @@ def compact(
         "parent": prev,
         "files": files,
         "schema": df.schema.jsonValue(),
+        # the rewrite materializes ONE uniform (merged) schema, so the
+        # compacted version no longer needs mergeSchema even if its
+        # ancestors did
+        "schema_evolved": False,
         "committed_at": time.time(),
+        "extra": {},
     }
     mpath = _manifest_path(table, version)
     with open(mpath + ".tmp", "w") as f:

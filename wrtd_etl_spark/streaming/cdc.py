@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.scd2 import scd2_from_changelog, scd2_merge
 from ..sources.versioned import (
     latest_version,
+    manifest_info,
     read_snapshot,
     write_snapshot,
 )
@@ -45,9 +46,19 @@ def make_scd2_batch_folder(
     tracked_cols: list[str],
 ):
     """The ``foreachBatch`` function: (batch_df, batch_id) → commits one
-    new version of ``table``. First batch bootstraps the history."""
+    new version of ``table``. First batch bootstraps the history.
 
-    def fold(batch: DataFrame, _batch_id: int) -> None:
+    ``foreachBatch`` is AT-LEAST-ONCE: a crash between our
+    ``write_snapshot`` commit and Spark's checkpoint commit replays the
+    batch on restart, and re-folding the same rows would close each open
+    row at a valid_from EARLIER than its own — inverted intervals,
+    committed into exactly the history this module promises is
+    consistent. The versioned table is its own idempotence ledger: every
+    fold records its ``batch_id`` in the manifest, and a replay whose id
+    matches the latest commit is a no-op (the foreach_sink.py epoch-id
+    pattern, with the manifest playing the role of the epoch marker)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return  # empty trigger: no new version
         spark = batch.sparkSession
@@ -56,6 +67,9 @@ def make_scd2_batch_folder(
                 batch, key_cols, order_cols, tracked_cols
             )
         else:
+            info = manifest_info(table)
+            if info.get("extra", {}).get("batch_id") == batch_id:
+                return  # replayed batch: already committed, skip the fold
             hist = scd2_merge(
                 read_snapshot(spark, table),
                 batch,
@@ -63,7 +77,7 @@ def make_scd2_batch_folder(
                 order_cols,
                 tracked_cols,
             )
-        write_snapshot(hist, table)
+        write_snapshot(hist, table, extra={"batch_id": batch_id})
 
     return fold
 
