@@ -124,12 +124,11 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def dup_clusters(
-    pairs: DataFrame,
-    id1: str = "id1",
-    id2: str = "id2",
-) -> DataFrame:
-    """(doc_id, cluster_id, cluster_size) from a near-dup pair table.
+def cluster_sizes(labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from a (node, cluster_id) label
+    table — split out so callers holding cached CC labels (the shared
+    pair-graph cache in plans/pipeline_queries.py) can annotate sizes
+    without re-running the closure.
 
     ``cluster_size`` comes from a window over ``cluster_id`` — safe
     because duplicate clusters are small by construction (a window over an
@@ -137,9 +136,17 @@ def dup_clusters(
     """
     from pyspark.sql import Window
 
-    labels = connected_components(pairs, id1, id2)
     return labels.select(
         F.col("node").alias("doc_id"),
         "cluster_id",
         F.count("*").over(Window.partitionBy("cluster_id")).alias("cluster_size"),
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from a near-dup pair table."""
+    return cluster_sizes(connected_components(pairs, id1, id2))

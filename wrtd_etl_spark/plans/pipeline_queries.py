@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..dedup.clusters import dup_clusters
 from ..dedup.exact import exact_dup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
 from ..dedup.ngram import ngram_jaccard_pairs
@@ -183,16 +182,57 @@ _NGRAM_ORACLE = rf"""
 """
 
 
+# Session-scoped cache of the deterministic n-gram pair graph and its CC
+# labels: dedup_ngram_jaccard / dedup_clusters / dedup_apply /
+# leakage_safe_split all consume the IDENTICAL subgraph, and the pair
+# generation + closure dominated their cost when several ran in one
+# session (VERDICT r3 ask #6 measured ~3 s of repeat work). Keyed by
+# (application, sf_dir, params); values are LAZY localCheckpoints, so
+# nothing materializes until a query actually runs, and memory is one
+# tiny pair table + one label row per clustered doc. Oracles are
+# unaffected — the cache changes when plans run, never what they compute.
+_DEDUP_GRAPH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dedup_graph_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        what,
+        5,
+        0.08,
+        _NGRAM_MAX_DF,
+    )
+
+
+def _cached_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _dedup_graph_key(spark, sf_dir, "pairs")
+    if key not in _DEDUP_GRAPH_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _DEDUP_GRAPH_CACHE[key] = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
+        ).localCheckpoint(eager=False)
+    return _DEDUP_GRAPH_CACHE[key]
+
+
+def _cached_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.clusters import connected_components
+
+    key = _dedup_graph_key(spark, sf_dir, "labels")
+    if key not in _DEDUP_GRAPH_CACHE:
+        _DEDUP_GRAPH_CACHE[key] = connected_components(
+            _cached_ngram_pairs(spark, sf_dir), "id1", "id2"
+        ).localCheckpoint(eager=False)
+    return _DEDUP_GRAPH_CACHE[key]
+
+
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard similarity join (inverted index with
     document-frequency pruning — the inverted-index shape that survives
     100 TB; Jaccard is computed over full gram sets, shared counts over
     pruned postings, identically on both sides)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
-    )
+    return _cached_ngram_pairs(spark, sf_dir)
 
 
 # Transitive closure of the near-dup pair graph. The oracle runs the same
@@ -223,11 +263,9 @@ _CLUSTERS_ORACLE = rf"""
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the (deterministic)
     n-gram Jaccard pair graph, labels = min doc_id per component."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
-    )
-    return dup_clusters(pairs, "id1", "id2")
+    from ..dedup.clusters import cluster_sizes
+
+    return cluster_sizes(_cached_cc_labels(spark, sf_dir))
 
 
 # Survivors = min-id per exact-dup group AND per near-dup cluster + every
@@ -286,18 +324,14 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     to AQE — broadcast when the set fits, shuffled hash join when it
     doesn't. Forcing a broadcast here would OOM exactly when dedup
     matters most."""
-    from ..dedup.clusters import connected_components
     from ..dedup.exact import exact_dup_groups
 
     docs = load_table(spark, sf_dir, "documents")
-    # One materialization of the pair table feeds BOTH directions of the
-    # edge union inside connected_components — without it each union
-    # branch recomputes the full posting/pair plan (same subtree, two
-    # physical branches).
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
-    ).localCheckpoint(eager=False)
-    labels = connected_components(pairs, "id1", "id2")
+    # The pair graph + closure come from the session cache (one
+    # materialization serves dedup_ngram_jaccard / dedup_clusters /
+    # leakage_safe_split / this query; the localCheckpoint also keeps
+    # both directions of the CC edge union on one physical subtree).
+    labels = _cached_cc_labels(spark, sf_dir)
     near_losers = labels.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -1209,77 +1243,62 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH d AS (
         SELECT doc_id, lower(trim(text)) AS t,
-               split_part(lower(trim(text)), ' ', 1) AS w0,
-               CAST(floor(len(lower(trim(text))) / 32) AS BIGINT) AS lb
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT doc_id, array_to_string(toks[pos:pos+2], ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     UNNEST(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS pos
+              FROM d)
+    ), k AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band AS VARCHAR) || '|' || s)) AS key
+        FROM sh CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+        GROUP BY doc_id, band
+    ), cold AS (
+        SELECT band, key, doc_id FROM k
+        QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 64
+    ), p AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM cold a JOIN cold b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
-    FROM d a JOIN d b ON a.w0 = b.w0 AND a.lb = b.lb AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.t, b.t) * 4 <= greatest(len(a.t), len(b.t))
+    SELECT p.id1, p.id2, CAST(levenshtein(da.t, db.t) AS BIGINT) AS dist
+    FROM p JOIN d da ON p.id1 = da.doc_id JOIN d db ON p.id2 = db.doc_id
+    WHERE abs(len(da.t) - len(db.t)) * 4 <= greatest(len(da.t), len(db.t))
+      AND levenshtein(da.t, db.t) * 4 <= greatest(len(da.t), len(db.t))
     ORDER BY id1, id2
     """,
 )
 def dedup_fuzzy_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance verification stage: blocked candidate pairs whose
-    Levenshtein distance is ≤ 25% of the longer text — the precise
-    (O(L²)-per-pair) confirmation pass a pipeline runs AFTER cheap
-    candidate generation, here blocked on (first token, length/32 bucket).
+    """Edit-distance verification over LSH candidates (dedup/fuzzy.py):
+    min-shingle band keys generate candidate pairs, the banded-Levenshtein
+    stage keeps pairs within 25% edit distance of the longer text — the
+    candidates→verify composite a production fuzzy-dedup pipeline runs.
 
-    The 25% threshold is written ``dist * 4 <= max_len`` in BOTH engines:
-    pure integer arithmetic, because ``CAST(0.25*len AS BIGINT)`` ROUNDS
-    in DuckDB and TRUNCATES in Spark — the fractional form would diverge
-    on any text whose length isn't a multiple of 4.
+    Round-3's version blocked the self-join on the document's FIRST TOKEN
+    (Zipfian: one block goes O(N) on a real corpus, the worst skew in
+    SHUFFLE_AUDIT r3). The min-shingle key is uniform over content —
+    collisions track actual similarity — and the md5-based construction
+    means DuckDB derives the IDENTICAL buckets, so the full composite
+    (candidate generation + hot-bucket cap + verify) stays hash-pinned by
+    the oracle, not just the verify filter.
 
-    Scale shape: the self-join shuffles once on the block key; Levenshtein
-    runs only inside blocks (JVM-side built-in, no UDF). Production use
-    feeds minhash/simhash candidates into the same verify filter instead
-    of the blocking join; this query keeps an end-to-end SQL-expressible
-    shape so the oracle can pin the verify semantics exactly.
+    The 25% threshold is the integer form ``dist * 4 <= max_len`` in both
+    engines (``CAST(0.25*len AS BIGINT)`` ROUNDS in DuckDB, TRUNCATES in
+    Spark), and the same bound feeds Spark's 3-arg banded ``levenshtein``
+    — see dedup/fuzzy.py for the per-pair O(L·L/4) early-exit.
     """
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-    t = F.lower(F.trim(F.col("text")))
-    d = docs.select(
-        "doc_id",
-        t.alias("t"),
-        F.split_part(t, F.lit(" "), F.lit(1)).alias("w0"),
-        F.floor(F.length(t) / 32).cast("long").alias("lb"),
+    from ..dedup.fuzzy import levenshtein_verify, minshingle_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minshingle_candidate_pairs(
+        docs, "text", "doc_id", bands=4, shingle_k=3, max_bucket=64
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    # banded Levenshtein: dist*4 <= max_len ⇔ dist <= floor(max_len/4)
-    # (dist is an integer), so passing floor(max_len/4) as the threshold
-    # keeps the exact same pair set while the DP runs O(L·L/4) instead of
-    # O(L²) and returns -1 (→ filtered) as soon as the band is exceeded.
-    # The threshold must go through F.expr: the PySpark wrapper only takes
-    # an int literal, but the underlying SQL function accepts a per-row
-    # expression. |len(a)-len(b)| > threshold can't pass (dist >= length
-    # difference) — that guard is pushed into the join as a cheap pre-DP
-    # prune.
-    dist = F.expr(
-        "levenshtein(a.t, b.t, "
-        "cast(greatest(length(a.t), length(b.t)) div 4 as int))"
-    )
-    len_gap_ok = (
-        F.abs(F.length("a.t") - F.length("b.t")) * 4
-        <= F.greatest(F.length("a.t"), F.length("b.t"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.w0") == F.col("b.w0"))
-            & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & len_gap_ok,
-        )
-        .filter(dist >= 0)
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            dist.cast("long").alias("dist"),
-        )
-        .orderBy("id1", "id2")
-    )
+    return levenshtein_verify(
+        pairs, docs, "text", "doc_id", max_dist_den=4
+    ).orderBy("id1", "id2")
 
 
 _QUALITY_SAMPLE_ORACLE = f"""
@@ -1375,22 +1394,26 @@ _MIX_BUDGET = 30_000  # tokens; even-numbered sources weighted 9x odd ones
                     THEN CAST(0.09 AS DOUBLE) ELSE CAST(0.01 AS DOUBLE) END AS w
         FROM documents
     ), s AS (
-        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens, MIN(w) AS w
         FROM t GROUP BY source
     ), k AS (
-        SELECT t.doc_id, t.source, t.n_tok, t.w, s.src_tokens,
-               LEAST(1.0, (w * 30000.0) / CAST(src_tokens AS DOUBLE)) AS frac
+        SELECT t.doc_id, t.source, t.n_tok
         FROM t JOIN s USING (source)
         WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
-              < LEAST(1.0, (w * 30000.0) / CAST(src_tokens AS DOUBLE))
+              < LEAST(1.0, (t.w * 30000.0) / CAST(src_tokens AS DOUBLE))
+    ), g AS (
+        SELECT source, COUNT(*) AS n_docs_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+        FROM k GROUP BY source
     )
-    SELECT source, COUNT(*) AS n_docs_kept,
-           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept,
-           MIN(frac) AS frac,
-           MIN(w * 30000.0) AS target_tokens,
-           GREATEST(0.0, MIN(w * 30000.0) - CAST(MIN(src_tokens) AS DOUBLE))
+    SELECT s.source,
+           CAST(COALESCE(g.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(g.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           LEAST(1.0, (s.w * 30000.0) / CAST(s.src_tokens AS DOUBLE)) AS frac,
+           s.w * 30000.0 AS target_tokens,
+           GREATEST(0.0, s.w * 30000.0 - CAST(s.src_tokens AS DOUBLE))
                AS shortfall
-    FROM k GROUP BY source
+    FROM s LEFT JOIN g USING (source)
     """,
 )
 def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1448,12 +1471,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs in pytest (parked outside the 50-slot window like
     dedup_apply)."""
     docs = load_table(spark, sf_dir, "documents")
-    # CC iterates over the pair table several times — materialize the
-    # expensive ngram pair generation once (the dedup_apply lesson)
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=5, threshold=0.08, max_df=_NGRAM_MAX_DF
-    ).localCheckpoint(eager=False)
-    labels = dup_clusters(pairs, "id1", "id2").select("doc_id", "cluster_id")
+    # pair graph + closure from the session cache (computed once across
+    # all four dedup composites)
+    labels = _cached_cc_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
     lab = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
@@ -1518,7 +1540,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT COUNT(*) AS total FROM toks)
     SELECT token, COUNT(*) AS cnt
     FROM toks GROUP BY token
-    HAVING COUNT(*) >= (SELECT CAST(CEIL(0.01 * total) AS BIGINT) FROM n)
+    HAVING COUNT(*) * 100 >= (SELECT total FROM n)
     """,
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
