@@ -7,6 +7,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from wrtd_etl_spark.sources.versioned import (
     history,
@@ -42,35 +43,45 @@ def test_time_travel_and_history(spark, tmp_path):
     assert h[1]["mode"] == "append" and h[1]["parent"] == 0
 
 
-def test_crash_before_pointer_swap_preserves_previous_version(spark, tmp_path):
-    """Simulated torn write: data + manifest of a would-be v1 exist but
-    the pointer was never swapped — readers must still see v0."""
+def test_crash_before_manifest_link_preserves_previous_version(spark, tmp_path):
+    """Simulated torn write under the link-commit protocol: the crashed
+    writer left data files and a STAGED (tmp) manifest, but never linked
+    v1.json — readers must still see v0, and the next commit takes v1."""
     t = str(tmp_path / "tbl")
     write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
-    # fake the crashed writer: orphan data dir + manifest, stale pointer
+    # fake the crashed writer: orphan data dir + staged-but-unlinked manifest
     orphan = os.path.join(t, "data", "deadbeef")
     os.makedirs(orphan)
     spark.range(100, 103).withColumnRenamed("id", "v").write.parquet(
         orphan, mode="overwrite"
     )
-    with open(os.path.join(t, "_manifests", "v1.json"), "w") as f:
-        json.dump(
-            {
-                "version": 1,
-                "mode": "overwrite",
-                "parent": 0,
-                "files": [],
-                "schema": {},
-                "committed_at": 0,
-            },
-            f,
-        )
+    with open(os.path.join(t, "_manifests", "v1.json.dead.tmp"), "w") as f:
+        json.dump({"version": 1, "files": []}, f)
     assert latest_version(t) == 0
     assert _vals(read_snapshot(spark, t)) == [0, 1, 2]
-    # and the NEXT real commit supersedes the torn v1 cleanly
+    # and the NEXT real commit takes v1 cleanly
     v = write_snapshot(spark.range(7, 9).withColumnRenamed("id", "v"), t)
     assert v == 1
     assert _vals(read_snapshot(spark, t)) == [7, 8]
+
+
+def test_committed_manifest_visible_without_pointer_update(spark, tmp_path):
+    """The manifest LINK is the commit point: a crash after the link but
+    before the pointer-cache update must not hide the version — readers
+    probe forward from the cache."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    write_snapshot(spark.range(5, 7).withColumnRenamed("id", "v"), t)
+    # simulate the crash: regress the pointer cache to v0
+    with open(os.path.join(t, "_latest"), "w") as f:
+        f.write("0")
+    assert latest_version(t) == 1
+    assert _vals(read_snapshot(spark, t)) == [5, 6]
+    # and a missing cache entirely is also survivable
+    os.remove(os.path.join(t, "_latest"))
+    assert latest_version(t) == 1
+    v = write_snapshot(spark.range(9, 10).withColumnRenamed("id", "v"), t)
+    assert v == 2
 
 
 def test_rollback_is_non_destructive(spark, tmp_path):
@@ -195,3 +206,198 @@ def test_rollback_carries_schema_evolution_and_extra(spark, tmp_path):
     )
     assert manifest_info(t)["schema_evolved"] is True
     assert "x" in read_snapshot(spark, t).columns
+
+
+def test_concurrent_appends_both_survive(spark, tmp_path):
+    """Put-if-absent commit: two appends racing for the same version get
+    exactly one winner per slot; the loser REBASES carrying the winner's
+    segments, so both row sets land (serializable append) and no
+    manifest mixes in-flight files."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(0, 3).withColumnRenamed("id", "v"), t)
+
+    def appender(lo):
+        return write_snapshot(
+            spark.range(lo, lo + 3).withColumnRenamed("id", "v"),
+            t,
+            mode="append",
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        versions = sorted(ex.map(appender, [100, 200]))
+    assert versions == [1, 2]
+    assert _vals(read_snapshot(spark, t)) == [0, 1, 2, 100, 101, 102, 200, 201, 202]
+    # every manifest's file list is internally consistent (subset growth)
+    from wrtd_etl_spark.sources.versioned import data_file_count
+
+    assert data_file_count(t, 0) < data_file_count(t, 1) < data_file_count(t, 2)
+    # vacuum reclaims nothing while all manifests are retained
+    assert vacuum(t, keep_last=3) == []
+
+
+def test_data_skipping_prunes_zordered_files(spark, tmp_path):
+    """Manifest min/max stats + skip_filter: a Z-order-clustered table
+    with a 2-D range predicate must hand Spark < 1/3 of the files, with
+    results identical to the unpruned read (VERDICT r3 ask #2 — this is
+    what makes operators/zorder.py pay off end-to-end)."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.operators.zorder import zorder_key
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lo_hi = orders.agg(
+        F.min("o_custkey").cast("double").alias("lo1"),
+        F.max("o_custkey").cast("double").alias("hi1"),
+        F.min("o_totalprice").alias("lo2"),
+        F.max("o_totalprice").alias("hi2"),
+    ).collect()[0]
+    z = zorder_key(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        [(lo_hi["lo1"], lo_hi["hi1"]), (lo_hi["lo2"], lo_hi["hi2"])],
+    )
+    laid_out = (
+        orders.withColumn("__z", z)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    t = str(tmp_path / "orders_z")
+    write_snapshot(
+        laid_out, t, stats_cols=["o_custkey", "o_totalprice"]
+    )
+    ck_hi = int(lo_hi["hi1"] // 8)
+    tp_hi = lo_hi["lo2"] + (lo_hi["hi2"] - lo_hi["lo2"]) / 8
+    skip = {"o_custkey": (None, ck_hi), "o_totalprice": (None, tp_hi)}
+    kept, total = files_for_read(t, skip_filter=skip)
+    assert total >= 12
+    assert len(kept) < total / 3, (len(kept), total)
+    pred = (F.col("o_custkey") <= ck_hi) & (F.col("o_totalprice") <= tp_hi)
+    pruned = sorted(
+        r.o_orderkey
+        for r in read_snapshot(spark, t, skip_filter=skip).filter(pred).collect()
+    )
+    full = sorted(
+        r.o_orderkey for r in read_snapshot(spark, t).filter(pred).collect()
+    )
+    assert pruned == full and len(full) > 0
+    # unfiltered read path is unchanged: every file, same rows
+    assert read_snapshot(spark, t).count() == orders.count()
+
+
+def test_append_type_widening(spark, tmp_path):
+    """int→long / float→double appends widen losslessly at read; old
+    snapshots still time-travel with their original types."""
+    from wrtd_etl_spark.sources.versioned import manifest_info
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 1.5)], "v int, x float"), t
+    )
+    write_snapshot(
+        spark.createDataFrame([(2**40, 2.5)], "v long, x double"),
+        t,
+        mode="append",
+    )
+    got = read_snapshot(spark, t)
+    assert dict(got.dtypes) == {"v": "bigint", "x": "double"}
+    assert sorted((r.v, round(r.x, 1)) for r in got.collect()) == [
+        (1, 1.5),
+        (2**40, 2.5),
+    ]
+    # time travel reads v0 with its ORIGINAL narrow types
+    v0 = read_snapshot(spark, t, version=0)
+    assert dict(v0.dtypes) == {"v": "int", "x": "float"}
+    assert manifest_info(t)["schema_evolved"] is True
+    # narrowing / incompatible changes refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible type change"):
+        write_snapshot(
+            spark.createDataFrame([("oops", 1.0)], "v string, x double"),
+            t,
+            mode="append",
+        )
+
+
+def test_append_rename_mapping(spark, tmp_path):
+    """A declared rename re-labels older segments at read time; chains
+    compose; time travel keeps the historical name."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, 10)], "k long, amt int"), t)
+    write_snapshot(
+        spark.createDataFrame([(2, 20)], "k long, amount int"),
+        t,
+        mode="append",
+        renames={"amt": "amount"},
+    )
+    got = read_snapshot(spark, t)
+    assert set(got.columns) == {"k", "amount"}
+    assert {(r.k, r.amount) for r in got.collect()} == {(1, 10), (2, 20)}
+    # chain a second rename and also widen the type
+    write_snapshot(
+        spark.createDataFrame([(3, 2**40)], "k long, total long"),
+        t,
+        mode="append",
+        renames={"amount": "total"},
+    )
+    got = read_snapshot(spark, t)
+    assert dict(got.dtypes)["total"] == "bigint"
+    assert {(r.k, r.total) for r in got.collect()} == {
+        (1, 10),
+        (2, 20),
+        (3, 2**40),
+    }
+    # time travel: v0 still has the original name and type
+    assert dict(read_snapshot(spark, t, version=0).dtypes) == {
+        "k": "bigint",
+        "amt": "int",
+    }
+    # renaming an unknown column refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        write_snapshot(
+            spark.createDataFrame([(4, 1)], "k long, zz int"),
+            t,
+            mode="append",
+            renames={"nope": "zz"},
+        )
+
+
+def test_compact_inherits_stats_surface(spark, tmp_path):
+    """Compaction must not silently turn off data skipping: the rewrite
+    re-records min/max for every column the appends had stats for."""
+    from wrtd_etl_spark.sources.versioned import compact, files_for_read
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        write_snapshot(
+            spark.range(lo, lo + 50).withColumnRenamed("id", "v"),
+            t,
+            mode="append" if lo else "overwrite",
+            stats_cols=["v"],
+        )
+    kept, total = files_for_read(t, skip_filter={"v": (0, 10)})
+    assert len(kept) < total  # appends recorded usable stats
+    compact(spark, t, target_files=4)
+    kept2, total2 = files_for_read(t, skip_filter={"v": (250, None)})
+    assert total2 == 4
+    assert len(kept2) < total2, "compacted files lost their stats"
+    got = sorted(
+        r.v
+        for r in read_snapshot(spark, t, skip_filter={"v": (250, None)})
+        .filter(F.col("v") >= 250)
+        .collect()
+    )
+    assert got == []
+    got = sorted(
+        r.v
+        for r in read_snapshot(spark, t, skip_filter={"v": (240, None)})
+        .filter(F.col("v") >= 240)
+        .collect()
+    )
+    assert got == list(range(240, 250))

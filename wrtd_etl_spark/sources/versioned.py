@@ -10,32 +10,53 @@ make the FILE LIST itself the unit of commit:
 
 * data files are immutable, written once under ``data/<snapshot-uuid>/``;
 * a manifest ``_manifests/v{N}.json`` names the exact files of version N
-  plus schema and lineage metadata;
-* ``_latest`` is a one-line pointer file, replaced with the POSIX
-  atomic-rename idiom (write tmp → ``os.replace``) — commit is a single
-  metadata operation, and any reader that already loaded a manifest keeps
-  a consistent snapshot no matter what writers do.
+  plus schema, per-file column statistics, and lineage metadata;
+* THE MANIFEST CREATE IS THE COMMIT: the manifest is staged to a tmp
+  file and published with ``os.link`` — an atomic PUT-IF-ABSENT, so two
+  writers racing for version N get exactly one winner (the loser's link
+  raises FileExistsError and it rebases onto the new latest). This is
+  the Delta-log commit primitive; no catalog service needed on a
+  POSIX-semantics store.
+* ``_latest`` is a monotonic pointer CACHE, not the source of truth:
+  readers start from it and probe forward for newer committed manifests,
+  so a crash between the manifest link and the pointer update can never
+  hide a committed version, and a stale cache never regresses one.
 
 Consequences, each tested:
 
-* crash before the pointer swap leaves the previous version intact and
-  the table readable (the torn-write test);
+* crash before the manifest link leaves the previous version intact and
+  the table readable (the torn-write test) — data files and staged tmp
+  manifests are orphans for ``vacuum``;
+* two CONCURRENT appends both survive: the link loser rebases, carrying
+  the winner's segments forward (serializable append);
 * time travel: ``read_snapshot(..., version=N)``;
 * rollback is NON-destructive: a new version whose file list equals the
   old one (history is preserved, matching ``RESTORE TABLE`` semantics);
 * ``vacuum`` deletes only files no retained manifest references.
 
+Schema evolution is SEGMENT-based: every commit records its own file
+group (segment) with the exact schema those files were written with,
+plus the table-level merged schema. Appends may add columns, WIDEN types
+(int→long, float→double, int-family→double — lossless only), and RENAME
+columns (an alias map, composed across renames); the read path
+reconstructs the current schema per segment (rename → cast → unionByName)
+only when segments actually diverge — uniform tables keep the single
+zero-overhead parquet scan. Old snapshots still read bit-identical
+through time travel because segments are immutable.
+
+Data skipping: ``write_snapshot(..., stats_cols=[...])`` records per-file
+min/max for the chosen columns in the manifest (driver-side parquet
+footer reads — O(#files) metadata, the same cost class as the commit
+itself), and ``read_snapshot(..., skip_filter={col: (lo, hi)})`` hands
+Spark only the files whose range intersects — at 100 TB, manifest-level
+file pruning is THE read-path lever (this is what makes the Z-order
+layout of operators/zorder.py pay off end-to-end). Pruning is an
+optimization, never a semantic filter: callers still apply their real
+predicate; files without stats are always kept.
+
 Manifest I/O is driver-side ``os``/``json`` — the same scale shape as any
 metastore commit: O(#files) metadata, never data-sized. Data moves only
 through executor-parallel ``df.write.parquet``.
-
-Concurrency contract: SINGLE WRITER, many readers. Readers are always
-consistent (a manifest never references in-flight files). Two racing
-writers degrade to last-write-wins on the version number — the losing
-commit's files are orphaned (reclaimed by ``vacuum``), never mixed into
-the winner's manifest; a serializable multi-writer log needs a
-put-if-absent commit primitive (the Delta/Iceberg catalog-service role),
-which a bare POSIX directory cannot provide.
 """
 
 from __future__ import annotations
@@ -47,9 +68,19 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _LATEST = "_latest"
+
+#: lossless widenings, by Spark simpleString type name
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLOAT_RANK = {"float": 1, "double": 2}
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed first and the operation cannot be
+    rebased automatically (compact/rollback) — re-read and retry."""
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -57,11 +88,21 @@ def _manifest_path(table: str, version: int) -> str:
 
 
 def _read_pointer(table: str) -> int | None:
+    """Latest COMMITTED version: pointer cache + forward probe.
+
+    The probe makes the cache advisory — a committed manifest the cache
+    doesn't know about yet (crash or concurrent writer between link and
+    pointer update) is always found; amortized O(1) probes per read."""
     try:
         with open(os.path.join(table, _LATEST)) as f:
-            return int(f.read().strip())
-    except FileNotFoundError:
-        return None
+            v: int | None = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        v = None
+    probe = 0 if v is None else v + 1
+    while os.path.exists(_manifest_path(table, probe)):
+        v = probe
+        probe += 1
+    return v
 
 
 def _read_manifest(table: str, version: int) -> dict:
@@ -69,12 +110,63 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _segments(manifest: dict) -> list[dict]:
+    """Commit's file groups; legacy manifests become one synthetic
+    segment carrying the table schema."""
+    if "segments" in manifest:
+        return manifest["segments"]
+    return [
+        {
+            "files": manifest["files"],
+            "schema": manifest["schema"],
+            "stats": manifest.get("file_stats", {}),
+        }
+    ]
+
+
+def _advance_pointer(table: str, version: int) -> None:
+    """Best-effort monotonic cache update (readers never trust it
+    blindly, see _read_pointer)."""
+    cur = None
+    try:
+        with open(os.path.join(table, _LATEST)) as f:
+            cur = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        pass
+    if cur is not None and cur >= version:
+        return
+    ppath = os.path.join(table, _LATEST)
+    tmp = f"{ppath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, ppath)
+
+
+def _try_commit(table: str, version: int, manifest: dict) -> bool:
+    """PUT-IF-ABSENT commit of ``manifest`` as version N: stage to tmp,
+    publish with os.link (atomic, fails if v{N}.json exists). True iff
+    this writer won version N."""
+    os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    mpath = _manifest_path(table, version)
+    tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        os.remove(tmp)
+        return False
+    os.remove(tmp)
+    _advance_pointer(table, version)
+    return True
+
+
 def latest_version(table: str) -> int | None:
     return _read_pointer(table)
 
 
 def manifest_info(table: str, version: int | None = None) -> dict:
-    """The (latest unless given) manifest minus the file list — version,
+    """The (latest unless given) manifest minus the file lists — version,
     mode, parent, schema, committed_at, and caller ``extra``."""
     if version is None:
         version = _read_pointer(table)
@@ -82,7 +174,123 @@ def manifest_info(table: str, version: int | None = None) -> dict:
             raise FileNotFoundError(f"no committed version in {table}")
     m = dict(_read_manifest(table, version))
     m.pop("files", None)
+    m.pop("segments", None)
     return m
+
+
+def _schema_fields(schema_json: dict) -> dict[str, dict]:
+    return {f["name"]: f for f in schema_json.get("fields", [])}
+
+
+def _widened(a: object, b: object) -> object | None:
+    """The wider of two Spark type-json values if losslessly compatible,
+    else None. Complex (non-string) types must match exactly."""
+    if a == b:
+        return a
+    if not (isinstance(a, str) and isinstance(b, str)):
+        return None
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    if a in _FLOAT_RANK and b in _FLOAT_RANK:
+        return a if _FLOAT_RANK[a] >= _FLOAT_RANK[b] else b
+    if (a in _INT_RANK and b == "double") or (b in _INT_RANK and a == "double"):
+        return "double"
+    return None
+
+
+def _merge_schemas(prev: dict, new: dict, where: str) -> tuple[dict, bool]:
+    """(merged schema json, evolved?): union of columns, common columns
+    widened; incompatible changes raise (narrowing silently would corrupt
+    the read path for every older segment)."""
+    prev_fields = _schema_fields(prev)
+    merged: list[dict] = []
+    evolved = False
+    seen = set()
+    for f in prev.get("fields", []):
+        name = f["name"]
+        seen.add(name)
+        if name not in _schema_fields(new):
+            merged.append(f)
+            evolved = True  # new batch lacks an old column
+            continue
+        nf = _schema_fields(new)[name]
+        wide = _widened(nf["type"], f["type"])
+        if wide is None:
+            raise ValueError(
+                f"{where}: incompatible type change for column {name!r}: "
+                f"{f['type']!r} -> {nf['type']!r} (only lossless widening "
+                "is supported)"
+            )
+        if wide != f["type"] or wide != nf["type"]:
+            evolved = True
+        merged.append({**f, "type": wide, "nullable": True})
+    for f in new.get("fields", []):
+        if f["name"] not in seen:
+            merged.append({**f, "nullable": True})
+            evolved = True
+    return {**prev, "fields": merged}, evolved
+
+
+def _collect_file_stats(
+    table: str, rel_files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """relpath → {col: [min, max]} from parquet footers (driver-side,
+    O(#files) metadata reads; values JSON-native so manifests stay
+    engine-agnostic)."""
+    import pyarrow.parquet as pq
+
+    def _json_val(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                stats[c] = [_json_val(lo), _json_val(hi)]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
+    """Flattened historical-name → current-name map: composing
+    ``renames`` (old → new, names as of the previous version) onto the
+    existing map keeps chains a→b→c resolvable from any epoch."""
+    out = {k: renames.get(v, v) for k, v in prev_aliases.items()}
+    for old, new in renames.items():
+        out.setdefault(old, new)
+    return out
+
+
+def _write_data(df: DataFrame, table: str) -> list[str]:
+    snap_id = uuid.uuid4().hex
+    data_dir = os.path.join(table, "data", snap_id)
+    df.write.parquet(data_dir)
+    return sorted(
+        os.path.join("data", snap_id, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
 
 
 def write_snapshot(
@@ -90,82 +298,269 @@ def write_snapshot(
     table: str,
     mode: str = "overwrite",
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
+    renames: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
-    ``mode='append'`` carries the previous version's files forward;
-    ``'overwrite'`` starts the file list fresh. Either way old data
-    files are untouched (immutable) until ``vacuum``. ``extra`` is
-    JSON-serializable caller metadata stored in the manifest (e.g. the
-    source versions a materialized view was built from)."""
+    ``mode='append'`` carries the previous version's segments forward;
+    ``'overwrite'`` starts fresh. Either way old data files are untouched
+    (immutable) until ``vacuum``. ``extra`` is JSON-serializable caller
+    metadata stored in the manifest (e.g. the source versions a
+    materialized view was built from). ``stats_cols`` records per-file
+    min/max for those columns (enables ``skip_filter`` reads).
+    ``renames`` (append only) declares {previous-name: new-name} column
+    renames; older segments are re-labelled at read time.
+
+    Concurrency: the data files are written once; the manifest commit is
+    put-if-absent and REBASES on conflict — a concurrent append's
+    segments are carried forward, so racing appends serialize instead of
+    losing one side (last-write-wins applies only to racing overwrites,
+    which is their semantics)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode!r}")
+    if renames and mode != "append":
+        raise ValueError("renames are only meaningful for mode='append'")
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
-    snap_id = uuid.uuid4().hex
-    data_dir = os.path.join(table, "data", snap_id)
-    df.write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join("data", snap_id, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
+    new_files = _write_data(df, table)
+    df_schema = df.schema.jsonValue()
+    stats = (
+        _collect_file_stats(table, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
+    new_segment = {"files": new_files, "schema": df_schema, "stats": stats}
+
+    for _ in range(20):
+        prev = _read_pointer(table)
+        version = 0 if prev is None else prev + 1
+        if mode == "append" and prev is not None:
+            prev_manifest = _read_manifest(table, prev)
+            aliases = _compose_aliases(
+                prev_manifest.get("aliases", {}), renames or {}
+            )
+            prev_schema = prev_manifest["schema"]
+            if renames:
+                missing = [
+                    o
+                    for o in renames
+                    if o not in _schema_fields(prev_schema)
+                ]
+                if missing:
+                    raise ValueError(
+                        f"rename of unknown column(s): {missing}"
+                    )
+                prev_schema = {
+                    **prev_schema,
+                    "fields": [
+                        {**f, "name": renames.get(f["name"], f["name"])}
+                        for f in prev_schema["fields"]
+                    ],
+                }
+            schema, evolved_now = _merge_schemas(
+                prev_schema, df_schema, f"append to {table}"
+            )
+            evolved = (
+                bool(prev_manifest.get("schema_evolved"))
+                or evolved_now
+                or bool(renames)
+            )
+            segments = _segments(prev_manifest) + [new_segment]
+        else:
+            aliases = {}
+            schema = df_schema
+            evolved = False
+            segments = [new_segment]
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "parent": prev,
+            "files": [f for s in segments for f in s["files"]],
+            "segments": segments,
+            "schema": schema,
+            "schema_evolved": evolved,
+            "aliases": aliases,
+            "committed_at": time.time(),
+            "extra": extra or {},
+        }
+        # write order IS the crash contract: data files exist, then the
+        # manifest link (THE commit point), then the pointer cache; a
+        # crash before the link leaves the previous version fully intact
+        if _try_commit(table, version, manifest):
+            return version
+        # lost the race: rebase on the new latest and retry (append picks
+        # up the winner's segments; overwrite just takes the next slot)
+    raise CommitConflict(
+        f"could not commit to {table} after 20 attempts"
     )
 
-    prev = _read_pointer(table)
-    files = list(new_files)
-    evolved = False
-    if mode == "append" and prev is not None:
-        prev_manifest = _read_manifest(table, prev)
-        files = prev_manifest["files"] + files
-        # schema evolution: an append whose schema differs from the
-        # previous version's marks the manifest, and read_snapshot turns
-        # on parquet mergeSchema ONLY then (footer-merging every read of
-        # every table would be pure overhead at 100 TB)
-        evolved = bool(prev_manifest.get("schema_evolved")) or (
-            prev_manifest["schema"] != df.schema.jsonValue()
-        )
-    version = 0 if prev is None else prev + 1
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "parent": prev,
-        "files": files,
-        "schema": df.schema.jsonValue(),
-        "schema_evolved": evolved,
-        "committed_at": time.time(),
-        "extra": extra or {},
-    }
-    # write order IS the crash contract: data files exist, then the
-    # manifest, then the pointer swap; a crash anywhere before os.replace
-    # leaves the previous version fully intact
-    mpath = _manifest_path(table, version)
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.replace(mpath + ".tmp", mpath)
-    ppath = os.path.join(table, _LATEST)
-    with open(ppath + ".tmp", "w") as f:
-        f.write(str(version))
-    os.replace(ppath + ".tmp", ppath)
-    return version
 
-
-def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+def _read_segments(
+    spark: SparkSession, table: str, manifest: dict
 ) -> DataFrame:
-    """DataFrame pinned to one manifest (the latest unless ``version``)."""
+    """Evolved-table read: per segment rename (alias map) → lossless cast
+    to the table schema → unionByName with NULL fill for absent columns.
+    Column order pinned to the manifest schema."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromJson(manifest["schema"])
+    aliases = manifest.get("aliases", {})
+    out = None
+    for seg in _segments(manifest):
+        if not seg["files"]:
+            continue
+        part = spark.read.schema(
+            StructType.fromJson(seg["schema"])
+        ).parquet(*[os.path.join(table, f) for f in seg["files"]])
+        cols = []
+        for c in part.columns:
+            cur = aliases.get(c, c)
+            col = F.col(c).alias(cur)
+            tf = next((f for f in target.fields if f.name == cur), None)
+            if tf is not None:
+                col = F.col(c).cast(tf.dataType).alias(cur)
+            cols.append(col)
+        part = part.select(*cols)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        return spark.createDataFrame([], target)
+    return out.select(*[f.name for f in target.fields])
+
+
+def _prune_segment_files(
+    seg: dict, aliases: dict, skip_filter: dict[str, tuple]
+) -> list[str]:
+    """Files of one segment whose recorded [min,max] can intersect every
+    requested range; files lacking stats for a column are always kept
+    (pruning must never be semantic)."""
+    # skip_filter keys are CURRENT names; stats were recorded under the
+    # segment's own names — resolve through the alias map
+    def seg_name(cur: str) -> str | None:
+        for f in _schema_fields(seg["schema"]):
+            if aliases.get(f, f) == cur:
+                return f
+        return None
+
+    resolved = {
+        seg_name(c): rng for c, rng in skip_filter.items()
+    }
+    kept = []
+    for path in seg["files"]:
+        stats = seg.get("stats", {}).get(path, {})
+        keep = True
+        for col, (lo, hi) in resolved.items():
+            if col is None or col not in stats:
+                continue
+            fmin, fmax = stats[col]
+            if (hi is not None and fmin is not None and fmin > hi) or (
+                lo is not None and fmax is not None and fmax < lo
+            ):
+                keep = False
+                break
+        if keep:
+            kept.append(path)
+    return kept
+
+
+def files_for_read(
+    table: str,
+    version: int | None = None,
+    skip_filter: dict[str, tuple] | None = None,
+) -> tuple[list[str], int]:
+    """(files the read will hand Spark, total files in the version) —
+    the data-skipping decision, exposed for tests and EXPLAIN-style
+    tooling."""
     if version is None:
         version = _read_pointer(table)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest(table, version)
-    paths = [os.path.join(table, f) for f in manifest["files"]]
+    total = len(manifest["files"])
+    if not skip_filter:
+        return list(manifest["files"]), total
+    aliases = manifest.get("aliases", {})
+    kept = [
+        f
+        for seg in _segments(manifest)
+        for f in _prune_segment_files(seg, aliases, skip_filter)
+    ]
+    return kept, total
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip_filter: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """DataFrame pinned to one manifest (the latest unless ``version``).
+
+    ``skip_filter={col: (lo, hi)}`` prunes files via manifest statistics
+    — a pure optimization; the caller still applies the real predicate
+    (None bounds are open-ended)."""
+    if version is None:
+        version = _read_pointer(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, version)
+    if manifest.get("schema_evolved") and "segments" in manifest:
+        if skip_filter:
+            aliases = manifest.get("aliases", {})
+            manifest = {
+                **manifest,
+                "segments": [
+                    {
+                        **seg,
+                        "files": _prune_segment_files(
+                            seg, aliases, skip_filter
+                        ),
+                    }
+                    for seg in _segments(manifest)
+                ],
+            }
+        return _read_segments(spark, table, manifest)
+    paths, _ = files_for_read(table, version, skip_filter)
     if not paths:
-        return spark.createDataFrame(
-            [], schema="struct<>"  # pragma: no cover - empty commit edge
-        )
+        if manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+        return spark.createDataFrame([], schema="struct<>")
     reader = spark.read
     if manifest.get("schema_evolved"):
+        # legacy evolved manifest without segments: parquet footer merge
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return reader.parquet(*[os.path.join(table, f) for f in paths])
+
+
+def delta_files(
+    table: str, from_version: int, to_version: int | None = None
+) -> list[str] | None:
+    """Files ADDED by the commits in (from_version, to_version] — the
+    read set for incremental maintenance (fold only what's new, never
+    rescan history).
+
+    Returns None when the delta is UNDEFINED: some commit in the range
+    is not a plain append (overwrite/compact/rollback rewrite lineage),
+    or the appends evolved the schema (a mixed-schema delta read would
+    silently mis-type) — callers fall back to a full rebuild."""
+    if to_version is None:
+        to_version = _read_pointer(table)
+    if to_version is None or from_version >= to_version:
+        return []
+    out: list[str] = []
+    prev_files = set(_read_manifest(table, from_version)["files"])
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(table, v)
+        if m["mode"] != "append" or m.get("schema_evolved"):
+            return None
+        out.extend(f for f in m["files"] if f not in prev_files)
+        prev_files = set(m["files"])
+    return out
 
 
 def history(table: str) -> list[dict]:
@@ -192,33 +587,28 @@ def rollback(table: str, version: int) -> int:
     """RESTORE semantics: commit a NEW version whose file list is the
     target's — history stays intact, vacuum keeps shared files alive.
 
-    The restore carries the target's FULL read metadata, not just its
-    files: ``schema_evolved`` (restoring an append-evolved version must
-    keep mergeSchema on, or the evolved columns silently vanish — and a
-    later append would inherit evolved=False and bake the bug in) and
-    ``extra`` (consumers like materialized.is_stale index into it)."""
+    The restore carries the target's FULL read metadata (segments,
+    schema, evolved flag, aliases, extra): restoring an append-evolved
+    version must keep the segment read path on, or the evolved columns
+    silently vanish."""
     target = _read_manifest(table, version)
-    prev = _read_pointer(table)
-    new_version = prev + 1
-    manifest = {
-        "version": new_version,
-        "mode": f"rollback:{version}",
-        "parent": prev,
-        "files": target["files"],
-        "schema": target["schema"],
-        "schema_evolved": bool(target.get("schema_evolved")),
-        "committed_at": time.time(),
-        "extra": target.get("extra", {}),
-    }
-    mpath = _manifest_path(table, new_version)
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.replace(mpath + ".tmp", mpath)
-    ppath = os.path.join(table, _LATEST)
-    with open(ppath + ".tmp", "w") as f:
-        f.write(str(new_version))
-    os.replace(ppath + ".tmp", ppath)
-    return new_version
+    for _ in range(20):
+        prev = _read_pointer(table)
+        manifest = {
+            "version": prev + 1,
+            "mode": f"rollback:{version}",
+            "parent": prev,
+            "files": target["files"],
+            "segments": _segments(target),
+            "schema": target["schema"],
+            "schema_evolved": bool(target.get("schema_evolved")),
+            "aliases": target.get("aliases", {}),
+            "committed_at": time.time(),
+            "extra": target.get("extra", {}),
+        }
+        if _try_commit(table, prev + 1, manifest):
+            return prev + 1
+    raise CommitConflict(f"rollback of {table} kept losing the commit race")
 
 
 def vacuum(table: str, keep_last: int = 1) -> list[str]:
@@ -247,7 +637,10 @@ def vacuum(table: str, keep_last: int = 1) -> list[str]:
 
 
 def compact(
-    spark: SparkSession, table: str, target_files: int = 1
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the LATEST version's data into ``target_files``
     coalesced files and commit the rewrite as a new version.
@@ -257,41 +650,52 @@ def compact(
     dominated by per-file overhead — the standard lakehouse fix is a
     background rewrite that changes the FILE LAYOUT but not the rows.
     Readers are never disturbed: the rewrite commits through the same
-    manifest pointer swap, old versions still reference the old files
-    (time travel intact), and ``vacuum`` reclaims them once retention
-    allows."""
-    df = read_snapshot(spark, table)
-    snap_id = uuid.uuid4().hex
-    data_dir = os.path.join(table, "data", snap_id)
-    df.coalesce(target_files).write.parquet(data_dir)
-    files = sorted(
-        os.path.join("data", snap_id, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
+    put-if-absent manifest link, old versions still reference the old
+    files (time travel intact), and ``vacuum`` reclaims them once
+    retention allows. A CONCURRENT commit between the snapshot read and
+    the commit raises :class:`CommitConflict` — the rewrite reflects a
+    superseded snapshot and cannot be rebased mechanically; re-run."""
+    base = _read_pointer(table)
+    base_manifest = _read_manifest(table, base)
+    df = read_snapshot(spark, table, version=base)
+    files = _write_data(df.coalesce(target_files), table)
+    if stats_cols is None:
+        # inherit the stats surface: compaction must not silently turn
+        # off data skipping the appends paid to record
+        stats_cols = sorted(
+            {
+                c
+                for seg in _segments(base_manifest)
+                for f_stats in seg.get("stats", {}).values()
+                for c in f_stats
+            }
+        )
+    stats = (
+        _collect_file_stats(table, files, stats_cols) if stats_cols else {}
     )
-    prev = _read_pointer(table)
-    version = prev + 1
+    version = base + 1
     manifest = {
         "version": version,
         "mode": "compact",
-        "parent": prev,
+        "parent": base,
         "files": files,
+        "segments": [
+            {"files": files, "schema": df.schema.jsonValue(), "stats": stats}
+        ],
         "schema": df.schema.jsonValue(),
         # the rewrite materializes ONE uniform (merged) schema, so the
-        # compacted version no longer needs mergeSchema even if its
-        # ancestors did
+        # compacted version no longer needs the segment read path even if
+        # its ancestors did
         "schema_evolved": False,
+        "aliases": {},
         "committed_at": time.time(),
         "extra": {},
     }
-    mpath = _manifest_path(table, version)
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.replace(mpath + ".tmp", mpath)
-    ppath = os.path.join(table, _LATEST)
-    with open(ppath + ".tmp", "w") as f:
-        f.write(str(version))
-    os.replace(ppath + ".tmp", ppath)
+    if not _try_commit(table, version, manifest):
+        raise CommitConflict(
+            f"concurrent commit to {table} during compact (based on "
+            f"v{base}); re-run compaction"
+        )
     return version
 
 
