@@ -53,3 +53,92 @@ def test_refresh_only_when_source_advances(spark, tmp_path):
         "a": 2,
         "b": 2,
     }
+
+
+def _rollup_vals(spark, view):
+    return {
+        r.g: (r.n, r.total, r.mx)
+        for r in read_snapshot(spark, view).collect()
+    }
+
+
+def test_incremental_refresh_equals_rebuild_over_three_advances(
+    spark, tmp_path
+):
+    """Property: fold-the-delta ≡ recompute-from-scratch after each of 3
+    append advances; a non-append commit falls back to one rebuild."""
+    from wrtd_etl_spark.operators.materialized import (
+        refresh_rollup_incremental,
+    )
+    from wrtd_etl_spark.operators.rollup_merge import aggregate_batch
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    keys = ["g"]
+    metrics = {"n": ("count", "x"), "total": ("sum", "x"), "mx": ("max", "x")}
+    batches = [
+        [("a", 1), ("a", 2), ("b", 3)],
+        [("b", 4), ("c", 5)],
+        [("a", 10), ("c", 1)],
+    ]
+    write_snapshot(spark.createDataFrame(batches[0], "g string, x long"), src)
+    v, action = refresh_rollup_incremental(spark, view, src, keys, metrics)
+    assert (v, action) == (0, "rebuild")  # first build is a full one
+    for i, b in enumerate(batches[1:], start=1):
+        write_snapshot(
+            spark.createDataFrame(b, "g string, x long"), src, mode="append"
+        )
+        v, action = refresh_rollup_incremental(spark, view, src, keys, metrics)
+        assert action == "incremental", i
+        want = {
+            r.g: (r.n, r.total, r.mx)
+            for r in aggregate_batch(
+                read_snapshot(spark, src), keys, metrics
+            ).collect()
+        }
+        assert _rollup_vals(spark, view) == want
+    # fresh: no source advance, no new view version
+    assert refresh_rollup_incremental(spark, view, src, keys, metrics)[1] == "fresh"
+    # an overwrite makes the delta undefined -> one rebuild, still correct
+    write_snapshot(
+        spark.createDataFrame([("z", 7)], "g string, x long"), src
+    )
+    v, action = refresh_rollup_incremental(spark, view, src, keys, metrics)
+    assert action == "rebuild"
+    assert _rollup_vals(spark, view) == {"z": (1, 7, 7)}
+
+
+def test_incremental_refresh_never_rescans_history(spark, tmp_path):
+    """The strongest no-history-rescan proof: DELETE the source's old
+    data files after the first build — the incremental refresh must
+    still succeed (it only reads the delta) and produce the fold of
+    old partials + new rows."""
+    import os
+
+    from wrtd_etl_spark.operators.materialized import (
+        refresh_rollup_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    keys = ["g"]
+    metrics = {"n": ("count", "x"), "total": ("sum", "x"), "mx": ("max", "x")}
+    write_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 3)], "g string, x long"), src
+    )
+    refresh_rollup_incremental(spark, view, src, keys, metrics)
+    # history vanishes (a vacuumed / archived source)
+    import glob
+
+    v0_files = glob.glob(os.path.join(src, "data", "*", "*.parquet"))
+    assert v0_files
+    write_snapshot(
+        spark.createDataFrame([("a", 9)], "g string, x long"),
+        src,
+        mode="append",
+    )
+    for f in v0_files:
+        os.remove(f)
+    v, action = refresh_rollup_incremental(spark, view, src, keys, metrics)
+    assert action == "incremental"
+    assert _rollup_vals(spark, view) == {"a": (2, 10, 9), "b": (1, 3, 3)}
