@@ -1,0 +1,64 @@
+"""Persisted ANN indexes (similarity/index_store.py): build once as a
+versioned table, query many, results identical to the on-the-fly path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.catalog import load_table
+from wrtd_etl_spark.similarity.index_store import (
+    ivf_query,
+    sq8_query,
+    write_ivf_index,
+    write_sq8_index,
+)
+from wrtd_etl_spark.similarity.ivf import ivf_top_k
+from wrtd_etl_spark.similarity.quantized import quantized_top_k, train_scales
+from wrtd_etl_spark.sources.versioned import manifest_info
+
+from .conftest import SF_SMOKE
+
+
+def _key(rows):
+    return sorted((r.probe_id, r.neighbor_id, r.rank, r.sim) for r in rows)
+
+
+def test_sq8_index_round_trip_is_bit_identical(spark, tmp_path):
+    """Stored codes + stored scales must reproduce the on-the-fly search
+    EXACTLY (same candidates, bit-identical sims) — quantize() and the
+    in-batch scorer share one rounding rule, so this pins that the
+    persisted artifact really is the computation's state, not a lossy
+    cache."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    t = str(tmp_path / "sq8_idx")
+    v = write_sq8_index(emb, t)
+    assert v == 0
+    scales = manifest_info(t)["extra"]["scales"]
+    fresh = quantized_top_k(emb, probes, k=5, scales=scales)
+    stored = sq8_query(spark, t, probes, k=5)
+    assert _key(stored.collect()) == _key(fresh.collect())
+    # retrain commits a NEW version; the old index still answers
+    assert write_sq8_index(emb, t, scales=scales) == 1
+    again = sq8_query(spark, t, probes, k=5, version=0)
+    assert _key(again.collect()) == _key(fresh.collect())
+
+
+def test_ivf_index_round_trip_reuses_centroids(spark, tmp_path):
+    """Persisted centroids answer queries without retraining, identically
+    to ivf_top_k handed the same centroids."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    t = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, t, n_cells=8, kmeans_iters=2)
+    cents = manifest_info(t)["extra"]["centroids"]
+    assert len(cents) == 8
+    fresh = ivf_top_k(emb, probes, k=5, nprobe=3, centroids=cents)
+    stored = ivf_query(spark, t, emb, probes, k=5, nprobe=3)
+    assert _key(stored.collect()) == _key(fresh.collect())
+    # assignments are persisted for audits: every corpus vector has a cell
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+
+    assigned = read_snapshot(spark, t)
+    assert assigned.count() == emb.filter(F.col("embedding").isNotNull()).count()
+    assert assigned.select("cell").distinct().count() <= 8

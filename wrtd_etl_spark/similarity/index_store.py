@@ -1,0 +1,136 @@
+"""Persisted ANN indexes: build once as a versioned table, query many.
+
+Training state (SQ8 per-dimension scales, k-means centroids) is small —
+dim floats / K×dim floats — so it rides the versioned table's manifest
+``extra`` (sources/versioned.py), while the data-sized artifacts (int8
+codes, cell assignments) are the table's rows. Querying never retrains:
+the stored codes feed :func:`~wrtd_etl_spark.similarity.quantized.
+quantized_top_k` via ``code_col`` (bit-identical to the on-the-fly path —
+same code values by construction), and stored centroids feed
+:func:`~wrtd_etl_spark.similarity.ivf.ivf_top_k` verbatim.
+
+Versioning gives index lifecycle for free: retrain = new version, readers
+pin a manifest (no torn index), rollback restores the previous index,
+vacuum reclaims superseded codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.versioned import manifest_info, read_snapshot, write_snapshot
+from .quantized import quantize, quantized_top_k, train_scales
+
+
+def write_sq8_index(
+    corpus: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scales: list[float] | None = None,
+) -> int:
+    """Train (unless given) + quantize + commit the SQ8 index; returns
+    the committed version. Rows: (id, float vector, int8 codes) — the
+    float vectors stay INSIDE the index table so the exact-cosine rescore
+    reads one table, column-pruned per stage."""
+    if scales is None:
+        scales = train_scales(corpus, vec_col)
+    coded = quantize(corpus, scales, vec_col=vec_col, out_col="qvec")
+    return write_snapshot(
+        coded.select(id_col, vec_col, "qvec"),
+        table,
+        extra={"kind": "sq8", "scales": scales, "vec_col": vec_col,
+               "id_col": id_col},
+    )
+
+
+def sq8_query(
+    spark: SparkSession,
+    table: str,
+    probes: DataFrame,
+    k: int = 5,
+    rescore_margin: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k against a persisted SQ8 index — stored codes, stored scales,
+    zero training work."""
+    info = manifest_info(table, version)["extra"]
+    index = read_snapshot(spark, table, version=version)
+    return quantized_top_k(
+        index,
+        probes,
+        vec_col=info["vec_col"],
+        id_col=info["id_col"],
+        k=k,
+        scales=info["scales"],
+        rescore_margin=rescore_margin,
+        code_col="qvec",
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+) -> int:
+    """Persist IVF training state: centroids in the manifest (K×dim
+    floats — the expensive-to-recompute part when k-means-trained) and
+    the (id, cell) assignment rows for cell-size audits. Returns the
+    committed version."""
+    from pyspark.sql import functions as F
+
+    from .ivf import _assign_cells
+    from .kmeans import train_centroids_kmeans
+
+    if kmeans_iters > 0:
+        centroids = train_centroids_kmeans(
+            corpus, vec_col, id_col, n_cells, rounds=kmeans_iters
+        )
+    else:
+        centroids = [
+            [float(x) for x in r[0]]
+            for r in corpus.select(
+                vec_col,
+                (
+                    (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+                ).alias("__h"),
+            )
+            .orderBy("__h", id_col)
+            .limit(n_cells)
+            .collect()
+        ]
+    assigned = _assign_cells(corpus, vec_col, id_col, centroids, nprobe=1)
+    return write_snapshot(
+        assigned.select(id_col, "cell"),
+        table,
+        extra={"kind": "ivf", "centroids": centroids, "vec_col": vec_col,
+               "id_col": id_col},
+    )
+
+
+def ivf_query(
+    spark: SparkSession,
+    table: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k via the persisted centroids — no retraining; identical to
+    calling ivf_top_k with the same centroids by construction."""
+    from .ivf import ivf_top_k
+
+    info = manifest_info(table, version)["extra"]
+    return ivf_top_k(
+        corpus,
+        probes,
+        vec_col=info["vec_col"],
+        id_col=info["id_col"],
+        k=k,
+        nprobe=nprobe,
+        centroids=info["centroids"],
+    )

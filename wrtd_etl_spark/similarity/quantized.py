@@ -105,12 +105,20 @@ def quantized_top_k(
     k: int = 5,
     scales: list[float] | None = None,
     rescore_margin: int = 4,
+    code_col: str | None = None,
 ) -> DataFrame:
     """(probe_id, neighbor_id, sim, rank): top-k by EXACT cosine among the
     ``k * rescore_margin`` best quantized-score candidates per probe.
 
     Output schema and tie rules match brute_force_top_k, so the recall
-    test is a set comparison."""
+    test is a set comparison.
+
+    ``code_col`` names a PERSISTED int8 code column (built once with
+    :func:`quantize`, e.g. stored as a versioned table alongside its
+    scales): the scoring scan then uses the stored codes verbatim instead
+    of re-quantizing each batch — build-once/query-many with results
+    identical to the on-the-fly path (same code values by construction).
+    """
     from pyspark.sql import Window
 
     from ..catalog import spread
@@ -121,10 +129,12 @@ def quantized_top_k(
     if scales is None:
         scales = train_scales(corpus, vec_col)
 
-    cq = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    )
+    score_cols = [F.col(id_col).alias("neighbor_id")]
+    if code_col is not None:
+        score_cols.append(F.col(code_col).cast("array<double>").alias("qv"))
+    else:
+        score_cols.append(_as_double(F.col(vec_col)).alias("cv"))
+    cq = spread(corpus).select(*score_cols)
     # probes cross the driver once (bounded: the probe set is small by
     # definition, same contract as brute_force_top_k's broadcast side)
     p_rows = probes.select(
@@ -142,24 +152,27 @@ def quantized_top_k(
     sc2 = s**2
     # dequantized dot = sum(qa_d*qb_d*s_d^2) = Q @ (P * s^2).T — fold the
     # scales into the probe matrix once; per Arrow batch the corpus
-    # codes are derived in-batch (same HALF_UP rule as quantize()) and
-    # ONE matmul scores every (row, probe) pair. No pair rows ever
-    # materialize: each partition emits only its local top (k*margin)
-    # per probe, so the global merge sees
-    # (#partitions x probes x k*margin) rows. A persisted SQ8 index
-    # built with quantize() plugs in identically (same code values).
+    # codes are derived in-batch (same HALF_UP rule as quantize()), or
+    # read verbatim from a persisted code column, and ONE matmul scores
+    # every (row, probe) pair. No pair rows ever materialize: each
+    # partition emits only its local top (k*margin) per probe, so the
+    # global merge sees (#partitions x probes x k*margin) rows — and the
+    # shuffled rows carry ONLY (probe_id, neighbor_id, qsim), never the
+    # float vectors (r3's audit measured 16.6 shuffle-records/row with
+    # vectors attached; the final rescore set is ≤ probes*k*margin rows,
+    # so re-attaching vectors to it via a broadcast join against a
+    # second column-pruned corpus scan is ~10x less traffic).
     PW = (P * sc2[None, :]).T  # dim x m
     cand = k * rescore_margin
-    out_schema = (
-        "probe_id long, neighbor_id long, qsim double, cv array<double>"
-    )
+    out_schema = "probe_id long, neighbor_id long, qsim double"
+    vcol = "qv" if code_col is not None else "cv"
 
     def score_partition(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
-            Q = _np_quantize(V, s)
+            V = np.stack(pdf[vcol].to_numpy()).astype(np.float64)
+            Q = V if code_col is not None else _np_quantize(V, s)
             S = Q @ PW  # batch x m
             nid = pdf["neighbor_id"].to_numpy()
             for j, pid in enumerate(probe_ids):
@@ -177,7 +190,6 @@ def quantized_top_k(
                         "probe_id": pid,
                         "neighbor_id": nid[sel],
                         "qsim": col[sel],
-                        "cv": pdf["cv"].iloc[sel].to_numpy(),
                     }
                 )
 
@@ -189,9 +201,20 @@ def quantized_top_k(
         [(r["probe_id"], [float(v) for v in r["pv"]]) for r in p_rows],
         "probe_id long, pv array<double>",
     )
-    candidates = (
+    shortlist = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= cand)
+        .select("probe_id", "neighbor_id")
+    )
+    # re-attach float vectors for the tiny rescore set: broadcast the
+    # shortlist onto a second corpus scan pruned to (id, vector) — no
+    # vector ever rides a shuffle
+    cvecs = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    candidates = (
+        cvecs.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(p_float), "probe_id")
         .select("probe_id", "neighbor_id", "cv", "pv")
     )
