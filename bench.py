@@ -101,6 +101,43 @@ def main() -> None:
     names = set(only.split(",")) if only else None
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
 
+    # Canary: a FIXED-COST, data-independent probe timed before the
+    # registry, so contended runs self-identify across rounds (r3's
+    # driver bench started at loadavg 6.5 and only an idle re-run could
+    # adjudicate the apparent regressions). Deterministic synthetic scan
+    # + hash aggregate + sort — pure engine work, no testdata dependency.
+    # The historical minimum lives in .bench_canary_ref.json (committed);
+    # canary_ratio >> 1 means THIS run was contention-inflated and its
+    # per-query deltas should be adjudicated on an idle host.
+    def _canary_once() -> float:
+        start = time.perf_counter()
+        (
+            spark.range(0, 30_000_000)
+            .select(
+                (F.col("id") % 4096).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.max("v").alias("m"))
+            .orderBy("k")
+            .collect()
+        )
+        return time.perf_counter() - start
+
+    canary_s = round(min(_canary_once() for _ in range(repeat)), 4)
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_canary_ref.json"
+    )
+    try:
+        with open(ref_path) as f:
+            canary_ref = float(json.load(f)["canary_min_s"])
+    except (OSError, ValueError, KeyError):
+        canary_ref = None
+    if canary_ref is None or canary_s < canary_ref:
+        canary_ref = canary_s
+        with open(ref_path, "w") as f:
+            json.dump({"canary_min_s": canary_ref}, f)
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
@@ -128,6 +165,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeat": repeat,
+                "canary_s": canary_s,
+                "canary_ref_s": canary_ref,
+                "canary_ratio": round(canary_s / canary_ref, 3),
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
             }

@@ -114,8 +114,14 @@ def audit(spark, sf_dir: str) -> dict[str, dict]:
                     # skew = worst max/median write across this query's
                     # exchanges: the early warning a 100x run turns into
                     # a straggler task (a hot key shows up here long
-                    # before it OOMs anything)
-                    if med > 0:
+                    # before it OOMs anything). Exchanges whose MEDIAN
+                    # task writes under 1 KiB are excluded: at that mass
+                    # the ratio is row-granularity noise (one task
+                    # carrying 3 rows instead of 1 reads as "4.0"), not
+                    # key structure — a sub-KB max task cannot straggle.
+                    # Structural hot keys always push the median exchange
+                    # past the floor long before they matter.
+                    if med >= 1024:
                         agg["skew"] = max(agg["skew"], mx / med)
                 elif node == "Exchange" and metric == "shuffle records written":
                     agg["shuffle_records"] += _parse_count(value)
