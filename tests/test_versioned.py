@@ -401,3 +401,173 @@ def test_compact_inherits_stats_surface(spark, tmp_path):
         .collect()
     )
     assert got == list(range(240, 250))
+
+
+def test_vacuum_sweeps_staged_tmp_debris(spark, tmp_path):
+    """Crashed / race-losing commits leave staged .tmp manifests and
+    pointer tmps; vacuum removes them without touching live state."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    with open(os.path.join(t, "_manifests", "v1.json.x.tmp"), "w") as f:
+        f.write("{}")
+    with open(os.path.join(t, "_latest.y.tmp"), "w") as f:
+        f.write("9")
+    vacuum(t)
+    assert not [
+        f for f in os.listdir(os.path.join(t, "_manifests")) if f.endswith(".tmp")
+    ]
+    assert not [f for f in os.listdir(t) if f.endswith(".tmp")]
+    assert latest_version(t) == 0
+    assert _vals(read_snapshot(spark, t)) == [0, 1, 2]
+
+
+def test_layout_by_clusters_and_records_stats(spark, tmp_path):
+    """write_snapshot(layout_by=...) = Z-order layout + stats + skipping
+    in one call: a range predicate on either layout column prunes files,
+    results equal the unpruned read."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    t = str(tmp_path / "orders_z")
+    write_snapshot(
+        orders,
+        t,
+        layout_by=["o_custkey", "o_totalprice"],
+        layout_files=16,
+    )
+    hi = orders.agg(F.max("o_custkey")).collect()[0][0] // 8
+    kept, total = files_for_read(t, skip_filter={"o_custkey": (None, hi)})
+    assert total == 16 and len(kept) < total / 2
+    pred = F.col("o_custkey") <= hi
+    assert sorted(
+        r.o_orderkey
+        for r in read_snapshot(spark, t, skip_filter={"o_custkey": (None, hi)})
+        .filter(pred)
+        .collect()
+    ) == sorted(r.o_orderkey for r in orders.filter(pred).collect())
+
+
+def test_table_changes_append_fast_path_and_rewrite_fallback(spark, tmp_path):
+    """CDF: append ranges yield ONLY the appended rows as inserts (read
+    from the delta files alone — history is deleted to prove it); an
+    overwrite falls back to the symmetric diff with correct inserts and
+    deletes."""
+    import glob
+
+    from wrtd_etl_spark.sources.versioned import table_changes
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.range(0, 3).withColumnRenamed("id", "v"), t)
+    v0_files = glob.glob(os.path.join(t, "data", "*", "*.parquet"))
+    write_snapshot(
+        spark.range(10, 12).withColumnRenamed("id", "v"), t, mode="append"
+    )
+    for f in v0_files:  # history gone: the fast path must not need it
+        os.remove(f)
+    ch = table_changes(spark, t, 0, 1).collect()
+    assert sorted((r.v, r._change_type) for r in ch) == [
+        (10, "insert"),
+        (11, "insert"),
+    ]
+    # rewrite fallback on a separate, intact table: v0 = {0,1,2,2},
+    # v1 overwrite = {1,2,7} -> inserts {7}, deletes {0, one 2} (EXCEPT
+    # ALL respects multiplicity)
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark.createDataFrame([(0,), (1,), (2,), (2,)], "v long"), t2
+    )
+    write_snapshot(
+        spark.createDataFrame([(1,), (2,), (7,)], "v long"), t2
+    )
+    ch = table_changes(spark, t2, 0, 1).collect()
+    assert sorted((r.v, r._change_type) for r in ch) == [
+        (0, "delete"),
+        (2, "delete"),
+        (7, "insert"),
+    ]
+
+
+def test_delete_where_copy_on_write_prunes_untouched_files(spark, tmp_path):
+    """Stats-pruned DELETE: only files that might contain matches are
+    rewritten; the rest carry forward by reference. Time travel keeps
+    the pre-delete rows; NULL-predicate rows survive (SQL semantics)."""
+    from wrtd_etl_spark.sources.versioned import delete_where, history
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1600).withColumnRenamed("id", "v").withColumn(
+        "g", F.when(F.col("v") % 400 == 17, None).otherwise(F.col("v") % 7)
+    )
+    write_snapshot(df, t, layout_by=["v"], layout_files=16)
+    files_before = {
+        f for f in __import__("json").load(
+            open(os.path.join(t, "_manifests", "v0.json"))
+        )["files"]
+    }
+    v = delete_where(
+        spark,
+        t,
+        (F.col("v") >= 100) & (F.col("v") < 200),
+        prune={"v": (100, 199)},
+    )
+    assert v == 1 and history(t)[0]["mode"] == "delete"
+    got = _vals(read_snapshot(spark, t))
+    assert got == list(range(0, 100)) + list(range(200, 1600))
+    # untouched files carried forward by reference, not rewritten
+    import json as _json
+
+    with open(os.path.join(t, "_manifests", "v1.json")) as f:
+        m1 = _json.load(f)
+    carried = set(m1["files"]) & files_before
+    assert len(carried) >= 12, "most files should carry forward untouched"
+    # time travel still sees the deleted rows
+    assert len(_vals(read_snapshot(spark, t, version=0))) == 1600
+    # NULL-predicate rows are kept: delete on g drops only g=3, not g NULL
+    v = delete_where(spark, t, F.col("g") == 3)
+    vals = read_snapshot(spark, t).collect()
+    assert all(r.g != 3 for r in vals if r.g is not None)
+    assert any(r.g is None for r in vals)
+    # and a skip_filter read on the layout column still works post-delete
+    kept, total = __import__(
+        "wrtd_etl_spark.sources.versioned", fromlist=["files_for_read"]
+    ).files_for_read(t, skip_filter={"v": (None, 50)})
+    assert len(kept) < total
+
+
+def test_streaming_versioned_append_exactly_once(spark, tmp_path):
+    """Plain streaming ingestion into a versioned table: one append
+    version per micro-batch, replays are no-ops, stats recorded."""
+    from wrtd_etl_spark.sources.versioned import files_for_read, history
+    from wrtd_etl_spark.streaming.versioned_sink import (
+        make_versioned_append_sink,
+        run_versioned_append_stream,
+    )
+
+    src = str(tmp_path / "src")
+    for lo in (0, 100):  # two files -> two micro-batches
+        spark.range(lo, lo + 50).withColumnRenamed("id", "v").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    t = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_versioned_append_stream(
+        stream, t, str(tmp_path / "ckpt"), stats_cols=["v"]
+    )
+    assert len(history(t)) == 2
+    assert _vals(read_snapshot(spark, t)) == list(range(50)) + list(
+        range(100, 150)
+    )
+    # replayed delivery of the LAST batch is a no-op
+    sink = make_versioned_append_sink(t)
+    last_batch = spark.range(100, 150).withColumnRenamed("id", "v")
+    sink(last_batch, 1)
+    assert len(history(t)) == 2
+    # stats landed: a range read prunes
+    kept, total = files_for_read(t, skip_filter={"v": (None, 10)})
+    assert len(kept) < total

@@ -300,6 +300,8 @@ def write_snapshot(
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
     renames: dict[str, str] | None = None,
+    layout_by: list[str] | None = None,
+    layout_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -312,6 +314,12 @@ def write_snapshot(
     ``renames`` (append only) declares {previous-name: new-name} column
     renames; older segments are re-labelled at read time.
 
+    ``layout_by`` clusters the committed files along the Z-curve of the
+    given (numeric) columns — operators/zorder.py's layout, integrated so
+    ONE call produces narrow per-file ranges AND the manifest stats that
+    let ``skip_filter`` exploit them (``layout_by`` columns join
+    ``stats_cols`` automatically). ``layout_files`` sizes the output.
+
     Concurrency: the data files are written once; the manifest commit is
     put-if-absent and REBASES on conflict — a concurrent append's
     segments are carried forward, so racing appends serialize instead of
@@ -322,6 +330,29 @@ def write_snapshot(
     if renames and mode != "append":
         raise ValueError("renames are only meaningful for mode='append'")
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    if layout_by:
+        from ..operators.zorder import zorder_key
+
+        aggs = []
+        for c in layout_by:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        bounds = [
+            (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+            for c in layout_by
+        ]
+        z = zorder_key([F.col(c) for c in layout_by], bounds)
+        df = df.withColumn("__z", z)
+        df = (
+            df.repartitionByRange(layout_files, "__z")
+            if layout_files
+            else df.repartitionByRange("__z")
+        )
+        df = df.sortWithinPartitions("__z").drop("__z")
+        stats_cols = sorted(set(stats_cols or []) | set(layout_by))
     new_files = _write_data(df, table)
     df_schema = df.schema.jsonValue()
     stats = (
@@ -563,6 +594,167 @@ def delta_files(
     return out
 
 
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    prune: dict[str, tuple] | None = None,
+) -> int:
+    """Copy-on-write DELETE: commit a new version with every row
+    matching ``predicate`` removed (SQL semantics — NULL predicate rows
+    are kept), rewriting ONLY the files that might contain matches.
+
+    ``prune`` is the same {col: (lo, hi)} shape as ``skip_filter`` and
+    should over-approximate the predicate: files whose recorded min/max
+    cannot intersect it carry forward UNTOUCHED (no read, no write) —
+    manifest stats turn a table rewrite into a surgical one, which is
+    the entire point of recording them at write time. Pruning is an
+    optimization only: the predicate itself is still applied to every
+    rewritten row, so a too-wide ``prune`` costs I/O, never correctness
+    (too-narrow WOULD miss rows — pass None to rewrite everything).
+
+    Time travel is untouched: the previous version still references the
+    pre-delete files until ``vacuum`` retention allows reclaim."""
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    aliases = manifest.get("aliases", {})
+    carried: list[dict] = []
+    rewrite_segs: list[dict] = []
+    for seg in _segments(manifest):
+        cand = (
+            set(_prune_segment_files(seg, aliases, prune))
+            if prune
+            else set(seg["files"])
+        )
+        keep = [f for f in seg["files"] if f not in cand]
+        if keep:
+            carried.append(
+                {
+                    **seg,
+                    "files": keep,
+                    "stats": {
+                        k: v
+                        for k, v in seg.get("stats", {}).items()
+                        if k in keep
+                    },
+                }
+            )
+        if cand:
+            rewrite_segs.append({**seg, "files": sorted(cand)})
+    new_segment = None
+    if rewrite_segs:
+        # normalize candidates through the same rename/cast/union path a
+        # read uses, so the predicate sees CURRENT column names/types
+        part = _read_segments(
+            spark, table, {**manifest, "segments": rewrite_segs}
+        )
+        survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
+        files_new = _write_data(survivors, table)
+        stat_cols = sorted(
+            {
+                aliases.get(c, c)
+                for seg in rewrite_segs
+                for fs in seg.get("stats", {}).values()
+                for c in fs
+            }
+        )
+        stats = (
+            _collect_file_stats(table, files_new, stat_cols)
+            if stat_cols
+            else {}
+        )
+        new_segment = {
+            "files": files_new,
+            "schema": manifest["schema"],
+            "stats": stats,
+        }
+    segments = carried + ([new_segment] if new_segment else [])
+    evolved = bool(aliases) or any(
+        s["schema"] != manifest["schema"] for s in segments
+    )
+    for _ in range(20):
+        prev = _read_pointer(table)
+        if prev != base:
+            raise CommitConflict(
+                f"concurrent commit to {table} during delete (based on "
+                f"v{base}); re-run"
+            )
+        new_manifest = {
+            "version": prev + 1,
+            "mode": "delete",
+            "parent": prev,
+            "files": [f for s in segments for f in s["files"]],
+            "segments": segments,
+            "schema": manifest["schema"],
+            "schema_evolved": evolved,
+            "aliases": aliases,
+            "committed_at": time.time(),
+            "extra": manifest.get("extra", {}),
+        }
+        if _try_commit(table, prev + 1, new_manifest):
+            return prev + 1
+    raise CommitConflict(f"delete on {table} kept losing the commit race")
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes between two committed versions — the read side
+    of a change data feed: every returned row carries ``_change_type`` ∈
+    {insert, delete}; unchanged rows don't appear.
+
+    Append-only ranges read ONLY the appended files (O(delta), no
+    history rescan — the manifests already know which files are new).
+    Any other lineage (overwrite/compact/rollback) falls back to a
+    symmetric EXCEPT ALL over both snapshots — a full shuffle of both
+    versions, which IS the honest cost of diffing a rewrite; keyed
+    consumers should prefer ``operators/diff.table_diff`` for
+    cheaper keyed semantics. Schema evolution across the range is
+    handled by padding to the union schema (lossless casts only)."""
+    if to_version is None:
+        to_version = _read_pointer(table)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+    delta = delta_files(table, from_version, to_version)
+    if delta is not None:
+        if not delta:
+            from pyspark.sql.types import StructType
+
+            base = spark.createDataFrame(
+                [],
+                StructType.fromJson(
+                    _read_manifest(table, to_version)["schema"]
+                ),
+            )
+        else:
+            base = spark.read.parquet(
+                *[os.path.join(table, f) for f in delta]
+            )
+        return base.withColumn("_change_type", F.lit("insert"))
+    new = read_snapshot(spark, table, version=to_version)
+    old = read_snapshot(spark, table, version=from_version)
+    new_types = dict(new.dtypes)
+    old_types = dict(old.dtypes)
+    for c in new.columns:
+        if c not in old_types:
+            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        elif old_types[c] != new_types[c]:
+            old = old.withColumn(c, F.col(c).cast(new_types[c]))
+    for c in [c for c in old.columns if c not in new_types]:
+        new = new.withColumn(c, F.lit(None).cast(old_types[c]))
+    old = old.select(*new.columns)
+    return new.exceptAll(old).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    )
+
+
 def history(table: str) -> list[dict]:
     """Commit log, newest first (version, mode, parent, n_files, ts)."""
     latest = _read_pointer(table)
@@ -614,10 +806,19 @@ def rollback(table: str, version: int) -> int:
 def vacuum(table: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep_last`` versions are retained; older manifests stay as history
-    but their exclusive files go). Returns the deleted relative paths."""
+    but their exclusive files go). Also sweeps staged-but-never-linked
+    ``*.tmp`` manifests and pointer files — the debris of crashed or
+    race-losing commits. Returns the deleted relative paths."""
     latest = _read_pointer(table)
     if latest is None:
         return []
+    mdir = os.path.join(table, _MANIFESTS)
+    for f in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(mdir, f))
+    for f in os.listdir(table):
+        if f.startswith(_LATEST + ".") and f.endswith(".tmp"):
+            os.remove(os.path.join(table, f))
     keep_from = max(0, latest - keep_last + 1)
     live: set[str] = set()
     for v in range(keep_from, latest + 1):
