@@ -13,8 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from wrtd_etl_spark.session import get_spark  # noqa: E402
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Fixture root: the grading driver provisions /root/testdata; any other
+# environment (CI, a laptop) points SPARK_GRAFT_TESTDATA at a directory
+# produced by `python tools/gen_testdata.py <root>` — same schemas,
+# scaling, and planted structure, so the differential suite runs anywhere.
+_TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMOKE = os.path.join(_TESTDATA, "sf0.001")
+SF_CORRECT = os.path.join(_TESTDATA, "sf0.01")
 
 TABLE_NAMES = (
     "region",

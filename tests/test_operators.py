@@ -401,7 +401,9 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
 
     from wrtd_etl_spark.operators.zorder import write_zordered
 
-    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+    from .conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
 

@@ -412,7 +412,13 @@ def test_vacuum_sweeps_staged_tmp_debris(spark, tmp_path):
         f.write("{}")
     with open(os.path.join(t, "_latest.y.tmp"), "w") as f:
         f.write("9")
+    # fresh tmps survive the default age threshold (an in-flight writer's
+    # staged manifest must never be swept from under its os.link)
     vacuum(t)
+    assert [
+        f for f in os.listdir(os.path.join(t, "_manifests")) if f.endswith(".tmp")
+    ]
+    vacuum(t, tmp_age_s=0.0)
     assert not [
         f for f in os.listdir(os.path.join(t, "_manifests")) if f.endswith(".tmp")
     ]
@@ -571,3 +577,66 @@ def test_streaming_versioned_append_exactly_once(spark, tmp_path):
     # stats landed: a range read prunes
     kept, total = files_for_read(t, skip_filter={"v": (None, 10)})
     assert len(kept) < total
+
+
+def test_compact_preserves_extra_ledger(spark, tmp_path):
+    """compact() must carry the manifest extra forward: it is the
+    exactly-once batch-id ledger for streaming sinks — wiping it would
+    let a replayed micro-batch double-ingest after maintenance."""
+    from wrtd_etl_spark.sources.versioned import compact, manifest_info
+    from wrtd_etl_spark.streaming.versioned_sink import (
+        make_versioned_append_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = make_versioned_append_sink(t)
+    sink(spark.range(3).withColumnRenamed("id", "v"), 0)
+    sink(spark.range(10, 12).withColumnRenamed("id", "v"), 1)
+    compact(spark, t, target_files=1)
+    assert manifest_info(t)["extra"] == {"batch_id": 1}
+    sink(spark.range(10, 12).withColumnRenamed("id", "v"), 1)  # replay
+    assert _vals(read_snapshot(spark, t)) == [0, 1, 2, 10, 11]
+
+
+def test_renamed_away_column_cannot_be_reborn(spark, tmp_path):
+    """Reintroducing a historical column name would make the table-level
+    alias map silently re-label the new column — refuse at write time."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, 10)], "k long, amt int"), t)
+    write_snapshot(
+        spark.createDataFrame([(2, 20)], "k long, amount int"),
+        t,
+        mode="append",
+        renames={"amt": "amount"},
+    )
+    with pytest.raises(ValueError, match="reintroduced"):
+        write_snapshot(
+            spark.createDataFrame([(3, 30, 1)], "k long, amount int, amt int"),
+            t,
+            mode="append",
+        )
+
+
+def test_skip_filter_accepts_date_bounds(spark, tmp_path):
+    """Date/timestamp skip_filter bounds compare through the same JSON
+    encoding as the stored stats (isoformat — order-preserving) instead
+    of raising TypeError."""
+    import datetime as dt
+
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, dt.date(2026, 1, 1 + i)) for i in range(20)], "v long, d date"
+    ).repartitionByRange(4, "d")
+    write_snapshot(df, t, stats_cols=["d"])
+    lo = dt.date(2026, 1, 18)
+    kept, total = files_for_read(t, skip_filter={"d": (lo, None)})
+    assert total == 4 and len(kept) < total
+    got = sorted(
+        r.v
+        for r in read_snapshot(spark, t, skip_filter={"d": (lo, None)})
+        .filter(F.col("d") >= F.lit(lo))
+        .collect()
+    )
+    assert got == [17, 18, 19]

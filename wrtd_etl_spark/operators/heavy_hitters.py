@@ -78,6 +78,13 @@ def heavy_hitters(
 
     frac = Fraction(str(phi)).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
+    if num == 0:
+        # phi below the rational resolution would make the threshold
+        # vacuous (cnt*den >= 0); such a phi also means >1e6 Misra-Gries
+        # counters per partition — refuse loudly rather than mis-filter
+        raise ValueError(
+            f"phi={phi} is below the 1e-6 exact-threshold resolution"
+        )
     k = math.ceil(1 / phi) + 1
     vals = df.select(col).filter(F.col(col).isNotNull())
     candidates = (

@@ -97,6 +97,11 @@ def mixture_report(
     """
     from ..functions import text as TX
 
+    # ONE token-count projection and ONE per-source totals aggregate feed
+    # both the report frame and the kept-row filter (mixture_sample would
+    # rebuild both — a duplicated corpus scan on a 100 TB-shaped path);
+    # the kept filter reuses mixture_sample's exact frac expression via
+    # the broadcast totals, so kept rows are identical by construction
     with_tok = df.withColumn(
         "__n_tokens", TX.token_count(F.col("text"))
     ).withColumn("__w", weight_col)
@@ -104,8 +109,15 @@ def mixture_report(
         F.sum("__n_tokens").cast("long").alias("__src_tokens"),
         F.min("__w").alias("__w"),
     )
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("__w") * F.lit(float(token_budget)))
+        / F.col("__src_tokens").cast("double"),
+    )
     kept = (
-        mixture_sample(df, weight_col, token_budget, source_col, id_col)
+        with_tok.drop("__w")
+        .join(F.broadcast(totals), source_col)
+        .filter(_hash_uniform(F.col(id_col)) < frac)
         .groupBy(source_col)
         .agg(
             F.count("*").alias("__n_docs_kept"),

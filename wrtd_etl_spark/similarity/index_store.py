@@ -82,9 +82,13 @@ def write_ivf_index(
     committed version."""
     from pyspark.sql import functions as F
 
+    from .ann import _non_null_vectors
     from .ivf import _assign_cells
     from .kmeans import train_centroids_kmeans
 
+    # same NULL-vector contract as ivf_top_k: the hash-ordered sample
+    # must never pick a NULL row as a centroid
+    corpus = _non_null_vectors(corpus, vec_col)
     if kmeans_iters > 0:
         centroids = train_centroids_kmeans(
             corpus, vec_col, id_col, n_cells, rounds=kmeans_iters

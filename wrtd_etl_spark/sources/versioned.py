@@ -156,6 +156,12 @@ def _try_commit(table: str, version: int, manifest: dict) -> bool:
     except FileExistsError:
         os.remove(tmp)
         return False
+    except FileNotFoundError:
+        # a concurrent vacuum swept our staged tmp (possible only when it
+        # outlived the retention age, i.e. this writer stalled for that
+        # long) — nothing was published, so treat it as a lost race and
+        # let the caller restage
+        return False
     os.remove(tmp)
     _advance_pointer(table, version)
     return True
@@ -231,20 +237,24 @@ def _merge_schemas(prev: dict, new: dict, where: str) -> tuple[dict, bool]:
     return {**prev, "fields": merged}, evolved
 
 
+def _json_val(v):
+    """Stats values as JSON-native, ORDER-PRESERVING encodings: dates/
+    timestamps via isoformat (lexicographic == chronological). Bytes have
+    no lossless order-preserving JSON form ('replace' decoding can
+    reorder), so binary columns never get stats — callers compare bounds
+    through this same mapping, keeping pruning type-safe."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 def _collect_file_stats(
     table: str, rel_files: list[str], cols: list[str]
 ) -> dict[str, dict[str, list]]:
     """relpath → {col: [min, max]} from parquet footers (driver-side,
     O(#files) metadata reads; values JSON-native so manifests stay
-    engine-agnostic)."""
+    engine-agnostic). Binary columns are skipped — see _json_val."""
     import pyarrow.parquet as pq
-
-    def _json_val(v):
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
-        return v
 
     out: dict[str, dict[str, list]] = {}
     for rel in rel_files:
@@ -261,6 +271,9 @@ def _collect_file_stats(
             for rg in range(md.num_row_groups):
                 s = md.row_group(rg).column(idx[c]).statistics
                 if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                if isinstance(s.min, bytes) or isinstance(s.max, bytes):
                     ok = False
                     break
                 lo = s.min if lo is None else min(lo, s.min)
@@ -381,6 +394,7 @@ def write_snapshot(
                     raise ValueError(
                         f"rename of unknown column(s): {missing}"
                     )
+            if renames:
                 prev_schema = {
                     **prev_schema,
                     "fields": [
@@ -388,6 +402,24 @@ def write_snapshot(
                         for f in prev_schema["fields"]
                     ],
                 }
+            # a HISTORICAL name may not be reintroduced as a new column:
+            # the alias map is table-level, so the read path would
+            # re-label the reborn column into its renamed successor —
+            # silent corruption. Refuse at write time (checked against
+            # the POST-rename schema, so appending the old name alongside
+            # its own rename is caught too).
+            reborn = [
+                f["name"]
+                for f in df_schema.get("fields", [])
+                if aliases.get(f["name"], f["name"]) != f["name"]
+                and f["name"] not in _schema_fields(prev_schema)
+            ]
+            if reborn:
+                raise ValueError(
+                    f"column name(s) {reborn} were renamed away earlier "
+                    "in this table's history and cannot be reintroduced "
+                    "(the alias map would re-label them); pick new names"
+                )
             schema, evolved_now = _merge_schemas(
                 prev_schema, df_schema, f"append to {table}"
             )
@@ -474,8 +506,12 @@ def _prune_segment_files(
                 return f
         return None
 
+    # bounds go through the same JSON encoding as the stored stats, so a
+    # datetime.date bound compares against an isoformat-string min/max
+    # instead of raising (and order is preserved by construction)
     resolved = {
-        seg_name(c): rng for c, rng in skip_filter.items()
+        seg_name(c): (_json_val(lo), _json_val(hi))
+        for c, (lo, hi) in skip_filter.items()
     }
     kept = []
     for path in seg["files"]:
@@ -803,22 +839,34 @@ def rollback(table: str, version: int) -> int:
     raise CommitConflict(f"rollback of {table} kept losing the commit race")
 
 
-def vacuum(table: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table: str, keep_last: int = 1, tmp_age_s: float = 3600.0
+) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep_last`` versions are retained; older manifests stay as history
     but their exclusive files go). Also sweeps staged-but-never-linked
-    ``*.tmp`` manifests and pointer files — the debris of crashed or
-    race-losing commits. Returns the deleted relative paths."""
+    ``*.tmp`` manifests and pointer files older than ``tmp_age_s`` — the
+    debris of crashed or race-losing commits; the age threshold keeps
+    the sweep from racing an IN-FLIGHT writer's freshly staged tmp.
+    Returns the deleted relative paths."""
     latest = _read_pointer(table)
     if latest is None:
         return []
+
+    def _sweep(path: str) -> None:
+        try:
+            if time.time() - os.path.getmtime(path) >= tmp_age_s:
+                os.remove(path)
+        except FileNotFoundError:
+            pass  # a concurrent winner removed its own tmp — fine
+
     mdir = os.path.join(table, _MANIFESTS)
     for f in os.listdir(mdir) if os.path.isdir(mdir) else []:
         if f.endswith(".tmp"):
-            os.remove(os.path.join(mdir, f))
+            _sweep(os.path.join(mdir, f))
     for f in os.listdir(table):
         if f.startswith(_LATEST + ".") and f.endswith(".tmp"):
-            os.remove(os.path.join(table, f))
+            _sweep(os.path.join(table, f))
     keep_from = max(0, latest - keep_last + 1)
     live: set[str] = set()
     for v in range(keep_from, latest + 1):
@@ -890,7 +938,11 @@ def compact(
         "schema_evolved": False,
         "aliases": {},
         "committed_at": time.time(),
-        "extra": {},
+        # extra carries forward: it is the exactly-once batch-id ledger
+        # for streaming sinks (versioned_sink.py, cdc.py) and the
+        # staleness pin for materialized views — a maintenance compact
+        # wiping it would let a replayed micro-batch double-ingest
+        "extra": base_manifest.get("extra", {}),
     }
     if not _try_commit(table, version, manifest):
         raise CommitConflict(
