@@ -103,6 +103,10 @@ _DEMOTED = (
     "props_json_stats",  # JSON-path extraction + grouped agg over events.props
     "order_line_arrays",  # higher-order-function battery (transform/filter/aggregate)
     "calendar_revenue",  # time-dimension rollup (year/quarter/dow pinned cross-engine)
+    # round 4: the scored window is already 50/50 oracle-backed — new
+    # queries park here with pytest-oracle coverage
+    "weighted_doc_sample",  # A-ES weighted reservoir per group (operators/sampling.py)
+    "source_overlap",  # cross-source set-Jaccard (dedup/source_overlap.py)
 )
 
 

@@ -38,6 +38,8 @@ _PIPELINE_ORACLE = [
     "dedup_substring",
     "corpus_mixture",
     "heavy_hitter_tokens",
+    "weighted_doc_sample",
+    "source_overlap",
 ]
 
 

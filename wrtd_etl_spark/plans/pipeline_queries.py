@@ -1556,3 +1556,101 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.tokens(F.col("text"))).alias("token")
     )
     return heavy_hitters(toks, "token", phi=0.01)
+
+
+@register(
+    "weighted_doc_sample",
+    r"""
+    WITH t AS (
+        SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w
+        FROM documents WHERE n_chars > 0
+    ), k AS (
+        SELECT source, doc_id,
+               ROUND(
+                   ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                       + 0.5) / 4294967296.0) / w,
+                   12
+               ) AS skey
+        FROM t
+    ), r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY skey DESC, doc_id
+               ) AS rank
+        FROM k
+    )
+    SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir (A-ES) — 10 docs per source,
+    inclusion probability proportional to n_chars (operators/sampling.py).
+    The per-(group, physical-partition) pre-top-k means no reducer ever
+    sorts a whole source; the oracle is the plain one-window form, equal
+    by the containment argument in the module docstring."""
+    from ..operators.sampling import weighted_sample_per_group
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    return weighted_sample_per_group(
+        docs, 10, F.col("n_chars").cast("double")
+    ).select("source", "doc_id", "rank")
+
+
+@register(
+    "source_overlap",
+    r"""
+    WITH t AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT source, toks,
+               UNNEST(generate_series(1, GREATEST(len(toks) - 2, 1))) AS pos
+        FROM t
+    ), sh AS (
+        SELECT DISTINCT source, array_to_string(toks[pos:pos+2], ' ') AS sh
+        FROM p
+    ), c AS (
+        SELECT source, COUNT(*) AS n FROM sh GROUP BY source
+    ), i AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ca.source AS source_a, cb.source AS source_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / CAST(ca.n + cb.n - COALESCE(i.n_common, 0) AS DOUBLE)
+               AS jaccard
+    FROM c ca JOIN c cb ON ca.source < cb.source
+    LEFT JOIN i ON i.source_a = ca.source AND i.source_b = cb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set-Jaccard BETWEEN sources over distinct token shingles
+    (dedup/source_overlap.py) — corpus-level overlap (mirrored crawls,
+    shared boilerplate) that document-level dedup can't see. Pair rows
+    are bounded by C(|sources|,2) per shingle, never corpus size; the
+    jaccard division is single IEEE-division-exact on integer counts."""
+    from ..dedup.source_overlap import source_jaccard_exact
+
+    return source_jaccard_exact(_docs(spark, sf_dir))
+
+
+@register("term_freq_cms", None)
+def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term frequencies for a fixed probe vocabulary
+    (functions/sketches.py): one JVM-side sketch aggregate (map-side
+    merged, fixed-size state) instead of a vocabulary shuffle. No SQL
+    oracle — estimates are hash-family-dependent upper bounds; the
+    eps-N error-bound + determinism test is the truth model."""
+    from ..functions.sketches import term_frequency_estimates
+
+    probes = ["the", "data", "spark", "row", "query", "nosuchtoken"]
+    return term_frequency_estimates(
+        _docs(spark, sf_dir), "text", probes, eps=0.0001, confidence=0.99
+    )
