@@ -62,3 +62,44 @@ def test_ivf_index_round_trip_reuses_centroids(spark, tmp_path):
     assigned = read_snapshot(spark, t)
     assert assigned.count() == emb.filter(F.col("embedding").isNotNull()).count()
     assert assigned.select("cell").distinct().count() <= 8
+
+
+def test_sq8_append_equals_rebuild_with_same_scales(spark, tmp_path):
+    """Incremental indexing: appending a delta with the STORED scales
+    must answer queries exactly like one index built over the union with
+    those scales — and must not rewrite the existing code files."""
+    from wrtd_etl_spark.similarity.index_store import sq8_append
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    probes = emb.filter(F.col("vec_id") < 10)
+    t = str(tmp_path / "sq8_idx")
+    write_sq8_index(base, t)
+    files_before, _ = files_for_read(t)
+    v = sq8_append(delta, t)
+    assert v == 1
+    files_after, _ = files_for_read(t)
+    assert set(files_before) <= set(files_after)  # old codes untouched
+
+    scales = manifest_info(t)["extra"]["scales"]
+    rebuilt = quantized_top_k(emb, probes, k=5, scales=scales)
+    stored = sq8_query(spark, t, probes, k=5)
+    assert _key(stored.collect()) == _key(rebuilt.collect())
+    # time travel still answers from the pre-append index
+    old = sq8_query(spark, t, probes, k=5, version=0)
+    base_only = quantized_top_k(base, probes, k=5, scales=scales)
+    assert _key(old.collect()) == _key(base_only.collect())
+
+
+def test_sq8_append_refuses_non_sq8_table(spark, tmp_path):
+    import pytest
+
+    from wrtd_etl_spark.similarity.index_store import sq8_append
+    from wrtd_etl_spark.sources.versioned import write_snapshot
+
+    t = str(tmp_path / "plain")
+    write_snapshot(spark.range(3), t)
+    with pytest.raises(ValueError, match="sq8"):
+        sq8_append(spark.range(3), t)

@@ -44,6 +44,35 @@ def write_sq8_index(
     )
 
 
+def sq8_append(
+    new_vectors: DataFrame,
+    table: str,
+) -> int:
+    """Incrementally index NEW vectors with the STORED scales — no
+    retrain, no rewrite of existing codes; one append commit. Returns
+    the committed version.
+
+    The resulting index is code-identical to rebuilding with the same
+    scales over the union (quantize is per-row), so queries see exactly
+    what a full rebuild would produce. Scales are training state from
+    the ORIGINAL corpus: appending a distribution-shifted delta keeps
+    correctness (the exact-cosine rescore reads stored floats) but can
+    widen quantization error for the new rows — retrain (a fresh
+    ``write_sq8_index`` version) when the delta dominates. Caller owns
+    id uniqueness, as with any append-only log."""
+    info = manifest_info(table)["extra"]
+    if info.get("kind") != "sq8":
+        raise ValueError(f"{table} is not an sq8 index (extra={info})")
+    vec_col, id_col = info["vec_col"], info["id_col"]
+    coded = quantize(new_vectors, info["scales"], vec_col=vec_col, out_col="qvec")
+    return write_snapshot(
+        coded.select(id_col, vec_col, "qvec"),
+        table,
+        mode="append",
+        extra=info,
+    )
+
+
 def sq8_query(
     spark: SparkSession,
     table: str,
