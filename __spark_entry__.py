@@ -107,6 +107,8 @@ _DEMOTED = (
     # queries park here with pytest-oracle coverage
     "weighted_doc_sample",  # A-ES weighted reservoir per group (operators/sampling.py)
     "source_overlap",  # cross-source set-Jaccard (dedup/source_overlap.py)
+    "event_anomaly",  # rolling z-score over integer window sums
+    "keyword_search",  # inverted-index tf-idf search (operators/text_index.py)
 )
 
 

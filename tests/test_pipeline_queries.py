@@ -40,6 +40,7 @@ _PIPELINE_ORACLE = [
     "heavy_hitter_tokens",
     "weighted_doc_sample",
     "source_overlap",
+    "keyword_search",
 ]
 
 

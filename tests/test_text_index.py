@@ -1,0 +1,63 @@
+"""Persisted inverted text index (operators/text_index.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.catalog import load_table
+from wrtd_etl_spark.operators.text_index import (
+    build_text_index,
+    search_corpus,
+    search_text_index,
+)
+from wrtd_etl_spark.sources.versioned import files_for_read, write_snapshot
+
+from .conftest import SF_SMOKE
+
+_TERMS = ["merge", "scan", "vector"]
+
+
+def _key(rows):
+    return sorted((r.doc_id, r.n_terms_hit, r.score, r["rank"]) for r in rows)
+
+
+def test_persisted_search_equals_corpus_search(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = str(tmp_path / "idx")
+    v = build_text_index(docs, t)
+    assert v == 0
+    stored = search_text_index(spark, t, _TERMS, k=10)
+    direct = search_corpus(docs, _TERMS, k=10)
+    got = _key(stored.collect())
+    assert got == _key(direct.collect())
+    assert len(got) == 10
+    # every hit matches at least one term and ranks are 1..10
+    assert [r[3] for r in sorted(got, key=lambda x: x[3])] == list(range(1, 11))
+
+
+def test_term_lookup_prunes_postings_files(spark, tmp_path):
+    """Range-clustering by token + manifest stats must let a narrow term
+    range skip most postings files."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = str(tmp_path / "idx")
+    build_text_index(docs, t, n_files=8)
+    kept, total = files_for_read(t, skip_filter={"token": ("scan", "scan")})
+    assert total >= 6
+    assert len(kept) <= max(1, total // 3)
+
+
+def test_search_rejects_non_index_table(spark, tmp_path):
+    t = str(tmp_path / "plain")
+    write_snapshot(spark.range(3), t)
+    with pytest.raises(ValueError, match="text index"):
+        search_text_index(spark, t, ["x"])
+
+
+def test_search_handles_absent_terms(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = search_corpus(docs, ["zzzabsent", "merge"], k=5).collect()
+    assert len(got) == 5
+    assert all(r.n_terms_hit == 1 for r in got)
+    none = search_corpus(docs, ["zzzabsent"], k=5).collect()
+    assert none == []

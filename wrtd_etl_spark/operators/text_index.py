@@ -1,0 +1,142 @@
+"""Persisted inverted text index + keyword search.
+
+The reference's Postgres warehouse answers "find the rows mentioning X"
+with a B-tree/GIN index (create_tables.sql:71-79 — indexes are its only
+retrieval accelerator); a parquet lake has no server-side index, so the
+Spark-first equivalent is an inverted index AS A TABLE: one row per
+(token, doc_id, tf), range-clustered by token and committed as a
+versioned table with per-file token min/max stats — term lookups then
+prune to the few files whose token range covers the query terms
+(sources/versioned.py skip_filter), the same manifest-stats mechanism
+the Z-order work proves for numeric ranges, exercised here on strings.
+
+Scoring is the log-free tf-idf used by doc_tfidf_topk
+(plans/pipeline_queries.py): weight = tf · (n_docs / df) — integer
+division to double, computed in exact integer micros (see _score), so search results
+are bit-comparable cross-engine (a ln() idf or a float sum would
+differ in final ulps and break ranking-hash parity).
+
+Scale shape: build is one tokenize+explode scan and one (token, doc)
+aggregation; search reads ONLY the pruned postings files for the query
+terms — |terms| × (docs-per-term) rows, never the corpus — then a
+broadcast-joinable per-term df table and a doc-keyed top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.versioned import manifest_info, read_snapshot, write_snapshot
+
+
+def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def build_text_index(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> int:
+    """Tokenize, aggregate (token, doc_id, tf), range-cluster by token
+    and commit with token file-stats; n_docs rides the manifest. Returns
+    the committed version."""
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    postings = _postings(df, text_col, id_col).repartitionByRange(
+        n_files, "token"
+    )
+    return write_snapshot(
+        postings,
+        table,
+        extra={"kind": "text_index", "n_docs": n_docs},
+        stats_cols=["token"],
+    )
+
+
+
+def _score(post: DataFrame, df_tbl: DataFrame, n_docs: int) -> DataFrame:
+    """Per-doc log-free tf-idf in EXACT integer micros: each term's
+    weight is tf * round(n_docs*1e6/df) — one rounded division per term,
+    then an integer sum (order-free), then ONE final division for the
+    user-facing double. A float sum of per-term weights would depend on
+    aggregation order and diverge from any oracle in final ulps."""
+    w_micro = F.col("tf") * F.floor(
+        F.lit(n_docs * 1_000_000.0) / F.col("df").cast("double") + F.lit(0.5)
+    ).cast("long")
+    return (
+        post.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            (F.sum(w_micro).cast("double") / F.lit(1_000_000.0)).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def search_text_index(
+    spark: SparkSession,
+    table: str,
+    terms: list[str],
+    k: int = 10,
+    version: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_terms_hit, score, rank): top-k docs for a bag of
+    terms. Reads only postings files whose token range covers the query
+    terms (manifest-stats pruning); ties break by doc_id."""
+    info = manifest_info(table, version)["extra"]
+    if info.get("kind") != "text_index":
+        raise ValueError(f"{table} is not a text index (extra={info})")
+    terms = sorted(set(t.lower() for t in terms))
+    post = read_snapshot(
+        spark,
+        table,
+        version=version,
+        skip_filter={"token": (terms[0], terms[-1])},
+    ).filter(F.col("token").isin(terms))
+    df_tbl = post.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = _score(post, df_tbl, int(info["n_docs"]))
+    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # the global window ranks only the matched docs (≤ Σ df of the query
+    # terms); for huge candidate sets swap in the two-stage top-k of
+    # operators/sampling.py — k here is user-facing small
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def search_corpus(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index-free twin of :func:`search_text_index` (one corpus scan) —
+    the same algebra on the same tokenization, so the persisted path is
+    testable against it and the registry query stays hermetic."""
+    terms = sorted(set(t.lower() for t in terms))
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    post = _postings(df, text_col, id_col).filter(F.col("token").isin(terms))
+    df_tbl = post.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = _score(post, df_tbl, n_docs)
+    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

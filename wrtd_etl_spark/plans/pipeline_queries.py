@@ -1654,3 +1654,48 @@ def term_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_frequency_estimates(
         _docs(spark, sf_dir), "text", probes, eps=0.0001, confidence=0.99
     )
+
+
+@register(
+    "keyword_search",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE text IS NOT NULL
+    ), n AS (
+        SELECT COUNT(*) AS nd FROM documents WHERE text IS NOT NULL
+    ), p AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM t WHERE token IN ('merge', 'scan', 'vector')
+        GROUP BY token, doc_id
+    ), d AS (
+        SELECT token, COUNT(*) AS df FROM p GROUP BY token
+    ), s AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(tf * CAST(FLOOR(
+                   CAST((SELECT nd FROM n) AS DOUBLE) * 1000000.0
+                       / CAST(df AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+                   AS micros
+        FROM p JOIN d USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit,
+           CAST(micros AS DOUBLE) / 1000000.0 AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY micros DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM s QUALIFY rank <= 10
+    """,
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the documents corpus (operators/text_index.py
+    search_corpus — the index-free twin of the persisted inverted-index
+    path, same algebra): log-free tf-idf in exact integer micros, top-10
+    with doc_id tie-break. The persisted variant (build_text_index +
+    search_text_index: token-range-clustered versioned postings,
+    manifest-stats file pruning) is verified equal in pytest."""
+    from ..operators.text_index import search_corpus
+
+    return search_corpus(
+        _docs(spark, sf_dir), ["merge", "scan", "vector"], k=10
+    )

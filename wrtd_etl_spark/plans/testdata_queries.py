@@ -1658,3 +1658,89 @@ def calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice"), "revenue"),
     )
+
+
+@register(
+    "event_anomaly",
+    r"""
+    WITH b AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, day
+    ), w AS (
+        SELECT event_type, day, cents,
+               COUNT(*) OVER tw AS n,
+               SUM(cents) OVER tw AS s,
+               SUM(cents * cents) OVER tw AS ss
+        FROM b
+        WINDOW tw AS (
+            PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT event_type, day, cents,
+           CAST(n AS BIGINT) AS n,
+           (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+               AS zscore
+    FROM w
+    WHERE n >= 3
+      AND CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          > CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+    ORDER BY event_type, day
+    """,
+)
+def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over daily per-type value
+    totals — the monitoring primitive a pipeline alerts on. Trailing
+    7-bucket mean/std come from INTEGER window sums (the exact-sum cents
+    idiom lifted into sum/sum-of-squares), so mean, variance, and the
+    z-score are fixed-order IEEE expressions over integers — bit-equal
+    cross-engine, no stddev_samp (whose accumulation order is
+    engine-internal). Degenerate windows (n<3 or zero variance) are
+    filtered, not NaN-propagated. Integer headroom: ss stays in int64
+    while a bucket's cents stay under ~3e9 (about $30M/day/type);
+    larger buckets should aggregate at a finer grain first.
+
+    Scale shape: one partial-agg groupBy collapses events to
+    |types|x|days| buckets; the window runs over THAT, partitioned by
+    type — never a window over raw facts."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = b.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("cents").over(tw).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(tw).alias("ss"),
+    )
+    n, s, ss = (F.col(c).cast("double") for c in ("n", "s", "ss"))
+    cents = F.col("cents").cast("double")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    return (
+        w.filter(
+            (F.col("n") >= 3) & (n * ss > s * s)
+        )
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.col("n").cast("long").alias("n"),
+            ((cents - s / n) / F.sqrt(var)).alias("zscore"),
+        )
+    )
