@@ -109,6 +109,7 @@ _DEMOTED = (
     "source_overlap",  # cross-source set-Jaccard (dedup/source_overlap.py)
     "event_anomaly",  # rolling z-score over integer window sums
     "keyword_search",  # inverted-index tf-idf search (operators/text_index.py)
+    "ann_filtered_topk",  # metadata-filtered exact vector search (filter-then-search)
 )
 
 

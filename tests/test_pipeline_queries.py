@@ -41,6 +41,7 @@ _PIPELINE_ORACLE = [
     "weighted_doc_sample",
     "source_overlap",
     "keyword_search",
+    "ann_filtered_topk",
 ]
 
 

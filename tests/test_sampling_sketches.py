@@ -164,3 +164,26 @@ def test_term_frequency_estimates_deterministic(spark):
     assert [r.term for r in a] == probes
     got = {r.term: r.est_count for r in a}
     assert got["nosuchtoken"] <= got["the"]
+
+
+def test_filtered_topk_filters_before_ranking(spark):
+    """filter-then-search ≠ search-then-filter: every probe gets a full
+    k of SAME-LABEL neighbors, while post-filtering the unfiltered top-k
+    starves (labels are ~uniform-10, so a plain top-5 rarely contains 5
+    same-label rows)."""
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k, filtered_top_k
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+
+    got = filtered_top_k(emb, probes, match_cols=["label"], k=5).collect()
+    per_probe = {}
+    for r in got:
+        assert labels[r.neighbor_id] == labels[r.probe_id]
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert all(len(v) == 5 for v in per_probe.values())
+
+    plain = brute_force_top_k(emb, probes, k=5).collect()
+    post = [r for r in plain if labels[r.neighbor_id] == labels[r.probe_id]]
+    assert len(post) < len(got)  # post-filtering starves

@@ -1699,3 +1699,40 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_corpus(
         _docs(spark, sf_dir), ["merge", "scan", "vector"], k=10
     )
+
+
+@register(
+    "ann_filtered_topk",
+    f"""
+    WITH v0 AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    v AS (SELECT vec_id, label, e, {_NN_SQL} AS nn FROM v0),
+    scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               {_QCOS_SQL.format(a="p.e", b="c.e", na="p.nn", nb="c.nn")} AS sim
+        FROM v p JOIN v c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10 AND c.label = p.label
+    ), ranked AS (
+        SELECT probe_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: each probe's top-5 among candidates whose
+    metadata matches (here: same ``label``) — filter-then-search, the
+    semantics a RAG corpus needs (post-filtering a plain top-k starves
+    results when the predicate is selective). The predicate lands on the
+    corpus SCAN (pushed-down per probe-label partition of the broadcast
+    join condition), so the scored set shrinks BEFORE any ranking work;
+    at scale the same composition applies in front of the IVF/SQ8 paths
+    (assign/score only the filtered rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    from ..similarity.ann import filtered_top_k
+
+    return filtered_top_k(emb, probes, match_cols=["label"], k=5)

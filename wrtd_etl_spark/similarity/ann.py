@@ -142,6 +142,63 @@ def brute_force_top_k(
     )
 
 
+def filtered_top_k(
+    corpus: DataFrame,
+    probes: DataFrame,
+    match_cols: list[str],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k under metadata equality predicates: each probe ranks
+    ONLY candidates whose ``match_cols`` values equal its own —
+    filter-then-search. Post-filtering a plain top-k instead would
+    return <k (or zero) rows whenever the predicate is selective, which
+    is precisely when a user filters.
+
+    Same plan as brute_force_top_k (single corpus scan, broadcast
+    probes, no vector shuffle); the equality predicates join the
+    broadcast condition, so non-matching candidates are discarded
+    BEFORE any cosine arithmetic."""
+    from pyspark.sql import Window
+
+    from ..catalog import spread
+
+    corpus = _non_null_vectors(corpus, vec_col)
+    probes = _non_null_vectors(probes, vec_col)
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        *[F.col(m).alias(f"c_{m}") for m in match_cols],
+    ).withColumn("cn", sq_norm(F.col("cv")))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        _as_double(F.col(vec_col)).alias("pv"),
+        *[F.col(m).alias(f"p_{m}") for m in match_cols],
+    ).withColumn("pn", sq_norm(F.col("pv")))
+    cond = F.col("neighbor_id") != F.col("probe_id")
+    for m in match_cols:
+        cond = cond & (F.col(f"c_{m}") == F.col(f"p_{m}"))
+    scored = (
+        c.join(F.broadcast(p), cond)
+        .withColumn(
+            "sim",
+            _quantized_cosine_with_norms(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ),
+        )
+        .select("probe_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (±1 entries)."""
     rng = random.Random(seed)
