@@ -61,3 +61,61 @@ def test_search_handles_absent_terms(spark):
     assert all(r.n_terms_hit == 1 for r in got)
     none = search_corpus(docs, ["zzzabsent"], k=5).collect()
     assert none == []
+
+
+def test_refresh_folds_append_only_delta(spark, tmp_path):
+    """Incremental maintenance: append docs -> refresh indexes ONLY the
+    delta (old postings files untouched), search equals a from-scratch
+    index at the new version; fresh -> no-op."""
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "idx2")
+
+    write_snapshot(docs.filter(F.col("doc_id") < 300), src)
+    build_text_index_from(spark, src, idx)
+    assert refresh_text_index(spark, src, idx) is None  # fresh
+
+    write_snapshot(
+        docs.filter(F.col("doc_id") >= 300), src, mode="append"
+    )
+    before, _ = files_for_read(idx)
+    v = refresh_text_index(spark, src, idx)
+    assert v == 1
+    after, _ = files_for_read(idx)
+    assert set(before) <= set(after)  # old postings untouched
+
+    build_text_index_from(spark, src, rebuilt)
+    got = search_text_index(spark, idx, _TERMS, k=10)
+    ref = search_text_index(spark, rebuilt, _TERMS, k=10)
+    assert _key(got.collect()) == _key(ref.collect())
+
+
+def test_refresh_rebuilds_on_delete(spark, tmp_path):
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "idx2")
+
+    write_snapshot(docs, src)
+    build_text_index_from(spark, src, idx)
+    delete_where(spark, src, F.col("doc_id") < 100)
+    refresh_text_index(spark, src, idx)
+
+    build_text_index_from(spark, src, rebuilt)
+    got = search_text_index(spark, idx, _TERMS, k=10).collect()
+    ref = search_text_index(spark, rebuilt, _TERMS, k=10).collect()
+    assert _key(got) == _key(ref)
+    # no deleted doc may surface
+    assert all(r.doc_id >= 100 for r in got)

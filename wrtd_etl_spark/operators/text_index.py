@@ -84,6 +84,87 @@ def _score(post: DataFrame, df_tbl: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
+def build_text_index_from(
+    spark: SparkSession,
+    docs_table: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> int:
+    """Index a VERSIONED corpus table, stamping the source version into
+    the index manifest — the hook :func:`refresh_text_index` keys off."""
+    from ..sources.versioned import latest_version as _lv
+
+    src_v = _lv(docs_table)
+    docs = read_snapshot(spark, docs_table, version=src_v)
+    n_docs = docs.filter(F.col(text_col).isNotNull()).count()
+    postings = _postings(docs, text_col, id_col).repartitionByRange(
+        n_files, "token"
+    )
+    return write_snapshot(
+        postings,
+        index_table,
+        extra={
+            "kind": "text_index",
+            "n_docs": n_docs,
+            "source_table": docs_table,
+            "source_version": src_v,
+        },
+        stats_cols=["token"],
+    )
+
+
+def refresh_text_index(
+    spark: SparkSession,
+    docs_table: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+) -> int | None:
+    """Fold the corpus's CHANGE FEED into the index: fresh → no-op
+    (manifest reads only, returns None); insert-only delta → index just
+    the new documents and append-commit (old postings files untouched —
+    per-(token, doc) rows are disjoint across docs, so appended postings
+    compose exactly); any delete in the feed → full rebuild (removing a
+    doc's postings would rewrite arbitrary token files anyway, so the
+    rebuild IS the honest cost). Search results after refresh are
+    identical to an index built from scratch at the current version."""
+    from ..sources.versioned import latest_version as _lv
+    from ..sources.versioned import table_changes
+
+    info = manifest_info(index_table)["extra"]
+    if info.get("kind") != "text_index":
+        raise ValueError(f"{index_table} is not a text index (extra={info})")
+    if info.get("source_table") != docs_table:
+        raise ValueError(
+            f"index was built from {info.get('source_table')!r}, "
+            f"not {docs_table!r}"
+        )
+    src_v = _lv(docs_table)
+    prev_v = info["source_version"]
+    if src_v == prev_v:
+        return None  # fresh: no data touched
+    changes = table_changes(spark, docs_table, prev_v, src_v)
+    if changes.filter(F.col("_change_type") == "delete").take(1):
+        return build_text_index_from(
+            spark, docs_table, index_table, text_col, id_col, n_files
+        )
+    new_docs = changes.drop("_change_type")
+    n_new = new_docs.filter(F.col(text_col).isNotNull()).count()
+    postings = _postings(new_docs, text_col, id_col).repartitionByRange(
+        n_files, "token"
+    )
+    return write_snapshot(
+        postings,
+        index_table,
+        mode="append",
+        extra={**info, "n_docs": info["n_docs"] + n_new, "source_version": src_v},
+        stats_cols=["token"],
+    )
+
+
 def search_text_index(
     spark: SparkSession,
     table: str,
