@@ -269,3 +269,46 @@ def test_partitioned_write_gets_dynamic_partition_pruning(spark, tmp_path):
     # and the pruning works: only the matching partition's rows survive
     n_urgent = fact.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert joined.count() == n_urgent
+
+
+def test_weighted_sample_stages_and_exchanges(spark):
+    """Two-stage reservoir: the plan carries BOTH windows — the local
+    (group, pid) pre-top-k and the group-keyed final rank — and no more
+    exchanges than the two their partitionings require (plus the gated
+    spread no-op for single-split local input)."""
+    plan = _plan(spark, "weighted_doc_sample")
+    assert plan.count("Window") >= 2
+    assert plan.count(") Exchange") <= 3
+    # no row-at-a-time python evaluation anywhere in the sampling path
+    assert "BatchEvalPython" not in plan
+
+
+def test_filtered_ann_broadcasts_probes_only(spark):
+    """Filtered vector search must broadcast the PROBES and keep the
+    corpus scan shuffle-free until the tiny candidate top-k: the only
+    exchange is the probe-keyed window over per-probe candidates."""
+    plan = _plan(spark, "ann_filtered_topk")
+    assert "BroadcastExchange" in plan
+    # corpus vectors never hash-shuffle: the single hash exchange is the
+    # post-scoring window input (probe_id, neighbor_id, sim) rows
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_keyword_search_df_table_is_broadcast(spark):
+    """The per-term document-frequency table joins back by broadcast —
+    a hash join there would shuffle the postings twice."""
+    plan = _plan(spark, "keyword_search")
+    assert "BroadcastExchange" in plan
+
+
+def test_event_anomaly_window_sits_above_daily_buckets(spark):
+    """The trailing window must consume the (type, day) AGGREGATE, not
+    raw events: partial aggregation first, then one exchange on the
+    bucket keys feeding both window and output."""
+    plan = _plan(spark, "event_anomaly")
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Window") or (
+        "Window" in plan and "partial" in plan.lower()
+    )
+    assert "BatchEvalPython" not in plan
