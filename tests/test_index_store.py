@@ -103,3 +103,30 @@ def test_sq8_append_refuses_non_sq8_table(spark, tmp_path):
     write_snapshot(spark.range(3), t)
     with pytest.raises(ValueError, match="sq8"):
         sq8_append(spark.range(3), t)
+
+
+def test_ivf_append_assigns_with_stored_centroids(spark, tmp_path):
+    """Appended vectors join the persisted assignment table under the
+    SAME centroids — identical to assigning the union at build time."""
+    from wrtd_etl_spark.similarity.index_store import ivf_append
+    from wrtd_etl_spark.similarity.ivf import _assign_cells
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    t = str(tmp_path / "ivf_idx")
+    write_ivf_index(base, t, n_cells=8)
+    v = ivf_append(delta, t)
+    assert v == 1
+    cents = manifest_info(t)["extra"]["centroids"]
+    expect = {
+        (r.vec_id, r.cell)
+        for r in _assign_cells(emb, "embedding", "vec_id", cents, nprobe=1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got = {(r.vec_id, r.cell) for r in read_snapshot(spark, t).collect()}
+    assert got == expect
+    # centroids untouched by the append
+    assert manifest_info(t, 0)["extra"]["centroids"] == cents

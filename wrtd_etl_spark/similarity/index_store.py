@@ -144,6 +144,36 @@ def write_ivf_index(
     )
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    table: str,
+) -> int:
+    """Incrementally assign NEW vectors to the STORED centroids and
+    append the (id, cell) rows — no retrain; queries against the union
+    behave exactly as if the index had been built over it with these
+    centroids (assignment is per-row). Like sq8_append, retrain when the
+    delta shifts the distribution enough that stored centroids stop
+    representing it (cell-size audits over the stored assignments are
+    the signal)."""
+    from .ann import _non_null_vectors
+    from .ivf import _assign_cells
+
+    info = manifest_info(table)["extra"]
+    if info.get("kind") != "ivf":
+        raise ValueError(f"{table} is not an ivf index (extra={info})")
+    vec_col, id_col = info["vec_col"], info["id_col"]
+    assigned = _assign_cells(
+        _non_null_vectors(new_vectors, vec_col),
+        vec_col,
+        id_col,
+        info["centroids"],
+        nprobe=1,
+    )
+    return write_snapshot(
+        assigned.select(id_col, "cell"), table, mode="append", extra=info
+    )
+
+
 def ivf_query(
     spark: SparkSession,
     table: str,
