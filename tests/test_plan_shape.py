@@ -307,8 +307,14 @@ def test_event_anomaly_window_sits_above_daily_buckets(spark):
     raw events: partial aggregation first, then one exchange on the
     bucket keys feeding both window and output."""
     plan = _plan(spark, "event_anomaly")
-    assert "HashAggregate" in plan
-    assert plan.index("HashAggregate") < plan.index("Window") or (
-        "Window" in plan and "partial" in plan.lower()
-    )
+    assert "HashAggregate" in plan and "Window" in plan
+    # the Window node's input schema must be the AGGREGATE's output
+    # (cents), never the raw fact column (value) — the textual-order
+    # check alone can't distinguish window-over-raw from window-over-agg
+    import re
+
+    m = re.search(r"\(\d+\) Window\n.*?Input \[\d+\]: \[([^\]]*)\]", plan, re.S)
+    assert m, plan
+    win_input = m.group(1)
+    assert "cents" in win_input and "value" not in win_input
     assert "BatchEvalPython" not in plan

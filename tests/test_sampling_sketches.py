@@ -187,3 +187,20 @@ def test_filtered_topk_filters_before_ranking(spark):
     plain = brute_force_top_k(emb, probes, k=5).collect()
     post = [r for r in plain if labels[r.neighbor_id] == labels[r.probe_id]]
     assert len(post) < len(got)  # post-filtering starves
+
+
+def test_sample_key_survives_full_range_ids(spark):
+    """Snowflake-style 64-bit ids: the naive id*2654435761 overflows
+    long under ANSI mode; hash32's split multiply must not, and must
+    agree with the python model on the reduced id."""
+    big = [2**62 + 7, 2**63 - 1, 5_000_000_000, 123]
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in big], "doc_id long, source string, w double"
+    )
+    got = {
+        r.doc_id: r["rank"]
+        for r in weighted_sample_per_group(df, 4, F.col("w")).collect()
+    }
+    assert set(got) == set(big)
+    ranked = sorted(big, key=lambda i: (-_py_key(i % _MOD, 1.0), i))
+    assert [got[i] for i in ranked] == [1, 2, 3, 4]

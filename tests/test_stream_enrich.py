@@ -102,3 +102,24 @@ def test_enrich_sink_replay_is_noop(spark, tmp_path):
     sink(_events(spark, [(3, 99, _ts(2))]), 2)
     rows = {r.event_id: r.status for r in read_snapshot(spark, out_t).collect()}
     assert rows[3] is None
+
+
+def test_enrich_keeps_key_when_fact_and_dim_share_name(spark, tmp_path):
+    """fact_key == dim_key (the common case): the output must keep the
+    FACT's key column — a name-based drop would remove both copies."""
+    dim_t = str(tmp_path / "dim")
+    out_t = str(tmp_path / "out")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "bronze", _ts(0), None, True)],
+            "user_id long, status string, valid_from timestamp,"
+            " valid_to timestamp, is_current boolean",
+        ),
+        dim_t,
+    )
+    sink = make_temporal_enrich_sink(dim_t, out_t, "user_id", "user_id", "ts")
+    sink(_events(spark, [(1, 1, _ts(1)), (2, 99, _ts(1))]), 0)
+    out = read_snapshot(spark, out_t)
+    assert "user_id" in out.columns
+    rows = {r.event_id: (r.user_id, r.status) for r in out.collect()}
+    assert rows == {1: (1, "bronze"), 2: (99, None)}

@@ -41,7 +41,7 @@ def test_watermark_drop_and_observed_metrics_capture(spark, tmp_path):
     out = str(tmp_path / "out")
     base = dt.datetime(2024, 1, 1, 10, 0)
 
-    def run_once() -> None:
+    def run_once() -> str:
         stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
             watch
         )
@@ -69,6 +69,7 @@ def test_watermark_drop_and_observed_metrics_capture(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
+        return str(q.id)
 
     # run 1: on-time events 10:00..10:30 -> watermark commits at 10:20
     _arrive(
@@ -77,9 +78,13 @@ def test_watermark_drop_and_observed_metrics_capture(spark, tmp_path):
         [(i, base + dt.timedelta(minutes=10 * i)) for i in range(4)],
     )
     with ProgressCapture(spark) as cap1:
-        run_once()
+        qid1 = run_once()
     assert cap1.observed_total("ingest", "rows") == 4
     assert cap1.total_dropped_by_watermark() == 0
+    # query-scoped readout: this query's id sees the same totals, a
+    # foreign id sees none (the listener is session-global)
+    assert cap1.observed_total("ingest", "rows", query_id=qid1) == 4
+    assert cap1.observed_total("ingest", "rows", query_id="no-such-id") == 0
 
     # run 2: one VERY late event (09:00, an hour behind the committed
     # watermark) plus one fresh event
@@ -92,8 +97,9 @@ def test_watermark_drop_and_observed_metrics_capture(spark, tmp_path):
         ],
     )
     with ProgressCapture(spark) as cap2:
-        run_once()
+        qid2 = run_once()
     assert cap2.observed_total("ingest", "rows") == 2
+    assert cap2.total_dropped_by_watermark(query_id=qid2) == 1
     assert cap2.observed_total("ingest", "before_ten") == 1
     assert cap2.total_dropped_by_watermark() == 1
     # the capture records per-batch watermarks for operators to alert on

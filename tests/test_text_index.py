@@ -119,3 +119,36 @@ def test_refresh_rebuilds_on_delete(spark, tmp_path):
     assert _key(got) == _key(ref)
     # no deleted doc may surface
     assert all(r.doc_id >= 100 for r in got)
+
+
+def test_refresh_rebuilds_on_reingested_doc_id(spark, tmp_path):
+    """An append-only delta that RE-INGESTS an existing doc_id cannot
+    append-compose (df/tf would double-count) — refresh must detect it
+    and rebuild, keeping search identical to a from-scratch index."""
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "idx2")
+
+    write_snapshot(docs.filter(F.col("doc_id") < 300), src)
+    build_text_index_from(spark, src, idx)
+    # re-ingest docs 0-49 (plus genuinely new ones)
+    write_snapshot(docs.filter(F.col("doc_id") < 50), src, mode="append")
+    refresh_text_index(spark, src, idx)
+
+    build_text_index_from(spark, src, rebuilt)
+    got = search_text_index(spark, idx, _TERMS, k=10)
+    ref = search_text_index(spark, rebuilt, _TERMS, k=10)
+    assert _key(got.collect()) == _key(ref.collect())
+
+
+def test_search_empty_terms_returns_no_rows(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = str(tmp_path / "idx")
+    build_text_index(docs, t)
+    assert search_text_index(spark, t, [], k=5).collect() == []

@@ -67,10 +67,10 @@ def term_frequency_estimates(
     for a given seed, so the result is stable across runs — but the
     VALUES are sketch estimates (upper bounds), so correctness is
     asserted by the error-bound test, not a SQL oracle."""
+    from . import text as TX
+
     toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("tok")
+        F.explode(TX.lower_tokens(F.col(text_col))).alias("tok")
     )
     sketch = build_count_min(toks, F.col("tok"), eps, confidence, seed)
     est = query_count_min(df.sparkSession, sketch, terms)

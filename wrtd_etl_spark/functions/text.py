@@ -34,6 +34,15 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
+def lower_tokens(col: Column) -> Column:
+    """Case-folded whitespace tokens — THE tokenization for every
+    case-insensitive consumer (inverted index, sketches, vocab/dedup
+    oracles: ``regexp_split_to_array(trim(lower(text)), '\\s+')``).
+    One definition, so a tokenizer change can't silently desynchronize
+    the index from the sketch from the oracle SQL."""
+    return tokens(F.lower(col))
+
+
 def sorted_runs(sorted_arr: Column) -> Column:
     """``array<struct<term,cnt>>``: each distinct element of the
     PRE-SORTED array ``sorted_arr`` with its occurrence count — computed

@@ -37,12 +37,26 @@ _HASH_MOD = 2**32
 _HASH_MUL = 2654435761  # Knuth multiplicative hash
 
 
+def hash32(id_col: Column) -> Column:
+    """``(id * 2654435761) mod 2^32`` WITHOUT the 64-bit overflow the
+    naive product hits: a full-range long id times the ~2^31.3 Knuth
+    constant exceeds 2^63 and Spark 4's ANSI mode raises. Reduce the id
+    mod 2^32 first (congruent result), then split it into 16-bit halves
+    so every intermediate stays ≤ ~2^49:
+    ``(hi·M mod 2^32)·2^16 + lo·M, all mod 2^32``."""
+    h = F.pmod(id_col, F.lit(_HASH_MOD))
+    hi, lo = h / F.lit(65536), F.pmod(h, F.lit(65536))
+    hi = F.floor(hi).cast("long")
+    return F.pmod(
+        F.pmod(hi * F.lit(_HASH_MUL), F.lit(_HASH_MOD)) * F.lit(65536)
+        + lo * F.lit(_HASH_MUL),
+        F.lit(_HASH_MOD),
+    )
+
+
 def sample_key(id_col: Column, weight_col: Column) -> Column:
     """The A-ES ranking key ``round(ln(u)/w, 12)`` (higher = kept)."""
-    u = (
-        ((id_col * F.lit(_HASH_MUL)) % F.lit(_HASH_MOD)).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(_HASH_MOD))
+    u = (hash32(id_col).cast("double") + F.lit(0.5)) / F.lit(float(_HASH_MOD))
     return F.round(F.log(u) / weight_col, 12)
 
 

@@ -27,11 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..sources.versioned import manifest_info, read_snapshot, write_snapshot
 
 
 def _postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = TX.lower_tokens(F.col(text_col))
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
@@ -46,18 +47,25 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_files: int = 8,
+    extra: dict | None = None,
 ) -> int:
     """Tokenize, aggregate (token, doc_id, tf), range-cluster by token
-    and commit with token file-stats; n_docs rides the manifest. Returns
-    the committed version."""
-    n_docs = df.filter(F.col(text_col).isNotNull()).count()
-    postings = _postings(df, text_col, id_col).repartitionByRange(
-        n_files, "token"
+    and commit with token file-stats; n_docs rides the manifest. ONE
+    corpus scan: postings are locally checkpointed and n_docs is their
+    distinct doc count (every non-null-text doc yields >= 1 token — even
+    empty text splits to [""]), so no separate counting pass re-reads
+    the corpus. ``extra`` merges caller manifest fields (lineage stamps).
+    Returns the committed version."""
+    postings = (
+        _postings(df, text_col, id_col)
+        .repartitionByRange(n_files, "token")
+        .localCheckpoint()
     )
+    n_docs = postings.select("doc_id").distinct().count()
     return write_snapshot(
         postings,
         table,
-        extra={"kind": "text_index", "n_docs": n_docs},
+        extra={"kind": "text_index", "n_docs": n_docs, **(extra or {})},
         stats_cols=["token"],
     )
 
@@ -98,20 +106,13 @@ def build_text_index_from(
 
     src_v = _lv(docs_table)
     docs = read_snapshot(spark, docs_table, version=src_v)
-    n_docs = docs.filter(F.col(text_col).isNotNull()).count()
-    postings = _postings(docs, text_col, id_col).repartitionByRange(
-        n_files, "token"
-    )
-    return write_snapshot(
-        postings,
+    return build_text_index(
+        docs,
         index_table,
-        extra={
-            "kind": "text_index",
-            "n_docs": n_docs,
-            "source_table": docs_table,
-            "source_version": src_v,
-        },
-        stats_cols=["token"],
+        text_col,
+        id_col,
+        n_files,
+        extra={"source_table": docs_table, "source_version": src_v},
     )
 
 
@@ -124,10 +125,11 @@ def refresh_text_index(
     n_files: int = 8,
 ) -> int | None:
     """Fold the corpus's CHANGE FEED into the index: fresh → no-op
-    (manifest reads only, returns None); insert-only delta → index just
-    the new documents and append-commit (old postings files untouched —
-    per-(token, doc) rows are disjoint across docs, so appended postings
-    compose exactly); any delete in the feed → full rebuild (removing a
+    (manifest reads only, returns None); insert-only delta of NEW
+    doc ids → index just the new documents and append-commit (old
+    postings files untouched — per-(token, doc) rows are disjoint
+    across docs, so appended postings compose exactly); any delete in
+    the feed, or a re-ingested existing doc id → full rebuild (removing a
     doc's postings would rewrite arbitrary token files anyway, so the
     rebuild IS the honest cost). Search results after refresh are
     identical to an index built from scratch at the current version."""
@@ -146,22 +148,51 @@ def refresh_text_index(
     prev_v = info["source_version"]
     if src_v == prev_v:
         return None  # fresh: no data touched
-    changes = table_changes(spark, docs_table, prev_v, src_v)
+    # evaluate the feed ONCE: for non-append lineage table_changes falls
+    # back to an exceptAll over both snapshots, and the probes below
+    # would otherwise recompute that full diff up to three times
+    changes = table_changes(spark, docs_table, prev_v, src_v).localCheckpoint()
     if changes.filter(F.col("_change_type") == "delete").take(1):
         return build_text_index_from(
             spark, docs_table, index_table, text_col, id_col, n_files
         )
     new_docs = changes.drop("_change_type")
-    n_new = new_docs.filter(F.col(text_col).isNotNull()).count()
-    postings = _postings(new_docs, text_col, id_col).repartitionByRange(
-        n_files, "token"
+    # a re-ingested doc_id cannot append-compose: its old postings rows
+    # would double-count df/tf vs a rebuild — detect and rebuild instead
+    indexed_ids = read_snapshot(spark, index_table).select("doc_id").distinct()
+    reingested = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(indexed_ids, "doc_id", "semi")
+        .take(1)
     )
+    if reingested:
+        return build_text_index_from(
+            spark, docs_table, index_table, text_col, id_col, n_files
+        )
+    postings = (
+        _postings(new_docs, text_col, id_col)
+        .repartitionByRange(n_files, "token")
+        .localCheckpoint()
+    )
+    n_new = postings.select("doc_id").distinct().count()
     return write_snapshot(
         postings,
         index_table,
         mode="append",
         extra={**info, "n_docs": info["n_docs"] + n_new, "source_version": src_v},
         stats_cols=["token"],
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k with the (score desc, doc_id) tie rule. The global window
+    ranks only MATCHED docs (bounded by the query terms' summed df);
+    for huge candidate sets swap in the two-stage top-k of
+    operators/sampling.py — k here is user-facing small."""
+    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -179,24 +210,16 @@ def search_text_index(
     if info.get("kind") != "text_index":
         raise ValueError(f"{table} is not a text index (extra={info})")
     terms = sorted(set(t.lower() for t in terms))
+    # empty/all-whitespace queries: same contract as search_corpus —
+    # zero rows, not an IndexError on the skip bounds
+    skip = {"token": (terms[0], terms[-1])} if terms else None
     post = read_snapshot(
-        spark,
-        table,
-        version=version,
-        skip_filter={"token": (terms[0], terms[-1])},
+        spark, table, version=version, skip_filter=skip
     ).filter(F.col("token").isin(terms))
     df_tbl = post.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    scored = _score(post, df_tbl, int(info["n_docs"]))
-    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    # the global window ranks only the matched docs (≤ Σ df of the query
-    # terms); for huge candidate sets swap in the two-stage top-k of
-    # operators/sampling.py — k here is user-facing small
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(_score(post, df_tbl, int(info["n_docs"])), k)
 
 
 def search_corpus(
@@ -215,9 +238,4 @@ def search_corpus(
     df_tbl = post.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    scored = _score(post, df_tbl, n_docs)
-    win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(win).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(_score(post, df_tbl, n_docs), k)

@@ -72,9 +72,12 @@ def make_temporal_enrich_sink(
         dim = read_snapshot(spark, dim_table, version=dim_version)
         if broadcast_dim:
             dim = F.broadcast(dim)
+        # drop the DIM side's key by column reference — a name-based
+        # .drop(dim_key) removes BOTH columns when fact_key == dim_key
+        # (the common case), silently committing a keyless output table
         enriched = temporal_dim_join(
             batch_df, dim, fact_key, dim_key, fact_time
-        ).drop(dim_key)
+        ).drop(dim[dim_key])
         write_snapshot(
             enriched,
             out_table,

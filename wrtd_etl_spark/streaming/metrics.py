@@ -49,6 +49,7 @@ class BatchProgress:
     observed: dict[str, dict]  # observe-name -> {metric -> value}
     dropped_by_watermark: int  # summed over stateful operators
     watermark: str | None
+    query_id: str | None = None  # StreamingQuery.id — disambiguates
 
 
 @dataclass
@@ -98,6 +99,7 @@ class ProgressCapture(StreamingQueryListener):
             observed=dict(p.get("observedMetrics", {})),
             dropped_by_watermark=dropped,
             watermark=(p.get("eventTime") or {}).get("watermark"),
+            query_id=p.get("id"),
         )
         with self._lock:
             self.batches.append(rec)
@@ -109,15 +111,31 @@ class ProgressCapture(StreamingQueryListener):
         pass
 
     # convenience --------------------------------------------------------
-    def observed_total(self, name: str, metric: str) -> int:
-        """Sum one observed metric across every captured batch."""
+    # The listener is SESSION-GLOBAL: concurrent queries on the same
+    # SparkSession all land in ``batches``. Pass ``query_id``
+    # (StreamingQuery.id as a string) to scope a readout to one query —
+    # without it, totals aggregate every query that progressed during
+    # the capture window.
+    def _scoped(self, query_id: str | None):
+        return [
+            b
+            for b in self.batches
+            if query_id is None or b.query_id == query_id
+        ]
+
+    def observed_total(
+        self, name: str, metric: str, query_id: str | None = None
+    ) -> int:
+        """Sum one observed metric across captured batches."""
         with self._lock:
             return sum(
                 int(b.observed[name][metric])
-                for b in self.batches
+                for b in self._scoped(query_id)
                 if name in b.observed
             )
 
-    def total_dropped_by_watermark(self) -> int:
+    def total_dropped_by_watermark(self, query_id: str | None = None) -> int:
         with self._lock:
-            return sum(b.dropped_by_watermark for b in self.batches)
+            return sum(
+                b.dropped_by_watermark for b in self._scoped(query_id)
+            )
