@@ -31,9 +31,12 @@ _HASH_MOD = 4294967296
 
 
 def _hash_uniform(id_col: Column) -> Column:
-    return ((id_col * F.lit(2654435761)) % F.lit(_HASH_MOD)).cast("double") / F.lit(
-        float(_HASH_MOD)
-    )
+    from .sampling import hash32
+
+    # hash32 == (id*2654435761) mod 2^32 for every id, via a split
+    # multiply that cannot overflow long under ANSI mode (full-range
+    # 64-bit ids would blow the naive product past 2^63)
+    return hash32(id_col).cast("double") / F.lit(float(_HASH_MOD))
 
 
 def mixture_sample(

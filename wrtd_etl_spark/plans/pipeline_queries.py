@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sampling import hash32 as _h32
 from ..catalog import load_table, spread
 from ..dedup.exact import exact_dup_groups
 from ..dedup.minhash import minhash_near_dup_pairs
@@ -590,7 +591,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing of the id — reproducible across engines, runs and retries
     (unlike rand()-based sampling)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("doc_id")) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -639,7 +640,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-trivial corpus instead of the vacuous 0.5 gate.
     scored = docs.withColumn("quality", TX.quality_score(F.col("text")))
     deduped = exact_dedup(scored, "text", "doc_id").filter(F.col("quality") >= 0.1)
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("doc_id")) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -701,7 +702,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 20% per-stratum sample via the same multiplicative
     hash as dataset_split — reproducible, no rand(), survives retries."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("doc_id")) % 100
     return (
         docs.filter(bucket < 20)
         .groupBy("lang")
@@ -746,7 +747,7 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    k = (F.col("doc_id") * 2654435761) % 4294967296
+    k = _h32(F.col("doc_id"))
     w = Window.partitionBy("source").orderBy(k.asc(), F.col("doc_id").asc())
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -952,7 +953,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with it at any SF.
     """
     docs = _docs(spark, sf_dir)
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("doc_id")) % 100
     fp = docs.select(
         "doc_id",
         _prefix_fp(F.col("text")).alias("fp"),
@@ -1023,7 +1024,7 @@ def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % 4294967296).alias("k"),
+        (_h32(F.col("doc_id"))).alias("k"),
     ).withColumn("b", (F.col("k") / F.lit(4294967296 // _PACK_BUCKETS)).cast("long"))
     c = distributed_cumsum(
         t, "n_tokens", order_cols=["k", "doc_id"], bucket_col="b", out_col="cum"
@@ -1326,7 +1327,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     q = TX.quality_score(F.col("text"))
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("doc_id")) % 100
     return (
         docs.filter(bucket < F.floor(q * 100))
         .groupBy("source")
@@ -1480,7 +1481,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
-    bucket = (F.col("cluster_id") * 2654435761) % 4294967296 % 100
+    bucket = _h32(F.col("cluster_id")) % 100
     return lab.select(
         "doc_id",
         "cluster_id",

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.sampling import hash32 as _h32
+
 from ..sources.versioned import manifest_info, read_snapshot, write_snapshot
 from .quantized import quantize, quantized_top_k, train_scales
 
@@ -128,7 +130,7 @@ def write_ivf_index(
             for r in corpus.select(
                 vec_col,
                 (
-                    (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+                    _h32(F.col(id_col))
                 ).alias("__h"),
             )
             .orderBy("__h", id_col)

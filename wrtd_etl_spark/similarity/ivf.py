@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+
+from ..operators.sampling import hash32 as _h32
 from pyspark.sql import functions as F
 
 from .ann import _as_double, _quantized_cosine_with_norms, sq_norm
@@ -124,7 +126,7 @@ def ivf_top_k(
             [float(x) for x in r[0]]
             for r in corpus.select(
                 vec_col,
-                ((F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)).alias(
+                (_h32(F.col(id_col))).alias(
                     "__h"
                 ),
             )

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from ..operators.sampling import hash32 as _h32
 from pyspark.sql import functions as F
 
 from .ann import _as_double
@@ -78,7 +80,7 @@ def train_centroids_kmeans(
     centroids = [
         [float(x) for x in r[0]]
         for r in vecs.select(
-            "v", ((F.col("__id") * F.lit(2654435761)) % F.lit(4294967296)).alias("__h")
+            "v", (_h32(F.col("__id"))).alias("__h")
         )
         .orderBy("__h", "__id")
         .limit(n_cells)
@@ -127,7 +129,7 @@ def train_centroids_kmeans(
         # applyInPandas group is bounded by construction.
         from pyspark.sql import Window
 
-        h = (F.col("__id") * F.lit(2654435761)) % F.lit(4294967296)
+        h = _h32(F.col("__id"))
         w = Window.partitionBy("cell").orderBy(h.asc(), F.col("__id").asc())
         means = (
             vecs.withColumn("cell", nearest(F.col("v")))

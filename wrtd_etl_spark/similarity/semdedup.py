@@ -39,6 +39,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from ..operators.sampling import hash32 as _h32
 from pyspark.sql import functions as F
 
 from .ivf import _assign_cells
@@ -109,7 +111,7 @@ def semantic_dup_losers(
     # cap BEFORE the pandas group (same one-exchange construction as the
     # kmeans update: window and groupBy hash-partition on `cell`, so the
     # cap costs a per-cell sort inside the one shuffle, not a second one)
-    h = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    h = _h32(F.col(id_col))
     w = Window.partitionBy("cell").orderBy(h.asc(), F.col(id_col).asc())
     capped = (
         assigned.withColumn("__rn", F.row_number().over(w))
