@@ -110,6 +110,7 @@ _DEMOTED = (
     "event_anomaly",  # rolling z-score over integer window sums
     "keyword_search",  # inverted-index tf-idf search (operators/text_index.py)
     "ann_filtered_topk",  # metadata-filtered exact vector search (filter-then-search)
+    "stream_trending_types",  # per-window top-k over the streaming aggregate
 )
 
 

@@ -21,6 +21,7 @@ _ORACLE = [
     "stream_interval_join",
     "stream_windowed_counts",
     "stream_session_windows",
+    "stream_trending_types",
 ]
 
 

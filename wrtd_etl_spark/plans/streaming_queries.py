@@ -234,3 +234,57 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(sessions, spark, "complete")
+
+
+@register(
+    "stream_trending_types",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+               event_type,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY w_start, event_type
+    ), r AS (
+        SELECT w_start, event_type, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w_start ORDER BY cnt DESC, event_type
+               ) AS rnk
+        FROM w
+    )
+    SELECT w_start, event_type, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2
+    ORDER BY w_start, rnk
+    """,
+)
+def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: per tumbling window, the top-2 event types by
+    count — the 'what is spiking right now' dashboard query. Ranking
+    isn't allowed inside a streaming aggregation, so the composition is
+    the production shape: the WATERMARKED windowed count runs as the
+    stream (bounded state), and the tiny per-window top-k ranks the
+    emitted aggregate batch-side (|windows|x|types| rows, a partitioned
+    window over an aggregate — never over raw events)."""
+    from pyspark.sql import Window
+
+    from ..streaming.dedup import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    emitted = run_available_now(windowed, spark, "complete")
+    rank_w = Window.partitionBy("w_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        emitted.withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+    )
