@@ -52,6 +52,7 @@ def test_demoted_queries_remain_oracle_verified(spark):
         streaming_queries,
     )
 
+    assert e._DEMOTED, "demotion list unexpectedly empty"
     for name in e._DEMOTED:
         spec = REGISTRY[name]
         assert spec.oracle is not None, name
