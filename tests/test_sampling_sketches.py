@@ -204,3 +204,29 @@ def test_sample_key_survives_full_range_ids(spark):
     assert set(got) == set(big)
     ranked = sorted(big, key=lambda i: (-_py_key(i % _MOD, 1.0), i))
     assert [got[i] for i in ranked] == [1, 2, 3, 4]
+
+
+def test_hash32_equals_naive_product_everywhere(spark):
+    """hash32's split multiply must equal (id*2654435761) mod 2^32 for
+    ids across the whole long range — including where the naive Spark
+    expression would overflow and where Python big-ints are the truth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wrtd_etl_spark.operators.sampling import hash32
+
+    ids = [0, 1, 2**31, 2**32 - 1, 2**32, 3_500_000_000, 2**62, 2**63 - 1]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**63 - 1))
+    def _collect(i):
+        ids.append(i)
+
+    _collect()
+    df = spark.createDataFrame([(i,) for i in sorted(set(ids))], "id long")
+    got = {
+        r.id: r.h
+        for r in df.select("id", hash32(F.col("id")).alias("h")).collect()
+    }
+    for i, h in got.items():
+        assert h == (i * _MUL) % _MOD, (i, h)
