@@ -130,3 +130,15 @@ def test_ivf_append_assigns_with_stored_centroids(spark, tmp_path):
     assert got == expect
     # centroids untouched by the append
     assert manifest_info(t, 0)["extra"]["centroids"] == cents
+
+
+def test_quantized_code_col_without_scales_is_refused(spark):
+    """Persisted int8 codes are only meaningful with the scales they were
+    built from; retraining scales from the current corpus would silently
+    mis-rank, so the API refuses the combination outright."""
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(ValueError, match="scales"):
+        quantized_top_k(emb, probes, k=3, code_col="qvec", scales=None)

@@ -101,7 +101,12 @@ def test_vacuum_keeps_referenced_files_only(spark, tmp_path):
     write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
     write_snapshot(spark.range(10, 13).withColumnRenamed("id", "v"), t)
     rollback(t, 0)  # latest (v2) references v0's files
-    deleted = vacuum(t, keep_last=1)
+    # the age guard keeps YOUNG unreferenced files (they may belong to an
+    # in-flight commit that has not linked its manifest yet) ...
+    assert vacuum(t, keep_last=1) == []
+    assert _vals(read_snapshot(spark, t, version=1)) == [10, 11, 12]
+    # ... tmp_age_s=0 waives it (no concurrent writers in this test)
+    deleted = vacuum(t, keep_last=1, tmp_age_s=0.0)
     assert deleted, "v1's exclusive files should have been deleted"
     # latest still fully readable because rollback shares v0's files
     assert _vals(read_snapshot(spark, t)) == [0, 1, 2]
@@ -139,7 +144,7 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
     )
     assert history(t)[0]["mode"] == "compact"
     # retention: vacuum drops the small files, compacted table unharmed
-    deleted = vacuum(t, keep_last=1)
+    deleted = vacuum(t, keep_last=1, tmp_age_s=0.0)
     assert len(deleted) == before
     assert len(_vals(read_snapshot(spark, t))) == 15
 
@@ -640,3 +645,22 @@ def test_skip_filter_accepts_date_bounds(spark, tmp_path):
         .collect()
     )
     assert got == [17, 18, 19]
+
+
+def test_layout_by_on_empty_df_commits_empty_version(spark, tmp_path):
+    """min/max of an empty (or all-NULL-key) input aggregate to NULL;
+    the layout must be skipped, not crash, and the commit proceed like
+    the non-layout path's empty commit."""
+    t = str(tmp_path / "tbl")
+    empty = spark.range(0).withColumnRenamed("id", "v")
+    v = write_snapshot(empty, t, layout_by=["v"])
+    assert v == 0
+    assert read_snapshot(spark, t).count() == 0
+    # appending real data afterwards works and stats/skipping resume
+    write_snapshot(
+        spark.range(10).withColumnRenamed("id", "v"),
+        t,
+        mode="append",
+        layout_by=["v"],
+    )
+    assert read_snapshot(spark, t).count() == 10

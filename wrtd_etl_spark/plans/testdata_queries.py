@@ -1701,9 +1701,12 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score are fixed-order IEEE expressions over integers — bit-equal
     cross-engine, no stddev_samp (whose accumulation order is
     engine-internal). Degenerate windows (n<3 or zero variance) are
-    filtered, not NaN-propagated. Integer headroom: ss stays in int64
-    while a bucket's cents stay under ~3e9 (about $30M/day/type);
-    larger buckets should aggregate at a finer grain first.
+    filtered, not NaN-propagated. Integer headroom: the 7-row window
+    SUM(cents*cents) stays in int64 while a bucket's cents stay under
+    ~1.1e9 (7*(1.1e9)^2 ~= 8.5e18 < 2^63; about $11M/day/type). Past
+    that, DuckDB promotes SUM(BIGINT) to HUGEINT while Spark wraps (or
+    raises under ANSI), so the engines diverge — aggregate at a finer
+    grain first, or compute ss in DECIMAL on both sides.
 
     Scale shape: one partial-agg groupBy collapses events to
     |types|x|days| buckets; the window runs over THAT, partitioned by

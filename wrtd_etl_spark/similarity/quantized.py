@@ -126,6 +126,14 @@ def quantized_top_k(
 
     corpus = _non_null_vectors(corpus, vec_col)
     probes = _non_null_vectors(probes, vec_col)
+    if code_col is not None and scales is None:
+        # Persisted codes are only meaningful with the scales they were
+        # built from; retraining from the CURRENT corpus would silently
+        # score stale codes with fresh scales (inconsistent qsim ranking).
+        raise ValueError(
+            "code_col requires the scales the codes were quantized with; "
+            "pass scales= (index_store persists them next to the codes)"
+        )
     if scales is None:
         scales = train_scales(corpus, vec_col)
 

@@ -353,19 +353,25 @@ def write_snapshot(
                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
             ]
         row = df.agg(*aggs).collect()[0]
-        bounds = [
-            (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
-            for c in layout_by
-        ]
-        z = zorder_key([F.col(c) for c in layout_by], bounds)
-        df = df.withColumn("__z", z)
-        df = (
-            df.repartitionByRange(layout_files, "__z")
-            if layout_files
-            else df.repartitionByRange("__z")
-        )
-        df = df.sortWithinPartitions("__z").drop("__z")
-        stats_cols = sorted(set(stats_cols or []) | set(layout_by))
+        if row[f"__lo_{layout_by[0]}"] is None:
+            # empty (or all-NULL-key) input: min/max aggregate to NULL and
+            # there is nothing to cluster — skip the layout and commit the
+            # empty version like the non-layout path does
+            stats_cols = sorted(set(stats_cols or []) | set(layout_by))
+        else:
+            bounds = [
+                (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+                for c in layout_by
+            ]
+            z = zorder_key([F.col(c) for c in layout_by], bounds)
+            df = df.withColumn("__z", z)
+            df = (
+                df.repartitionByRange(layout_files, "__z")
+                if layout_files
+                else df.repartitionByRange("__z")
+            )
+            df = df.sortWithinPartitions("__z").drop("__z")
+            stats_cols = sorted(set(stats_cols or []) | set(layout_by))
     new_files = _write_data(df, table)
     df_schema = df.schema.jsonValue()
     stats = (
@@ -848,7 +854,10 @@ def vacuum(
     ``*.tmp`` manifests and pointer files older than ``tmp_age_s`` — the
     debris of crashed or race-losing commits; the age threshold keeps
     the sweep from racing an IN-FLIGHT writer's freshly staged tmp.
-    Returns the deleted relative paths."""
+    The SAME age threshold guards unreferenced data files: a concurrent
+    commit writes data first and links its manifest later, so only
+    unreferenced files at least ``tmp_age_s`` old are reclaimed
+    (mirroring Delta's retention check). Returns the deleted paths."""
     latest = _read_pointer(table)
     if latest is None:
         return []
@@ -872,15 +881,33 @@ def vacuum(
     for v in range(keep_from, latest + 1):
         live.update(_read_manifest(table, v)["files"])
     deleted = []
+    now = time.time()
     data_root = os.path.join(table, "data")
     for snap in os.listdir(data_root) if os.path.isdir(data_root) else []:
         snap_dir = os.path.join(data_root, snap)
         for f in os.listdir(snap_dir):
             rel = os.path.join("data", snap, f)
             if f.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(table, rel))
+                # age guard (Delta-style retention check): a concurrent
+                # writer stages data files FIRST and links the manifest
+                # LATER, so an unreferenced-but-young file may belong to
+                # an in-flight commit — deleting it would let the commit
+                # succeed while publishing a manifest of dead files.
+                # Only files older than tmp_age_s can be true orphans.
+                try:
+                    if now - os.path.getmtime(
+                        os.path.join(table, rel)
+                    ) < tmp_age_s:
+                        continue
+                    os.remove(os.path.join(table, rel))
+                except FileNotFoundError:
+                    continue
                 deleted.append(rel)
-        if not any(f.endswith(".parquet") for f in os.listdir(snap_dir)):
+        try:
+            remaining = os.listdir(snap_dir)
+        except FileNotFoundError:
+            continue
+        if not any(f.endswith(".parquet") for f in remaining):
             shutil.rmtree(snap_dir)
     return sorted(deleted)
 
