@@ -998,3 +998,65 @@ def test_sq8_numpy_quantizer_matches_expression_codes(spark):
     got = _np_quantize(V, s)
     want = np.stack([np.array(r.qvec, dtype=np.float64) for r in rows])
     assert np.array_equal(got, want)
+
+
+def test_embedding_neardup_hot_bucket_cap_stays_subquadratic(spark):
+    """Planted degenerate corpus: 1200 near-identical vectors share every
+    band bucket (all sign bits equal), which before the cap made the band
+    join enumerate ~720k pairs. The cap must drop those buckets whole —
+    zero pairs among the flood — while a planted near-dup pair living in
+    ordinary buckets still surfaces."""
+    import numpy as np
+
+    from wrtd_etl_spark.similarity.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(1200):
+        v = base + rng.normal(scale=1e-4, size=64)  # same sign pattern
+        rows.append((i, [float(x) for x in v]))
+    # planted cold pair: an unrelated direction and its tiny perturbation
+    other = rng.normal(size=64)
+    other /= np.linalg.norm(other)
+    rows.append((500_000, [float(x) for x in other]))
+    rows.append((500_001, [float(x) for x in other + 1e-4 * rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, max_bucket=600)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert not any(a < 1200 and b < 1200 for a, b in got), (
+        "flood pairs must be dropped by the hot-bucket cap"
+    )
+    assert (500_000, 500_001) in got
+    # raising the cap re-admits the flood (semantics, not a silent floor)
+    n = embedding_near_dup_pairs(
+        df, threshold=0.95, max_bucket=10_000
+    ).count()
+    assert n >= 1200 * 1199 // 2
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(spark):
+    """Capped LSH must still find every exact-path pair on a clone
+    corpus: each (orig, clone) pair has cosine 1.0 and identical band
+    signatures, and the healthy-corpus buckets stay far below the cap."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.ann import embedding_near_dup_pairs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    clones = emb.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    both = emb.unionByName(clones)
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(
+            both, threshold=0.95, exact=True
+        ).collect()
+    }
+    approx = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_pairs(both, threshold=0.95).collect()
+    }
+    assert exact, "clone corpus must contain exact pairs"
+    assert exact <= approx or len(exact & approx) / len(exact) >= 0.99

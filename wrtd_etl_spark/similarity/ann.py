@@ -328,6 +328,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 7,
     exact: bool = False,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Pairs (id1 < id2) with cosine >= threshold.
 
@@ -341,6 +342,17 @@ def embedding_near_dup_pairs(
     At cosine 0.98 a bit agrees w.p. ~0.94 → ≥1-of-8 bands collide w.p.
     >0.999 (recall); narrower bands would blow the bucket size up —
     measured: 2-bit bands were SLOWER than brute force at sf0.1.
+
+    ``max_bucket`` is the hot-bucket cap (the dedup/minhash.py rule): a
+    LOW-ENTROPY corpus — exactly where near-dup detection runs — can
+    drive one band value to O(N) members (e.g. a flood of identical or
+    zero vectors), turning the band self-join quadratic. Buckets above
+    the cap are dropped whole, BEFORE any member list or pair row
+    materializes; members of a dropped bucket that are genuine near-dups
+    of something still collide in another band, and an identical-vector
+    flood belongs to exact dedup, not pair enumeration. The cap is far
+    above the expected n/256 bucket size, so a healthy corpus never
+    trips it.
     """
     df = _non_null_vectors(df, vec_col)
     if exact:
@@ -372,14 +384,47 @@ def embedding_near_dup_pairs(
                 "band_idx", "band_sig"
             ),
         )
-        left = banded.select("band_idx", "band_sig", F.col("bid").alias("id1"))
-        right = banded.select("band_idx", "band_sig", F.col("bid").alias("id2"))
-        # dedup candidate IDs first, then attach vectors — shuffling 64-dim
-        # arrays through the distinct was the dominant cost at sf0.1
+        # two consumers (bucket-size count + pair enumeration) —
+        # materialize the banding matmul once; the checkpointed rows are
+        # scalars (id, band_idx, band_sig), so this is cheap, unlike
+        # persisting array columns
+        banded = banded.localCheckpoint(eager=False)
+        # Hot-bucket cap BEFORE anything per-bucket materializes: sizes
+        # come from a map-side-combined count, the oversized keys are by
+        # construction a tiny set, so the anti-join broadcasts.
+        hot = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band_idx", "band_sig")
+        )
+        cold = banded.join(
+            F.broadcast(hot), ["band_idx", "band_sig"], "left_anti"
+        )
+        # Candidate pairs straight from the grouped bucket (ONE exchange
+        # on the bucket key, vs two for the former self-join): enumerate
+        # id1<id2 pairs as an array expression over the sorted member
+        # list — bucket size is capped, so the per-row pair array is
+        # bounded. Dedup candidate IDs first, then attach vectors —
+        # shuffling 64-dim arrays through the distinct was the dominant
+        # cost at sf0.1.
+        grouped = (
+            cold.groupBy("band_idx", "band_sig")
+            .agg(F.sort_array(F.collect_list("bid")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        )
         ids = (
-            left.join(right, ["band_idx", "band_sig"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
+            grouped.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
             .distinct()
         )
         v1 = df.select(
