@@ -1,0 +1,213 @@
+"""MERGE INTO + copy-on-write UPDATE on versioned tables
+(sources/versioned.py merge_into / update_where).
+
+Reference capability being scaled: INSERT ... ON CONFLICT DO UPDATE
+(functions.py:178-183) and UPDATE messages SET posted = TRUE
+(bot/botrun.py:163-167, 308-309) — one atomic commit each, surgical file
+rewrite via manifest stats, history untouched."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.sources.versioned import (
+    data_file_count,
+    history,
+    latest_version,
+    merge_into,
+    read_snapshot,
+    table_changes,
+    update_where,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.s) for r in df.collect())
+
+
+def _base(spark, t, layout=True):
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i}") for i in range(20)], "k long, v long, s string"
+    )
+    kwargs = {"layout_by": ["k"], "layout_files": 4} if layout else {}
+    write_snapshot(df, t, **kwargs)
+    return df
+
+
+def test_merge_update_insert_delete_in_one_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    src = spark.createDataFrame(
+        [
+            (3, 999, "upd", "U"),   # matched update
+            (7, 0, "x", "D"),       # matched delete
+            (100, 42, "new", "U"),  # not matched insert
+            (200, 0, "x", "D"),     # unmatched delete -> no-op
+        ],
+        "k long, v long, s string, op string",
+    )
+    v = merge_into(
+        spark, t, src, ["k"], delete_when=F.col("op") == "D"
+    )
+    assert v == 1  # ONE commit
+    assert latest_version(t) == 1
+    got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
+    assert got[3] == (999, "upd")
+    assert 7 not in got
+    assert got[100] == (42, "new")
+    assert 200 not in got
+    assert got[5] == (50, "s5")  # untouched row intact
+    # time travel reads the pre-merge state
+    pre = {r.k: (r.v, r.s) for r in read_snapshot(spark, t, version=0).collect()}
+    assert pre[3] == (30, "s3") and 7 in pre and 100 not in pre
+    assert history(t)[0]["mode"] == "merge"
+
+
+def test_merge_equivalent_to_delete_plus_upsert(spark, tmp_path):
+    """merge == the old two-commit decomposition (delete_where of the
+    delete keys, then upsert of the update/insert rows) — same final
+    rows, but in ONE version instead of two."""
+    from wrtd_etl_spark.sources.versioned import delete_where
+
+    t1, t2 = str(tmp_path / "a"), str(tmp_path / "b")
+    _base(spark, t1)
+    _base(spark, t2)
+    src = spark.createDataFrame(
+        [(2, -2, "u2", "U"), (11, -11, "u11", "U"), (4, 0, "", "D"),
+         (77, -77, "new", "U")],
+        "k long, v long, s string, op string",
+    )
+    merge_into(spark, t1, src, ["k"], delete_when=F.col("op") == "D")
+
+    # two-commit path on the twin table
+    delete_where(spark, t2, F.col("k") == 4)
+    ups = src.filter(F.col("op") == "U").drop("op")
+    cur = read_snapshot(spark, t2)
+    merged = ups.unionByName(
+        cur.join(ups.select("k"), "k", "left_anti")
+    )
+    write_snapshot(merged, t2)
+
+    assert _rows(read_snapshot(spark, t1)) == _rows(read_snapshot(spark, t2))
+    assert latest_version(t1) == 1 and latest_version(t2) == 2
+
+
+def test_merge_auto_prune_carries_untouched_files(spark, tmp_path):
+    """Source keys all land in one z-ordered file's range: the other
+    files must carry by REFERENCE (same relative paths in the manifest),
+    not be rewritten."""
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i}") for i in range(400)], "k long, v long, s string"
+    )
+    write_snapshot(df, t, layout_by=["k"], layout_files=8)
+    before = set(files_for_read(t)[0])
+    n_before = data_file_count(t)
+    src = spark.createDataFrame([(5, -5, "u5")], "k long, v long, s string")
+    merge_into(spark, t, src, ["k"])
+    after = set(files_for_read(t)[0])
+    carried = before & after
+    # at least half the layout files carried untouched
+    assert len(carried) >= n_before // 2
+    assert len(after - before) >= 1  # the rewritten segment is new
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[5] == -5 and got[300] == 3000 and len(got) == 400
+
+
+def test_merge_partial_update_mapping_and_insert_nullfill(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame(
+        [(1, "nick1"), (500, "nick500")], "k long, nickname string"
+    )
+    # ON CONFLICT DO UPDATE SET s = EXCLUDED.nickname
+    merge_into(spark, t, src, ["k"], when_matched={"s": "nickname"})
+    got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
+    assert got[1] == (10, "nick1")      # v untouched, s updated
+    assert got[500] == (None, None)     # insert NULL-fills absent cols
+    assert got[2] == (20, "s2")
+
+
+def test_merge_keep_is_insert_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame(
+        [(1, 111, "xx"), (300, 3, "new")], "k long, v long, s string"
+    )
+    merge_into(spark, t, src, ["k"], when_matched="keep")
+    got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
+    assert got[1] == (10, "s1")  # matched row untouched
+    assert got[300] == (3, "new")
+
+
+def test_merge_refuses_duplicate_source_keys(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "k long, v long, s string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, t, src, ["k"])
+    assert latest_version(t) == 0  # refused BEFORE any commit
+
+
+def test_update_where_prunes_files_and_feeds_changes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i}") for i in range(400)], "k long, v long, s string"
+    )
+    write_snapshot(df, t, layout_by=["k"], layout_files=8)
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    before = set(files_for_read(t)[0])
+    v = update_where(
+        spark,
+        t,
+        F.col("k").between(10, 15),
+        {"s": F.lit("flagged"), "v": F.col("v") + 1},
+        prune={"k": (10, 15)},
+    )
+    assert v == 1
+    after = set(files_for_read(t)[0])
+    assert len(before & after) >= len(before) // 2  # pruned rewrite
+    got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
+    for k in range(10, 16):
+        assert got[k] == (k * 10 + 1, "flagged")
+    assert got[200] == (2000, "s200")
+    assert len(got) == 400
+    # time travel: pre-update state intact
+    pre = {r.k: r.s for r in read_snapshot(spark, t, version=0).collect()}
+    assert pre[12] == "s12"
+    # change feed: an update is delete+insert pairs for exactly the
+    # touched rows
+    feed = table_changes(spark, t, 0, 1)
+    by_type = {
+        (r._change_type, r.k) for r in feed.collect()
+    }
+    for k in range(10, 16):
+        assert ("delete", k) in by_type and ("insert", k) in by_type
+    assert len(by_type) == 12
+    assert history(t)[0]["mode"] == "update"
+
+
+def test_update_where_null_predicate_rows_kept(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 30, "c")],
+        "k long, v long, s string",
+    )
+    write_snapshot(df, t)
+    update_where(spark, t, F.col("v") > 15, {"s": F.lit("big")})
+    got = {r.k: r.s for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "big"}  # NULL predicate -> unmatched
+
+
+def test_update_where_refuses_unknown_column(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, t, F.lit(True), {"nope": F.lit(1)})

@@ -77,3 +77,54 @@ def test_assert_checks_gate(spark):
     assert all(r.passed for r in report.collect())
     with pytest.raises(ValueError, match=r"not_null\(id\): 1/4"):
         assert_checks(df, [not_null("id")])
+
+
+def test_violating_rows_tags_every_failure(spark):
+    from wrtd_etl_spark.operators.quality import violating_rows
+
+    df = _dirty(spark)
+    ref = spark.createDataFrame([(1,)], "k long")
+    bad = violating_rows(
+        df,
+        [not_null("id"), in_range("v", lo=0.0), unique(["id"]),
+         foreign_key("id", ref, "k")],
+    ).collect()
+    tags = {(r.id, r["__violation"]) for r in bad}
+    assert (None, "not_null(id)") in tags
+    assert (1, "in_range(v)") in tags
+    assert sum(1 for i, t in tags if t == "unique(id)") == 1  # both rows id=1
+    assert sum(1 for r in bad if r["__violation"] == "unique(id)") == 2
+    assert (2, "foreign_key(id)") in tags
+
+
+def test_write_gate_refuses_dirty_batch_and_quarantines(spark, tmp_path):
+    """write_snapshot(checks=...): a dirty batch must NOT commit any
+    version; its violating rows land in a Spark-readable quarantine
+    (itself a versioned table); a clean batch commits unchanged."""
+    from wrtd_etl_spark.sources.versioned import (
+        QualityGateViolation,
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    gate = [not_null("id"), in_range("v", lo=0.0)]
+    clean = _dirty(spark).filter("id = 1 and v > 0")
+    assert write_snapshot(clean, t, checks=gate) == 0
+    assert read_snapshot(spark, t).count() == 1
+
+    with pytest.raises(QualityGateViolation, match="quarantined"):
+        write_snapshot(_dirty(spark), t, mode="append", checks=gate)
+    # no version advanced, table contents untouched
+    assert latest_version(t) == 0
+    assert read_snapshot(spark, t).count() == 1
+    # the quarantine holds the tagged rows and is itself versioned
+    q = read_snapshot(spark, t + "__quarantine")
+    rows = {(r.id, r["__violation"]) for r in q.collect()}
+    assert (None, "not_null(id)") in rows
+    assert (1, "in_range(v)") in rows
+    # a second dirty batch APPENDS to the quarantine
+    with pytest.raises(QualityGateViolation):
+        write_snapshot(_dirty(spark), t, mode="append", checks=gate)
+    assert latest_version(t + "__quarantine") == 1

@@ -1,0 +1,192 @@
+"""Streaming read of the versioned change feed
+(sources/versioned_stream.py): offsets are versions, micro-batches are
+commit-range file diffs, checkpoint restart resumes exactly-once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.sources.versioned import (
+    table_changes,
+    update_where,
+    write_snapshot,
+)
+from wrtd_etl_spark.sources.versioned_stream import read_changes_stream
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _drain(spark, table, checkpoint, starting_version=-1):
+    rows = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        read_changes_stream(spark, table, starting_version)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_streamed_appends_equal_batch_changes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t)
+    for lo in (5, 10, 15):
+        write_snapshot(_df(spark, lo, lo + 5), t, mode="append")
+    got = _drain(spark, t, str(tmp_path / "ck"))
+    streamed = sorted(
+        (r.k, r.v, r._change_type) for r in got
+    )
+    batch = table_changes(spark, t, 0, 3).withColumn(
+        "_commit_version", F.lit(None)
+    )
+    expected = sorted(
+        (r.k, r.v, r._change_type) for r in batch.collect()
+    )
+    # startingVersion=-1 also streams version 0's snapshot as inserts
+    v0 = sorted((k, k * 10, "insert") for k in range(5))
+    assert streamed == sorted(v0 + expected)
+    # commit metadata rides along
+    assert {r._commit_mode for r in got} == {"overwrite", "append"}
+    assert {r._commit_version for r in got} == {0, 1, 2, 3}
+
+
+def test_stream_fold_reproduces_snapshot_across_update(spark, tmp_path):
+    """delete+insert multiset fold of the feed == the latest snapshot,
+    including a copy-on-write UPDATE commit (rewritten-but-unchanged
+    rows appear as paired delete+insert and cancel)."""
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 20), t)
+    write_snapshot(_df(spark, 20, 25), t, mode="append")
+    update_where(spark, t, F.col("k") < 3, {"v": F.col("v") + 1})
+    got = _drain(spark, t, str(tmp_path / "ck"))
+    from collections import Counter
+
+    fold = Counter()
+    for r in got:
+        fold[(r.k, r.v)] += 1 if r._change_type == "insert" else -1
+    final = sorted(k for k, n in fold.items() if n > 0)
+    assert all(n in (0, 1) for n in fold.values())
+    snap = sorted((r.k, r.v) for r in read_snapshot(spark, t).collect())
+    assert final == snap
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    write_snapshot(_df(spark, 0, 5), t)
+    first = _drain(spark, t, ck)
+    assert len(first) == 5
+    # no new commits: restart delivers nothing
+    assert _drain(spark, t, ck) == []
+    # two more commits: restart delivers exactly their rows, once
+    write_snapshot(_df(spark, 5, 8), t, mode="append")
+    write_snapshot(_df(spark, 8, 10), t, mode="append")
+    third = _drain(spark, t, ck)
+    assert sorted(r.k for r in third) == list(range(5, 10))
+    assert {r._commit_version for r in third} == {1, 2}
+
+
+def test_starting_version_latest_skips_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100), t)
+    write_snapshot(_df(spark, 100, 101), t, mode="append")
+    got = _drain(
+        spark, t, str(tmp_path / "ck"), starting_version="latest"
+    )
+    assert got == []  # nothing after stream start
+    write_snapshot(_df(spark, 101, 103), t, mode="append")
+    got = _drain(spark, t, str(tmp_path / "ck"), starting_version="latest")
+    assert sorted(r.k for r in got) == [101, 102]
+
+
+def test_feed_driven_text_index_refresh_e2e(spark, tmp_path):
+    """The text-index refresher subscribed to the corpus feed: two
+    corpus commits stream in, the index folds each exactly once, search
+    equals a from-scratch rebuild; re-running the (checkpointed) stream
+    with no new commits touches nothing."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        search_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import latest_version
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_text_index_refresh_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src, idx, rebuilt = (
+        str(tmp_path / n) for n in ("docs", "idx", "idx2")
+    )
+    ck = str(tmp_path / "ck")
+    write_snapshot(docs.filter(F.col("doc_id") < 200), src)
+    build_text_index_from(spark, src, idx)
+    write_snapshot(
+        docs.filter(F.col("doc_id").between(200, 400)), src, mode="append"
+    )
+    write_snapshot(
+        docs.filter(F.col("doc_id") > 400), src, mode="append"
+    )
+    run_text_index_refresh_stream(spark, src, idx, ck)
+    assert latest_version(idx) >= 1
+    build_text_index_from(spark, src, rebuilt)
+    terms = ["data", "model", "the"]
+    got = sorted(
+        (r.doc_id, r.score)
+        for r in search_text_index(spark, idx, terms, k=10).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.score)
+        for r in search_text_index(spark, rebuilt, terms, k=10).collect()
+    )
+    assert got == ref
+    # replayed run: no new commits -> no new index version
+    v_before = latest_version(idx)
+    run_text_index_refresh_stream(spark, src, idx, ck)
+    assert latest_version(idx) == v_before
+
+
+def test_feed_driven_rollup_refresh_e2e(spark, tmp_path):
+    from wrtd_etl_spark.operators.rollup_merge import aggregate_batch
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_rollup_refresh_stream,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+    keys, metrics = ["g"], {"n": ("count", "x"), "total": ("sum", "x")}
+    write_snapshot(
+        spark.createDataFrame([("a", 1), ("b", 3)], "g string, x long"), src
+    )
+    run_rollup_refresh_stream(spark, view, src, ck, keys, metrics)
+    write_snapshot(
+        spark.createDataFrame([("a", 5), ("c", 7)], "g string, x long"),
+        src,
+        mode="append",
+    )
+    run_rollup_refresh_stream(spark, view, src, ck, keys, metrics)
+    got = {
+        r.g: (r.n, r.total) for r in read_snapshot(spark, view).collect()
+    }
+    want = {
+        r.g: (r.n, r.total)
+        for r in aggregate_batch(
+            read_snapshot(spark, src), keys, metrics
+        ).collect()
+    }
+    assert got == want == {"a": (2, 6), "b": (1, 3), "c": (1, 7)}

@@ -160,6 +160,50 @@ def run_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     return out
 
 
+def violating_rows(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """The rows behind the violation counts, tagged with ``__violation``
+    (one output copy per violated check — a row failing two checks
+    appears twice, once per tag). This is the quarantine payload for
+    write-gated commits: the refused batch's bad rows land somewhere
+    Spark-readable instead of vanishing into an error message."""
+    parts: list[DataFrame] = []
+    for c in checks:
+        if c["kind"] == "row":
+            parts.append(
+                df.filter(c["bad"]).withColumn(
+                    "__violation", F.lit(c["name"])
+                )
+            )
+        elif c["kind"] == "unique":
+            dup_keys = (
+                df.groupBy(*c["cols"])
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(*c["cols"])
+            )
+            parts.append(
+                df.join(F.broadcast(dup_keys), c["cols"], "left_semi")
+                .withColumn("__violation", F.lit(c["name"]))
+            )
+        elif c["kind"] == "fk":
+            ref_keys = c["ref"].select(
+                F.col(c["ref_col"]).alias(c["col"])
+            ).distinct()
+            parts.append(
+                df.filter(F.col(c["col"]).isNotNull())
+                .join(F.broadcast(ref_keys), c["col"], "left_anti")
+                .withColumn("__violation", F.lit(c["name"]))
+            )
+    if not parts:
+        return df.filter(F.lit(False)).withColumn(
+            "__violation", F.lit(None).cast("string")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def assert_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     """Fail-fast gate: returns the report if all checks pass, raises
     listing every failed check otherwise."""

@@ -67,7 +67,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
@@ -76,6 +76,12 @@ _LATEST = "_latest"
 #: lossless widenings, by Spark simpleString type name
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 _FLOAT_RANK = {"float": 1, "double": 2}
+
+
+class QualityGateViolation(ValueError):
+    """A write-gated commit was refused: the batch failed its declared
+    data-quality checks. The violating rows were written to the
+    quarantine table named in the message."""
 
 
 class CommitConflict(RuntimeError):
@@ -315,6 +321,8 @@ def write_snapshot(
     renames: dict[str, str] | None = None,
     layout_by: list[str] | None = None,
     layout_files: int | None = None,
+    checks: list[dict] | None = None,
+    quarantine: str | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -326,6 +334,11 @@ def write_snapshot(
     min/max for those columns (enables ``skip_filter`` reads).
     ``renames`` (append only) declares {previous-name: new-name} column
     renames; older segments are re-labelled at read time.
+
+    ``checks`` (operators/quality.py constraints) gates the commit:
+    a failing batch raises :class:`QualityGateViolation` with NO version
+    committed, and the violating rows are appended to ``quarantine``
+    (default ``<table>__quarantine``, itself a versioned table).
 
     ``layout_by`` clusters the committed files along the Z-curve of the
     given (numeric) columns — operators/zorder.py's layout, integrated so
@@ -342,6 +355,32 @@ def write_snapshot(
         raise ValueError(f"unsupported mode: {mode!r}")
     if renames and mode != "append":
         raise ValueError("renames are only meaningful for mode='append'")
+    if checks:
+        # Write-time constraint gate (operators/quality.py suite): a
+        # dirty batch is refused BEFORE any data file is staged, and its
+        # violating rows land in a Spark-readable quarantine table (the
+        # DLQ idea applied to commits) so the producer can inspect and
+        # replay. The check scan is an extra pass over df — the price of
+        # refusing garbage at the door instead of vacuuming it later.
+        from ..operators.quality import run_checks, violating_rows
+
+        report = run_checks(df, checks).collect()
+        failed = [r for r in report if not r.passed]
+        if failed:
+            qt = quarantine or table.rstrip("/") + "__quarantine"
+            bad = violating_rows(df, checks)
+            write_snapshot(
+                bad,
+                qt,
+                mode="append" if _read_pointer(qt) is not None else "overwrite",
+            )
+            detail = "; ".join(
+                f"{r.check}: {r.violations}/{r.total}" for r in failed
+            )
+            raise QualityGateViolation(
+                f"commit to {table} refused — {detail}; violating rows "
+                f"quarantined in {qt}"
+            )
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     if layout_by:
         from ..operators.zorder import zorder_key
@@ -662,6 +701,30 @@ def delete_where(
         raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest(table, base)
     aliases = manifest.get("aliases", {})
+    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    new_segment = None
+    if rewrite_segs:
+        # normalize candidates through the same rename/cast/union path a
+        # read uses, so the predicate sees CURRENT column names/types
+        part = _read_segments(
+            spark, table, {**manifest, "segments": rewrite_segs}
+        )
+        survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
+        new_segment = _rewrite_segment(
+            spark, table, manifest, rewrite_segs, survivors
+        )
+    segments = carried + ([new_segment] if new_segment else [])
+    return _commit_rewrite(table, base, manifest, segments, "delete")
+
+
+def _split_for_rewrite(
+    manifest: dict, aliases: dict, prune: dict[str, tuple] | None
+) -> tuple[list[dict], list[dict]]:
+    """Partition the version's segments into (carried, rewrite): files
+    whose stats CANNOT intersect ``prune`` carry forward untouched (by
+    reference — no read, no write); the rest are rewrite candidates.
+    ``prune=None`` means rewrite everything. Shared by delete_where /
+    update_where / merge_into — the surgical-rewrite primitive."""
     carried: list[dict] = []
     rewrite_segs: list[dict] = []
     for seg in _segments(manifest):
@@ -685,34 +748,57 @@ def delete_where(
             )
         if cand:
             rewrite_segs.append({**seg, "files": sorted(cand)})
-    new_segment = None
-    if rewrite_segs:
-        # normalize candidates through the same rename/cast/union path a
-        # read uses, so the predicate sees CURRENT column names/types
-        part = _read_segments(
-            spark, table, {**manifest, "segments": rewrite_segs}
-        )
-        survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
-        files_new = _write_data(survivors, table)
-        stat_cols = sorted(
-            {
-                aliases.get(c, c)
-                for seg in rewrite_segs
-                for fs in seg.get("stats", {}).values()
-                for c in fs
-            }
-        )
-        stats = (
-            _collect_file_stats(table, files_new, stat_cols)
-            if stat_cols
-            else {}
-        )
-        new_segment = {
-            "files": files_new,
-            "schema": manifest["schema"],
-            "stats": stats,
+    return carried, rewrite_segs
+
+
+def _rewrite_segment(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    rewrite_segs: list[dict],
+    rows: DataFrame,
+) -> dict:
+    """Write ``rows`` as the replacement segment for ``rewrite_segs``,
+    re-collecting file stats for every column the replaced files had
+    stats on (so data skipping keeps working across rewrites)."""
+    aliases = manifest.get("aliases", {})
+    files_new = _write_data(rows, table)
+    # stat columns come from the WHOLE version, not just the rewritten
+    # files — an insert-only merge whose pruning carried every old file
+    # must still record stats on its fresh files, or skipping degrades
+    stat_segs = list(_segments(manifest)) + list(rewrite_segs)
+    stat_cols = sorted(
+        {
+            aliases.get(c, c)
+            for seg in stat_segs
+            for fs in seg.get("stats", {}).values()
+            for c in fs
         }
-    segments = carried + ([new_segment] if new_segment else [])
+    )
+    stats = (
+        _collect_file_stats(table, files_new, stat_cols)
+        if stat_cols
+        else {}
+    )
+    return {
+        "files": files_new,
+        "schema": manifest["schema"],
+        "stats": stats,
+    }
+
+
+def _commit_rewrite(
+    table: str,
+    base: int,
+    manifest: dict,
+    segments: list[dict],
+    mode: str,
+    extra: dict | None = None,
+) -> int:
+    """Commit a surgical rewrite (delete/update/merge) based on version
+    ``base``. A concurrent commit raises — the rewrite reflects a
+    superseded snapshot and cannot be rebased mechanically."""
+    aliases = manifest.get("aliases", {})
     evolved = bool(aliases) or any(
         s["schema"] != manifest["schema"] for s in segments
     )
@@ -720,12 +806,12 @@ def delete_where(
         prev = _read_pointer(table)
         if prev != base:
             raise CommitConflict(
-                f"concurrent commit to {table} during delete (based on "
+                f"concurrent commit to {table} during {mode} (based on "
                 f"v{base}); re-run"
             )
         new_manifest = {
             "version": prev + 1,
-            "mode": "delete",
+            "mode": mode,
             "parent": prev,
             "files": [f for s in segments for f in s["files"]],
             "segments": segments,
@@ -733,11 +819,229 @@ def delete_where(
             "schema_evolved": evolved,
             "aliases": aliases,
             "committed_at": time.time(),
-            "extra": manifest.get("extra", {}),
+            "extra": extra if extra is not None else manifest.get("extra", {}),
         }
         if _try_commit(table, prev + 1, new_manifest):
             return prev + 1
-    raise CommitConflict(f"delete on {table} kept losing the commit race")
+    raise CommitConflict(f"{mode} on {table} kept losing the commit race")
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    set_exprs: dict[str, "Column | object"],
+    prune: dict[str, tuple] | None = None,
+) -> int:
+    """Copy-on-write UPDATE: commit a new version where every row
+    matching ``predicate`` has the ``set_exprs`` columns replaced
+    (``{col: Column-or-literal}``, evaluated over the row), rewriting
+    ONLY the files that might contain matches — symmetric to
+    :func:`delete_where`, with the same ``prune`` contract (an
+    over-approximation of the predicate; too-wide costs I/O, never
+    correctness). SQL NULL semantics: a NULL predicate row is NOT
+    matched and keeps its values.
+
+    The reference capability is ``UPDATE messages SET posted = TRUE``
+    (bot/botrun.py:163-167, 308-309) — at lake scale an update must not
+    rewrite the whole table. The change feed sees the rewrite as
+    delete+insert pairs (the honest row-level diff of an update); time
+    travel still reads the pre-update state."""
+    from pyspark.sql.types import StructType
+
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    aliases = manifest.get("aliases", {})
+    target = StructType.fromJson(manifest["schema"])
+    known = {f.name for f in target.fields}
+    bad = [c for c in set_exprs if c not in known]
+    if bad:
+        raise ValueError(f"update of unknown column(s): {bad}")
+    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    new_segment = None
+    if rewrite_segs:
+        part = _read_segments(
+            spark, table, {**manifest, "segments": rewrite_segs}
+        )
+        matched = F.coalesce(predicate, F.lit(False))
+        cols = []
+        for f in target.fields:
+            if f.name in set_exprs:
+                v = set_exprs[f.name]
+                expr = v if isinstance(v, Column) else F.lit(v)
+                cols.append(
+                    F.when(matched, expr.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        new_segment = _rewrite_segment(
+            spark, table, manifest, rewrite_segs, part.select(*cols)
+        )
+    segments = carried + ([new_segment] if new_segment else [])
+    return _commit_rewrite(table, base, manifest, segments, "update")
+
+
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: "str | dict[str, str]" = "replace",
+    delete_when=None,
+    insert: bool = True,
+    prune: "str | dict[str, tuple] | None" = "auto",
+) -> int:
+    """General MERGE INTO: ONE atomic commit doing matched-update /
+    matched-delete / not-matched-insert against a versioned table — the
+    reference's ``INSERT ... ON CONFLICT DO UPDATE``
+    (functions.py:178-183) at lake scale, where the previous decomposition
+    (``delete_where`` + swap upsert) took two commits with a torn window
+    between them.
+
+    * ``keys`` — equi-join columns; source keys must be UNIQUE (checked;
+      a many-to-one merge is ambiguous, same rule as Delta MERGE).
+    * ``when_matched`` — ``"replace"`` (every shared column takes the
+      source value), ``"keep"`` (matched target rows unchanged —
+      insert-only merge), or ``{target_col: source_col}`` for a partial
+      ``DO UPDATE SET``.
+    * ``delete_when`` — optional Column over the SOURCE row (e.g.
+      ``F.col("op") == "D"``): matched rows whose source row satisfies it
+      are deleted instead of updated; unmatched delete rows are no-ops.
+    * ``insert`` — insert source rows (minus delete rows) whose key
+      matches nothing; columns absent from the source NULL-fill.
+    * ``prune`` — ``"auto"`` derives the skip range from the source's
+      key min/max (files whose key stats cannot intersect ANY source key
+      carry forward untouched), a dict uses :func:`delete_where`'s
+      contract, ``None`` rewrites everything. Pruning is correct because
+      a carried file provably holds no source key, so its rows can be
+      neither matched nor block an insert.
+
+    Untouched files carry by reference; time travel reads the pre-merge
+    state; the change feed sees delete+insert pairs. A concurrent commit
+    raises :class:`CommitConflict` (re-run on the new base)."""
+    from pyspark.sql.types import StructType
+
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    aliases = manifest.get("aliases", {})
+    target = StructType.fromJson(manifest["schema"])
+    tcols = [f.name for f in target.fields]
+    missing = [k for k in keys if k not in tcols or k not in source.columns]
+    if missing:
+        raise ValueError(f"merge key(s) {missing} absent from table or source")
+    if when_matched == "replace":
+        mapping = {c: c for c in source.columns if c in tcols and c not in keys}
+    elif when_matched == "keep":
+        mapping = {}
+    elif isinstance(when_matched, dict):
+        bad = [
+            (t, s)
+            for t, s in when_matched.items()
+            if t not in tcols or s not in source.columns
+        ]
+        if bad:
+            raise ValueError(f"update mapping references unknown column(s): {bad}")
+        mapping = dict(when_matched)
+    else:
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+
+    # a many-to-one merge is ambiguous — refuse, like Delta's
+    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET error
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(f"source has multiple rows for merge key {kv}")
+
+    if prune == "auto":
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        row = source.agg(*aggs).collect()[0]
+        prune = {
+            k: (row[f"__lo_{k}"], row[f"__hi_{k}"])
+            for k in keys
+            if row[f"__lo_{k}"] is not None
+        } or None
+
+    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+
+    # source, renamed out of the target namespace, with the delete flag
+    # evaluated over the ORIGINAL source row (op-flag columns usable even
+    # if the table doesn't have them)
+    del_col = (
+        F.coalesce(delete_when, F.lit(False))
+        if delete_when is not None
+        else F.lit(False)
+    )
+    src_payload = sorted({*mapping.values(), *keys})
+    src = source.select(
+        *[F.col(c).alias(f"__s_{c}") for c in src_payload],
+        del_col.alias("__s_del"),
+        F.lit(1).alias("__m"),
+    )
+
+    part = (
+        _read_segments(spark, table, {**manifest, "segments": rewrite_segs})
+        if rewrite_segs
+        else spark.createDataFrame([], target)
+    )
+    cond = None
+    for k in keys:
+        c = part[k] == src[f"__s_{k}"]
+        cond = c if cond is None else cond & c
+    # no broadcast hint: a CDC batch is small and AQE will broadcast it
+    # on its own; a backfill-sized source must be allowed to sort-merge
+    joined = part.join(src, cond, "left")
+    matched = F.col("__m").isNotNull()
+    out_cols = []
+    for f in target.fields:
+        if f.name in mapping:
+            out_cols.append(
+                F.when(
+                    matched, F.col(f"__s_{mapping[f.name]}").cast(f.dataType)
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            out_cols.append(F.col(f.name))
+    rewritten = joined.filter(
+        ~(matched & F.col("__s_del"))
+    ).select(*out_cols)
+
+    new_rows = rewritten
+    if insert:
+        inserts = source
+        if delete_when is not None:
+            inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
+        inserts = inserts.join(part.select(*keys), keys, "left_anti")
+        ins_cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in inserts.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target.fields
+        ]
+        new_rows = rewritten.unionByName(inserts.select(*ins_cols))
+
+    new_segment = _rewrite_segment(
+        spark, table, manifest, rewrite_segs, new_rows
+    )
+    segments = carried + [new_segment]
+    return _commit_rewrite(table, base, manifest, segments, "merge")
 
 
 def table_changes(

@@ -1,0 +1,105 @@
+"""Continuous incremental maintenance driven by the change-feed stream.
+
+The batch refreshers (operators/text_index.refresh_text_index,
+operators/materialized.refresh_rollup_incremental) are idempotent folds
+keyed on the source version stamped into their own manifests — call them
+twice and the second call is a no-op. What they lacked was a PUSH
+trigger: somebody had to poll. This module subscribes them to
+``sources/versioned_stream.read_changes_stream`` so every committed
+source version triggers one refresh — the reference's 60-second outbox
+poll loop (bot/botrun.py:295-309) replaced by an offset-tracked stream.
+
+Exactly-once composition: the stream's checkpoint guarantees each commit
+range is DELIVERED once; the refresher's version stamp guarantees a
+re-delivered (crash-replayed) trigger FOLDS at most once. Either leg
+alone would be at-least-once; together a replay is a provable no-op —
+the same two-ledger argument as streaming/versioned_sink.py.
+
+The micro-batch's rows are used only as a non-empty signal — the
+refreshers re-derive their delta from the manifests, which keeps ONE
+code path for batch and streaming refresh (no drift between the two).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from ..sources.versioned_stream import read_changes_stream
+
+
+def run_feed_driven(
+    spark: SparkSession,
+    source_table: str,
+    checkpoint: str,
+    on_changes: Callable[[], object],
+    starting_version: int | str = "latest",
+    timeout_s: float = 120.0,
+):
+    """Drive ``on_changes`` once per non-empty change-feed micro-batch
+    (bounded run: availableNow semantics — processes everything committed
+    so far, then stops). Returns the StreamingQuery after termination."""
+
+    def handle(batch, _batch_id: int) -> None:
+        if batch.take(1):
+            on_changes()
+
+    q = (
+        read_changes_stream(spark, source_table, starting_version)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def run_text_index_refresh_stream(
+    spark: SparkSession,
+    docs_table: str,
+    index_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
+):
+    """Subscribe the inverted-index refresher to the corpus feed: each
+    committed corpus version folds into the index exactly once."""
+    from ..operators.text_index import refresh_text_index
+
+    return run_feed_driven(
+        spark,
+        docs_table,
+        checkpoint,
+        lambda: refresh_text_index(
+            spark, docs_table, index_table, text_col, id_col, n_files
+        ),
+        # the feed content is only a signal; history before the index's
+        # own source_version stamp is already folded in
+        starting_version=0,
+    )
+
+
+def run_rollup_refresh_stream(
+    spark: SparkSession,
+    view_table: str,
+    source_table: str,
+    checkpoint: str,
+    keys: list[str],
+    metrics: dict[str, tuple[str, str]],
+    prepare=None,
+):
+    """Subscribe the incremental rollup maintainer to the source feed."""
+    from ..operators.materialized import refresh_rollup_incremental
+
+    return run_feed_driven(
+        spark,
+        source_table,
+        checkpoint,
+        lambda: refresh_rollup_incremental(
+            spark, view_table, source_table, keys, metrics, prepare
+        ),
+        starting_version=0,
+    )
