@@ -111,6 +111,9 @@ _DEMOTED = (
     "keyword_search",  # inverted-index tf-idf search (operators/text_index.py)
     "ann_filtered_topk",  # metadata-filtered exact vector search (filter-then-search)
     "stream_trending_types",  # per-window top-k over the streaming aggregate
+    # round 5
+    "dim_merge",  # single-commit MERGE INTO on a versioned table (K3 at lake scale)
+    "update_where_cow",  # stats-pruned copy-on-write UPDATE (sources/versioned.py)
 )
 
 

@@ -142,3 +142,79 @@ def test_quantized_code_col_without_scales_is_refused(spark):
     probes = emb.filter(F.col("vec_id") < 5)
     with pytest.raises(ValueError, match="scales"):
         quantized_top_k(emb, probes, k=3, code_col="qvec", scales=None)
+
+
+def test_ivfsq8_recall_and_full_probe_equivalence(spark, tmp_path):
+    """The composed IVF×SQ8 index: (a) recall vs brute force at the
+    plain-IVF test's bound with the same probe budget; (b) probing ALL
+    cells degenerates to exactly the full-corpus SQ8 search (the cell
+    mask passes everything), pinning that composition adds pruning and
+    nothing else."""
+    from wrtd_etl_spark.similarity.ann import brute_force_top_k
+    from wrtd_etl_spark.similarity.index_store import (
+        ivfsq8_query,
+        write_ivfsq8_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    t = str(tmp_path / "idx")
+    write_ivfsq8_index(emb, t, n_cells=16)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in brute_force_top_k(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivfsq8_query(spark, t, probes, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ivfsq8 recall collapsed: {recall}"
+
+    scales = manifest_info(t)["extra"]["scales"]
+    full = ivfsq8_query(spark, t, probes, k=5, nprobe=16)
+    flat = quantized_top_k(emb, probes, k=5, scales=scales)
+    assert _key(full.collect()) == _key(flat.collect())
+
+
+def test_ivfsq8_append_equals_rebuild_and_prunes_files(spark, tmp_path):
+    from wrtd_etl_spark.similarity.index_store import (
+        ivfsq8_append,
+        ivfsq8_query,
+        write_ivfsq8_index,
+    )
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    delta = emb.filter(F.col("vec_id") >= 300)
+    probes = emb.filter(F.col("vec_id") < 10)
+    t, t2 = str(tmp_path / "idx"), str(tmp_path / "idx2")
+    write_ivfsq8_index(base, t, n_cells=8, layout_files=4)
+    info = manifest_info(t)["extra"]
+    ivfsq8_append(delta, t)
+    # rebuild the union with the SAME training state
+    from wrtd_etl_spark.similarity.index_store import write_snapshot  # noqa: F401
+    import wrtd_etl_spark.similarity.index_store as ist
+
+    from wrtd_etl_spark.similarity.ivf import _assign_cells
+    from wrtd_etl_spark.similarity.quantized import quantize
+
+    assigned = _assign_cells(emb, "embedding", "vec_id", info["centroids"], 1)
+    coded = quantize(
+        assigned.withColumnRenamed("v", "embedding"), info["scales"],
+        out_col="qvec",
+    )
+    ist.write_snapshot(
+        coded.select("vec_id", "embedding", "qvec", "cell"),
+        t2,
+        layout_by=["cell"],
+        extra=info,
+    )
+    got = ivfsq8_query(spark, t, probes, k=5, nprobe=3)
+    ref = ivfsq8_query(spark, t2, probes, k=5, nprobe=3)
+    assert _key(got.collect()) == _key(ref.collect())
+    # cell-clustered layout + manifest stats prune the probe read: a
+    # 1-cell probe budget must not read every file of the 2-commit index
+    kept, total = files_for_read(t, skip_filter={"cell": (0, 0)})
+    assert total > 2 and len(kept) < total

@@ -190,3 +190,23 @@ def test_feed_driven_rollup_refresh_e2e(spark, tmp_path):
         ).collect()
     }
     assert got == want == {"a": (2, 6), "b": (1, 3), "c": (1, 7)}
+
+
+def test_versioned_changes_stream_query_truth_model(spark):
+    """The registry's rows-only entry: per-commit-version insert counts
+    equal the per-batch row counts of the three modulo slices."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.plans import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.commit_version: r.n_inserts
+        for r in REGISTRY["versioned_changes_stream"].fn(spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders")
+    want = {
+        v: orders.filter(F.col("o_orderkey") % 3 == v).count()
+        for v in range(3)
+    }
+    assert got == want

@@ -1737,3 +1737,26 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import filtered_top_k
 
     return filtered_top_k(emb, probes, match_cols=["label"], k=5)
+
+
+@register("ann_ivfsq8_topk", None)  # centroid+int8 rounding engine-specific
+def ann_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF × SQ8 persisted index (similarity/index_store.py):
+    ONE cell-clustered table gives a probe BOTH file pruning to its
+    nprobe cells (manifest stats) and int8 one-matmul scoring with exact
+    float rescore — the two accelerations that were previously mutually
+    exclusive. Truth model: tests/test_index_store.py pins recall vs
+    brute force, all-cells-degenerates-to-SQ8 equivalence, and
+    append ≡ rebuild."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..similarity.index_store import ivfsq8_query, write_ivfsq8_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_ivfsq8_"), "idx")
+    write_ivfsq8_index(emb, t, n_cells=16, layout_files=8)
+    return ivfsq8_query(spark, t, probes, k=5, nprobe=4).orderBy(
+        "probe_id", "rank"
+    )

@@ -1747,3 +1747,159 @@ def event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((cents - s / n) / F.sqrt(var)).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# L83/L84 — MERGE INTO and copy-on-write UPDATE on versioned tables
+# (reference: functions.py:178-183 ON CONFLICT DO UPDATE scaled to a
+# single-commit lake merge; bot/botrun.py:163-167 UPDATE ... SET).
+# Each query materializes a real versioned table in a temp dir so the
+# ORACLE checks the actual commit path, not an in-memory simulation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dim_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey < 50 THEN 'renamed_' || c_custkey ELSE c_name END AS c_name,
+           CASE WHEN c_custkey < 50 THEN c_acctbal + 100 ELSE c_acctbal END AS acctbal
+    FROM customer
+    WHERE c_custkey < 50 OR c_custkey >= 60
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'new_' || c_custkey AS c_name,
+           0.0 AS acctbal
+    FROM customer WHERE c_custkey < 20
+    """,
+)
+def dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO (sources/versioned.merge_into): ONE atomic
+    commit applies matched-update (keys < 50: rename + acctbal+100),
+    matched-delete (keys 50-59), and not-matched-insert (20 fresh keys
+    at +1e6) to a z-ordered versioned dimension; the result is the
+    post-merge snapshot. Auto-pruning derives the rewrite set from the
+    source's key range via manifest stats."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import merge_into, read_snapshot, write_snapshot
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_dim_merge_"), "dim")
+    write_snapshot(customer, t, layout_by=["c_custkey"], layout_files=4)
+    upd = customer.filter(F.col("c_custkey") < 50).select(
+        "c_custkey",
+        F.concat(F.lit("renamed_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    dels = customer.filter(F.col("c_custkey").between(50, 59)).select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("D").alias("op")
+    )
+    ins = customer.filter(F.col("c_custkey") < 20).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    merge_into(
+        spark,
+        t,
+        upd.unionByName(dels).unionByName(ins),
+        ["c_custkey"],
+        delete_when=F.col("op") == "D",
+    )
+    return read_snapshot(spark, t).select(
+        "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+    )
+
+
+@register(
+    "update_where_cow",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment,
+           c_acctbal
+    FROM customer
+    """,
+)
+def update_where_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE (sources/versioned.update_where): flag every
+    negative-balance customer, rewriting only the acctbal-clustered files
+    whose [min,max] can hold negatives (prune=(None, 0)); the rest of
+    the table carries by reference. NULL-predicate rows keep their
+    segment (SQL semantics)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import read_snapshot, update_where, write_snapshot
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_update_where_"), "dim")
+    write_snapshot(customer, t, layout_by=["c_acctbal"], layout_files=4)
+    update_where(
+        spark,
+        t,
+        F.col("c_acctbal") < 0,
+        {"c_mktsegment": F.lit("DELINQUENT")},
+        prune={"c_acctbal": (None, 0.0)},
+    )
+    return read_snapshot(spark, t).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), "c_acctbal"
+    )
+
+
+@register("versioned_changes_stream", None)  # streaming side effects: rows-only
+def versioned_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed STREAM (sources/versioned_stream.read_changes_stream):
+    three order batches commit as versions of a temp table; the stream
+    folds each commit range exactly once through its checkpoint; the
+    result is per-commit-version insert counts — which must equal the
+    per-batch row counts (the truth model pytest pins; rows-only here
+    because offsets/checkpoints have no SQL analog)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import write_snapshot
+    from ..sources.versioned_stream import read_changes_stream
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = _tf.mkdtemp(prefix="wrtd_changes_stream_")
+    t = _os.path.join(root, "tbl")
+    for i in range(3):
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 == i),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    counts: dict[int, int] = {}
+
+    def sink(batch, _bid):
+        for r in batch.groupBy("_commit_version").count().collect():
+            counts[r["_commit_version"]] = (
+                counts.get(r["_commit_version"], 0) + r["count"]
+            )
+
+    q = (
+        read_changes_stream(spark, t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.createDataFrame(
+        sorted((int(v), int(n)) for v, n in counts.items()),
+        "commit_version long, n_inserts long",
+    )

@@ -106,6 +106,8 @@ def quantized_top_k(
     scales: list[float] | None = None,
     rescore_margin: int = 4,
     code_col: str | None = None,
+    cell_col: str | None = None,
+    probe_cells: dict[int, "set[int]"] | None = None,
 ) -> DataFrame:
     """(probe_id, neighbor_id, sim, rank): top-k by EXACT cosine among the
     ``k * rescore_margin`` best quantized-score candidates per probe.
@@ -118,7 +120,13 @@ def quantized_top_k(
     scales): the scoring scan then uses the stored codes verbatim instead
     of re-quantizing each batch — build-once/query-many with results
     identical to the on-the-fly path (same code values by construction).
-    """
+
+    ``cell_col`` + ``probe_cells`` compose IVF pruning INTO the
+    quantized scan (index_store's ivfsq8 index): each corpus row carries
+    its coarse cell, and probe ``p`` only scores rows whose cell is in
+    ``probe_cells[p]`` — the same one-matmul batch scan, with a boolean
+    cell mask applied before the local top-k, so cell restriction costs
+    a mask instead of a join."""
     from pyspark.sql import Window
 
     from ..catalog import spread
@@ -137,11 +145,15 @@ def quantized_top_k(
     if scales is None:
         scales = train_scales(corpus, vec_col)
 
+    if (cell_col is None) != (probe_cells is None):
+        raise ValueError("cell_col and probe_cells must be given together")
     score_cols = [F.col(id_col).alias("neighbor_id")]
     if code_col is not None:
         score_cols.append(F.col(code_col).cast("array<double>").alias("qv"))
     else:
         score_cols.append(_as_double(F.col(vec_col)).alias("cv"))
+    if cell_col is not None:
+        score_cols.append(F.col(cell_col).cast("int").alias("__cell"))
     cq = spread(corpus).select(*score_cols)
     # probes cross the driver once (bounded: the probe set is small by
     # definition, same contract as brute_force_top_k's broadcast side)
@@ -175,6 +187,13 @@ def quantized_top_k(
     out_schema = "probe_id long, neighbor_id long, qsim double"
     vcol = "qv" if code_col is not None else "cv"
 
+    cell_sets = (
+        {pid: np.array(sorted(probe_cells.get(pid, ())), dtype=np.int64)
+         for pid in probe_ids}
+        if probe_cells is not None
+        else None
+    )
+
     def score_partition(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -183,9 +202,14 @@ def quantized_top_k(
             Q = V if code_col is not None else _np_quantize(V, s)
             S = Q @ PW  # batch x m
             nid = pdf["neighbor_id"].to_numpy()
+            cells = (
+                pdf["__cell"].to_numpy() if cell_sets is not None else None
+            )
             for j, pid in enumerate(probe_ids):
                 col = S[:, j]
                 keep = nid != pid
+                if cells is not None:
+                    keep &= np.isin(cells, cell_sets[pid])
                 idx = np.flatnonzero(keep)
                 if idx.size == 0:
                     continue
