@@ -114,6 +114,7 @@ _DEMOTED = (
     # round 5
     "dim_merge",  # single-commit MERGE INTO on a versioned table (K3 at lake scale)
     "update_where_cow",  # stats-pruned copy-on-write UPDATE (sources/versioned.py)
+    "stream_interval_join_outer",  # watermark-close null padding (outer twin of scored stream_interval_join)
 )
 
 

@@ -403,3 +403,66 @@ def test_resilient_sender_retries_and_dead_letters(spark, tmp_path):
     # all-success batch writes no DLQ file
     sender(8, [r for r in rows if r.kind == "ok"])
     assert not os.path.exists(os.path.join(dlq, "epoch=8.jsonl"))
+
+
+def test_outer_interval_join_sentinel_flush_equals_batch_exactly(spark, tmp_path):
+    """streaming/stream_join.interval_join_stream_outer + a far-future
+    sentinel on both sides (the standard watermark-flush idiom): every
+    real left row resolves — matched or provably unmatched — so the
+    result equals the batch LEFT JOIN exactly, not merely as a subset."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.streaming.stream_join import interval_join_stream_outer
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    events = load_table(spark, SF_SMOKE, "events")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    far = mx + datetime.timedelta(days=30)
+    sent_dir = os.path.join(str(tmp_path), "sent")
+    sentinel = spark.createDataFrame(
+        [(-1, far, "error"), (-1, far, "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    pad = [
+        F.lit(None).cast(dict(stream.dtypes)[c]).alias(c)
+        for c in stream.columns
+        if c not in sentinel.columns
+    ]
+    sentinel.select(*sentinel.columns, *pad).select(
+        *stream.columns
+    ).write.parquet(sent_dir)
+    s2 = spark.readStream.schema(
+        stream.filter(F.lit(False)).schema
+    ).parquet(sent_dir)
+    joined = interval_join_stream_outer(stream.unionByName(s2), minutes=60)
+    got = {
+        (r.user_id, r.error_ts, r.click_ts)
+        for r in run_available_now(joined, spark, "append").collect()
+        if r.user_id >= 0
+    }
+    b_left = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts")
+    )
+    b_right = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("click_ts")
+    )
+    b_cond = (
+        (b_left["user_id"] == b_right["r_user_id"])
+        & (b_right["click_ts"] >= b_left["error_ts"] - F.expr("INTERVAL 60 MINUTES"))
+        & (b_right["click_ts"] <= b_left["error_ts"])
+    )
+    want = {
+        (r.user_id, r.error_ts, r.click_ts)
+        for r in b_left.join(b_right, b_cond, "left_outer")
+        .select(
+            "user_id",
+            F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert any(t[2] is None for t in got)  # real null padding happened

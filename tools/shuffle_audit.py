@@ -78,6 +78,50 @@ def _execution_metrics(store, eid):
     return out
 
 
+def _agg_range(store, before: int) -> dict:
+    """Aggregate SQL metrics over every execution recorded since
+    ``before`` (the status-store high-water mark taken before the op)."""
+    execs = store.executionsList()
+    agg = {
+        "scan_rows": 0,
+        "exchanges": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "broadcasts": 0,
+        "max_task_bytes": 0,
+        "skew": 0.0,
+    }
+    for i in range(before, execs.size()):
+        for node, metric, value in _execution_metrics(
+            store, execs.apply(i).executionId()
+        ):
+            if node.startswith("Scan") and metric == "number of output rows":
+                agg["scan_rows"] += _parse_count(value)
+            elif node == "Exchange" and metric == "shuffle bytes written":
+                agg["exchanges"] += 1
+                total, _mn, med, mx = _parse_size_dist(value)
+                agg["shuffle_bytes"] += total
+                agg["max_task_bytes"] = max(agg["max_task_bytes"], mx)
+                # skew = worst max/median write across this query's
+                # exchanges: the early warning a 100x run turns into
+                # a straggler task (a hot key shows up here long
+                # before it OOMs anything). Exchanges whose MEDIAN
+                # task writes under 1 KiB are excluded: at that mass
+                # the ratio is row-granularity noise (one task
+                # carrying 3 rows instead of 1 reads as "4.0"), not
+                # key structure — a sub-KB max task cannot straggle.
+                # Structural hot keys always push the median exchange
+                # past the floor long before they matter.
+                if med >= 1024:
+                    agg["skew"] = max(agg["skew"], mx / med)
+            elif node == "Exchange" and metric == "shuffle records written":
+                agg["shuffle_records"] += _parse_count(value)
+            elif node == "BroadcastExchange":
+                if metric == "number of output rows":
+                    agg["broadcasts"] += 1
+    return agg
+
+
 def audit(spark, sf_dir: str) -> dict[str, dict]:
     import __spark_entry__ as entry
 
@@ -90,45 +134,104 @@ def audit(spark, sf_dir: str) -> dict[str, dict]:
         except Exception as e:  # keep auditing the rest
             results[name] = {"error": str(e).splitlines()[0][:100]}
             continue
-        execs = store.executionsList()
-        agg = {
-            "scan_rows": 0,
-            "exchanges": 0,
-            "shuffle_bytes": 0,
-            "shuffle_records": 0,
-            "broadcasts": 0,
-            "max_task_bytes": 0,
-            "skew": 0.0,
-        }
-        for i in range(before, execs.size()):
-            for node, metric, value in _execution_metrics(
-                store, execs.apply(i).executionId()
-            ):
-                if node.startswith("Scan") and metric == "number of output rows":
-                    agg["scan_rows"] += _parse_count(value)
-                elif node == "Exchange" and metric == "shuffle bytes written":
-                    agg["exchanges"] += 1
-                    total, _mn, med, mx = _parse_size_dist(value)
-                    agg["shuffle_bytes"] += total
-                    agg["max_task_bytes"] = max(agg["max_task_bytes"], mx)
-                    # skew = worst max/median write across this query's
-                    # exchanges: the early warning a 100x run turns into
-                    # a straggler task (a hot key shows up here long
-                    # before it OOMs anything). Exchanges whose MEDIAN
-                    # task writes under 1 KiB are excluded: at that mass
-                    # the ratio is row-granularity noise (one task
-                    # carrying 3 rows instead of 1 reads as "4.0"), not
-                    # key structure — a sub-KB max task cannot straggle.
-                    # Structural hot keys always push the median exchange
-                    # past the floor long before they matter.
-                    if med >= 1024:
-                        agg["skew"] = max(agg["skew"], mx / med)
-                elif node == "Exchange" and metric == "shuffle records written":
-                    agg["shuffle_records"] += _parse_count(value)
-                elif node == "BroadcastExchange":
-                    if metric == "number of output rows":
-                        agg["broadcasts"] += 1
-        results[name] = agg
+        results[name] = _agg_range(store, before)
+    return results
+
+
+def audit_write_paths(spark, sf_dir: str) -> dict[str, dict]:
+    """The table-MUTATING paths the registry audit can't see: versioned
+    writes (clustered + append), text-index build/refresh, the temporal
+    enrich sink, and the exactly-once streaming append sink. Each step
+    runs against temp tables seeded from the same sf_dir inputs; the
+    steps are sequential because later ones consume earlier ones' tables
+    (build → append → refresh is the real lifecycle)."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import write_snapshot
+    from wrtd_etl_spark.streaming.enrich import make_temporal_enrich_sink
+    from wrtd_etl_spark.streaming.versioned_sink import (
+        run_versioned_append_stream,
+    )
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    root = tempfile.mkdtemp(prefix="wrtd_write_audit_")
+    docs_t = os.path.join(root, "docs")
+    idx_t = os.path.join(root, "idx")
+    out_t = os.path.join(root, "enriched")
+    sink_t = os.path.join(root, "ingest")
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    results: dict[str, dict] = {}
+
+    def step(name, fn):
+        before = store.executionsList().size()
+        try:
+            fn()
+        except Exception as e:
+            results[name] = {"error": str(e).splitlines()[0][:100]}
+            return
+        results[name] = _agg_range(store, before)
+
+    step(
+        "w:versioned_write_clustered",
+        lambda: write_snapshot(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs_t,
+            layout_by=["doc_id"],
+            layout_files=4,
+        ),
+    )
+    step("w:text_index_build", lambda: build_text_index_from(spark, docs_t, idx_t))
+    step(
+        "w:versioned_append",
+        lambda: write_snapshot(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs_t,
+            mode="append",
+            layout_by=["doc_id"],
+            layout_files=4,
+        ),
+    )
+    step(
+        "w:text_index_refresh",
+        lambda: refresh_text_index(spark, docs_t, idx_t),
+    )
+
+    def _enrich():
+        dim_t = os.path.join(root, "dim")
+        t0 = datetime.datetime(2020, 1, 1)
+        write_snapshot(
+            spark.createDataFrame(
+                [(int(u), "tier", t0, None, True) for u in range(200)],
+                "k long, status string, valid_from timestamp,"
+                " valid_to timestamp, is_current boolean",
+            ),
+            dim_t,
+        )
+        sink = make_temporal_enrich_sink(dim_t, out_t, "user_id", "k", "ts")
+        sink(events.select("event_id", "user_id", "ts"), 0)
+
+    step("w:enrich_sink_batch", _enrich)
+
+    def _stream_sink():
+        from wrtd_etl_spark.streaming.dedup import read_events_stream
+
+        run_versioned_append_stream(
+            read_events_stream(spark, sf_dir),
+            sink_t,
+            os.path.join(root, "ck"),
+            stats_cols=["event_id"],
+        )
+
+    step("w:versioned_stream_sink", _stream_sink)
     return results
 
 
@@ -179,8 +282,34 @@ def main() -> None:
             f"{m['shuffle_records']:,} records "
             f"({ratio:.2f} shuffle-records per scanned row)"
         )
+    wp = audit_write_paths(spark, sf_dir)
+    lines += [
+        "",
+        "## Write paths (table-mutating operations, audited separately)",
+        "",
+        "Versioned writes, index build/refresh, the enrich sink, and the",
+        "streaming append sink mutate tables, so the registry loop never",
+        "sees their exchanges — audited here over temp tables seeded from",
+        "the same inputs (build → append → refresh is the real lifecycle).",
+        "",
+        "| Operation | Scan rows | Exchanges | Shuffle records | Shuffle bytes | Broadcasts | Max task bytes | Skew max/med |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, m in wp.items():
+        if "error" in m:
+            lines.append(
+                f"| {name} | — | — | — | error: {m['error']} | — | — | — |"
+            )
+            continue
+        skew = f"{m['skew']:.1f}" if m["skew"] else "—"
+        lines.append(
+            f"| {name} | {m['scan_rows']:,} | {m['exchanges']} "
+            f"| {m['shuffle_records']:,} | {m['shuffle_bytes']:,} "
+            f"| {m['broadcasts']} | {m['max_task_bytes']:,} | {skew} |"
+        )
+    results_all = {**results, **wp}
     skewed = sorted(
-        (r for r in results.items() if r[1].get("skew", 0) > 4),
+        (r for r in results_all.items() if r[1].get("skew", 0) > 4),
         key=lambda kv: -kv[1]["skew"],
     )
     lines += ["", "## Skewed exchanges (max/median task write > 4x)", ""]

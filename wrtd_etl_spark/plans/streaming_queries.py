@@ -158,6 +158,63 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, spark, "append")
 
 
+@register(
+    "stream_interval_join_outer",
+    """
+    SELECT e.user_id AS user_id, e.ts AS error_ts, c.ts AS click_ts
+    FROM events e LEFT JOIN events c
+      ON e.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+    WHERE e.event_type = 'error'
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: null-padded rows released
+    at watermark close (streaming/stream_join.py outer variant) — the
+    late-arriving-enrichment shape ("provably no click preceded this
+    error").
+
+    Null rows emit only when the watermark PROVES no match is coming,
+    and the engine's eviction threshold lags the ideal one by a batch-
+    boundary-dependent margin — so a bounded run is flushed the standard
+    way: a far-future SENTINEL event on both sides pushes the watermark
+    past every real row's close point, every real error resolves
+    (matched or provably unmatched), and the batch LEFT JOIN becomes the
+    exact oracle. The sentinel rows themselves are dropped from the
+    result (negative user_id)."""
+    import datetime
+    import os as _os
+    import tempfile as _tf
+
+    from ..streaming.dedup import read_events_stream, run_available_now
+    from ..streaming.stream_join import interval_join_stream_outer
+
+    stream = read_events_stream(spark, sf_dir)
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    far = mx + datetime.timedelta(days=30)
+    sent_dir = _os.path.join(_tf.mkdtemp(prefix="wrtd_outer_sent_"), "s")
+    sentinel = spark.createDataFrame(
+        [(-1, far, "error"), (-1, far, "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    empty = stream.filter(F.lit(False))
+    pad = [
+        F.lit(None).cast(dict(stream.dtypes)[c]).alias(c)
+        for c in stream.columns
+        if c not in sentinel.columns
+    ]
+    sentinel.select(*sentinel.columns, *pad).select(*stream.columns).write.parquet(
+        sent_dir
+    )
+    s2 = spark.readStream.schema(empty.schema).parquet(sent_dir)
+    joined = interval_join_stream_outer(
+        stream.unionByName(s2), minutes=60, lateness="2 hours"
+    )
+    out = run_available_now(joined, spark, "append")
+    return out.filter(F.col("user_id") >= 0)
+
+
 @register("alert_suppression", None)  # sequential chain per key → no SQL oracle
 def alert_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-hour re-alert suppression per user (T5; bot/botrun.py:250-269).

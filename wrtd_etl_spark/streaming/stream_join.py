@@ -59,3 +59,46 @@ def interval_join_stream(
         F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
+
+
+def interval_join_stream_outer(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    minutes: int = 60,
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER twin of :func:`interval_join_stream`: every
+    ``left_type`` event appears — with its matching ``right_type`` rows,
+    or ONCE with ``click_ts`` NULL if none arrived in the window.
+
+    This is the late-arriving-enrichment shape (did a click precede this
+    error, or provably not?): the engine may only emit the NULL row when
+    it can prove no match is coming, i.e. when the watermark passes the
+    left row's event time — so null padding is released at watermark
+    close, from the same bounded state the inner join keeps (nothing
+    extra is retained; the outer variant just reports evictions instead
+    of discarding them). Left rows YOUNGER than (max event time −
+    lateness) are still open when a bounded run ends: provably
+    unmatched-so-far but not provably unmatched, so they are withheld —
+    the oracle must apply the same cutoff."""
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(F.col("user_id"), F.col("ts").alias("error_ts"))
+        .withWatermark("error_ts", lateness)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("r_user_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", lateness)
+    )
+    cond = (
+        (left["user_id"] == right["r_user_id"])
+        & (right["click_ts"] >= left["error_ts"] - F.expr(f"INTERVAL {minutes} MINUTES"))
+        & (right["click_ts"] <= left["error_ts"])
+    )
+    return left.join(right, cond, "left_outer").select(
+        "user_id",
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
