@@ -664,3 +664,79 @@ def test_layout_by_on_empty_df_commits_empty_version(spark, tmp_path):
         layout_by=["v"],
     )
     assert read_snapshot(spark, t).count() == 10
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: a reader names a wall-clock instant and gets the
+    version that was current then; pre-creation instants raise."""
+    import time as _t
+
+    from wrtd_etl_spark.sources.versioned import version_as_of
+
+    t = str(tmp_path / "tbl")
+    before = _t.time()
+    write_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    t0 = _t.time()
+    _t.sleep(0.05)
+    write_snapshot(spark.range(10, 12).withColumnRenamed("id", "v"), t)
+    t1 = _t.time()
+    assert version_as_of(t, t0) == 0
+    assert version_as_of(t, t1) == 1
+    assert _vals(read_snapshot(spark, t, as_of=t0)) == [0, 1, 2]
+    assert _vals(read_snapshot(spark, t, as_of=t1)) == [10, 11]
+    with pytest.raises(ValueError):
+        version_as_of(t, before - 10)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, version=0, as_of=t0)
+
+
+def test_maybe_compact_fires_only_over_threshold(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import (
+        data_file_count,
+        maybe_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 5, 10):
+        write_snapshot(
+            spark.range(lo, lo + 5).repartition(3).withColumnRenamed("id", "v"),
+            t,
+            mode="append" if lo else "overwrite",
+        )
+    n = data_file_count(t)
+    assert n >= 9
+    # under threshold: a no-op that reads only the manifest
+    assert maybe_compact(spark, t, max_files=n) is None
+    assert data_file_count(t) == n
+    # over threshold: one compaction commit
+    v = maybe_compact(spark, t, max_files=n - 1, target_files=2)
+    assert v == 3
+    assert data_file_count(t) <= 2
+    assert _vals(read_snapshot(spark, t)) == list(range(15))
+
+
+def test_versioned_sink_inline_compaction_keeps_exactly_once(spark, tmp_path):
+    """compact_above on the streaming append sink: files stay bounded
+    across many micro-batches AND a replayed batch after compaction is
+    still a no-op (the ledger rides the compacted manifest's extra)."""
+    from wrtd_etl_spark.sources.versioned import data_file_count
+    from wrtd_etl_spark.streaming.versioned_sink import (
+        make_versioned_append_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = make_versioned_append_sink(t, compact_above=4)
+    for bid in range(6):
+        sink(
+            spark.range(bid * 10, bid * 10 + 10)
+            .repartition(2)
+            .withColumnRenamed("id", "v"),
+            bid,
+        )
+    assert data_file_count(t) <= 5  # bounded, not 12
+    n = read_snapshot(spark, t).count()
+    assert n == 60
+    sink(
+        spark.range(50, 60).repartition(2).withColumnRenamed("id", "v"), 5
+    )  # replay of the last batch
+    assert read_snapshot(spark, t).count() == 60

@@ -192,6 +192,10 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    if mx is None:
+        # empty (or all-NULL-ts) input: any fixed instant flushes a
+        # stream that has no real rows to resolve
+        mx = datetime.datetime(2020, 1, 1)
     far = mx + datetime.timedelta(days=30)
     sent_dir = _os.path.join(_tf.mkdtemp(prefix="wrtd_outer_sent_"), "s")
     sentinel = spark.createDataFrame(

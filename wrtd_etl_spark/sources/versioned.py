@@ -601,17 +601,43 @@ def files_for_read(
     return kept, total
 
 
+def version_as_of(table: str, ts: float) -> int:
+    """The version a reader at wall-clock ``ts`` (epoch seconds) would
+    have seen: the newest version with ``committed_at <= ts`` — Delta's
+    ``TIMESTAMP AS OF``. Raises if the table didn't exist yet at ``ts``.
+
+    ``committed_at`` is stamped when the manifest is STAGED; the link is
+    the commit point moments later, so as-of resolution is approximate
+    within a commit's staging window — the same tolerance as Delta's
+    file-modification-time rule."""
+    latest = _read_pointer(table)
+    if latest is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    for v in range(latest, -1, -1):
+        if _read_manifest(table, v).get("committed_at", 0.0) <= ts:
+            return v
+    raise ValueError(
+        f"{table} has no version committed at or before ts={ts}"
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     skip_filter: dict[str, tuple] | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """DataFrame pinned to one manifest (the latest unless ``version``).
+    """DataFrame pinned to one manifest (the latest unless ``version``
+    or ``as_of`` — epoch seconds, resolved via :func:`version_as_of`).
 
     ``skip_filter={col: (lo, hi)}`` prunes files via manifest statistics
     — a pure optimization; the caller still applies the real predicate
     (None bounds are open-ended)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of, not both")
+        version = version_as_of(table, as_of)
     if version is None:
         version = _read_pointer(table)
         if version is None:
@@ -1288,3 +1314,32 @@ def data_file_count(table: str, version: int | None = None) -> int:
     if version is None:
         version = _read_pointer(table)
     return len(_read_manifest(table, version)["files"])
+
+
+def maybe_compact(
+    spark: SparkSession,
+    table: str,
+    max_files: int = 64,
+    target_files: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """OPTIMIZE-when-needed: compact iff the latest version references
+    more than ``max_files`` data files; returns the new version or None.
+
+    The scheduling half of :func:`compact` — an append-per-micro-batch
+    sink (streaming/versioned_sink.py) accrues one file set per trigger,
+    and the honest place to bound that is a cheap manifest-count check
+    after each commit, not a cron job that rewrites on a clock. The
+    check reads ONE manifest (no data I/O); the rewrite, when it fires,
+    is the normal compaction commit (time travel intact, change-feed
+    consumers see delete+insert noise they can filter on
+    ``_commit_mode = 'compact'``). A losing race just means a competitor
+    committed — re-check on the next trigger; never propagate."""
+    if data_file_count(table) <= max_files:
+        return None
+    try:
+        return compact(
+            spark, table, target_files=target_files, stats_cols=stats_cols
+        )
+    except CommitConflict:
+        return None  # a concurrent writer moved the table; next trigger re-checks

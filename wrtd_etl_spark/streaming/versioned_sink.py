@@ -21,10 +21,21 @@ from pyspark.sql import DataFrame
 from ..sources.versioned import latest_version, manifest_info, write_snapshot
 
 
-def make_versioned_append_sink(table: str, stats_cols: list[str] | None = None):
+def make_versioned_append_sink(
+    table: str,
+    stats_cols: list[str] | None = None,
+    compact_above: int | None = None,
+):
     """The ``foreachBatch`` function: (batch_df, batch_id) → one append
     commit. ``stats_cols`` records per-file min/max on every batch so the
-    ingested table is data-skipping-ready from the first commit."""
+    ingested table is data-skipping-ready from the first commit.
+
+    ``compact_above`` bounds small-file accrual inline: after each
+    commit, if the manifest references more than that many files, the
+    sink compacts (sources/versioned.maybe_compact) before returning —
+    the one-file-set-per-trigger problem solved where it is created.
+    Exactly-once is unaffected: the batch-id ledger check reads the
+    newest APPEND's extra, and compaction carries ``extra`` forward."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -41,6 +52,19 @@ def make_versioned_append_sink(table: str, stats_cols: list[str] | None = None):
             extra={"batch_id": batch_id},
             stats_cols=stats_cols,
         )
+        if compact_above is not None:
+            from ..sources.versioned import maybe_compact
+
+            maybe_compact(
+                batch.sparkSession,
+                table,
+                max_files=compact_above,
+                # rewrite to half the trigger threshold so steady-state
+                # appends breathe between compactions instead of
+                # re-triggering on the very next batch
+                target_files=max(1, compact_above // 2),
+                stats_cols=stats_cols,
+            )
 
     return sink
 
