@@ -211,3 +211,85 @@ def test_update_where_refuses_unknown_column(spark, tmp_path):
     _base(spark, t, layout=False)
     with pytest.raises(ValueError, match="unknown column"):
         update_where(spark, t, F.lit(True), {"nope": F.lit(1)})
+
+
+def test_merge_evolve_schema_adds_source_column(spark, tmp_path):
+    """evolve_schema=True: a CDC source that gained a column widens the
+    table in the SAME merge commit — old rows NULL-fill, matched rows
+    take the new value, inserts carry it; op flags stay out via
+    source_meta_cols; time travel still reads the narrow schema."""
+    from wrtd_etl_spark.sources.versioned import manifest_info
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame(
+        [
+            (1, 111, "u1", "gold", "U"),
+            (300, 3, "new", "silver", "U"),
+            (4, 0, "", None, "D"),
+        ],
+        "k long, v long, s string, tier string, op string",
+    )
+    v = merge_into(
+        spark,
+        t,
+        src,
+        ["k"],
+        delete_when=F.col("op") == "D",
+        evolve_schema=True,
+        source_meta_cols=["op"],
+    )
+    assert v == 1
+    got = {r.k: (r.v, r.s, r.tier) for r in read_snapshot(spark, t).collect()}
+    assert got[1] == (111, "u1", "gold")
+    assert got[300] == (3, "new", "silver")
+    assert got[2] == (20, "s2", None)  # old row NULL-fills the new column
+    assert 4 not in got
+    assert "op" not in read_snapshot(spark, t).columns
+    # the committed table schema gained the column (segment-aware read
+    # machinery only engages when segments DIFFER — a fully rewritten
+    # table is uniform, so schema_evolved may legitimately stay False)
+    assert "tier" in [
+        f["name"] for f in manifest_info(t)["schema"]["fields"]
+    ]
+    # time travel: version 0 still has the narrow schema
+    assert "tier" not in read_snapshot(spark, t, version=0).columns
+
+
+def test_merge_without_evolve_drops_unknown_source_columns(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame(
+        [(1, 111, "u1", "gold")], "k long, v long, s string, tier string"
+    )
+    merge_into(spark, t, src, ["k"])
+    out = read_snapshot(spark, t)
+    assert "tier" not in out.columns
+    assert {r.v for r in out.filter(F.col("k") == 1).collect()} == {111}
+
+
+def test_merge_evolve_refuses_source_only_key(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t, layout=False)
+    src = spark.createDataFrame([(1, 5)], "k2 long, v long")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(spark, t, src, ["k2"], evolve_schema=True)
+
+
+def test_merge_evolve_with_pruned_carry_reads_mixed_segments(spark, tmp_path):
+    """Evolving merge that CARRIES old-schema files: the new version
+    mixes segment schemas, so the segment-aware read must NULL-pad the
+    carried files' missing column."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"s{i}") for i in range(400)], "k long, v long, s string"
+    )
+    write_snapshot(df, t, layout_by=["k"], layout_files=8)
+    src = spark.createDataFrame(
+        [(5, -5, "u5", "gold")], "k long, v long, s string, tier string"
+    )
+    merge_into(spark, t, src, ["k"], evolve_schema=True)
+    got = {r.k: (r.v, r.tier) for r in read_snapshot(spark, t).collect()}
+    assert got[5] == (-5, "gold")
+    assert got[399] == (3990, None)  # carried old-schema file NULL-pads
+    assert len(got) == 400

@@ -197,6 +197,7 @@ def test_versioned_changes_stream_query_truth_model(spark):
     equal the per-batch row counts of the three modulo slices."""
     from wrtd_etl_spark.catalog import load_table
     from wrtd_etl_spark.plans import REGISTRY
+    from wrtd_etl_spark.plans import testdata_queries  # noqa: F401 (registers)
 
     from .conftest import SF_SMOKE
 

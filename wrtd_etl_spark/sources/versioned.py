@@ -783,10 +783,13 @@ def _rewrite_segment(
     manifest: dict,
     rewrite_segs: list[dict],
     rows: DataFrame,
+    schema: dict | None = None,
 ) -> dict:
     """Write ``rows`` as the replacement segment for ``rewrite_segs``,
     re-collecting file stats for every column the replaced files had
-    stats on (so data skipping keeps working across rewrites)."""
+    stats on (so data skipping keeps working across rewrites).
+    ``schema`` overrides the segment's recorded schema (an evolving
+    merge writes the WIDENED schema)."""
     aliases = manifest.get("aliases", {})
     files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
@@ -808,7 +811,7 @@ def _rewrite_segment(
     )
     return {
         "files": files_new,
-        "schema": manifest["schema"],
+        "schema": schema if schema is not None else manifest["schema"],
         "stats": stats,
     }
 
@@ -820,13 +823,18 @@ def _commit_rewrite(
     segments: list[dict],
     mode: str,
     extra: dict | None = None,
+    schema: dict | None = None,
 ) -> int:
     """Commit a surgical rewrite (delete/update/merge) based on version
     ``base``. A concurrent commit raises — the rewrite reflects a
-    superseded snapshot and cannot be rebased mechanically."""
+    superseded snapshot and cannot be rebased mechanically. ``schema``
+    overrides the committed table schema (evolving merge)."""
     aliases = manifest.get("aliases", {})
-    evolved = bool(aliases) or any(
-        s["schema"] != manifest["schema"] for s in segments
+    table_schema = schema if schema is not None else manifest["schema"]
+    evolved = (
+        bool(aliases)
+        or bool(manifest.get("schema_evolved"))
+        or any(s["schema"] != table_schema for s in segments)
     )
     for _ in range(20):
         prev = _read_pointer(table)
@@ -841,7 +849,7 @@ def _commit_rewrite(
             "parent": prev,
             "files": [f for s in segments for f in s["files"]],
             "segments": segments,
-            "schema": manifest["schema"],
+            "schema": table_schema,
             "schema_evolved": evolved,
             "aliases": aliases,
             "committed_at": time.time(),
@@ -920,6 +928,8 @@ def merge_into(
     delete_when=None,
     insert: bool = True,
     prune: "str | dict[str, tuple] | None" = "auto",
+    evolve_schema: bool = False,
+    source_meta_cols: "list[str] | tuple[str, ...]" = (),
 ) -> int:
     """General MERGE INTO: ONE atomic commit doing matched-update /
     matched-delete / not-matched-insert against a versioned table — the
@@ -948,7 +958,14 @@ def merge_into(
 
     Untouched files carry by reference; time travel reads the pre-merge
     state; the change feed sees delete+insert pairs. A concurrent commit
-    raises :class:`CommitConflict` (re-run on the new base)."""
+    raises :class:`CommitConflict` (re-run on the new base).
+
+    ``evolve_schema=True`` widens the table to the union of its schema
+    and the source's DATA columns (adds + lossless widening, the append
+    path's rules): the CDC case where the upstream gained a column.
+    ``source_meta_cols`` names source columns that are transport
+    metadata (op flags, offsets) and must never become table columns —
+    ``delete_when`` may still reference them."""
     from pyspark.sql.types import StructType
 
     base = _read_pointer(table)
@@ -956,13 +973,33 @@ def merge_into(
         raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest(table, base)
     aliases = manifest.get("aliases", {})
-    target = StructType.fromJson(manifest["schema"])
+    schema_json = manifest["schema"]
+    data_cols = [c for c in source.columns if c not in set(source_meta_cols)]
+    if evolve_schema:
+        src_schema = {
+            "type": "struct",
+            "fields": [
+                f
+                for f in source.schema.jsonValue()["fields"]
+                if f["name"] in set(data_cols)
+            ],
+        }
+        schema_json, _ = _merge_schemas(
+            schema_json, src_schema, f"merge into {table}"
+        )
+    target = StructType.fromJson(schema_json)
     tcols = [f.name for f in target.fields]
-    missing = [k for k in keys if k not in tcols or k not in source.columns]
+    # keys must pre-exist in the TABLE schema (evolution adds payload
+    # columns, never join keys — a source-only key cannot match anything)
+    missing = [
+        k
+        for k in keys
+        if k not in _schema_fields(manifest["schema"]) or k not in source.columns
+    ]
     if missing:
         raise ValueError(f"merge key(s) {missing} absent from table or source")
     if when_matched == "replace":
-        mapping = {c: c for c in source.columns if c in tcols and c not in keys}
+        mapping = {c: c for c in data_cols if c in tcols and c not in keys}
     elif when_matched == "keep":
         mapping = {}
     elif isinstance(when_matched, dict):
@@ -1033,16 +1070,22 @@ def merge_into(
     matched = F.col("__m").isNotNull()
     out_cols = []
     for f in target.fields:
+        # an evolving merge's NEW column has no value in the old rows
+        existing = (
+            F.col(f.name).cast(f.dataType)
+            if f.name in part.columns
+            else F.lit(None).cast(f.dataType)
+        )
         if f.name in mapping:
             out_cols.append(
                 F.when(
                     matched, F.col(f"__s_{mapping[f.name]}").cast(f.dataType)
                 )
-                .otherwise(F.col(f.name))
+                .otherwise(existing)
                 .alias(f.name)
             )
         else:
-            out_cols.append(F.col(f.name))
+            out_cols.append(existing.alias(f.name))
     rewritten = joined.filter(
         ~(matched & F.col("__s_del"))
     ).select(*out_cols)
@@ -1064,10 +1107,12 @@ def merge_into(
         new_rows = rewritten.unionByName(inserts.select(*ins_cols))
 
     new_segment = _rewrite_segment(
-        spark, table, manifest, rewrite_segs, new_rows
+        spark, table, manifest, rewrite_segs, new_rows, schema=schema_json
     )
     segments = carried + [new_segment]
-    return _commit_rewrite(table, base, manifest, segments, "merge")
+    return _commit_rewrite(
+        table, base, manifest, segments, "merge", schema=schema_json
+    )
 
 
 def table_changes(
