@@ -211,3 +211,34 @@ def test_versioned_changes_stream_query_truth_model(spark):
         for v in range(3)
     }
     assert got == want
+
+
+def test_stream_handles_renamed_and_added_columns(spark, tmp_path):
+    """Change-feed stream over an EVOLVED table: files written under a
+    historical column name resolve through the alias map, files
+    predating an added column NULL-pad — per-partition col_map does at
+    the stream layer what _read_segments does for batch."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, old_name long"), t
+    )
+    write_snapshot(
+        spark.createDataFrame([(2, 20)], "k long, v long"),
+        t,
+        mode="append",
+        renames={"old_name": "v"},
+    )
+    write_snapshot(
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, extra string"),
+        t,
+        mode="append",
+    )
+    got = sorted(
+        (r.k, r.v, r.extra, r._commit_version)
+        for r in _drain(spark, t, str(tmp_path / "ck"))
+    )
+    assert got == [
+        (1, 10, None, 0),   # historical name re-labelled, extra NULL-padded
+        (2, 20, None, 1),
+        (3, 30, "x", 2),
+    ]

@@ -265,8 +265,16 @@ def write_ivfsq8_index(
         assigned.withColumnRenamed("v", vec_col), scales,
         vec_col=vec_col, out_col="qvec",
     )
+    # three consumers downstream (layout bounds agg, range sampling, the
+    # write itself) would each re-run the assignment UDF over the corpus
+    # — materialize the coded rows once instead (localCheckpoint, not
+    # persist: array columns cache ~7x slower through the columnar
+    # encoder than they recompute)
+    coded = coded.select(id_col, vec_col, "qvec", "cell").localCheckpoint(
+        eager=False
+    )
     return write_snapshot(
-        coded.select(id_col, vec_col, "qvec", "cell"),
+        coded,
         table,
         layout_by=["cell"],
         layout_files=layout_files,

@@ -87,8 +87,45 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             self.start_v = p if p is not None else -1
         else:
             self.start_v = int(start)
-        _, manifest = _target_schema(self.table)
+        target, manifest = _target_schema(self.table)
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
+        # Arrow fast path: pre-resolve the declared output schema to its
+        # Arrow form ONCE on the driver; executors then hand Spark whole
+        # RecordBatches instead of per-row Python tuples — the difference
+        # between a backfill streaming a 100 TB table through a Python
+        # loop and through Arrow's columnar transfer. Falls back to
+        # row-tuple yields if the conversion isn't available.
+        self._arrow_schema = None
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            full = StructType(
+                list(target.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_mode", StringType()),
+                ]
+            )
+            schema = to_arrow_schema(full)
+            # Spark's Arrow deserializer for Python-source batches expects
+            # timezone-naive timestamps; normalize tz-annotated fields
+            fields = [
+                pa.field(f.name, pa.timestamp(f.type.unit))
+                if pa.types.is_timestamp(f.type) and f.type.tz is not None
+                else f
+                for f in schema
+            ]
+            self._arrow_schema = pa.schema(fields)
+        except Exception:
+            self._arrow_schema = None
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -154,15 +191,36 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
     def read(self, partition: ChangeFile) -> Iterator[tuple]:
         # executor-side: plain pyarrow file read, projected and re-ordered
-        # to the declared schema; values cross as python natives, so
-        # widened columns (int->long etc.) coerce without a cast table
+        # to the declared schema
         import pyarrow.parquet as pq
 
         path = os.path.join(partition.table, partition.file)
         want = [s for _, s in partition.col_map if s is not None]
         tbl = pq.read_table(path, columns=want)
-        cols = {}
         n = tbl.num_rows
+        if self._arrow_schema is not None:
+            import pyarrow as pa
+
+            sch = self._arrow_schema
+            arrays = []
+            for tgt, src in partition.col_map:
+                ftype = sch.field(tgt).type
+                if src is None:
+                    arrays.append(pa.nulls(n, type=ftype))
+                else:
+                    # cast covers widened columns (int32 file -> long
+                    # table) and tz normalization; lossless by the
+                    # manifest's widening rules
+                    arrays.append(
+                        tbl.column(src).cast(ftype).combine_chunks()
+                    )
+            arrays.append(pa.array([partition.change_type] * n, pa.string()))
+            arrays.append(pa.array([partition.version] * n, pa.int64()))
+            arrays.append(pa.array([partition.mode] * n, pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=sch)
+            return
+        # fallback: per-row python tuples (values coerce as natives)
+        cols = {}
         for tgt, src in partition.col_map:
             cols[tgt] = (
                 tbl.column(src).to_pylist() if src is not None else [None] * n
