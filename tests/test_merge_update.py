@@ -379,3 +379,36 @@ def test_concurrent_merge_one_writer_loses_cleanly(spark, tmp_path):
         w = [n for n, r in results.items() if isinstance(r, int)][0]
         k, v = (1, 101) if w == "a" else (2, 202)
         assert got[k] == v
+
+
+def test_update_fold_matches_dict_model_over_random_batches(spark, tmp_path):
+    """Model-based: random update_where predicates folded against a dict
+    model — matched rows mutate, NULL-predicate rows never do."""
+    import random
+
+    rng = random.Random(11)
+    t = str(tmp_path / "tbl")
+    rows = [
+        (k, rng.randint(-50, 50) if rng.random() > 0.2 else None, f"s{k}")
+        for k in range(40)
+    ]
+    model = {k: (v, s) for k, v, s in rows}
+    write_snapshot(
+        spark.createDataFrame(rows, "k long, v long, s string"),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )
+    for i in range(3):
+        lo, hi = sorted(rng.sample(range(-50, 51), 2))
+        update_where(
+            spark,
+            t,
+            F.col("v").between(lo, hi),
+            {"s": F.lit(f"hit{i}"), "v": F.col("v") + 1},
+        )
+        for k, (v, s) in model.items():
+            if v is not None and lo <= v <= hi:
+                model[k] = (v + 1, f"hit{i}")
+    got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
+    assert got == model
