@@ -128,3 +128,30 @@ def test_write_gate_refuses_dirty_batch_and_quarantines(spark, tmp_path):
     with pytest.raises(QualityGateViolation):
         write_snapshot(_dirty(spark), t, mode="append", checks=gate)
     assert latest_version(t + "__quarantine") == 1
+
+
+def test_quality_gate_registry_query_counts_match_plants(spark):
+    """The registry entry's quarantine counts equal the planted
+    violation counts computed directly from the table."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.plans import REGISTRY
+    from wrtd_etl_spark.plans import testdata_queries  # noqa: F401
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r["__violation"]: r.n_rows
+        for r in REGISTRY["quality_gate_quarantine"].fn(spark, SF_SMOKE).collect()
+    }
+    cust = load_table(spark, SF_SMOKE, "customer")
+    import pyspark.sql.functions as F
+
+    n_null = cust.filter(F.col("c_custkey") % 97 == 0).count()
+    n_low = cust.filter(
+        (F.col("c_acctbal") < -999.0) & ~(F.col("c_custkey") % 97 == 0)
+    ).count() + cust.filter(
+        (F.col("c_acctbal") < -999.0) & (F.col("c_custkey") % 97 == 0)
+    ).count()
+    assert got.get("not_null(c_custkey)", 0) == n_null
+    assert got.get("in_range(c_acctbal)", 0) == n_low
+    assert n_null > 0  # the plant is non-vacuous at this SF

@@ -1903,3 +1903,47 @@ def versioned_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((int(v), int(n)) for v, n in counts.items()),
         "commit_version long, n_inserts long",
     )
+
+
+@register("quality_gate_quarantine", None)  # side-effecting commit gate
+def quality_gate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time DQ gate (L86): a customer batch with planted NULL keys
+    and out-of-range balances is REFUSED at commit (no version appears)
+    and its violating rows land, tagged per check, in the versioned
+    quarantine table — returned here. Truth model in
+    tests/test_quality.py; rows-only because the gate's refusal is a
+    side effect with no SQL analog."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.quality import in_range, not_null
+    from ..sources.versioned import (
+        QualityGateViolation,
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    dirty = customer.withColumn(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(
+            F.col("c_custkey")
+        ),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_dq_gate_"), "dim")
+    checks = [not_null("c_custkey"), in_range("c_acctbal", lo=-999.0)]
+    try:
+        write_snapshot(dirty, t, checks=checks)
+        # clean input (e.g. the empty-table robustness battery): the
+        # commit lands and there is no quarantine — empty result
+        return spark.createDataFrame([], "__violation string, n_rows long")
+    except QualityGateViolation:
+        pass
+    assert latest_version(t) is None  # the dirty commit never landed
+    q = read_snapshot(spark, t + "__quarantine")
+    return q.groupBy("__violation").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).orderBy("__violation")
