@@ -412,3 +412,58 @@ def test_update_fold_matches_dict_model_over_random_batches(spark, tmp_path):
                 model[k] = (v + 1, f"hit{i}")
     got = {r.k: (r.v, r.s) for r in read_snapshot(spark, t).collect()}
     assert got == model
+
+
+def test_physical_changes_fold_equals_logical_and_never_shuffles(spark, tmp_path):
+    """table_changes_physical: (a) fold == logical table_changes fold ==
+    final snapshot across append + update + merge lineage; (b) appends
+    are byte-identical to the logical feed; (c) the plan has ZERO
+    exchanges (the entire point vs the exceptAll fallback)."""
+    from collections import Counter
+
+    from wrtd_etl_spark.sources.versioned import table_changes_physical
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(k, k * 10, f"s{k}") for k in range(20)], "k long, v long, s string"
+        ),
+        t,
+    )
+    write_snapshot(
+        spark.createDataFrame([(100, 1, "a")], "k long, v long, s string"),
+        t,
+        mode="append",
+    )
+    update_where(spark, t, F.col("k") < 2, {"v": F.col("v") + 1})
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(5, -5, "m"), (200, 2, "n")], "k long, v long, s string"),
+        ["k"],
+    )
+    phys = table_changes_physical(spark, t, -1)
+    fold = Counter()
+    for r in phys.collect():
+        fold[(r.k, r.v, r.s)] += 1 if r._change_type == "insert" else -1
+    final = sorted(x for x, n in fold.items() if n > 0)
+    assert all(n in (0, 1) for n in fold.values())
+    snap = sorted((r.k, r.v, r.s) for r in read_snapshot(spark, t).collect())
+    assert final == snap
+    # append-only range: physical == logical exactly
+    phys01 = sorted(
+        (r.k, r.v, r.s, r._change_type)
+        for r in table_changes_physical(spark, t, 0, 1).collect()
+    )
+    logi01 = sorted(
+        (r.k, r.v, r.s, r._change_type)
+        for r in table_changes(spark, t, 0, 1).collect()
+    )
+    assert phys01 == logi01 == [(100, 1, "a", "insert")]
+    # zero exchanges: manifest-planned file reads + unions only
+    plan = phys._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # metadata rides along
+    assert {r._commit_mode for r in phys.collect()} == {
+        "overwrite", "append", "update", "merge"
+    }
