@@ -740,3 +740,87 @@ def test_versioned_sink_inline_compaction_keeps_exactly_once(spark, tmp_path):
         spark.range(50, 60).repartition(2).withColumnRenamed("id", "v"), 5
     )  # replay of the last batch
     assert read_snapshot(spark, t).count() == 60
+
+
+def test_compact_reapplies_clustered_layout(spark, tmp_path):
+    """The r5 weak: a clustered table must stay clustered THROUGH
+    maintenance. write_snapshot(layout_by=) records the layout spec in
+    the manifest; unclustered appends (the streaming-sink pattern) widen
+    per-file stats until auto-compaction fires — which must RE-APPLY the
+    recorded Z-order, so a range read prunes again instead of silently
+    scanning everything forever."""
+    from wrtd_etl_spark.sources.versioned import (
+        files_for_read,
+        manifest_info,
+        maybe_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.range(1000).withColumnRenamed("id", "v"),
+        t,
+        layout_by=["v"],
+        layout_files=8,
+    )
+    assert manifest_info(t)["layout"] == {"by": ["v"], "files": 8}
+    # unclustered appends: each commit's rows span the WHOLE key range,
+    # so every appended file has wide stats and defeats pruning
+    for i in range(4):
+        scattered = (
+            spark.range(1000, 1200)
+            .select(((F.col("id") * 37 + i) % 1000 + 1000).alias("v"))
+            .repartition(3)
+        )
+        write_snapshot(scattered, t, mode="append")
+    # the appends carried the layout spec forward without re-clustering
+    assert manifest_info(t)["layout"] == {"by": ["v"], "files": 8}
+    kept_pre, total_pre = files_for_read(t, skip_filter={"v": (0, 99)})
+    assert total_pre >= 8 + 12
+    v = maybe_compact(spark, t, max_files=10)
+    assert v is not None
+    # compaction re-clustered into the recorded layout_files
+    kept, total = files_for_read(t, skip_filter={"v": (0, 99)})
+    assert total == 8
+    assert len(kept) <= total / 3, (
+        f"range read touches {len(kept)}/{total} files after compaction "
+        "— layout was not re-applied"
+    )
+    assert manifest_info(t)["layout"] == {"by": ["v"], "files": 8}
+    got = sorted(r.v for r in read_snapshot(spark, t).collect())
+    want = sorted(
+        list(range(1000))
+        + [(i2 * 37 + i) % 1000 + 1000 for i in range(4) for i2 in range(1000, 1200)]
+    )
+    assert got == want
+
+
+def test_rewrite_keeps_layout_clustering(spark, tmp_path):
+    """Surgical rewrites (update/delete/merge) on a clustered table must
+    re-cluster the replacement segment: after an update the per-file
+    stats still prune a range read, and a skip_filter read returns the
+    updated values."""
+    from wrtd_etl_spark.sources.versioned import files_for_read, update_where
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").alias("v"), F.lit("old").alias("flag")
+    )
+    write_snapshot(df, t, layout_by=["v"], layout_files=8)
+    # rewrite everything (prune=None) — the worst case for de-clustering
+    update_where(
+        spark,
+        t,
+        F.col("v") < 10,
+        {"flag": F.lit("new")},
+        prune=None,
+    )
+    kept, total = files_for_read(t, skip_filter={"v": (900, None)})
+    assert len(kept) <= max(1, total / 3), (
+        f"range read touches {len(kept)}/{total} files after update "
+        "— rewrite de-clustered the table"
+    )
+    rows = read_snapshot(spark, t, skip_filter={"v": (0, 9)}).filter(
+        F.col("v") < 10
+    )
+    assert all(r.flag == "new" for r in rows.collect())
+    assert read_snapshot(spark, t).filter(F.col("flag") == "new").count() == 10

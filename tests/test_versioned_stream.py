@@ -242,3 +242,25 @@ def test_stream_handles_renamed_and_added_columns(spark, tmp_path):
         (2, 20, None, 1),
         (3, 30, "x", 2),
     ]
+
+
+def test_feed_refresh_fires_on_initial_snapshot_only(spark, tmp_path):
+    """A source whose ONLY commit is its initial snapshot must still
+    trigger the first fold: offsets are exclusive-start, so the
+    refreshers subscribe from -1 (0 would wait forever for a second
+    commit)."""
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_rollup_refresh_stream,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    write_snapshot(
+        spark.createDataFrame([("a", 2), ("a", 3)], "g string, x long"), src
+    )
+    run_rollup_refresh_stream(
+        spark, view, src, str(tmp_path / "ck"), ["g"],
+        {"n": ("count", "x"), "total": ("sum", "x")},
+    )
+    got = {r.g: (r.n, r.total) for r in read_snapshot(spark, view).collect()}
+    assert got == {"a": (2, 5)}

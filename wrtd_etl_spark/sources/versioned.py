@@ -301,6 +301,46 @@ def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
     return out
 
 
+def _apply_layout(
+    df: DataFrame, layout_by: list[str], layout_files: int | None
+) -> DataFrame:
+    """Z-cluster ``df`` along ``layout_by`` (operators/zorder.py key +
+    repartitionByRange + sortWithinPartitions) so each output file covers
+    a narrow slice of the key space — the property manifest stats +
+    ``skip_filter`` turn into file pruning.
+
+    Returns ``df`` unchanged when any layout column is absent (schema
+    evolution removed it from this batch) or when ANY layout column's min
+    aggregates to NULL (empty or all-NULL input — nothing to cluster;
+    checking only the first column would raise an opaque
+    ``float(None)`` TypeError on mixed inputs)."""
+    from ..operators.zorder import zorder_key
+
+    if not layout_by or any(c not in df.columns for c in layout_by):
+        return df
+    aggs = []
+    for c in layout_by:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    if any(row[f"__lo_{c}"] is None for c in layout_by):
+        return df
+    bounds = [
+        (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+        for c in layout_by
+    ]
+    z = zorder_key([F.col(c) for c in layout_by], bounds)
+    df = df.withColumn("__z", z)
+    df = (
+        df.repartitionByRange(layout_files, "__z")
+        if layout_files
+        else df.repartitionByRange("__z")
+    )
+    return df.sortWithinPartitions("__z").drop("__z")
+
+
 def _write_data(df: DataFrame, table: str) -> list[str]:
     snap_id = uuid.uuid4().hex
     data_dir = os.path.join(table, "data", snap_id)
@@ -364,6 +404,11 @@ def write_snapshot(
         # refusing garbage at the door instead of vacuuming it later.
         from ..operators.quality import run_checks, violating_rows
 
+        # the gate evaluates df three times (check scan, quarantine
+        # write, the commit itself) — pin one evaluation so a
+        # non-deterministic df (rand(), re-read of a moving source)
+        # cannot pass the gate yet commit different rows
+        df = df.localCheckpoint(eager=False)
         report = run_checks(df, checks).collect()
         failed = [r for r in report if not r.passed]
         if failed:
@@ -382,35 +427,23 @@ def write_snapshot(
                 f"quarantined in {qt}"
             )
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    declared_layout = (
+        {"by": list(layout_by), "files": layout_files} if layout_by else None
+    )
     if layout_by:
-        from ..operators.zorder import zorder_key
-
-        aggs = []
-        for c in layout_by:
-            aggs += [
-                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
-            ]
-        row = df.agg(*aggs).collect()[0]
-        if row[f"__lo_{layout_by[0]}"] is None:
-            # empty (or all-NULL-key) input: min/max aggregate to NULL and
-            # there is nothing to cluster — skip the layout and commit the
-            # empty version like the non-layout path does
-            stats_cols = sorted(set(stats_cols or []) | set(layout_by))
-        else:
-            bounds = [
-                (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
-                for c in layout_by
-            ]
-            z = zorder_key([F.col(c) for c in layout_by], bounds)
-            df = df.withColumn("__z", z)
-            df = (
-                df.repartitionByRange(layout_files, "__z")
-                if layout_files
-                else df.repartitionByRange("__z")
-            )
-            df = df.sortWithinPartitions("__z").drop("__z")
-            stats_cols = sorted(set(stats_cols or []) | set(layout_by))
+        df = _apply_layout(df, layout_by, layout_files)
+        stats_cols = sorted(set(stats_cols or []) | set(layout_by))
+    elif mode == "append":
+        # an append to a clustered table ingests UNclustered (Delta
+        # semantics: fast ingest, OPTIMIZE re-clusters) but must still
+        # record stats on the layout columns, so pruned reads stay honest
+        # and compaction can measure what it restores
+        p0 = _read_pointer(table)
+        inherited = (
+            _read_manifest(table, p0).get("layout") if p0 is not None else None
+        )
+        if inherited:
+            stats_cols = sorted(set(stats_cols or []) | set(inherited["by"]))
     new_files = _write_data(df, table)
     df_schema = df.schema.jsonValue()
     stats = (
@@ -474,11 +507,16 @@ def write_snapshot(
                 or bool(renames)
             )
             segments = _segments(prev_manifest) + [new_segment]
+            # layout is a TABLE property (like Delta clustering columns):
+            # declaring one on an append updates it, otherwise it carries
+            # forward so maintenance always knows what to restore
+            layout = declared_layout or prev_manifest.get("layout")
         else:
             aliases = {}
             schema = df_schema
             evolved = False
             segments = [new_segment]
+            layout = declared_layout
         manifest = {
             "version": version,
             "mode": mode,
@@ -488,6 +526,7 @@ def write_snapshot(
             "schema": schema,
             "schema_evolved": evolved,
             "aliases": aliases,
+            "layout": layout,
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -789,8 +828,21 @@ def _rewrite_segment(
     re-collecting file stats for every column the replaced files had
     stats on (so data skipping keeps working across rewrites).
     ``schema`` overrides the segment's recorded schema (an evolving
-    merge writes the WIDENED schema)."""
+    merge writes the WIDENED schema).
+
+    When the table records a clustered layout, the replacement rows are
+    re-clustered along it before writing — a merge/update/delete must
+    not silently de-cluster what the write path paid to cluster. The
+    rewrite targets as many files as it REPLACES (capped by the recorded
+    ``layout_files``): proportional to the touched slice, never an
+    AQE-collapse to one wide-stats file, so per-file stats stay at least
+    as narrow as the files being replaced."""
     aliases = manifest.get("aliases", {})
+    layout = manifest.get("layout")
+    if layout:
+        replaced = sum(len(s["files"]) for s in rewrite_segs) or 1
+        cap = layout.get("files") or replaced
+        rows = _apply_layout(rows, layout["by"], max(1, min(replaced, cap)))
     files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
     # files — an insert-only merge whose pruning carried every old file
@@ -852,6 +904,7 @@ def _commit_rewrite(
             "schema": table_schema,
             "schema_evolved": evolved,
             "aliases": aliases,
+            "layout": manifest.get("layout"),
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -1316,6 +1369,7 @@ def rollback(table: str, version: int) -> int:
             "schema": target["schema"],
             "schema_evolved": bool(target.get("schema_evolved")),
             "aliases": target.get("aliases", {}),
+            "layout": target.get("layout"),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
@@ -1409,11 +1463,26 @@ def compact(
     files (time travel intact), and ``vacuum`` reclaims them once
     retention allows. A CONCURRENT commit between the snapshot read and
     the commit raises :class:`CommitConflict` — the rewrite reflects a
-    superseded snapshot and cannot be rebased mechanically; re-run."""
+    superseded snapshot and cannot be rebased mechanically; re-run.
+
+    A table committed with ``layout_by`` RE-CLUSTERS here: the manifest
+    records the layout spec, and compaction re-applies the Z-order
+    (bounds recomputed over the current rows) instead of a plain
+    coalesce — so the unclustered tail the appends accrued folds back
+    into narrow-stats files and ``skip_filter`` pruning is RESTORED by
+    maintenance rather than destroyed by it. File count comes from the
+    recorded ``layout_files`` (fallback ``target_files``)."""
     base = _read_pointer(table)
     base_manifest = _read_manifest(table, base)
     df = read_snapshot(spark, table, version=base)
-    files = _write_data(df.coalesce(target_files), table)
+    layout = base_manifest.get("layout")
+    if layout and all(c in df.columns for c in layout["by"]):
+        clustered = _apply_layout(
+            df, layout["by"], layout.get("files") or target_files
+        )
+    else:
+        clustered = df.coalesce(target_files)
+    files = _write_data(clustered, table)
     if stats_cols is None:
         # inherit the stats surface: compaction must not silently turn
         # off data skipping the appends paid to record
@@ -1424,6 +1493,7 @@ def compact(
                 for f_stats in seg.get("stats", {}).values()
                 for c in f_stats
             }
+            | set(layout["by"] if layout else [])
         )
     stats = (
         _collect_file_stats(table, files, stats_cols) if stats_cols else {}
@@ -1443,6 +1513,7 @@ def compact(
         # its ancestors did
         "schema_evolved": False,
         "aliases": {},
+        "layout": layout,
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the

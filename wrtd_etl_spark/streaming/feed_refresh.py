@@ -52,7 +52,16 @@ def run_feed_driven(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a silent timeout would return control while on_changes callbacks
+        # are still firing — callers would observe a partially-folded
+        # index/view with no error
+        q.stop()
+        raise TimeoutError(
+            f"change-feed refresh of {source_table} did not finish within "
+            f"{timeout_s}s; stream stopped (refreshers are idempotent — "
+            "re-run to complete the fold)"
+        )
     return q
 
 
@@ -76,9 +85,11 @@ def run_text_index_refresh_stream(
         lambda: refresh_text_index(
             spark, docs_table, index_table, text_col, id_col, n_files
         ),
-        # the feed content is only a signal; history before the index's
-        # own source_version stamp is already folded in
-        starting_version=0,
+        # -1 so version 0's initial snapshot delivers the first trigger
+        # (offsets are exclusive-start: 0 would skip a table whose only
+        # commit is its initial snapshot). Re-delivered history is a
+        # no-op through the refresher's version stamp.
+        starting_version=-1,
     )
 
 
@@ -101,5 +112,5 @@ def run_rollup_refresh_stream(
         lambda: refresh_rollup_incremental(
             spark, view_table, source_table, keys, metrics, prepare
         ),
-        starting_version=0,
+        starting_version=-1,
     )
