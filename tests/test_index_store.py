@@ -218,3 +218,122 @@ def test_ivfsq8_append_equals_rebuild_and_prunes_files(spark, tmp_path):
     # 1-cell probe budget must not read every file of the 2-commit index
     kept, total = files_for_read(t, skip_filter={"cell": (0, 0)})
     assert total > 2 and len(kept) < total
+
+
+def test_refresh_ann_index_append_and_stamp(spark, tmp_path):
+    """Feed-driven maintenance, cheap paths: an all-append corpus range
+    folds through the stored training state (O(delta), action=append);
+    a compact-only range is a logical no-op (stamp bump, no rebuild);
+    a fresh index touches nothing."""
+    from wrtd_etl_spark.similarity.index_store import (
+        refresh_ann_index,
+        sq8_query,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import (
+        compact,
+        history,
+        write_snapshot,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    write_snapshot(emb.filter(F.col("vec_id") < 300), corpus)
+    write_ann_index_from(spark, corpus, idx, "sq8")
+    v, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "fresh"
+    write_snapshot(
+        emb.filter(F.col("vec_id") >= 300), corpus, mode="append"
+    )
+    v, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "append" and history(idx)[0]["mode"] == "append"
+    # the fold is complete and idempotent
+    assert manifest_info(idx)["extra"]["source_version"] == 1
+    probes = emb.filter(F.col("vec_id") < 10)
+    scales = manifest_info(idx)["extra"]["scales"]
+    want = quantized_top_k(emb, probes, k=5, scales=scales)
+    assert _key(sq8_query(spark, idx, probes, k=5).collect()) == _key(
+        want.collect()
+    )
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "fresh"
+    # a compaction of the corpus changes nothing logically
+    compact(spark, corpus, target_files=2)
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "stamp"
+    # ...and later appends STILL fold incrementally from the new stamp
+    more = emb.limit(0)
+    write_snapshot(more, corpus, mode="append")
+    write_snapshot(
+        emb.filter(F.col("vec_id") < 5).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        ),
+        corpus,
+        mode="append",
+    )
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "append"
+
+
+def test_refresh_ann_index_delete_rebuilds_and_drops_erased_ids(
+    spark, tmp_path
+):
+    """The r5 gap: after delete_where on the corpus a persisted index
+    silently returned erased vectors. refresh_ann_index must rebuild,
+    the refreshed index must never return erased ids, and query results
+    must equal a from-scratch build at the current corpus version."""
+    from wrtd_etl_spark.similarity.index_store import (
+        ivfsq8_query,
+        refresh_ann_index,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where, write_snapshot
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx, idx2 = (
+        str(tmp_path / n) for n in ("corpus", "idx", "idx2")
+    )
+    write_snapshot(emb, corpus)
+    write_ann_index_from(spark, corpus, idx, "ivfsq8", n_cells=8)
+    erased = [r.vec_id for r in emb.filter(F.col("vec_id") % 7 == 3).collect()]
+    delete_where(spark, corpus, F.col("vec_id") % 7 == 3)
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "rebuild"
+    probes = emb.filter(F.col("vec_id") < 20).filter(
+        F.col("vec_id") % 7 != 3
+    )
+    got = ivfsq8_query(spark, idx, probes, k=5, nprobe=3).collect()
+    assert got, "refreshed index answers queries"
+    assert not set(r.neighbor_id for r in got) & set(erased), (
+        "refreshed index returned erased vectors"
+    )
+    # ≡ rebuild-from-scratch at the current version (training is
+    # deterministic given the corpus)
+    write_ann_index_from(spark, corpus, idx2, "ivfsq8", n_cells=8)
+    want = ivfsq8_query(spark, idx2, probes, k=5, nprobe=3).collect()
+    assert _key(got) == _key(want)
+
+
+def test_refresh_ann_index_reingested_id_rebuilds(spark, tmp_path):
+    """A re-appended EXISTING id cannot append-compose (the index would
+    return the id twice) — refresh must detect it and rebuild."""
+    from wrtd_etl_spark.similarity.index_store import (
+        refresh_ann_index,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import read_snapshot, write_snapshot
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    write_snapshot(emb.filter(F.col("vec_id") < 100), corpus)
+    write_ann_index_from(spark, corpus, idx, "ivf", n_cells=4)
+    write_snapshot(
+        emb.filter(F.col("vec_id") < 10), corpus, mode="append"
+    )  # duplicate ids
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "rebuild"
+    # the rebuild mirrors the corpus as-is (which genuinely contains the
+    # duplicate rows) with retrained state — never a blind append fold
+    rows = read_snapshot(spark, idx)
+    assert rows.count() == read_snapshot(spark, corpus).count()
+    assert manifest_info(idx)["extra"]["source_version"] == 1

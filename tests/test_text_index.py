@@ -11,7 +11,11 @@ from wrtd_etl_spark.operators.text_index import (
     search_corpus,
     search_text_index,
 )
-from wrtd_etl_spark.sources.versioned import files_for_read, write_snapshot
+from wrtd_etl_spark.sources.versioned import (
+    files_for_read,
+    read_snapshot,
+    write_snapshot,
+)
 
 from .conftest import SF_SMOKE
 
@@ -152,3 +156,44 @@ def test_search_empty_terms_returns_no_rows(spark, tmp_path):
     t = str(tmp_path / "idx")
     build_text_index(docs, t)
     assert search_text_index(spark, t, [], k=5).collect() == []
+
+
+def test_refresh_compact_only_range_is_stamp_bump(spark, tmp_path):
+    """A corpus compaction changes nothing logically: refresh must NOT
+    rebuild (the classification is manifest-driven — no snapshot diff),
+    just bump the stamp so later appends still fold incrementally."""
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import (
+        compact,
+        history,
+        manifest_info,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src, idx = str(tmp_path / "docs"), str(tmp_path / "idx")
+    write_snapshot(docs.filter(F.col("doc_id") < 200), src)
+    write_snapshot(
+        docs.filter(F.col("doc_id").between(200, 300)), src, mode="append"
+    )
+    build_text_index_from(spark, src, idx)
+    n_before = read_snapshot(spark, idx).count()
+    compact(spark, src, target_files=2)
+    refresh_text_index(spark, src, idx)
+    # stamp advanced, index content untouched (empty append, no rebuild)
+    assert manifest_info(idx)["extra"]["source_version"] == 2
+    assert history(idx)[0]["mode"] == "append"
+    assert read_snapshot(spark, idx).count() == n_before
+    # later appends fold incrementally from the new stamp
+    write_snapshot(
+        docs.filter(F.col("doc_id") > 300), src, mode="append"
+    )
+    refresh_text_index(spark, src, idx)
+    assert history(idx)[0]["mode"] == "append"
+    rebuilt = str(tmp_path / "idx2")
+    build_text_index_from(spark, src, rebuilt)
+    got = search_text_index(spark, idx, _TERMS, k=10)
+    ref = search_text_index(spark, rebuilt, _TERMS, k=10)
+    assert _key(got.collect()) == _key(ref.collect())

@@ -264,3 +264,44 @@ def test_feed_refresh_fires_on_initial_snapshot_only(spark, tmp_path):
     )
     got = {r.g: (r.n, r.total) for r in read_snapshot(spark, view).collect()}
     assert got == {"a": (2, 5)}
+
+
+def test_feed_driven_ann_index_refresh_e2e(spark, tmp_path):
+    """ANN delete-maintenance via the change feed: an append folds in,
+    then a corpus delete triggers a rebuild through the SAME stream
+    subscription — the refreshed index never returns erased ids."""
+    from wrtd_etl_spark.catalog import load_table
+    from wrtd_etl_spark.similarity.index_store import (
+        sq8_query,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_ann_index_refresh_stream,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    write_snapshot(emb.filter(F.col("vec_id") < 300), corpus)
+    write_ann_index_from(spark, corpus, idx, "sq8")
+    write_snapshot(
+        emb.filter(F.col("vec_id") >= 300), corpus, mode="append"
+    )
+    run_ann_index_refresh_stream(spark, corpus, idx, ck)
+    from wrtd_etl_spark.sources.versioned import manifest_info
+
+    assert manifest_info(idx)["extra"]["source_version"] == 1
+    erased = [
+        r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 2).collect()
+    ]
+    delete_where(spark, corpus, F.col("vec_id") % 5 == 2)
+    run_ann_index_refresh_stream(spark, corpus, idx, ck)
+    assert manifest_info(idx)["extra"]["source_version"] == 2
+    probes = emb.filter(
+        (F.col("vec_id") < 20) & (F.col("vec_id") % 5 != 2)
+    )
+    got = sq8_query(spark, idx, probes, k=5).collect()
+    assert got and not set(r.neighbor_id for r in got) & set(erased)

@@ -124,17 +124,27 @@ def refresh_text_index(
     id_col: str = "doc_id",
     n_files: int = 8,
 ) -> int | None:
-    """Fold the corpus's CHANGE FEED into the index: fresh → no-op
+    """Fold the corpus's committed changes into the index: fresh → no-op
     (manifest reads only, returns None); insert-only delta of NEW
     doc ids → index just the new documents and append-commit (old
     postings files untouched — per-(token, doc) rows are disjoint
-    across docs, so appended postings compose exactly); any delete in
-    the feed, or a re-ingested existing doc id → full rebuild (removing a
-    doc's postings would rewrite arbitrary token files anyway, so the
-    rebuild IS the honest cost). Search results after refresh are
-    identical to an index built from scratch at the current version."""
+    across docs, so appended postings compose exactly); a compact-only
+    range → stamp bump (logical no-op, so later deltas keep composing);
+    any rewriting commit (delete/update/merge/overwrite/rollback), or a
+    re-ingested existing doc id → full rebuild (removing a doc's
+    postings would rewrite arbitrary token files anyway, so the rebuild
+    IS the honest cost). Search results after refresh are identical to
+    an index built from scratch at the current version.
+
+    The classification is MANIFEST-driven (``delta_files`` +
+    ``commit_modes``): no data is read or diffed to decide — the
+    previous design probed the logical change feed, whose non-append
+    fallback shuffles BOTH corpus snapshots through an exceptAll just
+    to learn "a delete happened", which the commit modes already say."""
+    import os
+
+    from ..sources.versioned import commit_modes, delta_files
     from ..sources.versioned import latest_version as _lv
-    from ..sources.versioned import table_changes
 
     info = manifest_info(index_table)["extra"]
     if info.get("kind") != "text_index":
@@ -148,15 +158,26 @@ def refresh_text_index(
     prev_v = info["source_version"]
     if src_v == prev_v:
         return None  # fresh: no data touched
-    # evaluate the feed ONCE: for non-append lineage table_changes falls
-    # back to an exceptAll over both snapshots, and the probes below
-    # would otherwise recompute that full diff up to three times
-    changes = table_changes(spark, docs_table, prev_v, src_v).localCheckpoint()
-    if changes.filter(F.col("_change_type") == "delete").take(1):
+    delta = delta_files(docs_table, prev_v, src_v)
+    if delta is None and not all(
+        m == "compact" for m in commit_modes(docs_table, prev_v, src_v)
+    ):
         return build_text_index_from(
             spark, docs_table, index_table, text_col, id_col, n_files
         )
-    new_docs = changes.drop("_change_type")
+    if not delta:
+        # compact-only range or empty appends: nothing changed logically
+        # — bump the stamp so future deltas compose from here
+        return write_snapshot(
+            read_snapshot(spark, index_table).limit(0),
+            index_table,
+            mode="append",
+            extra={**info, "source_version": src_v},
+            stats_cols=["token"],
+        )
+    new_docs = spark.read.parquet(
+        *[os.path.join(docs_table, f) for f in delta]
+    )
     # a re-ingested doc_id cannot append-compose: its old postings rows
     # would double-count df/tf vs a rebuild — detect and rebuild instead
     indexed_ids = read_snapshot(spark, index_table).select("doc_id").distinct()

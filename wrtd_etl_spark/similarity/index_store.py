@@ -30,11 +30,13 @@ def write_sq8_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scales: list[float] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Train (unless given) + quantize + commit the SQ8 index; returns
     the committed version. Rows: (id, float vector, int8 codes) — the
     float vectors stay INSIDE the index table so the exact-cosine rescore
-    reads one table, column-pruned per stage."""
+    reads one table, column-pruned per stage. ``extra`` merges caller
+    metadata (the versioned-corpus lineage stamp) into the manifest."""
     if scales is None:
         scales = train_scales(corpus, vec_col)
     coded = quantize(corpus, scales, vec_col=vec_col, out_col="qvec")
@@ -42,13 +44,14 @@ def write_sq8_index(
         coded.select(id_col, vec_col, "qvec"),
         table,
         extra={"kind": "sq8", "scales": scales, "vec_col": vec_col,
-               "id_col": id_col},
+               "id_col": id_col, **(extra or {})},
     )
 
 
 def sq8_append(
     new_vectors: DataFrame,
     table: str,
+    extra_update: dict | None = None,
 ) -> int:
     """Incrementally index NEW vectors with the STORED scales — no
     retrain, no rewrite of existing codes; one append commit. Returns
@@ -71,7 +74,7 @@ def sq8_append(
         coded.select(id_col, vec_col, "qvec"),
         table,
         mode="append",
-        extra=info,
+        extra={**info, **(extra_update or {})},
     )
 
 
@@ -106,6 +109,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     n_cells: int = 16,
     kmeans_iters: int = 0,
+    extra: dict | None = None,
 ) -> int:
     """Persist IVF training state: centroids in the manifest (K×dim
     floats — the expensive-to-recompute part when k-means-trained) and
@@ -142,13 +146,16 @@ def write_ivf_index(
         assigned.select(id_col, "cell"),
         table,
         extra={"kind": "ivf", "centroids": centroids, "vec_col": vec_col,
-               "id_col": id_col},
+               "id_col": id_col,
+               "build": {"n_cells": n_cells, "kmeans_iters": kmeans_iters},
+               **(extra or {})},
     )
 
 
 def ivf_append(
     new_vectors: DataFrame,
     table: str,
+    extra_update: dict | None = None,
 ) -> int:
     """Incrementally assign NEW vectors to the STORED centroids and
     append the (id, cell) rows — no retrain; queries against the union
@@ -172,7 +179,10 @@ def ivf_append(
         nprobe=1,
     )
     return write_snapshot(
-        assigned.select(id_col, "cell"), table, mode="append", extra=info
+        assigned.select(id_col, "cell"),
+        table,
+        mode="append",
+        extra={**info, **(extra_update or {})},
     )
 
 
@@ -229,6 +239,7 @@ def write_ivfsq8_index(
     kmeans_iters: int = 0,
     scales: list[float] | None = None,
     layout_files: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Composed IVF × SQ8 index: ONE persisted table whose rows carry
     (id, float vector, int8 codes, coarse cell), committed CLUSTERED BY
@@ -285,12 +296,17 @@ def write_ivfsq8_index(
             "scales": scales,
             "vec_col": vec_col,
             "id_col": id_col,
+            "build": {"n_cells": n_cells, "kmeans_iters": kmeans_iters},
+            **(extra or {}),
         },
     )
 
 
 def ivfsq8_append(
-    new_vectors: DataFrame, table: str, layout_files: int | None = None
+    new_vectors: DataFrame,
+    table: str,
+    layout_files: int | None = None,
+    extra_update: dict | None = None,
 ) -> int:
     """Assign NEW vectors to the stored centroids, quantize them with the
     stored scales, append one cell-clustered commit — index rows
@@ -322,7 +338,7 @@ def ivfsq8_append(
         mode="append",
         layout_by=["cell"],
         layout_files=layout_files or info.get("layout_files"),
-        extra=info,
+        extra={**info, **(extra_update or {})},
     )
 
 
@@ -376,4 +392,127 @@ def ivfsq8_query(
         code_col="qvec",
         cell_col="cell",
         probe_cells=cell_sets,
+    )
+
+
+def write_ann_index_from(
+    spark: SparkSession,
+    corpus_table: str,
+    index_table: str,
+    kind: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **build,
+) -> int:
+    """Build an ANN index (``kind`` ∈ sq8 | ivf | ivfsq8) from a
+    VERSIONED corpus table, stamping the corpus version into the index
+    manifest — the lineage :func:`refresh_ann_index` keys off, mirroring
+    operators/text_index.build_text_index_from. ``build`` kwargs pass
+    through to the kind's writer (n_cells, kmeans_iters, layout_files)."""
+    from ..sources.versioned import latest_version
+
+    src_v = latest_version(corpus_table)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed version in {corpus_table}")
+    corpus = read_snapshot(spark, corpus_table, version=src_v)
+    lineage = {"source_table": corpus_table, "source_version": src_v}
+    if kind == "sq8":
+        return write_sq8_index(
+            corpus, index_table, vec_col, id_col, extra=lineage, **build
+        )
+    if kind == "ivf":
+        return write_ivf_index(
+            corpus, index_table, vec_col, id_col, extra=lineage, **build
+        )
+    if kind == "ivfsq8":
+        return write_ivfsq8_index(
+            corpus, index_table, vec_col, id_col, extra=lineage, **build
+        )
+    raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+
+def refresh_ann_index(
+    spark: SparkSession, corpus_table: str, index_table: str
+) -> tuple[int | None, str]:
+    """Fold the corpus's committed changes into a persisted ANN index;
+    returns (index version, action ∈ {fresh, append, stamp, rebuild}).
+
+    The delete story the append-only ``*_append`` functions lacked:
+    after a ``delete_where``/merge-delete on the corpus, a persisted
+    index would silently keep returning erased vectors. Same contract as
+    the text index (operators/text_index.refresh_text_index), but the
+    classification is MANIFEST-driven — no data is diffed to decide:
+
+    * fresh (stamp == corpus version) → no-op, manifest reads only;
+    * all-append range (``delta_files``) → assign/quantize ONLY the new
+      vectors with the stored training state and append-commit —
+      code-identical to a rebuild with that state, O(delta);
+      a RE-INGESTED id cannot append-compose (the index would return it
+      twice) → rebuild;
+    * compact-only range → logical no-op: bump the stamp with an empty
+      append, so later deltas still compose incrementally;
+    * anything else (delete/update/merge/overwrite/rollback) → honest
+      rebuild from the current snapshot, retraining with the recorded
+      build params — erased vectors leave the index, and results equal
+      a from-scratch build at the current version (training is
+      deterministic given the corpus)."""
+    from ..sources.versioned import (
+        commit_modes,
+        delta_files,
+        latest_version,
+        write_snapshot as _ws,
+    )
+
+    info = manifest_info(index_table)["extra"]
+    kind = info.get("kind")
+    if kind not in ("sq8", "ivf", "ivfsq8"):
+        raise ValueError(f"{index_table} is not an ANN index (extra={info})")
+    if info.get("source_table") != corpus_table:
+        raise ValueError(
+            f"index was built from {info.get('source_table')!r}, "
+            f"not {corpus_table!r}"
+        )
+    src_v = latest_version(corpus_table)
+    prev_v = info["source_version"]
+    if src_v == prev_v:
+        return latest_version(index_table), "fresh"
+
+    def rebuild() -> tuple[int, str]:
+        build = dict(info.get("build") or {})
+        if kind == "ivfsq8":
+            build.setdefault("layout_files", info.get("layout_files"))
+        return (
+            write_ann_index_from(
+                spark, corpus_table, index_table, kind,
+                info["vec_col"], info["id_col"], **build,
+            ),
+            "rebuild",
+        )
+
+    stamp = {"source_version": src_v}
+    delta = delta_files(corpus_table, prev_v, src_v)
+    if delta:
+        import os
+
+        id_col = info["id_col"]
+        new_vecs = spark.read.parquet(
+            *[os.path.join(corpus_table, f) for f in delta]
+        )
+        indexed = read_snapshot(spark, index_table).select(id_col)
+        if new_vecs.select(id_col).join(indexed, id_col, "semi").take(1):
+            return rebuild()
+        append = {
+            "sq8": sq8_append, "ivf": ivf_append, "ivfsq8": ivfsq8_append,
+        }[kind]
+        return append(new_vecs, index_table, extra_update=stamp), "append"
+    if delta is None and not all(
+        m == "compact" for m in commit_modes(corpus_table, prev_v, src_v)
+    ):
+        return rebuild()
+    # compact-only range or empty appends: nothing changed logically —
+    # bump the stamp so future deltas keep composing from here
+    empty = read_snapshot(spark, index_table).limit(0)
+    return (
+        _ws(empty, index_table, mode="append", extra={**info, **stamp}),
+        "stamp",
     )

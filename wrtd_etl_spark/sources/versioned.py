@@ -740,6 +740,25 @@ def delta_files(
     return out
 
 
+def commit_modes(
+    table: str, from_version: int, to_version: int | None = None
+) -> list[str]:
+    """Modes of the commits in (from_version, to_version] — the
+    driver-side classification incremental maintainers key off:
+    all-append ranges compose from delta files, compact-only ranges are
+    logical no-ops (stamp bump, no data read), anything else means
+    arbitrary rewrites and an honest rebuild. O(#versions) manifest
+    reads, no data I/O."""
+    if to_version is None:
+        to_version = _read_pointer(table)
+    if to_version is None or from_version >= to_version:
+        return []
+    return [
+        _read_manifest(table, v)["mode"]
+        for v in range(from_version + 1, to_version + 1)
+    ]
+
+
 def delete_where(
     spark: SparkSession,
     table: str,

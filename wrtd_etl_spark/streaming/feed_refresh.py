@@ -93,6 +93,28 @@ def run_text_index_refresh_stream(
     )
 
 
+def run_ann_index_refresh_stream(
+    spark: SparkSession,
+    corpus_table: str,
+    index_table: str,
+    checkpoint: str,
+):
+    """Subscribe a persisted ANN index (sq8/ivf/ivfsq8, built via
+    similarity/index_store.write_ann_index_from) to the corpus feed:
+    appends fold through the stored training state, deletes trigger an
+    honest rebuild — so after a corpus ``delete_where`` the index stops
+    returning erased vectors without anyone polling."""
+    from ..similarity.index_store import refresh_ann_index
+
+    return run_feed_driven(
+        spark,
+        corpus_table,
+        checkpoint,
+        lambda: refresh_ann_index(spark, corpus_table, index_table),
+        starting_version=-1,
+    )
+
+
 def run_rollup_refresh_stream(
     spark: SparkSession,
     view_table: str,
