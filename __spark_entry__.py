@@ -112,9 +112,18 @@ _DEMOTED = (
     "ann_filtered_topk",  # metadata-filtered exact vector search (filter-then-search)
     "stream_trending_types",  # per-window top-k over the streaming aggregate
     # round 5
-    "dim_merge",  # single-commit MERGE INTO on a versioned table (K3 at lake scale)
-    "update_where_cow",  # stats-pruned copy-on-write UPDATE (sources/versioned.py)
     "stream_interval_join_outer",  # watermark-close null padding (outer twin of scored stream_interval_join)
+    # round 6 rotation (VERDICT r5 ask #7): dim_merge and update_where_cow
+    # — the lake layer's flagship ops — rotate INTO the scored window;
+    # fs_lh / fs_ls park here in exchange. Their operator shapes stay
+    # scored via siblings: O3/O4 first/last-event + J3 role-playing join
+    # via fs_fb, O5 NULLS-LAST + O6 via fs_survivors_group's ordering —
+    # and both remain judge-oracles in the full battery regardless.
+    "fs_lh",
+    "fs_ls",
+    # reads through the batch versioned_table DataSource + SQL view; new
+    # query parks outside the window (oracle runs in pytest + full re-run)
+    "versioned_sql_surface",
 )
 
 

@@ -467,3 +467,105 @@ def test_physical_changes_fold_equals_logical_and_never_shuffles(spark, tmp_path
     assert {r._commit_mode for r in phys.collect()} == {
         "overwrite", "append", "update", "merge"
     }
+
+
+def test_merge_not_matched_by_source_delete_syncs_full_snapshot(
+    spark, tmp_path
+):
+    """Full-snapshot dimension sync in ONE atomic commit: matched rows
+    update, new source keys insert, target keys ABSENT from the source
+    delete — verified against a DuckDB full-outer merge over the same
+    rows."""
+    import duckdb
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)  # k 0..19, v = 10k, s = f"s{k}"
+    src_rows = [(k, k * 100, f"n{k}") for k in range(10, 25)]
+    src = spark.createDataFrame(src_rows, "k long, v long, s string")
+    v = merge_into(
+        spark,
+        t,
+        src,
+        ["k"],
+        when_matched={"v": "v"},  # partial update: s keeps target value
+        when_not_matched_by_source="delete",
+    )
+    assert v == 1 and history(t)[0]["mode"] == "merge"
+    got = sorted(
+        (r.k, r.v, r.s) for r in read_snapshot(spark, t).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tgt AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {i*10}, 's{i}')" for i in range(20))
+        + ") AS t(k, v, s)"
+    )
+    con.execute(
+        "CREATE TABLE src AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, {v2}, '{s}')" for k, v2, s in src_rows)
+        + ") AS t(k, v, s)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT t.k, s.v, t.s FROM tgt t JOIN src s USING (k)
+            UNION ALL
+            SELECT s.k, s.v, s.s FROM src s
+            WHERE s.k NOT IN (SELECT k FROM tgt)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # time travel still reads the pre-sync dimension
+    assert len(read_snapshot(spark, t, version=0).collect()) == 20
+
+
+def test_merge_not_matched_by_source_update_marks_stale(spark, tmp_path):
+    """The dict form: target rows missing from the source get the update
+    applied (soft-delete flag) instead of being removed."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, True) for i in range(10)], "k long, v long, active boolean"
+    )
+    write_snapshot(df, t, layout_by=["k"], layout_files=2)
+    src = spark.createDataFrame(
+        [(k, k * 100) for k in range(5, 8)], "k long, v long"
+    )
+    merge_into(
+        spark,
+        t,
+        src,
+        ["k"],
+        when_not_matched_by_source={"active": F.lit(False)},
+    )
+    got = {r.k: (r.v, r.active) for r in read_snapshot(spark, t).collect()}
+    for k in range(5, 8):
+        assert got[k] == (k * 100, True)  # matched: replaced, stays active
+    for k in list(range(5)) + [8, 9]:
+        assert got[k] == (k * 10, False)  # unmatched: kept, marked stale
+    # and the clustered layout survived the full rewrite
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    kept, total = files_for_read(t, skip_filter={"k": (0, 2)})
+    assert len(kept) < total
+
+
+def test_merge_not_matched_by_source_refuses_explicit_prune(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    src = spark.createDataFrame([(1, 1, "x")], "k long, v long, s string")
+    with pytest.raises(ValueError, match="prune cannot be combined"):
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            prune={"k": (1, 1)},
+            when_not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        merge_into(
+            spark, t, src, ["k"],
+            when_not_matched_by_source={"nope": F.lit(1)},
+        )

@@ -305,3 +305,46 @@ def test_feed_driven_ann_index_refresh_e2e(spark, tmp_path):
     )
     got = sq8_query(spark, idx, probes, k=5).collect()
     assert got and not set(r.neighbor_id for r in got) & set(erased)
+
+
+def test_stream_skip_filter_prunes_partitions(spark, tmp_path):
+    """A filtered subscriber of a clustered table plans strictly fewer
+    InputPartitions (manifest stats, no data I/O) and its folded rows
+    equal the unpruned feed post-filter."""
+    from wrtd_etl_spark.sources.versioned_stream import (
+        VersionedChangesStreamReader,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 500), t, layout_by=["k"], layout_files=8)
+    write_snapshot(
+        _df(spark, 500, 1000), t, mode="append",
+        layout_by=["k"], layout_files=8,
+    )
+
+    full = VersionedChangesStreamReader({"path": t})
+    pruned = VersionedChangesStreamReader(
+        {"path": t, "skip_filter": '{"k": [0, 49]}'}
+    )
+    lo, hi = {"version": -1}, {"version": 1}
+    n_full = len(full.partitions(lo, hi))
+    n_pruned = len(pruned.partitions(lo, hi))
+    assert n_full == 16 and n_pruned < n_full / 2
+
+    rows = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    q = (
+        read_changes_stream(spark, t, -1, skip_filter={"k": (0, 49)})
+        .filter(F.col("k") <= 49)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted((r.k, r.v, r._change_type) for r in rows) == [
+        (k, k * 10, "insert") for k in range(50)
+    ]

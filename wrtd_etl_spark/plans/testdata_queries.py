@@ -1947,3 +1947,53 @@ def quality_gate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("__violation").agg(
         F.count(F.lit(1)).alias("n_rows")
     ).orderBy("__violation")
+
+
+@register(
+    "versioned_sql_surface",
+    """
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def versioned_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch DataSource + SQL surface (sources/versioned_table.py): the
+    nation dimension commits as a versioned table, a LATER commit adds
+    junk rows, and the query joins the version-0 PINNED view from plain
+    ``spark.sql`` — proving spark.read.format("versioned_table") time
+    travel, the Arrow read path, and that registered views participate
+    in SQL joins (the reference's sql_to_db consumer surface,
+    functions.py:43-76, over the lake layer)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import write_snapshot
+    from ..sources.versioned_table import register_versioned_view
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_vsql_"), "nation_v")
+    write_snapshot(nation, t)
+    # junk commit the pinned view must NOT see
+    write_snapshot(
+        nation.limit(3).withColumn(
+            "n_nationkey", F.col("n_nationkey") + 1000
+        ),
+        t,
+        mode="append",
+    )
+    register_versioned_view(spark, "__vsql_nation", t, version=0)
+    region.createOrReplaceTempView("__vsql_region")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               COUNT(*) AS n_nations,
+               MIN(n.n_name) AS first_nation
+        FROM __vsql_nation n
+        JOIN __vsql_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

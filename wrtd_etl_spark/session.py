@@ -36,6 +36,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Catalyst filter pushdown into Python data sources (4.1+): lets the
+    # versioned_table batch reader turn plain .filter predicates into
+    # manifest-stats file pruning (sources/versioned_table.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

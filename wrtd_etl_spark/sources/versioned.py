@@ -445,7 +445,34 @@ def write_snapshot(
         if inherited:
             stats_cols = sorted(set(stats_cols or []) | set(inherited["by"]))
     new_files = _write_data(df, table)
-    df_schema = df.schema.jsonValue()
+    return _commit_new_segment(
+        table,
+        new_files,
+        df.schema.jsonValue(),
+        mode,
+        extra,
+        stats_cols,
+        renames,
+        declared_layout,
+    )
+
+
+def _commit_new_segment(
+    table: str,
+    new_files: list[str],
+    df_schema: dict,
+    mode: str,
+    extra: dict | None,
+    stats_cols: list[str] | None,
+    renames: dict[str, str] | None,
+    declared_layout: dict | None,
+) -> int:
+    """Commit already-written data files as a new version: the
+    rebase-on-conflict manifest loop shared by :func:`write_snapshot`
+    and the ``versioned_table`` DataSource writers
+    (sources/versioned_table.py) — executors stage parquet however they
+    like; THIS is the single commit protocol (schema merge, rename
+    guard, layout carry, put-if-absent link)."""
     stats = (
         _collect_file_stats(table, new_files, stats_cols)
         if stats_cols
@@ -1002,6 +1029,7 @@ def merge_into(
     prune: "str | dict[str, tuple] | None" = "auto",
     evolve_schema: bool = False,
     source_meta_cols: "list[str] | tuple[str, ...]" = (),
+    when_not_matched_by_source: "str | dict[str, Column | object] | None" = None,
 ) -> int:
     """General MERGE INTO: ONE atomic commit doing matched-update /
     matched-delete / not-matched-insert against a versioned table — the
@@ -1037,7 +1065,19 @@ def merge_into(
     path's rules): the CDC case where the upstream gained a column.
     ``source_meta_cols`` names source columns that are transport
     metadata (op flags, offsets) and must never become table columns —
-    ``delete_when`` may still reference them."""
+    ``delete_when`` may still reference them.
+
+    ``when_not_matched_by_source`` handles TARGET rows whose key appears
+    in no source row — the full-snapshot dimension sync Delta supports:
+    ``"delete"`` removes them, ``{target_col: Column-or-literal}``
+    updates them in place (e.g. ``{"active": F.lit(False)}``), all in
+    the SAME atomic commit as the matched/not-matched clauses — the
+    previous decomposition (merge + separate delete commit) left a torn
+    window between the two. The clause quantifies over ABSENT keys, so
+    key-range pruning is unsound with it: every file must be rewritten
+    (``prune`` is forced to None; passing an explicit prune dict
+    raises, because a carried file's unmatched rows would silently
+    escape the clause)."""
     from pyspark.sql.types import StructType
 
     base = _read_pointer(table)
@@ -1085,6 +1125,25 @@ def merge_into(
         mapping = dict(when_matched)
     else:
         raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    if when_not_matched_by_source is not None:
+        if isinstance(when_not_matched_by_source, dict):
+            bad = [c for c in when_not_matched_by_source if c not in tcols]
+            if bad:
+                raise ValueError(
+                    f"when_not_matched_by_source references unknown "
+                    f"column(s): {bad}"
+                )
+        elif when_not_matched_by_source != "delete":
+            raise ValueError(
+                "when_not_matched_by_source must be 'delete' or a "
+                f"{{col: value}} dict, got {when_not_matched_by_source!r}"
+            )
+        if isinstance(prune, dict):
+            raise ValueError(
+                "prune cannot be combined with when_not_matched_by_source: "
+                "a carried file's rows would escape the clause"
+            )
+        prune = None  # the clause quantifies over absent keys — see docstring
 
     # a many-to-one merge is ambiguous — refuse, like Delta's
     # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET error
@@ -1149,18 +1208,22 @@ def merge_into(
             else F.lit(None).cast(f.dataType)
         )
         if f.name in mapping:
-            out_cols.append(
-                F.when(
-                    matched, F.col(f"__s_{mapping[f.name]}").cast(f.dataType)
-                )
-                .otherwise(existing)
-                .alias(f.name)
-            )
+            expr = F.when(
+                matched, F.col(f"__s_{mapping[f.name]}").cast(f.dataType)
+            ).otherwise(existing)
         else:
-            out_cols.append(existing.alias(f.name))
-    rewritten = joined.filter(
-        ~(matched & F.col("__s_del"))
-    ).select(*out_cols)
+            expr = existing
+        if isinstance(when_not_matched_by_source, dict) and (
+            f.name in when_not_matched_by_source
+        ):
+            v = when_not_matched_by_source[f.name]
+            upd = v if isinstance(v, Column) else F.lit(v)
+            expr = F.when(~matched, upd.cast(f.dataType)).otherwise(expr)
+        out_cols.append(expr.alias(f.name))
+    survives = ~(matched & F.col("__s_del"))
+    if when_not_matched_by_source == "delete":
+        survives = survives & matched
+    rewritten = joined.filter(survives).select(*out_cols)
 
     new_rows = rewritten
     if insert:

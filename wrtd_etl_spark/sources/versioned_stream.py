@@ -78,9 +78,71 @@ def _target_schema(table: str):
     return StructType.fromJson(manifest["schema"]), manifest
 
 
+def _to_arrow_schema(fields):
+    """Arrow schema for a Spark StructType with timestamps normalized
+    tz-naive (Spark's Arrow deserializer for Python-source batches
+    expects naive); None when the conversion isn't available — callers
+    fall back to per-row tuple yields. Shared by the streaming change
+    feed and the batch table reader."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(fields)
+        return pa.schema(
+            [
+                pa.field(f.name, pa.timestamp(f.type.unit))
+                if pa.types.is_timestamp(f.type) and f.type.tz is not None
+                else f
+                for f in schema
+            ]
+        )
+    except Exception:
+        return None
+
+
+def _file_arrays(path: str, col_map, arrow_schema):
+    """Executor-side parquet read of one data file, projected/cast to the
+    target Arrow schema through the driver-resolved ``col_map``
+    [(target_name, file_column_or_None)]: absent columns null-fill, casts
+    cover widened columns (int32 file → long table) and tz
+    normalization — lossless by the manifest's widening rules. Returns
+    (arrays, n_rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = [s for _, s in col_map if s is not None]
+    tbl = pq.read_table(path, columns=want)
+    n = tbl.num_rows
+    arrays = []
+    for tgt, src in col_map:
+        ftype = arrow_schema.field(tgt).type
+        arrays.append(
+            pa.nulls(n, type=ftype)
+            if src is None
+            else tbl.column(src).cast(ftype).combine_chunks()
+        )
+    return arrays, n
+
+
 class VersionedChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
+        import json as _json
+
         self.table = options["path"]
+        # manifest-stats pruning for filtered subscribers: same
+        # {col: [lo, hi]} contract as read_snapshot's skip_filter — an
+        # over-approximation of the subscriber's predicate; files whose
+        # recorded stats cannot intersect are never planned (a filtered
+        # subscriber stops paying to read whole commits). Pruning is an
+        # optimization, never the filter itself: the subscriber still
+        # applies its real predicate; files without stats are kept.
+        skip = options.get("skip_filter")
+        self.skip_filter = (
+            {c: tuple(b) for c, b in _json.loads(skip).items()}
+            if skip
+            else None
+        )
         start = options.get("startingVersion", "-1")
         if start == "latest":
             p = _read_pointer(self.table)
@@ -95,37 +157,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # between a backfill streaming a 100 TB table through a Python
         # loop and through Arrow's columnar transfer. Falls back to
         # row-tuple yields if the conversion isn't available.
-        self._arrow_schema = None
-        try:
-            import pyarrow as pa
-            from pyspark.sql.pandas.types import to_arrow_schema
-            from pyspark.sql.types import (
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-            )
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-            full = StructType(
-                list(target.fields)
-                + [
-                    StructField("_change_type", StringType()),
-                    StructField("_commit_version", LongType()),
-                    StructField("_commit_mode", StringType()),
-                ]
-            )
-            schema = to_arrow_schema(full)
-            # Spark's Arrow deserializer for Python-source batches expects
-            # timezone-naive timestamps; normalize tz-annotated fields
-            fields = [
-                pa.field(f.name, pa.timestamp(f.type.unit))
-                if pa.types.is_timestamp(f.type) and f.type.tz is not None
-                else f
-                for f in schema
+        full = StructType(
+            list(target.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_mode", StringType()),
             ]
-            self._arrow_schema = pa.schema(fields)
-        except Exception:
-            self._arrow_schema = None
+        )
+        self._arrow_schema = _to_arrow_schema(full)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -150,6 +197,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             }
             return [(t, by_current.get(t)) for t in self.fields]
 
+        def allowed(m: dict) -> set[str] | None:
+            """Files of ``m`` surviving the subscriber's skip_filter
+            (None = keep all). Manifest-stats only — no data I/O."""
+            if not self.skip_filter:
+                return None
+            from .versioned import _prune_segment_files, _segments
+
+            out: set[str] = set()
+            for seg in _segments(m):
+                out.update(
+                    _prune_segment_files(seg, aliases, self.skip_filter)
+                )
+            return out
+
         parts: list[InputPartition] = []
         for v in range(max(a, -1) + 1, b + 1):
             m = _read_manifest(self.table, v)
@@ -162,8 +223,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for seg in m.get("segments", [{"files": m["files"], "schema": m["schema"]}]):
                 for f in seg["files"]:
                     file_seg[f] = seg
+            allow_cur = allowed(m)
             for f in m["files"]:
-                if f not in prev_files:
+                if f not in prev_files and (
+                    allow_cur is None or f in allow_cur
+                ):
                     parts.append(
                         ChangeFile(
                             self.table, f, "insert", v, m["mode"],
@@ -179,8 +243,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     for f in seg["files"]:
                         prev_file_seg[f] = seg
                 cur_files = set(m["files"])
+                allow_prev = allowed(prev_m)
                 for f in prev_m["files"]:
-                    if f not in cur_files:
+                    if f not in cur_files and (
+                        allow_prev is None or f in allow_prev
+                    ):
                         parts.append(
                             ChangeFile(
                                 self.table, f, "delete", v, m["mode"],
@@ -191,35 +258,24 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
     def read(self, partition: ChangeFile) -> Iterator[tuple]:
         # executor-side: plain pyarrow file read, projected and re-ordered
-        # to the declared schema
-        import pyarrow.parquet as pq
-
+        # to the declared schema (shared _file_arrays path)
         path = os.path.join(partition.table, partition.file)
-        want = [s for _, s in partition.col_map if s is not None]
-        tbl = pq.read_table(path, columns=want)
-        n = tbl.num_rows
         if self._arrow_schema is not None:
             import pyarrow as pa
 
             sch = self._arrow_schema
-            arrays = []
-            for tgt, src in partition.col_map:
-                ftype = sch.field(tgt).type
-                if src is None:
-                    arrays.append(pa.nulls(n, type=ftype))
-                else:
-                    # cast covers widened columns (int32 file -> long
-                    # table) and tz normalization; lossless by the
-                    # manifest's widening rules
-                    arrays.append(
-                        tbl.column(src).cast(ftype).combine_chunks()
-                    )
+            arrays, n = _file_arrays(path, partition.col_map, sch)
             arrays.append(pa.array([partition.change_type] * n, pa.string()))
             arrays.append(pa.array([partition.version] * n, pa.int64()))
             arrays.append(pa.array([partition.mode] * n, pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=sch)
             return
         # fallback: per-row python tuples (values coerce as natives)
+        import pyarrow.parquet as pq
+
+        want = [s for _, s in partition.col_map if s is not None]
+        tbl = pq.read_table(path, columns=want)
+        n = tbl.num_rows
         cols = {}
         for tgt, src in partition.col_map:
             cols[tgt] = (
@@ -239,7 +295,10 @@ class VersionedChangesDataSource(DataSource):
 
     Options: ``path`` (table root, required), ``startingVersion``
     (int, default -1 = stream the full history including version 0's
-    snapshot; ``"latest"`` = only commits after stream start)."""
+    snapshot; ``"latest"`` = only commits after stream start),
+    ``skip_filter`` (JSON ``{col: [lo, hi]}`` — manifest-stats file
+    pruning for filtered subscribers; an over-approximation of the
+    subscriber's own predicate, which must still be applied)."""
 
     @classmethod
     def name(cls) -> str:
@@ -266,15 +325,31 @@ class VersionedChangesDataSource(DataSource):
 
 
 def read_changes_stream(
-    spark: SparkSession, table: str, starting_version: int | str = -1
+    spark: SparkSession,
+    table: str,
+    starting_version: int | str = -1,
+    skip_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Streaming DataFrame over the table's change feed (registers the
     data source on first use). Columns = table schema +
-    ``_change_type`` / ``_commit_version`` / ``_commit_mode``."""
+    ``_change_type`` / ``_commit_version`` / ``_commit_mode``.
+
+    ``skip_filter={col: (lo, hi)}`` prunes changed files by manifest
+    stats BEFORE they become input partitions — a filtered subscriber
+    of a clustered table reads only the commit slices that can match.
+    Same contract as ``read_snapshot``: an over-approximation; apply
+    the real predicate downstream."""
+    import json as _json
+
     spark.dataSource.register(VersionedChangesDataSource)
-    return (
+    r = (
         spark.readStream.format("versioned_changes")
         .option("path", table)
         .option("startingVersion", str(starting_version))
-        .load()
     )
+    if skip_filter:
+        r = r.option(
+            "skip_filter",
+            _json.dumps({c: list(b) for c, b in skip_filter.items()}),
+        )
+    return r.load()
