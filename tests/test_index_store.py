@@ -275,30 +275,48 @@ def test_refresh_ann_index_append_and_stamp(spark, tmp_path):
     assert action == "append"
 
 
-def test_refresh_ann_index_delete_rebuilds_and_drops_erased_ids(
-    spark, tmp_path
-):
+def test_refresh_ann_index_delete_folds_surgically(spark, tmp_path):
     """The r5 gap: after delete_where on the corpus a persisted index
-    silently returned erased vectors. refresh_ann_index must rebuild,
-    the refreshed index must never return erased ids, and query results
-    must equal a from-scratch build at the current corpus version."""
+    silently returned erased vectors. A delete-only range now folds
+    SURGICALLY (keyed merge-delete driven by the physical file diff —
+    Faiss remove_ids semantics, training state kept): the folded index
+    is row-identical to the pre-delete index minus the erased ids, the
+    stamp advances, and queries never return erased vectors."""
     from wrtd_etl_spark.similarity.index_store import (
         ivfsq8_query,
         refresh_ann_index,
         write_ann_index_from,
     )
-    from wrtd_etl_spark.sources.versioned import delete_where, write_snapshot
+    from wrtd_etl_spark.sources.versioned import (
+        delete_where,
+        history,
+        read_snapshot,
+        write_snapshot,
+    )
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    corpus, idx, idx2 = (
-        str(tmp_path / n) for n in ("corpus", "idx", "idx2")
-    )
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
     write_snapshot(emb, corpus)
     write_ann_index_from(spark, corpus, idx, "ivfsq8", n_cells=8)
+    before = {
+        r.vec_id: (r.cell, tuple(r.qvec))
+        for r in read_snapshot(spark, idx).collect()
+    }
     erased = [r.vec_id for r in emb.filter(F.col("vec_id") % 7 == 3).collect()]
     delete_where(spark, corpus, F.col("vec_id") % 7 == 3)
     _, action = refresh_ann_index(spark, corpus, idx)
-    assert action == "rebuild"
+    assert action == "delete_fold"
+    assert history(idx)[0]["mode"] == "merge"  # one surgical commit
+    assert manifest_info(idx)["extra"]["source_version"] == 1
+    after = {
+        r.vec_id: (r.cell, tuple(r.qvec))
+        for r in read_snapshot(spark, idx).collect()
+    }
+    # row-identical to pre-delete index minus the erased ids: codes,
+    # cells and training state untouched (remove_ids, not retrain)
+    assert after == {
+        k: v for k, v in before.items() if k not in set(erased)
+    }
     probes = emb.filter(F.col("vec_id") < 20).filter(
         F.col("vec_id") % 7 != 3
     )
@@ -307,11 +325,14 @@ def test_refresh_ann_index_delete_rebuilds_and_drops_erased_ids(
     assert not set(r.neighbor_id for r in got) & set(erased), (
         "refreshed index returned erased vectors"
     )
-    # ≡ rebuild-from-scratch at the current version (training is
-    # deterministic given the corpus)
-    write_ann_index_from(spark, corpus, idx2, "ivfsq8", n_cells=8)
-    want = ivfsq8_query(spark, idx2, probes, k=5, nprobe=3).collect()
-    assert _key(got) == _key(want)
+    # a VALUE-rewriting commit (update) still forces the honest rebuild
+    from wrtd_etl_spark.sources.versioned import update_where
+
+    update_where(
+        spark, corpus, F.col("vec_id") == 0, {"label": F.lit(-1)}
+    )
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "rebuild"
 
 
 def test_refresh_ann_index_reingested_id_rebuilds(spark, tmp_path):

@@ -43,6 +43,9 @@ def write_sq8_index(
     return write_snapshot(
         coded.select(id_col, vec_col, "qvec"),
         table,
+        # id stats let keyed maintenance (refresh_ann_index's surgical
+        # delete fold) rewrite only the files whose id range can match
+        stats_cols=[id_col],
         extra={"kind": "sq8", "scales": scales, "vec_col": vec_col,
                "id_col": id_col, **(extra or {})},
     )
@@ -74,6 +77,7 @@ def sq8_append(
         coded.select(id_col, vec_col, "qvec"),
         table,
         mode="append",
+        stats_cols=[id_col],
         extra={**info, **(extra_update or {})},
     )
 
@@ -145,6 +149,7 @@ def write_ivf_index(
     return write_snapshot(
         assigned.select(id_col, "cell"),
         table,
+        stats_cols=[id_col],
         extra={"kind": "ivf", "centroids": centroids, "vec_col": vec_col,
                "id_col": id_col,
                "build": {"n_cells": n_cells, "kmeans_iters": kmeans_iters},
@@ -182,6 +187,7 @@ def ivf_append(
         assigned.select(id_col, "cell"),
         table,
         mode="append",
+        stats_cols=[id_col],
         extra={**info, **(extra_update or {})},
     )
 
@@ -289,6 +295,7 @@ def write_ivfsq8_index(
         table,
         layout_by=["cell"],
         layout_files=layout_files,
+        stats_cols=[id_col],
         extra={
             "kind": "ivfsq8",
             "layout_files": layout_files,
@@ -338,6 +345,7 @@ def ivfsq8_append(
         mode="append",
         layout_by=["cell"],
         layout_files=layout_files or info.get("layout_files"),
+        stats_cols=[id_col],
         extra={**info, **(extra_update or {})},
     )
 
@@ -451,15 +459,27 @@ def refresh_ann_index(
       twice) → rebuild;
     * compact-only range → logical no-op: bump the stamp with an empty
       append, so later deltas still compose incrementally;
-    * anything else (delete/update/merge/overwrite/rollback) → honest
-      rebuild from the current snapshot, retraining with the recorded
-      build params — erased vectors leave the index, and results equal
-      a from-scratch build at the current version (training is
+    * delete-only range (delete/compact commits) → SURGICAL fold: the
+      erased ids come from the zero-exchange physical file diff
+      (deletes minus re-inserted survivors), and a keyed merge-delete
+      removes exactly those rows from the index — training state is
+      kept (the Faiss ``remove_ids`` semantics), only the index files
+      whose id range can match are rewritten, and the result is
+      row-identical to rebuilding with the SAME stored training state
+      (assignment/quantization are per-row);
+    * anything else (update/merge/overwrite/rollback) → honest rebuild
+      from the current snapshot, retraining with the recorded build
+      params — rewritten vectors re-index, and results equal a
+      from-scratch build at the current version (training is
       deterministic given the corpus)."""
+    from pyspark.sql import functions as F
+
     from ..sources.versioned import (
         commit_modes,
         delta_files,
         latest_version,
+        merge_into,
+        table_changes_physical,
         write_snapshot as _ws,
     )
 
@@ -505,10 +525,44 @@ def refresh_ann_index(
             "sq8": sq8_append, "ivf": ivf_append, "ivfsq8": ivfsq8_append,
         }[kind]
         return append(new_vecs, index_table, extra_update=stamp), "append"
-    if delta is None and not all(
-        m == "compact" for m in commit_modes(corpus_table, prev_v, src_v)
-    ):
-        return rebuild()
+    if delta is None:
+        modes = set(commit_modes(corpus_table, prev_v, src_v))
+        if modes <= {"delete", "compact"}:
+            # monotone shrinkage: rows only left the corpus. The erased
+            # ids are the physical feed's deleted rows minus the CoW
+            # survivors it re-inserted (compact noise cancels in the
+            # same subtraction) — planned from manifests, zero exchanges
+            # on the feed itself.
+            id_col = info["id_col"]
+            feed = table_changes_physical(
+                spark, corpus_table, prev_v, src_v
+            )
+            erased = (
+                feed.filter(F.col("_change_type") == "delete")
+                .select(id_col)
+                .exceptAll(
+                    feed.filter(F.col("_change_type") == "insert")
+                    .select(id_col)
+                )
+                .distinct()
+            )
+            if erased.take(1):
+                return (
+                    merge_into(
+                        spark,
+                        index_table,
+                        erased,
+                        [id_col],
+                        when_matched="keep",
+                        delete_when=F.lit(True),
+                        insert=False,
+                        extra={**info, **stamp},
+                    ),
+                    "delete_fold",
+                )
+            # pure compact churn: nothing actually left — stamp below
+        else:
+            return rebuild()
     # compact-only range or empty appends: nothing changed logically —
     # bump the stamp so future deltas keep composing from here
     empty = read_snapshot(spark, index_table).limit(0)

@@ -1030,6 +1030,7 @@ def merge_into(
     evolve_schema: bool = False,
     source_meta_cols: "list[str] | tuple[str, ...]" = (),
     when_not_matched_by_source: "str | dict[str, Column | object] | None" = None,
+    extra: dict | None = None,
 ) -> int:
     """General MERGE INTO: ONE atomic commit doing matched-update /
     matched-delete / not-matched-insert against a versioned table — the
@@ -1066,6 +1067,10 @@ def merge_into(
     ``source_meta_cols`` names source columns that are transport
     metadata (op flags, offsets) and must never become table columns —
     ``delete_when`` may still reference them.
+
+    ``extra`` replaces the committed manifest's caller metadata (default
+    carries the previous version's forward) — lineage stamping for CDC
+    consumers and index maintainers.
 
     ``when_not_matched_by_source`` handles TARGET rows whose key appears
     in no source row — the full-snapshot dimension sync Delta supports:
@@ -1246,7 +1251,8 @@ def merge_into(
     )
     segments = carried + [new_segment]
     return _commit_rewrite(
-        table, base, manifest, segments, "merge", schema=schema_json
+        table, base, manifest, segments, "merge", extra=extra,
+        schema=schema_json
     )
 
 
