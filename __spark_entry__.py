@@ -124,6 +124,9 @@ _DEMOTED = (
     # reads through the batch versioned_table DataSource + SQL view; new
     # query parks outside the window (oracle runs in pytest + full re-run)
     "versioned_sql_surface",
+    # bloom-sketch point_filter pruning (sources/bloom.py); parks outside
+    # the window like every post-r3 addition
+    "point_lookup_bloom",
 )
 
 

@@ -1858,6 +1858,43 @@ def update_where_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "point_lookup_bloom",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (3, 411, 777, 1021, 1400)
+    """,
+)
+def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point lookup (sources/bloom.py + versioned
+    point_filter): orders land hash-scattered by customer across 8
+    files — every file's o_orderkey [min,max] spans the whole table, so
+    range stats prune NOTHING — then a 5-key membership lookup reads
+    only the files whose per-file bloom sketch can contain one of the
+    keys. The ``key IN (...)`` shape that turns a CDC probe on a 100-TB
+    unclustered table into a handful of file reads."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import read_snapshot, write_snapshot
+
+    keys = [3, 411, 777, 1021, 1400]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_bloom_"), "orders")
+    write_snapshot(
+        orders.repartition(8, "o_custkey"),
+        t,
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_orderkey"],
+    )
+    return read_snapshot(
+        spark, t, point_filter={"o_orderkey": keys}
+    ).filter(F.col("o_orderkey").isin(keys))
+
+
 @register("versioned_changes_stream", None)  # streaming side effects: rows-only
 def versioned_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed STREAM (sources/versioned_stream.read_changes_stream):

@@ -75,6 +75,10 @@ _LATEST = "_latest"
 
 #: lossless widenings, by Spark simpleString type name
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+# merge_into collects up to this many distinct source keys for
+# membership (stats + bloom) file pruning; larger sources are
+# backfill-shaped and keep range pruning only
+_POINT_PRUNE_MAX_KEYS = 200_000
 _FLOAT_RANK = {"float": 1, "double": 2}
 
 
@@ -291,6 +295,73 @@ def _collect_file_stats(
     return out
 
 
+def _collect_file_blooms(
+    spark: SparkSession, table: str, rel_files: list[str], cols: list[str]
+) -> dict[str, dict[str, dict]]:
+    """relpath → {col: bloom dict} (sources/bloom.py sketches) for the
+    just-written files. The per-file sketch is built EXECUTOR-side — one
+    applyInPandas group per file, so a 1000-file commit blooms in
+    parallel and the driver receives only ~1 KiB per file/column, the
+    same metadata-only footprint as the min/max stats."""
+    import json as _json
+
+    from .bloom import build as _bloom_build
+
+    if not rel_files or not cols:
+        return {}
+    paths = [os.path.join(table, f) for f in rel_files]
+    df = spark.read.parquet(*paths)
+    cols = [c for c in cols if c in df.columns]
+    if not cols:
+        return {}
+    src = df.select(*cols).withColumn("__f", F.input_file_name())
+
+    def per_file(pdf):
+        import pandas as pd
+
+        f = pdf["__f"].iloc[0]
+        out = []
+        for c in cols:
+            bl = _bloom_build(pdf[c].dropna().tolist())
+            if bl is not None:
+                out.append((f, c, _json.dumps(bl)))
+        return pd.DataFrame(out, columns=["f", "c", "bloom"])
+
+    rows = (
+        src.groupBy("__f")
+        .applyInPandas(per_file, schema="f string, c string, bloom string")
+        .collect()
+    )
+    out: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        rel = next((rf for rf in rel_files if r.f.endswith(rf)), None)
+        if rel is not None:
+            out.setdefault(rel, {})[r.c] = _json.loads(r.bloom)
+    return out
+
+
+def _point_keeps(st, bl, vals) -> bool:
+    """File-keep decision for one column of a point filter: the file
+    survives unless its [min,max] excludes EVERY value or its bloom
+    contains NONE of them. Type-mismatched comparisons keep the file
+    (pruning must never be semantic)."""
+    if st is not None and vals:
+        try:
+            enc = [_json_val(v) for v in vals]
+            if all(
+                e is not None and (e < st[0] or e > st[1]) for e in enc
+            ):
+                return False
+        except TypeError:
+            pass
+    if bl is not None and vals:
+        from .bloom import contains_any
+
+        if not contains_any(bl, list(vals)):
+            return False
+    return True
+
+
 def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
     """Flattened historical-name → current-name map: composing
     ``renames`` (old → new, names as of the previous version) onto the
@@ -363,6 +434,7 @@ def write_snapshot(
     layout_files: int | None = None,
     checks: list[dict] | None = None,
     quarantine: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the version number.
 
@@ -385,6 +457,13 @@ def write_snapshot(
     ONE call produces narrow per-file ranges AND the manifest stats that
     let ``skip_filter`` exploit them (``layout_by`` columns join
     ``stats_cols`` automatically). ``layout_files`` sizes the output.
+
+    ``bloom_cols`` records a per-file bloom sketch (sources/bloom.py)
+    for those columns, enabling ``point_filter`` pruning — membership
+    lookups on columns the table is NOT clustered by, which min/max
+    stats cannot prune. Like the layout, bloomed columns are a table
+    property: appends re-bloom their new files for every previously
+    bloomed column automatically.
 
     Concurrency: the data files are written once; the manifest commit is
     put-if-absent and REBASES on conflict — a concurrent append's
@@ -445,6 +524,26 @@ def write_snapshot(
         if inherited:
             stats_cols = sorted(set(stats_cols or []) | set(inherited["by"]))
     new_files = _write_data(df, table)
+    bloom_set = set(bloom_cols or [])
+    if mode == "append":
+        # bloomed columns are a table property like the layout: an
+        # append must re-bloom its new files or point pruning silently
+        # decays to stats-only on the unclustered tail
+        p0 = _read_pointer(table)
+        if p0 is not None:
+            bloom_set |= {
+                c
+                for seg in _segments(_read_manifest(table, p0))
+                for fb in seg.get("blooms", {}).values()
+                for c in fb
+            }
+    blooms = (
+        _collect_file_blooms(
+            df.sparkSession, table, new_files, sorted(bloom_set)
+        )
+        if bloom_set
+        else {}
+    )
     return _commit_new_segment(
         table,
         new_files,
@@ -454,6 +553,7 @@ def write_snapshot(
         stats_cols,
         renames,
         declared_layout,
+        blooms,
     )
 
 
@@ -466,6 +566,7 @@ def _commit_new_segment(
     stats_cols: list[str] | None,
     renames: dict[str, str] | None,
     declared_layout: dict | None,
+    blooms: dict[str, dict] | None = None,
 ) -> int:
     """Commit already-written data files as a new version: the
     rebase-on-conflict manifest loop shared by :func:`write_snapshot`
@@ -479,6 +580,8 @@ def _commit_new_segment(
         else {}
     )
     new_segment = {"files": new_files, "schema": df_schema, "stats": stats}
+    if blooms:
+        new_segment["blooms"] = blooms
 
     for _ in range(20):
         prev = _read_pointer(table)
@@ -604,12 +707,16 @@ def _read_segments(
 
 
 def _prune_segment_files(
-    seg: dict, aliases: dict, skip_filter: dict[str, tuple]
+    seg: dict,
+    aliases: dict,
+    skip_filter: dict[str, tuple] | None,
+    point_filter: dict[str, list] | None = None,
 ) -> list[str]:
     """Files of one segment whose recorded [min,max] can intersect every
-    requested range; files lacking stats for a column are always kept
-    (pruning must never be semantic)."""
-    # skip_filter keys are CURRENT names; stats were recorded under the
+    requested range AND whose stats/bloom can contain at least one value
+    of every point filter; files lacking stats for a column are always
+    kept (pruning must never be semantic)."""
+    # filter keys are CURRENT names; stats were recorded under the
     # segment's own names — resolve through the alias map
     def seg_name(cur: str) -> str | None:
         for f in _schema_fields(seg["schema"]):
@@ -622,11 +729,15 @@ def _prune_segment_files(
     # instead of raising (and order is preserved by construction)
     resolved = {
         seg_name(c): (_json_val(lo), _json_val(hi))
-        for c, (lo, hi) in skip_filter.items()
+        for c, (lo, hi) in (skip_filter or {}).items()
+    }
+    resolved_pts = {
+        seg_name(c): vals for c, vals in (point_filter or {}).items()
     }
     kept = []
     for path in seg["files"]:
         stats = seg.get("stats", {}).get(path, {})
+        blooms = seg.get("blooms", {}).get(path, {})
         keep = True
         for col, (lo, hi) in resolved.items():
             if col is None or col not in stats:
@@ -638,6 +749,15 @@ def _prune_segment_files(
                 keep = False
                 break
         if keep:
+            for col, vals in resolved_pts.items():
+                if col is None:
+                    continue
+                if not _point_keeps(
+                    stats.get(col), blooms.get(col), vals
+                ):
+                    keep = False
+                    break
+        if keep:
             kept.append(path)
     return kept
 
@@ -646,23 +766,28 @@ def files_for_read(
     table: str,
     version: int | None = None,
     skip_filter: dict[str, tuple] | None = None,
+    point_filter: dict[str, list] | None = None,
 ) -> tuple[list[str], int]:
     """(files the read will hand Spark, total files in the version) —
     the data-skipping decision, exposed for tests and EXPLAIN-style
-    tooling."""
+    tooling. ``skip_filter`` prunes by range vs min/max stats;
+    ``point_filter={col: [values]}`` prunes by membership vs stats AND
+    per-file bloom sketches (``bloom_cols`` at write time) — the
+    ``key IN (...)`` shape range stats cannot prune on unclustered
+    columns."""
     if version is None:
         version = _read_pointer(table)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest(table, version)
     total = len(manifest["files"])
-    if not skip_filter:
+    if not skip_filter and not point_filter:
         return list(manifest["files"]), total
     aliases = manifest.get("aliases", {})
     kept = [
         f
         for seg in _segments(manifest)
-        for f in _prune_segment_files(seg, aliases, skip_filter)
+        for f in _prune_segment_files(seg, aliases, skip_filter, point_filter)
     ]
     return kept, total
 
@@ -693,12 +818,14 @@ def read_snapshot(
     version: int | None = None,
     skip_filter: dict[str, tuple] | None = None,
     as_of: float | None = None,
+    point_filter: dict[str, list] | None = None,
 ) -> DataFrame:
     """DataFrame pinned to one manifest (the latest unless ``version``
     or ``as_of`` — epoch seconds, resolved via :func:`version_as_of`).
 
     ``skip_filter={col: (lo, hi)}`` prunes files via manifest statistics
-    — a pure optimization; the caller still applies the real predicate
+    and ``point_filter={col: [values]}`` via stats + bloom sketches —
+    pure optimizations; the caller still applies the real predicate
     (None bounds are open-ended)."""
     if as_of is not None:
         if version is not None:
@@ -710,7 +837,7 @@ def read_snapshot(
             raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest(table, version)
     if manifest.get("schema_evolved") and "segments" in manifest:
-        if skip_filter:
+        if skip_filter or point_filter:
             aliases = manifest.get("aliases", {})
             manifest = {
                 **manifest,
@@ -718,14 +845,14 @@ def read_snapshot(
                     {
                         **seg,
                         "files": _prune_segment_files(
-                            seg, aliases, skip_filter
+                            seg, aliases, skip_filter, point_filter
                         ),
                     }
                     for seg in _segments(manifest)
                 ],
             }
         return _read_segments(spark, table, manifest)
-    paths, _ = files_for_read(table, version, skip_filter)
+    paths, _ = files_for_read(table, version, skip_filter, point_filter)
     if not paths:
         if manifest.get("schema"):
             from pyspark.sql.types import StructType
@@ -829,19 +956,23 @@ def delete_where(
 
 
 def _split_for_rewrite(
-    manifest: dict, aliases: dict, prune: dict[str, tuple] | None
+    manifest: dict,
+    aliases: dict,
+    prune: dict[str, tuple] | None,
+    point: dict[str, list] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Partition the version's segments into (carried, rewrite): files
-    whose stats CANNOT intersect ``prune`` carry forward untouched (by
-    reference — no read, no write); the rest are rewrite candidates.
-    ``prune=None`` means rewrite everything. Shared by delete_where /
-    update_where / merge_into — the surgical-rewrite primitive."""
+    whose stats CANNOT intersect ``prune`` (range) / ``point`` (value
+    membership vs stats + blooms) carry forward untouched (by reference
+    — no read, no write); the rest are rewrite candidates. ``prune=None``
+    with ``point=None`` means rewrite everything. Shared by delete_where
+    / update_where / merge_into — the surgical-rewrite primitive."""
     carried: list[dict] = []
     rewrite_segs: list[dict] = []
     for seg in _segments(manifest):
         cand = (
-            set(_prune_segment_files(seg, aliases, prune))
-            if prune
+            set(_prune_segment_files(seg, aliases, prune, point))
+            if prune or point
             else set(seg["files"])
         )
         keep = [f for f in seg["files"] if f not in cand]
@@ -855,6 +986,17 @@ def _split_for_rewrite(
                         for k, v in seg.get("stats", {}).items()
                         if k in keep
                     },
+                    **(
+                        {
+                            "blooms": {
+                                k: v
+                                for k, v in seg["blooms"].items()
+                                if k in keep
+                            }
+                        }
+                        if seg.get("blooms")
+                        else {}
+                    ),
                 }
             )
         if cand:
@@ -907,11 +1049,27 @@ def _rewrite_segment(
         if stat_cols
         else {}
     )
-    return {
+    # same rule for blooms: the replacement files re-bloom every column
+    # any replaced file had a bloom on, so point pruning survives
+    # merge/update/delete instead of decaying file by file
+    bloom_cols = sorted(
+        {
+            aliases.get(c, c)
+            for seg in stat_segs
+            for fb in seg.get("blooms", {}).values()
+            for c in fb
+        }
+    )
+    out = {
         "files": files_new,
         "schema": schema if schema is not None else manifest["schema"],
         "stats": stats,
     }
+    if bloom_cols:
+        blooms = _collect_file_blooms(spark, table, files_new, bloom_cols)
+        if blooms:
+            out["blooms"] = blooms
+    return out
 
 
 def _commit_rewrite(
@@ -1163,6 +1321,7 @@ def merge_into(
         kv = {k: dup[0][k] for k in keys}
         raise ValueError(f"source has multiple rows for merge key {kv}")
 
+    point = None
     if prune == "auto":
         aggs = []
         for k in keys:
@@ -1173,8 +1332,25 @@ def merge_into(
             for k in keys
             if row[f"__lo_{k}"] is not None
         } or None
+        # CDC-sized sources additionally prune by key MEMBERSHIP: the
+        # global [min,max] of a scattered key batch spans the whole
+        # table, but per-file stats + bloom sketches (bloom_cols) can
+        # rule out every file not holding one of the actual keys —
+        # the difference between rewriting the table and rewriting a
+        # handful of files at 100 TB. Backfill-sized sources skip the
+        # collect and keep the range prune.
+        krows = (
+            source.select(*keys)
+            .distinct()
+            .limit(_POINT_PRUNE_MAX_KEYS + 1)
+            .collect()
+        )
+        if 0 < len(krows) <= _POINT_PRUNE_MAX_KEYS:
+            point = {k: [r[k] for r in krows] for k in keys}
 
-    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    carried, rewrite_segs = _split_for_rewrite(
+        manifest, aliases, prune, point
+    )
 
     # source, renamed out of the target namespace, with the delete flag
     # evaluated over the ORIGINAL source row (op-flag columns usable even
@@ -1586,15 +1762,28 @@ def compact(
     stats = (
         _collect_file_stats(table, files, stats_cols) if stats_cols else {}
     )
+    # inherit the bloom surface too — compaction restoring clustering
+    # while silently dropping point-prunability would be half a repair
+    bloom_cols = sorted(
+        {
+            c
+            for seg in _segments(base_manifest)
+            for fb in seg.get("blooms", {}).values()
+            for c in fb
+        }
+    )
+    seg_new = {"files": files, "schema": df.schema.jsonValue(), "stats": stats}
+    if bloom_cols:
+        blooms = _collect_file_blooms(spark, table, files, bloom_cols)
+        if blooms:
+            seg_new["blooms"] = blooms
     version = base + 1
     manifest = {
         "version": version,
         "mode": "compact",
         "parent": base,
         "files": files,
-        "segments": [
-            {"files": files, "schema": df.schema.jsonValue(), "stats": stats}
-        ],
+        "segments": [seg_new],
         "schema": df.schema.jsonValue(),
         # the rewrite materializes ONE uniform (merged) schema, so the
         # compacted version no longer needs the segment read path even if

@@ -140,6 +140,8 @@ class VersionedTableReader(DataSourceReader):
         self.skip_filter = (
             {c: tuple(b) for c, b in json.loads(skip).items()} if skip else None
         )
+        pts = options.get("point_filter")
+        self.point_filter = dict(json.loads(pts)) if pts else None
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
         self._arrow_schema = _to_arrow_schema(_nullable_struct(manifest))
 
@@ -156,8 +158,10 @@ class VersionedTableReader(DataSourceReader):
         parts: list[InputPartition] = []
         for seg in _segments(self.manifest):
             files = (
-                _prune_segment_files(seg, aliases, self.skip_filter)
-                if self.skip_filter
+                _prune_segment_files(
+                    seg, aliases, self.skip_filter, self.point_filter
+                )
+                if self.skip_filter or self.point_filter
                 else seg["files"]
             )
             cm = col_map(seg["schema"])
@@ -218,6 +222,18 @@ class VersionedTablePushdownReader(VersionedTableReader):
         )
 
         bounds: dict[str, list] = {}
+        # =/IN conjuncts also carry exact value sets: ranges feed the
+        # min/max stats, the sets feed bloom membership pruning — the
+        # only prune that bites for scattered keys. ANDed conjuncts
+        # intersect.
+        values: dict[str, set] = {}
+
+        def restrict(col: str, vals):
+            try:
+                s = set(vals)
+            except TypeError:
+                return
+            values[col] = s if col not in values else (values[col] & s)
 
         def tighten(col: str, lo, hi):
             cur = bounds.setdefault(col, [None, None])
@@ -232,6 +248,7 @@ class VersionedTablePushdownReader(VersionedTableReader):
                 continue
             if isinstance(f, EqualTo) and f.value is not None:
                 tighten(col, f.value, f.value)
+                restrict(col, [f.value])
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 # stats pruning is inclusive-range; strict vs non-strict
                 # only ever KEEPS a boundary file it could drop — safe
@@ -239,6 +256,7 @@ class VersionedTablePushdownReader(VersionedTableReader):
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 tighten(col, None, f.value)
             elif isinstance(f, In) and f.value and None not in f.value:
+                restrict(col, f.value)
                 try:
                     tighten(col, min(f.value), max(f.value))
                 except TypeError:
@@ -252,6 +270,13 @@ class VersionedTablePushdownReader(VersionedTableReader):
                     hi = phi if hi is None else (hi if phi is None else min(hi, phi))
                 merged[c] = (lo, hi)
             self.skip_filter = merged
+        if values:
+            merged_pts = dict(self.point_filter or {})
+            for c, s in values.items():
+                merged_pts[c] = sorted(
+                    s & set(merged_pts[c]), key=repr
+                ) if c in merged_pts else sorted(s, key=repr)
+            self.point_filter = merged_pts
         return filters  # Spark re-applies everything: pruning-only pushdown
 
 class VersionedTableDataSource(DataSource):
@@ -285,6 +310,7 @@ def read_versioned(
     version: int | None = None,
     as_of: float | None = None,
     skip_filter: dict[str, tuple] | None = None,
+    point_filter: dict[str, list] | None = None,
 ) -> DataFrame:
     """DataFrame over the registered batch source — ``read_snapshot``
     semantics (time travel, stats pruning) through the DataSource API.
@@ -314,6 +340,11 @@ def read_versioned(
         r = r.option(
             "skip_filter",
             json.dumps({c: list(b) for c, b in skip_filter.items()}),
+        )
+    if point_filter:
+        r = r.option(
+            "point_filter",
+            json.dumps({c: list(v) for c, v in point_filter.items()}),
         )
     return r.load()
 
