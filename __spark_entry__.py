@@ -127,6 +127,8 @@ _DEMOTED = (
     # bloom-sketch point_filter pruning (sources/bloom.py); parks outside
     # the window like every post-r3 addition
     "point_lookup_bloom",
+    # atomic partial overwrite (replace_where) — the backfill idiom
+    "backfill_replace_where",
 )
 
 

@@ -569,3 +569,219 @@ def test_merge_not_matched_by_source_refuses_explicit_prune(spark, tmp_path):
             spark, t, src, ["k"],
             when_not_matched_by_source={"nope": F.lit(1)},
         )
+
+
+# --------------------------------------------------------------------------
+# replace_where — atomic partial overwrite (Delta replaceWhere)
+# --------------------------------------------------------------------------
+
+
+def test_replace_where_swaps_slice_atomically(spark, tmp_path):
+    """ONE commit deletes the slice and inserts its recomputation; the
+    un-pruned files carry by reference; history records one version."""
+    from wrtd_etl_spark.sources.versioned import files_for_read, replace_where
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)  # k 0..19 clustered over 4 files
+    before = set(files_for_read(t)[0])
+    repl = spark.createDataFrame(
+        [(k, -1, "new") for k in range(5, 10)], "k long, v long, s string"
+    )
+    v = replace_where(
+        spark,
+        t,
+        (F.col("k") >= 5) & (F.col("k") < 10),
+        repl,
+        prune={"k": (5, 9)},
+    )
+    assert v == 1 and history(t)[0]["mode"] == "replace"
+    got = _rows(read_snapshot(spark, t))
+    want = sorted(
+        [(k, k * 10, f"s{k}") for k in range(20) if not 5 <= k < 10]
+        + [(k, -1, "new") for k in range(5, 10)]
+    )
+    assert got == want
+    # pruning carried the untouched clustered files forward
+    assert before & set(files_for_read(t)[0]), "replace rewrote every file"
+    # time travel reads the pre-replace slice
+    assert _rows(read_snapshot(spark, t, version=0)) == sorted(
+        (k, k * 10, f"s{k}") for k in range(20)
+    )
+
+
+def test_replace_where_refuses_nonconforming_rows(spark, tmp_path):
+    """A replacement row outside the slice would escape the next
+    backfill — refused, nothing committed."""
+    from wrtd_etl_spark.sources.versioned import replace_where
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    bad = spark.createDataFrame(
+        [(5, -1, "in"), (15, -1, "OUT")], "k long, v long, s string"
+    )
+    with pytest.raises(ValueError, match="do not satisfy"):
+        replace_where(spark, t, (F.col("k") >= 5) & (F.col("k") < 10), bad)
+    assert latest_version(t) == 0
+
+
+def test_replace_where_null_predicate_rows_kept_and_nullfill(spark, tmp_path):
+    """SQL semantics: NULL-predicate rows survive; replacement columns
+    absent from df null-fill like a merge insert."""
+    from wrtd_etl_spark.sources.versioned import replace_where
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "b"), (3, 30, "c")],
+            "k long, v long, s string",
+        ),
+        t,
+    )
+    repl = spark.createDataFrame([(3, 99)], "k long, v long")  # no s
+    replace_where(spark, t, F.col("v") > 20, repl)
+    got = _rows(read_snapshot(spark, t))
+    assert got == sorted([(1, 10, "a"), (2, None, "b"), (3, 99, None)])
+
+
+def test_replace_where_empty_slice_is_pure_insert(spark, tmp_path):
+    """A predicate matching nothing still lands df (recomputing a slice
+    that was previously empty)."""
+    from wrtd_etl_spark.sources.versioned import replace_where
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    repl = spark.createDataFrame(
+        [(100, 0, "x")], "k long, v long, s string"
+    )
+    replace_where(
+        spark, t, F.col("k") >= 100, repl, prune={"k": (100, None)}
+    )
+    assert (100, 0, "x") in _rows(read_snapshot(spark, t))
+    assert read_snapshot(spark, t).count() == 21
+
+
+# --------------------------------------------------------------------------
+# Optimistic concurrency: rewrites rebase over concurrent appends
+# --------------------------------------------------------------------------
+
+
+def _hook_append_during_rewrite(monkeypatch, spark, t, rows, schema):
+    """Commit an append AFTER the rewrite has pinned its base manifest
+    but BEFORE its commit — the deterministic version of the race."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    real = V._rewrite_segment
+    state = {"done": False}
+
+    def hooked(*a, **k):
+        if not state["done"]:
+            state["done"] = True
+            write_snapshot(
+                spark.createDataFrame(rows, schema), t, mode="append"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "_rewrite_segment", hooked)
+
+
+def test_delete_where_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """WriteSerializable (the default, Delta's too): a concurrent plain
+    append no longer aborts a delete — its rows carry untouched, the
+    delete applies to the base snapshot, nothing is lost."""
+    from wrtd_etl_spark.sources.versioned import delete_where
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    _hook_append_during_rewrite(
+        monkeypatch, spark, t, [(100, 0, "late")], "k long, v long, s string"
+    )
+    v = delete_where(spark, t, F.col("k") < 5)
+    assert v == 2  # append won v1; the delete rebased onto it
+    got = {r.k for r in read_snapshot(spark, t).collect()}
+    assert got == set(range(5, 20)) | {100}
+    assert history(t)[0]["mode"] == "delete"
+
+
+def test_update_where_serializable_isolation_still_raises(
+    spark, tmp_path, monkeypatch
+):
+    from wrtd_etl_spark.sources.versioned import CommitConflict
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    _hook_append_during_rewrite(
+        monkeypatch, spark, t, [(100, 0, "late")], "k long, v long, s string"
+    )
+    with pytest.raises(CommitConflict):
+        update_where(
+            spark,
+            t,
+            F.col("k") < 5,
+            {"v": F.lit(-1)},
+            isolation="serializable",
+        )
+
+
+def test_merge_rebases_only_over_provably_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """Merge demands a commutation PROOF: the appended files' stats must
+    rule out every source key. Disjoint append → rebase succeeds with
+    both effects; overlapping append → CommitConflict (a blind rebase
+    would lose the matched-update of the appended row)."""
+    from wrtd_etl_spark.sources.versioned import CommitConflict
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)  # layout on k → appends inherit k stats
+    src = spark.createDataFrame([(1, 111, "m")], "k long, v long, s string")
+    _hook_append_during_rewrite(
+        monkeypatch, spark, t, [(500, 0, "far")], "k long, v long, s string"
+    )
+    v = merge_into(spark, t, src, ["k"])
+    assert v == 2
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[1] == 111 and got[500] == 0 and len(got) == 21
+
+    t2 = str(tmp_path / "tbl2")
+    _base(spark, t2)
+    _hook_append_during_rewrite(
+        monkeypatch, spark, t2, [(1, 999, "clash")], "k long, v long, s string"
+    )
+    with pytest.raises(CommitConflict):
+        merge_into(
+            spark,
+            t2,
+            spark.createDataFrame([(1, 111, "m")], "k long, v long, s string"),
+            ["k"],
+        )
+
+
+def test_rewrite_rebase_preserves_append_ledger(spark, tmp_path, monkeypatch):
+    """The streaming exactly-once contract survives a rebase: the
+    concurrent append's manifest ``extra`` (batch-id ledger) is adopted
+    by the rebased rewrite, not clobbered with the base's."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.sources.versioned import delete_where, manifest_info
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+
+    real = V._rewrite_segment
+    state = {"done": False}
+
+    def hooked(*a, **k):
+        if not state["done"]:
+            state["done"] = True
+            write_snapshot(
+                spark.createDataFrame([(100, 0, "x")], "k long, v long, s string"),
+                t,
+                mode="append",
+                extra={"batch_ids": [7]},
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "_rewrite_segment", hooked)
+    delete_where(spark, t, F.col("k") < 5)
+    assert manifest_info(t)["extra"] == {"batch_ids": [7]}

@@ -1895,6 +1895,53 @@ def point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("o_orderkey").isin(keys))
 
 
+@register(
+    "backfill_replace_where",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 1000 OR o_orderkey >= 1400
+    UNION ALL
+    SELECT o_orderkey, 'R' AS o_orderstatus, 0.0 AS o_totalprice
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 1400
+    """,
+)
+def backfill_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic partial overwrite (sources/versioned.replace_where —
+    Delta's replaceWhere): recompute ONE key slice (orderkeys
+    [1000, 1400): status 'R', totalprice zeroed) and swap it in as a
+    single commit; stats pruning rewrites only the clustered files that
+    can hold the slice, the rest carry by reference. The backfill idiom
+    — readers never see a half-replaced table."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_replace_"), "orders")
+    write_snapshot(orders, t, layout_by=["o_orderkey"], layout_files=6)
+    pred = (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1400)
+    replacement = orders.filter(pred).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+    )
+    replace_where(
+        spark,
+        t,
+        pred,
+        replacement,
+        prune={"o_orderkey": (1000, 1399)},
+    )
+    return read_snapshot(spark, t)
+
+
 @register("versioned_changes_stream", None)  # streaming side effects: rows-only
 def versioned_changes_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed STREAM (sources/versioned_stream.read_changes_stream):

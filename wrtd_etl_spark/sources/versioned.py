@@ -416,11 +416,21 @@ def _write_data(df: DataFrame, table: str) -> list[str]:
     snap_id = uuid.uuid4().hex
     data_dir = os.path.join(table, "data", snap_id)
     df.write.parquet(data_dir)
-    return sorted(
-        os.path.join("data", snap_id, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
+    out = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        # empty partitions still emit a parquet file; referencing it
+        # buys nothing (a zero-row scan task per file) and, having no
+        # stats, it blocks every disjointness proof (skip/point/rebase
+        # pruning keeps stat-less files by rule). Drop at the source.
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows == 0:
+            os.remove(os.path.join(data_dir, f))
+            continue
+        out.append(os.path.join("data", snap_id, f))
+    return out
 
 
 def write_snapshot(
@@ -918,6 +928,7 @@ def delete_where(
     table: str,
     predicate,
     prune: dict[str, tuple] | None = None,
+    isolation: str = "write_serializable",
 ) -> int:
     """Copy-on-write DELETE: commit a new version with every row
     matching ``predicate`` removed (SQL semantics — NULL predicate rows
@@ -933,7 +944,14 @@ def delete_where(
     (too-narrow WOULD miss rows — pass None to rewrite everything).
 
     Time travel is untouched: the previous version still references the
-    pre-delete files until ``vacuum`` retention allows reclaim."""
+    pre-delete files until ``vacuum`` retention allows reclaim.
+
+    ``isolation``: under ``"write_serializable"`` (the default — Delta's
+    default level) a concurrent plain APPEND no longer aborts the
+    delete: its segments are carried into the rewritten manifest
+    untouched, the history reading append-then-delete-of-older-rows.
+    ``"serializable"`` restores strict behavior (any concurrent commit
+    raises :class:`CommitConflict`)."""
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -952,7 +970,101 @@ def delete_where(
             spark, table, manifest, rewrite_segs, survivors
         )
     segments = carried + ([new_segment] if new_segment else [])
-    return _commit_rewrite(table, base, manifest, segments, "delete")
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "delete",
+        rebase=_blind_rebase(isolation),
+    )
+
+
+def _blind_rebase(isolation: str):
+    """rebase argument for predicate rewrites (delete/update/replace):
+    WriteSerializable admits every concurrent append unconditionally —
+    the rewrite's read set is closed over its own base snapshot, so
+    appended files carry untouched and the outcome equals the serial
+    order rewrite-then-append (exactly Delta's default level)."""
+    if isolation == "write_serializable":
+        return lambda seg: True
+    if isolation == "serializable":
+        return None
+    raise ValueError(
+        f"isolation must be 'write_serializable' or 'serializable', "
+        f"got {isolation!r}"
+    )
+
+
+def replace_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    df: DataFrame,
+    prune: dict[str, tuple] | None = None,
+    isolation: str = "write_serializable",
+) -> int:
+    """Atomic partial overwrite — Delta's ``replaceWhere``: ONE commit
+    deletes every row matching ``predicate`` and inserts ``df``, the
+    backfill idiom (recompute one day/region/source slice and swap it in
+    without ever exposing a half-replaced table to readers).
+
+    ``df`` must conform to the predicate: a replacement row that does
+    NOT satisfy it would silently escape the next backfill of the same
+    slice, so nonconforming input raises (Delta's
+    "data does not match replaceWhere" check) and nothing commits.
+
+    ``prune`` follows :func:`delete_where`'s contract — an
+    over-approximation of the predicate; files that cannot contain
+    matches carry forward untouched, so replacing one slice of a
+    clustered 100-TB table rewrites that slice's files, not the table.
+    SQL NULL semantics: NULL-predicate rows are kept. The change feed
+    sees honest delete+insert pairs; time travel still reads the
+    pre-replace state."""
+    from pyspark.sql.types import StructType
+
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    aliases = manifest.get("aliases", {})
+    target = StructType.fromJson(manifest["schema"])
+    bad = df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"replace_where input contains rows that do not satisfy the "
+            f"predicate (first: {bad[0].asDict()}); the replacement for a "
+            f"slice must stay inside that slice"
+        )
+    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    survivors = (
+        _read_segments(
+            spark, table, {**manifest, "segments": rewrite_segs}
+        ).filter(~F.coalesce(predicate, F.lit(False)))
+        if rewrite_segs
+        else spark.createDataFrame([], target)
+    )
+    ins_cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in target.fields
+    ]
+    new_rows = survivors.unionByName(df.select(*ins_cols))
+    new_segment = _rewrite_segment(
+        spark, table, manifest, rewrite_segs, new_rows
+    )
+    segments = carried + [new_segment]
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "replace",
+        rebase=_blind_rebase(isolation),
+    )
 
 
 def _split_for_rewrite(
@@ -1072,6 +1184,35 @@ def _rewrite_segment(
     return out
 
 
+def _rebase_appends(
+    table: str, base: int, prev: int, base_manifest: dict, guard
+) -> "tuple[list[dict], dict] | None":
+    """The logical-conflict check behind optimistic rewrites: when every
+    commit in (base, prev] is a plain same-schema append, return its new
+    segments (to carry into the rebased rewrite) plus the latest
+    manifest (whose ``extra`` — the streaming batch-id ledger — and
+    layout the rebase must adopt, or replayed micro-batches would
+    double-ingest). ``guard(segment) -> bool`` is the mode-specific
+    commutation proof (merge: appended files cannot contain any source
+    key); any failure returns None and the caller raises."""
+    segs: list[dict] = []
+    prev_m = base_manifest
+    for v in range(base + 1, prev + 1):
+        m = _read_manifest(table, v)
+        if m["mode"] != "append":
+            return None
+        if m.get("schema") != base_manifest["schema"]:
+            return None  # append evolved the schema: rebase would lose it
+        if m.get("aliases", {}) != base_manifest.get("aliases", {}):
+            return None
+        new = _segments(m)[len(_segments(prev_m)) :]
+        if guard is not None and not all(guard(s) for s in new):
+            return None
+        segs.extend(new)
+        prev_m = m
+    return segs, prev_m
+
+
 def _commit_rewrite(
     table: str,
     base: int,
@@ -1080,11 +1221,21 @@ def _commit_rewrite(
     mode: str,
     extra: dict | None = None,
     schema: dict | None = None,
+    rebase=None,
 ) -> int:
     """Commit a surgical rewrite (delete/update/merge) based on version
-    ``base``. A concurrent commit raises — the rewrite reflects a
-    superseded snapshot and cannot be rebased mechanically. ``schema``
-    overrides the committed table schema (evolving merge)."""
+    ``base``. ``schema`` overrides the committed table schema (evolving
+    merge).
+
+    Concurrency: with ``rebase=None`` a concurrent commit raises —
+    strict serializability, the rewrite reflects a superseded snapshot.
+    With ``rebase=guard`` (a ``segment -> bool`` commutation check), the
+    Delta-style optimistic protocol applies: if every intervening commit
+    is a plain append whose new segments pass the guard, they are
+    carried into the rewritten manifest and the commit retries on the
+    new base — concurrent ingest no longer kills maintenance. Anything
+    unprovable (a racing rewrite, schema evolution, a guard miss) still
+    raises."""
     aliases = manifest.get("aliases", {})
     table_schema = schema if schema is not None else manifest["schema"]
     evolved = (
@@ -1095,10 +1246,27 @@ def _commit_rewrite(
     for _ in range(20):
         prev = _read_pointer(table)
         if prev != base:
-            raise CommitConflict(
-                f"concurrent commit to {table} during {mode} (based on "
-                f"v{base}); re-run"
+            rb = (
+                _rebase_appends(table, base, prev, manifest, rebase)
+                if rebase is not None
+                else None
             )
+            if rb is None:
+                raise CommitConflict(
+                    f"concurrent commit to {table} during {mode} (based "
+                    f"on v{base}); re-run"
+                )
+            carried_segs, latest_m = rb
+            segments = segments + carried_segs
+            evolved = evolved or any(
+                s["schema"] != table_schema for s in carried_segs
+            )
+            manifest = {
+                **manifest,
+                "extra": latest_m.get("extra", {}),
+                "layout": latest_m.get("layout"),
+            }
+            base = prev
         new_manifest = {
             "version": prev + 1,
             "mode": mode,
@@ -1123,6 +1291,7 @@ def update_where(
     predicate,
     set_exprs: dict[str, "Column | object"],
     prune: dict[str, tuple] | None = None,
+    isolation: str = "write_serializable",
 ) -> int:
     """Copy-on-write UPDATE: commit a new version where every row
     matching ``predicate`` has the ``set_exprs`` columns replaced
@@ -1173,7 +1342,14 @@ def update_where(
             spark, table, manifest, rewrite_segs, part.select(*cols)
         )
     segments = carried + ([new_segment] if new_segment else [])
-    return _commit_rewrite(table, base, manifest, segments, "update")
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "update",
+        rebase=_blind_rebase(isolation),
+    )
 
 
 def merge_into(
@@ -1426,9 +1602,23 @@ def merge_into(
         spark, table, manifest, rewrite_segs, new_rows, schema=schema_json
     )
     segments = carried + [new_segment]
+
+    def _append_commutes(seg: dict) -> bool:
+        # Delta-style logical conflict detection: a concurrent append
+        # commutes with this merge only if its files PROVABLY cannot
+        # contain any source key (stats/bloom disjointness) — then no
+        # matched row escaped the rewrite and no not-matched insert got
+        # duplicated, and the rebase is genuinely serializable, not just
+        # write-serializable. No key bounds (prune=None, by-source
+        # sync, oversized source) or no stats on the appended files →
+        # unprovable → conflict.
+        if prune is None and point is None:
+            return False
+        return not _prune_segment_files(seg, aliases, prune, point)
+
     return _commit_rewrite(
         table, base, manifest, segments, "merge", extra=extra,
-        schema=schema_json
+        schema=schema_json, rebase=_append_commutes
     )
 
 
