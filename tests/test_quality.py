@@ -155,3 +155,151 @@ def test_quality_gate_registry_query_counts_match_plants(spark):
     assert got.get("not_null(c_custkey)", 0) == n_null
     assert got.get("in_range(c_acctbal)", 0) == n_low
     assert n_null > 0  # the plant is non-vacuous at this SF
+
+
+# --------------------------------------------------------------------------
+# Persisted CHECK constraints (Delta ADD CONSTRAINT semantics)
+# --------------------------------------------------------------------------
+
+
+def test_add_constraint_validates_existing_data_then_gates_writes(
+    spark, tmp_path
+):
+    """A constraint lands only if the current snapshot satisfies it;
+    from then on every append is gated automatically (no checks= at the
+    call site) with violations quarantined."""
+    from pyspark.sql import functions as F
+
+    from wrtd_etl_spark.sources.versioned import (
+        QualityGateViolation,
+        add_check_constraint,
+        check_constraints,
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), t
+    )
+    with pytest.raises(ValueError, match="existing data"):
+        add_check_constraint(spark, t, "v_big", "v > 15")
+    add_check_constraint(spark, t, "v_pos", "v > 0")
+    assert check_constraints(t) == {"v_pos": "v > 0"}
+
+    with pytest.raises(QualityGateViolation, match="v_pos"):
+        write_snapshot(
+            spark.createDataFrame([(3, -5)], "k long, v long"),
+            t,
+            mode="append",
+        )
+    assert latest_version(t) == 1  # refused: nothing committed
+    # the bad row is quarantined like an explicit checks= gate
+    q = read_snapshot(spark, t + "__quarantine")
+    assert [(r.k, r.v) for r in q.collect()] == [(3, -5)]
+    # clean rows (and NULLs — SQL CHECK semantics) still land
+    write_snapshot(
+        spark.createDataFrame([(3, None), (4, 4)], "k long, v long"),
+        t,
+        mode="append",
+    )
+    assert read_snapshot(spark, t).count() == 4
+
+
+def test_constraint_gates_rewrites_and_survives_maintenance(
+    spark, tmp_path
+):
+    """UPDATE/MERGE output is enforced too, and the constraint set rides
+    through compact and rollback."""
+    from pyspark.sql import functions as F
+
+    from wrtd_etl_spark.sources.versioned import (
+        QualityGateViolation,
+        add_check_constraint,
+        check_constraints,
+        compact,
+        latest_version,
+        merge_into,
+        rollback,
+        update_where,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), t
+    )
+    add_check_constraint(spark, t, "v_pos", "v > 0")
+    before = latest_version(t)
+    with pytest.raises(QualityGateViolation, match="v_pos"):
+        update_where(spark, t, F.col("k") == 1, {"v": F.lit(-1)})
+    assert latest_version(t) == before
+    with pytest.raises(QualityGateViolation, match="v_pos"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(9, -9)], "k long, v long"),
+            ["k"],
+            prune=None,
+        )
+    assert latest_version(t) == before
+    update_where(spark, t, F.col("k") == 1, {"v": F.lit(99)})  # clean: ok
+
+    compact(spark, t, target_files=1)
+    assert check_constraints(t) == {"v_pos": "v > 0"}
+    rollback(t, before)
+    assert check_constraints(t) == {"v_pos": "v > 0"}
+
+
+def test_drop_constraint_reopens_writes(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import (
+        add_check_constraint,
+        check_constraints,
+        drop_check_constraint,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, 10)], "k long, v long"), t)
+    add_check_constraint(spark, t, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_check_constraint(spark, t, "v_pos", "v > 1")
+    drop_check_constraint(t, "v_pos")
+    assert check_constraints(t) == {}
+    write_snapshot(
+        spark.createDataFrame([(2, -2)], "k long, v long"), t, mode="append"
+    )
+    assert read_snapshot(spark, t).count() == 2
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_check_constraint(t, "nope")
+
+
+def test_datasource_write_gated_by_persisted_constraint(spark, tmp_path):
+    """The format writer stages parquet executor-side; the persisted
+    constraint gate scans the staged files and refuses the COMMIT — the
+    table pointer never moves."""
+    from wrtd_etl_spark.sources.versioned import (
+        add_check_constraint,
+        latest_version,
+        write_snapshot,
+    )
+    from wrtd_etl_spark.sources.versioned_table import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, 10)], "k long, v long"), t)
+    add_check_constraint(spark, t, "v_pos", "v > 0")
+    v = latest_version(t)
+    bad = spark.createDataFrame([(2, -2)], "k long, v long")
+    with pytest.raises(Exception, match="v_pos"):
+        (
+            bad.write.format("versioned_table")
+            .mode("append")
+            .option("path", t)
+            .save()
+        )
+    assert latest_version(t) == v

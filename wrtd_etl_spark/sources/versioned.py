@@ -362,6 +362,100 @@ def _point_keeps(st, bl, vals) -> bool:
     return True
 
 
+def _constraint_checks(constraints: dict[str, str]) -> list[dict]:
+    """Persisted CHECK constraints as operators/quality.py row checks.
+    Delta semantics: a row violates only when the expression evaluates
+    to FALSE — NULL passes (pair with an explicit IS NOT NULL check to
+    reject NULLs)."""
+    return [
+        {
+            "kind": "row",
+            "name": f"check:{name}",
+            "bad": ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+        }
+        for name, expr in sorted(constraints.items())
+    ]
+
+
+def _table_constraints(table: str) -> dict[str, str]:
+    """The latest version's persisted CHECK constraints ({} if none or
+    the table doesn't exist yet)."""
+    p = _read_pointer(table)
+    if p is None:
+        return {}
+    return _read_manifest(table, p).get("constraints", {})
+
+
+def _enforce_constraints_on_files(
+    table: str, rel_files: list[str], constraints: dict[str, str]
+) -> None:
+    """Post-staging constraint gate for writers that stage parquet
+    executor-side (the versioned_table DataSource): one scan of the new
+    files, refuse the commit on any violation.
+
+    The DataSource writer's ``commit`` runs in a SANDBOXED Python worker
+    process with no SparkSession, so the gate is dual-engine: with a
+    session (in-process callers) it is one Spark agg scan; without one
+    it evaluates the same boolean expression with DuckDB over the staged
+    files. FAIL-CLOSED: a constraint that cannot be verified (no
+    engine, or an expression outside the ANSI subset both engines parse)
+    refuses the commit rather than waving dirty data through — which is
+    why constraint expressions should stay plain ANSI comparisons."""
+    if not constraints or not rel_files:
+        return
+    paths = [os.path.join(table, f) for f in rel_files]
+    active = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if active is not None:
+        from ..operators.quality import run_checks
+
+        df = active.read.parquet(*paths)
+        failed = [
+            r
+            for r in run_checks(
+                df, _constraint_checks(constraints)
+            ).collect()
+            if not r.passed
+        ]
+        if failed:
+            detail = "; ".join(
+                f"{r.check}: {r.violations}/{r.total}" for r in failed
+            )
+            raise QualityGateViolation(
+                f"commit to {table} refused — persisted constraint(s) "
+                f"violated: {detail}"
+            )
+        return
+    try:
+        import duckdb
+    except ImportError as e:  # pragma: no cover - env without duckdb
+        raise QualityGateViolation(
+            f"commit to {table} refused — persisted constraints "
+            f"{sorted(constraints)} cannot be verified in this sandboxed "
+            f"writer (no SparkSession, no duckdb): {e}"
+        )
+    con = duckdb.connect()
+    file_list = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    for name, expr in sorted(constraints.items()):
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet([{file_list}]) "
+                f"WHERE NOT coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+        except Exception as e:
+            raise QualityGateViolation(
+                f"commit to {table} refused — constraint {name!r} "
+                f"({expr!r}) could not be verified in the sandboxed "
+                f"writer: {e}; write through write_snapshot instead"
+            )
+        if n:
+            raise QualityGateViolation(
+                f"commit to {table} refused — persisted constraint "
+                f"check:{name} violated: {n} row(s)"
+            )
+
+
 def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
     """Flattened historical-name → current-name map: composing
     ``renames`` (old → new, names as of the previous version) onto the
@@ -484,6 +578,11 @@ def write_snapshot(
         raise ValueError(f"unsupported mode: {mode!r}")
     if renames and mode != "append":
         raise ValueError("renames are only meaningful for mode='append'")
+    # persisted CHECK constraints (add_check_constraint) gate every
+    # write exactly like an explicit checks= suite — incl. quarantine
+    persisted = _table_constraints(table)
+    if persisted:
+        checks = list(checks or []) + _constraint_checks(persisted)
     if checks:
         # Write-time constraint gate (operators/quality.py suite): a
         # dirty batch is refused BEFORE any data file is staged, and its
@@ -564,6 +663,7 @@ def write_snapshot(
         renames,
         declared_layout,
         blooms,
+        constraints_checked=True,
     )
 
 
@@ -577,6 +677,7 @@ def _commit_new_segment(
     renames: dict[str, str] | None,
     declared_layout: dict | None,
     blooms: dict[str, dict] | None = None,
+    constraints_checked: bool = False,
 ) -> int:
     """Commit already-written data files as a new version: the
     rebase-on-conflict manifest loop shared by :func:`write_snapshot`
@@ -584,6 +685,13 @@ def _commit_new_segment(
     (sources/versioned_table.py) — executors stage parquet however they
     like; THIS is the single commit protocol (schema merge, rename
     guard, layout carry, put-if-absent link)."""
+    constraints = _table_constraints(table)
+    if constraints and not constraints_checked:
+        # DataSource writers stage executor-side, so the gate runs over
+        # the staged files; a refusal leaves orphans for vacuum, never a
+        # committed dirty version (write_snapshot pre-gates instead and
+        # passes constraints_checked=True)
+        _enforce_constraints_on_files(table, new_files, constraints)
     stats = (
         _collect_file_stats(table, new_files, stats_cols)
         if stats_cols
@@ -667,6 +775,7 @@ def _commit_new_segment(
             "schema_evolved": evolved,
             "aliases": aliases,
             "layout": layout,
+            "constraints": constraints,
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -1138,6 +1247,27 @@ def _rewrite_segment(
     AQE-collapse to one wide-stats file, so per-file stats stay at least
     as narrow as the files being replaced."""
     aliases = manifest.get("aliases", {})
+    constraints = manifest.get("constraints", {})
+    if constraints:
+        # Delta enforces CHECK on UPDATE/MERGE output too: one agg pass
+        # over the replacement rows, refused before any file is staged
+        from ..operators.quality import run_checks
+
+        failed = [
+            r
+            for r in run_checks(
+                rows, _constraint_checks(constraints)
+            ).collect()
+            if not r.passed
+        ]
+        if failed:
+            detail = "; ".join(
+                f"{r.check}: {r.violations}/{r.total}" for r in failed
+            )
+            raise QualityGateViolation(
+                f"rewrite of {table} refused — persisted constraint(s) "
+                f"violated by replacement rows: {detail}"
+            )
     layout = manifest.get("layout")
     if layout:
         replaced = sum(len(s["files"]) for s in rewrite_segs) or 1
@@ -1265,6 +1395,7 @@ def _commit_rewrite(
                 **manifest,
                 "extra": latest_m.get("extra", {}),
                 "layout": latest_m.get("layout"),
+                "constraints": latest_m.get("constraints", {}),
             }
             base = prev
         new_manifest = {
@@ -1277,6 +1408,7 @@ def _commit_rewrite(
             "schema_evolved": evolved,
             "aliases": aliases,
             "layout": manifest.get("layout"),
+            "constraints": manifest.get("constraints", {}),
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -1824,12 +1956,91 @@ def rollback(table: str, version: int) -> int:
             "schema_evolved": bool(target.get("schema_evolved")),
             "aliases": target.get("aliases", {}),
             "layout": target.get("layout"),
+            "constraints": target.get("constraints", {}),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
         if _try_commit(table, prev + 1, manifest):
             return prev + 1
     raise CommitConflict(f"rollback of {table} kept losing the commit race")
+
+
+def check_constraints(table: str) -> dict[str, str]:
+    """The table's persisted CHECK constraints ({name: boolean SQL
+    expression})."""
+    return dict(_table_constraints(table))
+
+
+def _commit_constraints(table: str, constraints: dict[str, str]) -> int:
+    """Metadata-only commit replacing the constraint set: same files and
+    segments, mode 'append' with nothing appended — so delta-based
+    consumers (MVs, indexes, the change feed) see an empty advance, not
+    a rewrite."""
+    for _ in range(20):
+        prev = _read_pointer(table)
+        m = _read_manifest(table, prev)
+        new = {
+            **m,
+            "version": prev + 1,
+            "mode": "append",
+            "parent": prev,
+            "constraints": constraints,
+            "committed_at": time.time(),
+        }
+        if _try_commit(table, prev + 1, new):
+            return prev + 1
+    raise CommitConflict(
+        f"constraint change on {table} kept losing the commit race"
+    )
+
+
+def add_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """Persist a Delta-style CHECK constraint: ``expr`` is a boolean SQL
+    expression every row must satisfy (NULL passes — SQL CHECK
+    semantics). From this commit on, EVERY write path enforces it:
+    ``write_snapshot`` pre-gates (violations quarantined like an
+    explicit ``checks=`` suite), merge/update/delete/replace refuse
+    replacement rows that violate, and the versioned_table DataSource
+    writers gate their staged files before the commit lands.
+
+    Like Delta's ``ADD CONSTRAINT``, the CURRENT snapshot is validated
+    first — a constraint the existing data already violates is refused,
+    so a green table can never turn retroactively red."""
+    cur = _table_constraints(table)
+    if name in cur:
+        raise ValueError(
+            f"constraint {name!r} already exists on {table} "
+            f"({cur[name]!r}); drop it first"
+        )
+    probe = [
+        {
+            "kind": "row",
+            "name": f"check:{name}",
+            "bad": ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+        }
+    ]
+    from ..operators.quality import run_checks
+
+    report = run_checks(read_snapshot(spark, table), probe).collect()
+    bad = [r for r in report if not r.passed]
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r} to {table}: existing data "
+            f"violates it ({bad[0].violations}/{bad[0].total} rows)"
+        )
+    return _commit_constraints(table, {**cur, name: expr})
+
+
+def drop_check_constraint(table: str, name: str) -> int:
+    """Remove a persisted CHECK constraint (raises if absent)."""
+    cur = _table_constraints(table)
+    if name not in cur:
+        raise ValueError(f"no constraint {name!r} on {table}")
+    return _commit_constraints(
+        table, {k: v for k, v in cur.items() if k != name}
+    )
 
 
 def vacuum(
@@ -1981,6 +2192,7 @@ def compact(
         "schema_evolved": False,
         "aliases": {},
         "layout": layout,
+        "constraints": base_manifest.get("constraints", {}),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the
