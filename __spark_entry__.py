@@ -129,6 +129,9 @@ _DEMOTED = (
     "point_lookup_bloom",
     # atomic partial overwrite (replace_where) — the backfill idiom
     "backfill_replace_where",
+    # exactly-once streaming MERGE sink folding CDC batches (arg_max
+    # oracle); parks outside the window like every post-r3 addition
+    "stream_merge_upsert",
 )
 
 

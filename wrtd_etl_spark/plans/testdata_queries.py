@@ -2081,3 +2081,62 @@ def versioned_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+@register(
+    "stream_merge_upsert",
+    """
+    WITH last AS (
+        SELECT o_custkey AS k,
+               arg_max(o_orderstatus, o_orderkey) AS v
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT k, v FROM last WHERE v <> 'F'
+    """,
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming UPSERT sink
+    (streaming/versioned_sink.make_versioned_merge_sink): three
+    orderkey-ordered CDC batches fold into a versioned dimension, each
+    as ONE atomic merge_into commit — status 'F' rows are deletes,
+    everything else upserts, and within a batch the highest orderkey is
+    the key's final word. The surviving state is exactly DuckDB's
+    arg_max-per-customer with 'F' keys absent — the reference's poll
+    loop (cursor fetch -> ON CONFLICT DO UPDATE, functions.py:178-183)
+    as a lake-scale stream."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import read_snapshot
+    from ..streaming.versioned_sink import make_versioned_merge_sink
+
+    log = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderstatus").alias("v"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    cuts = [
+        r[0]
+        for r in log.selectExpr(
+            "percentile_approx(seq, array(0.33, 0.66), 10000) AS c"
+        )
+        .selectExpr("explode(c)")
+        .collect()
+    ]
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_merge_stream_"), "dim")
+    sink = make_versioned_merge_sink(
+        t,
+        ["k"],
+        delete_when=F.col("op") == "D",
+        order_by=["seq"],
+        source_meta_cols=("seq", "op"),
+    )
+    batches = [
+        log.filter(F.col("seq") <= cuts[0]),
+        log.filter((F.col("seq") > cuts[0]) & (F.col("seq") <= cuts[1])),
+        log.filter(F.col("seq") > cuts[1]),
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    return read_snapshot(spark, t).select("k", "v")

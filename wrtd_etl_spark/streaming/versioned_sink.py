@@ -86,3 +86,130 @@ def run_versioned_append_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def make_versioned_merge_sink(
+    table: str,
+    keys: list[str],
+    delete_when=None,
+    order_by: list[str] | None = None,
+    source_meta_cols: tuple[str, ...] = (),
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    max_conflict_retries: int = 5,
+):
+    """Exactly-once streaming UPSERT: the ``foreachBatch`` function that
+    folds each micro-batch into a versioned table with ONE atomic
+    ``merge_into`` commit — the lake-scale form of the reference's poll
+    loop (cursor fetch → ``INSERT ... ON CONFLICT DO UPDATE``,
+    functions.py:178-183), where the append sink above only accretes.
+
+    * ``keys`` — the merge identity. A CDC batch may carry MANY ops for
+      one key; ``order_by`` names the columns (e.g. a log sequence
+      number) whose per-key MAXIMUM row is the batch's final word — the
+      within-batch collapse that makes the source merge-unique. Without
+      ``order_by``, duplicate keys in a batch are refused (merge_into's
+      ambiguity rule). ``order_by`` columns stay data columns unless
+      also listed in ``source_meta_cols``.
+    * ``delete_when`` — Column over the source row (after collapse):
+      rows satisfying it delete the target key; a delete for an absent
+      key is a no-op. Pair with ``source_meta_cols`` so op flags never
+      become table columns.
+    * Exactly-once from foreachBatch's at-least-once: the merge commit
+      stamps ``batch_id`` into the manifest (``extra``), and a replayed
+      batch whose id matches the latest commit is a no-op — same ledger
+      as the append sink; rebases over concurrent appends adopt the
+      append's ``extra``, so the ledger survives races.
+    * A ``CommitConflict`` (non-commuting concurrent writer) re-runs the
+      merge on the new base — safe because the merge itself is
+      idempotent per batch id and nothing was committed.
+
+    First batch bootstraps the table (delete rows dropped)."""
+    from ..sources.versioned import CommitConflict, merge_into
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return  # empty trigger: no new version
+        spark = batch.sparkSession
+        src = batch
+        if order_by:
+            from pyspark.sql import Window, functions as F
+
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order_by]
+            )
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        prev = latest_version(table)
+        if prev is None:
+            data = src
+            if delete_when is not None:
+                data = data.filter(~_null_false(delete_when))
+            if source_meta_cols:
+                data = data.drop(*source_meta_cols)
+            write_snapshot(
+                data,
+                table,
+                extra={"batch_id": batch_id},
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+            return
+        if manifest_info(table).get("extra", {}).get("batch_id") == batch_id:
+            return  # replayed delivery: already committed
+        for attempt in range(max_conflict_retries):
+            try:
+                merge_into(
+                    spark,
+                    table,
+                    src,
+                    keys,
+                    delete_when=delete_when,
+                    source_meta_cols=source_meta_cols,
+                    extra={"batch_id": batch_id},
+                )
+                return
+            except CommitConflict:
+                if attempt == max_conflict_retries - 1:
+                    raise
+                # a non-commuting writer landed mid-merge: if it was OUR
+                # replay (crash-restart race) the ledger now shows this
+                # batch; otherwise re-run on the new base
+                if (
+                    manifest_info(table).get("extra", {}).get("batch_id")
+                    == batch_id
+                ):
+                    return
+
+    return sink
+
+
+def _null_false(col):
+    """NULL-safe predicate: NULL → False (a row with an unset op flag is
+    data, not a delete)."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
+def run_versioned_merge_stream(
+    stream: DataFrame,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+    **sink_kwargs,
+) -> None:
+    """Drive a (bounded) CDC stream to completion, one MERGE commit per
+    micro-batch."""
+    q = (
+        stream.writeStream.foreachBatch(
+            make_versioned_merge_sink(table, keys, **sink_kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
