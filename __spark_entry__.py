@@ -132,6 +132,8 @@ _DEMOTED = (
     # exactly-once streaming MERGE sink folding CDC batches (arg_max
     # oracle); parks outside the window like every post-r3 addition
     "stream_merge_upsert",
+    # enforced UNIQUE (primary-key) ingest gate on versioned tables
+    "unique_gate_ingest",
 )
 
 

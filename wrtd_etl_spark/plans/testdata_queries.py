@@ -2140,3 +2140,52 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, b in enumerate(batches):
         sink(b, i)
     return read_snapshot(spark, t).select("k", "v")
+
+
+@register(
+    "unique_gate_ingest",
+    """
+    SELECT c_custkey AS k, c_name AS name FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000 AS k, 'copy_' || c_custkey AS name
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def unique_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforced UNIQUE constraint
+    (sources/versioned.add_unique_constraint): a primary-keyed ingest
+    table refuses the batch that re-sends existing keys (the probe
+    point-prunes candidate files via stats+blooms) and accepts the
+    batch of genuinely new keys — so the final snapshot is exactly
+    base ∪ fresh, duplicates impossible by construction. The guarantee
+    the reference leans on Postgres PKs for (create_tables.sql FKs/PKs),
+    enforced at lake scale."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        UniqueConstraintViolation,
+        add_unique_constraint,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_unique_"), "dim")
+    write_snapshot(
+        customer, t, stats_cols=["k"], bloom_cols=["k"]
+    )
+    add_unique_constraint(spark, t, "pk", ["k"])
+    dup = customer.filter(F.col("k") < 100)
+    try:
+        write_snapshot(dup, t, mode="append")
+    except UniqueConstraintViolation:
+        pass  # the gate did its job; a silent accept would dup rows
+    fresh = dup.select(
+        (F.col("k") + 1_000_000).alias("k"),
+        F.concat(F.lit("copy_"), F.col("k").cast("string")).alias("name"),
+    )
+    write_snapshot(fresh, t, mode="append")
+    return read_snapshot(spark, t)

@@ -93,6 +93,12 @@ class CommitConflict(RuntimeError):
     rebased automatically (compact/rollback) — re-read and retry."""
 
 
+class UniqueConstraintViolation(QualityGateViolation):
+    """A commit would have introduced duplicate values of a persisted
+    UNIQUE constraint's key — within the batch, or between the batch and
+    the rows already in the table."""
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFESTS, f"v{version}.json")
 
@@ -456,6 +462,207 @@ def _enforce_constraints_on_files(
             )
 
 
+# UNIQUE constraints: how many distinct batch keys we are willing to
+# carry driver-side to point-prune the existence probe; above this the
+# probe falls back to a distributed semi-join over the full file set
+_UNIQ_POINT_CAP = 50_000
+
+
+def _table_unique(table: str) -> dict[str, list[str]]:
+    """The latest version's persisted UNIQUE constraints
+    ({name: [key columns]}; {} if none or the table doesn't exist)."""
+    p = _read_pointer(table)
+    if p is None:
+        return {}
+    return _read_manifest(table, p).get("unique", {})
+
+
+def _uniq_spark():
+    return SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+
+
+def _uniq_read(table: str, rel_files: list[str], cols: list[str]):
+    """Non-NULL key tuples of ``cols`` in ``rel_files`` — a Spark
+    DataFrame with an active session, else a DuckDB relation (the
+    sandboxed DataSource-writer commit), else fail closed. SQL UNIQUE
+    semantics: a tuple with any NULL component never conflicts."""
+    paths = [os.path.join(table, f) for f in rel_files]
+    active = _uniq_spark()
+    if active is not None:
+        return active.read.parquet(*paths).select(*cols).na.drop("any"), None
+    try:
+        import duckdb
+    except ImportError as e:  # pragma: no cover - env without duckdb
+        raise UniqueConstraintViolation(
+            f"commit to {table} refused — UNIQUE constraint on {cols} "
+            f"cannot be verified here (no SparkSession, no duckdb): {e}"
+        )
+    con = duckdb.connect()
+    file_list = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+    notnull = " AND ".join(
+        '"' + c.replace('"', '""') + '" IS NOT NULL' for c in cols
+    )
+    rel = con.sql(
+        f"SELECT {quoted} FROM read_parquet([{file_list}]) WHERE {notnull}"
+    )
+    return rel, con
+
+
+def _uniq_dup_in_files(
+    table: str, rel_files: list[str], cols: list[str]
+) -> bool:
+    """True when some non-NULL key tuple appears more than once WITHIN
+    the given files."""
+    if not rel_files:
+        return False
+    keys, con = _uniq_read(table, rel_files, cols)
+    if con is None:
+        return bool(
+            keys.groupBy(*cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )
+    quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+    return bool(
+        con.sql(
+            f"SELECT 1 FROM ({keys.sql_query()}) GROUP BY {quoted} "
+            f"HAVING count(*) > 1 LIMIT 1"
+        ).fetchone()
+    )
+
+
+def _uniq_overlap_exists(
+    table: str,
+    new_rel: list[str],
+    existing_rel: list[str],
+    cols: list[str],
+) -> bool:
+    """True when any non-NULL key tuple of the staged files also exists
+    in the given existing files."""
+    if not new_rel or not existing_rel:
+        return False
+    new_keys, con = _uniq_read(table, new_rel, cols)
+    if con is None:
+        old_keys, _ = _uniq_read(table, existing_rel, cols)
+        return bool(old_keys.join(new_keys.distinct(), cols, "semi").take(1))
+    old_paths = ", ".join(
+        "'" + os.path.join(table, f).replace("'", "''") + "'"
+        for f in existing_rel
+    )
+    quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+    notnull = " AND ".join(
+        '"' + c.replace('"', '""') + '" IS NOT NULL' for c in cols
+    )
+    return bool(
+        con.sql(
+            f"SELECT 1 FROM (SELECT {quoted} FROM read_parquet([{old_paths}]) "
+            f"WHERE {notnull}) t SEMI JOIN (SELECT DISTINCT * FROM "
+            f"({new_keys.sql_query()})) s USING ({quoted}) LIMIT 1"
+        ).fetchone()
+    )
+
+
+def _uniq_point_filter(
+    table: str, rel_files: list[str], cols: list[str]
+) -> dict[str, list] | None:
+    """Per-column distinct values of the staged batch keys, for
+    stats/bloom file pruning of the existence probe — None when the
+    batch is too distinct to carry driver-side (the probe then scans
+    unpruned, still one semi-join)."""
+    keys, con = _uniq_read(table, rel_files, cols)
+    if con is None:
+        rows = keys.distinct().limit(_UNIQ_POINT_CAP + 1).collect()
+    else:
+        rows = con.sql(
+            f"SELECT DISTINCT * FROM ({keys.sql_query()}) "
+            f"LIMIT {_UNIQ_POINT_CAP + 1}"
+        ).fetchall()
+    if len(rows) > _UNIQ_POINT_CAP:
+        return None
+    if not rows:
+        return {}
+    return {c: sorted({r[i] for r in rows}) for i, c in enumerate(cols)}
+
+
+def _enforce_unique_on_commit(
+    table: str,
+    new_files: list[str],
+    df_schema: dict,
+    prev: int,
+    uniq: dict[str, list[str]],
+    checked_internal: set,
+    probed: dict,
+) -> None:
+    """The UNIQUE gate for one commit attempt against base version
+    ``prev``: refuse duplicated keys within the staged files, and keys
+    that already exist in the table as of ``prev``. The put-if-absent
+    link makes this serializable — if another writer lands after the
+    probe, OUR link fails and the retry re-probes just the files that
+    commit added (``delta_files``), so concurrent clean appends never
+    sneak a duplicate past each other.
+
+    Constraints whose key columns are absent from the batch schema are
+    vacuously satisfied (the appended rows read back as NULL keys, which
+    SQL UNIQUE exempts)."""
+    fields = set(_schema_fields(df_schema))
+    for name, cols in sorted(uniq.items()):
+        if not set(cols) <= fields:
+            continue
+        if name not in checked_internal:
+            if _uniq_dup_in_files(table, new_files, cols):
+                raise UniqueConstraintViolation(
+                    f"commit to {table} refused — UNIQUE {name} "
+                    f"({cols}): duplicate keys within the batch"
+                )
+            checked_internal.add(name)
+        if prev is None or probed.get(name) == prev:
+            continue
+        if probed.get(name) is None:
+            existing = None  # full (pruned) probe of version prev
+        else:
+            existing = delta_files(table, probed[name], prev)
+        if existing is None:
+            m = _read_manifest(table, prev)
+            if m.get("schema_evolved"):
+                # evolved segments may predate the key columns; the
+                # file-list read path can't NULL-fill, so probe through
+                # the schema-aware reader (in-process writers only)
+                active = _uniq_spark()
+                if active is None:
+                    raise UniqueConstraintViolation(
+                        f"commit to {table} refused — UNIQUE {name} "
+                        "cannot be verified against an evolved table "
+                        "from a sandboxed writer; use write_snapshot"
+                    )
+                new_keys, _ = _uniq_read(table, new_files, cols)
+                old = (
+                    read_snapshot(active, table, version=prev)
+                    .select(*cols)
+                    .na.drop("any")
+                )
+                if old.join(new_keys.distinct(), cols, "semi").take(1):
+                    raise UniqueConstraintViolation(
+                        f"commit to {table} refused — UNIQUE {name} "
+                        f"({cols}): key already present in the table"
+                    )
+                probed[name] = prev
+                continue
+            pf = _uniq_point_filter(table, new_files, cols)
+            existing, _total = files_for_read(
+                table, version=prev, point_filter=pf
+            )
+        if _uniq_overlap_exists(table, new_files, existing, cols):
+            raise UniqueConstraintViolation(
+                f"commit to {table} refused — UNIQUE {name} ({cols}): "
+                f"key already present in the table"
+            )
+        probed[name] = prev
+
+
 def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
     """Flattened historical-name → current-name map: composing
     ``renames`` (old → new, names as of the previous version) onto the
@@ -701,9 +908,29 @@ def _commit_new_segment(
     if blooms:
         new_segment["blooms"] = blooms
 
+    uniq_checked_internal: set = set()
+    uniq_probed: dict = {}
     for _ in range(20):
         prev = _read_pointer(table)
         version = 0 if prev is None else prev + 1
+        uniq = (
+            _read_manifest(table, prev).get("unique", {})
+            if prev is not None
+            else {}
+        )
+        if uniq:
+            # probe is pinned to base `prev`; if another commit wins the
+            # link race we loop and re-probe only its delta — UNIQUE
+            # stays serializable under optimistic concurrency
+            _enforce_unique_on_commit(
+                table,
+                new_files,
+                df_schema,
+                prev if mode == "append" else None,
+                uniq,
+                uniq_checked_internal,
+                uniq_probed,
+            )
         if mode == "append" and prev is not None:
             prev_manifest = _read_manifest(table, prev)
             aliases = _compose_aliases(
@@ -776,6 +1003,7 @@ def _commit_new_segment(
             "aliases": aliases,
             "layout": layout,
             "constraints": constraints,
+            "unique": uniq,
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -1076,7 +1304,12 @@ def delete_where(
         )
         survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
         new_segment = _rewrite_segment(
-            spark, table, manifest, rewrite_segs, survivors
+            spark,
+            table,
+            manifest,
+            rewrite_segs,
+            survivors,
+            changed_cols=set(),  # deletion cannot create a duplicate
         )
     segments = carried + ([new_segment] if new_segment else [])
     return _commit_rewrite(
@@ -1232,6 +1465,7 @@ def _rewrite_segment(
     rewrite_segs: list[dict],
     rows: DataFrame,
     schema: dict | None = None,
+    changed_cols: "set[str] | None" = None,
 ) -> dict:
     """Write ``rows`` as the replacement segment for ``rewrite_segs``,
     re-collecting file stats for every column the replaced files had
@@ -1268,6 +1502,60 @@ def _rewrite_segment(
                 f"rewrite of {table} refused — persisted constraint(s) "
                 f"violated by replacement rows: {detail}"
             )
+    # UNIQUE enforcement on rewrites: only constraints whose key columns
+    # this rewrite can actually alter (``changed_cols``; None = assume
+    # all, e.g. MERGE inserts) need checking — a delete or an update of
+    # non-key columns cannot create a duplicate where none existed
+    uniq = {
+        name: cols
+        for name, cols in manifest.get("unique", {}).items()
+        if changed_cols is None or set(cols) & changed_cols
+    }
+    if uniq:
+        rewritten = {f for s in rewrite_segs for f in s["files"]}
+        aliases_u = manifest.get("aliases", {})
+        for name, cols in sorted(uniq.items()):
+            keys = rows.select(*cols).na.drop("any")
+            if keys.groupBy(*cols).count().filter(F.col("count") > 1).take(1):
+                raise UniqueConstraintViolation(
+                    f"rewrite of {table} refused — UNIQUE {name} ({cols}):"
+                    " duplicate keys among the replacement rows"
+                )
+            vals = keys.distinct().limit(_UNIQ_POINT_CAP + 1).collect()
+            if not vals:
+                continue  # no non-NULL replacement keys: nothing to hit
+            pf = (
+                {c: sorted({r[i] for r in vals}) for i, c in enumerate(cols)}
+                if len(vals) <= _UNIQ_POINT_CAP
+                else None
+            )
+            carried_segs = [
+                {
+                    **seg,
+                    "files": _prune_segment_files(
+                        {
+                            **seg,
+                            "files": [
+                                f for f in seg["files"] if f not in rewritten
+                            ],
+                        },
+                        aliases_u,
+                        None,
+                        pf,
+                    ),
+                }
+                for seg in _segments(manifest)
+            ]
+            if any(s["files"] for s in carried_segs):
+                old = _read_segments(
+                    spark, table, {**manifest, "segments": carried_segs}
+                ).select(*cols).na.drop("any")
+                if old.join(keys.distinct(), cols, "semi").take(1):
+                    raise UniqueConstraintViolation(
+                        f"rewrite of {table} refused — UNIQUE {name} "
+                        f"({cols}): a replacement row's key already exists"
+                        " in a carried file"
+                    )
     layout = manifest.get("layout")
     if layout:
         replaced = sum(len(s["files"]) for s in rewrite_segs) or 1
@@ -1368,6 +1656,11 @@ def _commit_rewrite(
     raises."""
     aliases = manifest.get("aliases", {})
     table_schema = schema if schema is not None else manifest["schema"]
+    if manifest.get("unique") and rebase is not None:
+        # the rewrite's UNIQUE probe covered the files of `base` only;
+        # an append carried in by rebase was never checked against the
+        # replacement rows — strict conflict, caller re-runs on new base
+        rebase = None
     evolved = (
         bool(aliases)
         or bool(manifest.get("schema_evolved"))
@@ -1396,6 +1689,7 @@ def _commit_rewrite(
                 "extra": latest_m.get("extra", {}),
                 "layout": latest_m.get("layout"),
                 "constraints": latest_m.get("constraints", {}),
+                "unique": latest_m.get("unique", {}),
             }
             base = prev
         new_manifest = {
@@ -1409,6 +1703,7 @@ def _commit_rewrite(
             "aliases": aliases,
             "layout": manifest.get("layout"),
             "constraints": manifest.get("constraints", {}),
+            "unique": manifest.get("unique", {}),
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -1471,7 +1766,12 @@ def update_where(
             else:
                 cols.append(F.col(f.name))
         new_segment = _rewrite_segment(
-            spark, table, manifest, rewrite_segs, part.select(*cols)
+            spark,
+            table,
+            manifest,
+            rewrite_segs,
+            part.select(*cols),
+            changed_cols=set(set_exprs),
         )
     segments = carried + ([new_segment] if new_segment else [])
     return _commit_rewrite(
@@ -1957,6 +2257,7 @@ def rollback(table: str, version: int) -> int:
             "aliases": target.get("aliases", {}),
             "layout": target.get("layout"),
             "constraints": target.get("constraints", {}),
+            "unique": target.get("unique", {}),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
@@ -1972,7 +2273,11 @@ def check_constraints(table: str) -> dict[str, str]:
 
 
 def _commit_constraints(table: str, constraints: dict[str, str]) -> int:
-    """Metadata-only commit replacing the constraint set: same files and
+    return _commit_props(table, {"constraints": constraints})
+
+
+def _commit_props(table: str, updates: dict) -> int:
+    """Metadata-only commit replacing table properties: same files and
     segments, mode 'append' with nothing appended — so delta-based
     consumers (MVs, indexes, the change feed) see an empty advance, not
     a rewrite."""
@@ -1984,13 +2289,13 @@ def _commit_constraints(table: str, constraints: dict[str, str]) -> int:
             "version": prev + 1,
             "mode": "append",
             "parent": prev,
-            "constraints": constraints,
+            **updates,
             "committed_at": time.time(),
         }
         if _try_commit(table, prev + 1, new):
             return prev + 1
     raise CommitConflict(
-        f"constraint change on {table} kept losing the commit race"
+        f"property change on {table} kept losing the commit race"
     )
 
 
@@ -2040,6 +2345,67 @@ def drop_check_constraint(table: str, name: str) -> int:
         raise ValueError(f"no constraint {name!r} on {table}")
     return _commit_constraints(
         table, {k: v for k, v in cur.items() if k != name}
+    )
+
+
+def unique_constraints(table: str) -> dict[str, list[str]]:
+    """The table's persisted UNIQUE constraints ({name: [key cols]})."""
+    return {k: list(v) for k, v in _table_unique(table).items()}
+
+
+def add_unique_constraint(
+    spark: SparkSession, table: str, name: str, cols: list[str]
+) -> int:
+    """Persist an ENFORCED UNIQUE constraint over ``cols`` — the
+    primary-key guarantee lakehouse formats document but don't enforce
+    (Delta/Iceberg treat PKs as informational). From this commit on,
+    every write path refuses a commit that would duplicate a key:
+    appends probe their keys against the table with stats/bloom file
+    pruning (``point_filter`` — the probe reads candidate files, not
+    the table), rewrites re-check only when they can alter key columns,
+    and concurrent writers stay serializable (the put-if-absent link
+    re-probes exactly the files a race winner added; rewrite rebase is
+    disabled). SQL semantics: a key tuple with any NULL component never
+    conflicts.
+
+    The CURRENT snapshot is validated first — a constraint the existing
+    data already violates is refused."""
+    cur = _table_unique(table)
+    if name in cur:
+        raise ValueError(
+            f"unique constraint {name!r} already exists on {table} "
+            f"({cur[name]}); drop it first"
+        )
+    if not cols:
+        raise ValueError("unique constraint needs at least one column")
+    snap = read_snapshot(spark, table)
+    missing = [c for c in cols if c not in snap.columns]
+    if missing:
+        raise ValueError(f"unknown unique-key column(s): {missing}")
+    dup = (
+        snap.select(*cols)
+        .na.drop("any")
+        .groupBy(*cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .take(1)
+    )
+    if dup:
+        key = {c: dup[0][c] for c in cols}
+        raise ValueError(
+            f"cannot add unique constraint {name!r} to {table}: existing "
+            f"data violates it (e.g. key {key} appears {dup[0]['count']}x)"
+        )
+    return _commit_props(table, {"unique": {**cur, name: list(cols)}})
+
+
+def drop_unique_constraint(table: str, name: str) -> int:
+    """Remove a persisted UNIQUE constraint (raises if absent)."""
+    cur = _table_unique(table)
+    if name not in cur:
+        raise ValueError(f"no unique constraint {name!r} on {table}")
+    return _commit_props(
+        table, {"unique": {k: v for k, v in cur.items() if k != name}}
     )
 
 
@@ -2193,6 +2559,7 @@ def compact(
         "aliases": {},
         "layout": layout,
         "constraints": base_manifest.get("constraints", {}),
+        "unique": base_manifest.get("unique", {}),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the
