@@ -2409,6 +2409,69 @@ def drop_unique_constraint(table: str, name: str) -> int:
     )
 
 
+def clone_table(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> int:
+    """Zero-copy clone (Delta's SHALLOW CLONE, made vacuum-safe): the
+    chosen source version's data files are HARDLINKED into ``dst`` under
+    the same relative paths and committed as the clone's version 0.
+
+    Data files are immutable by the format's contract (every write path
+    creates new files; only ``vacuum`` unlinks), so a shared inode can
+    never observe writes from either side — and unlike a path-reference
+    shallow clone, ``vacuum`` on the source only removes the SOURCE's
+    directory entry: the clone's link keeps the bytes alive. Cross-
+    filesystem links fall back to a real copy, file by file.
+
+    Everything that makes the table behave carries: schema, alias map
+    (evolved tables keep reading), clustered layout, per-file stats and
+    bloom sketches (keyed by the preserved relative paths), CHECK and
+    UNIQUE constraints. History does NOT carry — the clone starts fresh
+    at v0 with lineage in ``extra`` — and neither does the streaming
+    batch-id ledger (a sink checkpoint replayed against a clone must
+    re-deliver, not silently no-op)."""
+    if _read_pointer(dst) is not None:
+        raise ValueError(f"clone target {dst} already exists")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of, not both")
+        version = version_as_of(src, as_of)
+    if version is None:
+        version = _read_pointer(src)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {src}")
+    m = _read_manifest(src, version)
+    for rel in m["files"]:
+        s = os.path.join(src, rel)
+        d = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:  # cross-device (EXDEV) or FS without hardlinks
+            shutil.copy2(s, d)
+    manifest = {
+        "version": 0,
+        "mode": "overwrite",
+        "parent": None,
+        "files": list(m["files"]),
+        "segments": _segments(m),
+        "schema": m["schema"],
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "aliases": m.get("aliases", {}),
+        "layout": m.get("layout"),
+        "constraints": m.get("constraints", {}),
+        "unique": m.get("unique", {}),
+        "committed_at": time.time(),
+        "extra": {"cloned_from": src, "clone_source_version": version},
+    }
+    if not _try_commit(dst, 0, manifest):
+        raise CommitConflict(f"clone target {dst} was created concurrently")
+    return 0
+
+
 def vacuum(
     table: str, keep_last: int = 1, tmp_age_s: float = 3600.0
 ) -> list[str]:
