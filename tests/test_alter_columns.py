@@ -1,0 +1,143 @@
+"""Metadata-only ALTER TABLE ADD/DROP COLUMN on versioned tables
+(sources/versioned.py): schema changes without touching data files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.sources.versioned import (
+    add_check_constraint,
+    add_unique_constraint,
+    alter_add_column,
+    alter_drop_column,
+    compact,
+    latest_version,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _base(spark, t, **kw):
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "k long, v string"
+        ),
+        t,
+        **kw,
+    )
+
+
+def test_add_column_null_fills_and_accepts_appends(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    v0 = latest_version(t)
+    alter_add_column(spark, t, "score", "double")
+    df = read_snapshot(spark, t)
+    assert df.columns == ["k", "v", "score"]
+    assert df.filter(F.col("score").isNotNull()).count() == 0
+    # appends may now carry the column
+    write_snapshot(
+        spark.createDataFrame([(100, "x", 1.5)], "k long, v string, score double"),
+        t,
+        mode="append",
+    )
+    got = {r.k: r.score for r in read_snapshot(spark, t).collect()}
+    assert got[100] == 1.5 and got[0] is None
+    # time travel: the pre-alter version never shows the column
+    assert read_snapshot(spark, t, version=v0).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="already exists"):
+        alter_add_column(spark, t, "score", "double")
+
+
+def test_add_refuses_reborn_renamed_name(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    write_snapshot(
+        spark.createDataFrame([(7, "y")], "k long, val string"),
+        t,
+        mode="append",
+        renames={"v": "val"},
+    )
+    with pytest.raises(ValueError, match="renamed away"):
+        alter_add_column(spark, t, "v", "string")
+
+
+def test_drop_column_hides_then_sheds_then_readds_as_null(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t, stats_cols=["v"])
+    v0 = latest_version(t)
+    alter_drop_column(t, "v")
+    assert read_snapshot(spark, t).columns == ["k"]
+    # time travel still sees it
+    assert read_snapshot(spark, t, version=v0).columns == ["k", "v"]
+    # re-adding the same name yields NULLs, never the old values
+    alter_add_column(spark, t, "v", "string")
+    assert (
+        read_snapshot(spark, t).filter(F.col("v").isNotNull()).count() == 0
+    )
+    # compact physically sheds the dropped bytes
+    alter_drop_column(t, "v")
+    compact(spark, t, target_files=1)
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    files, _ = files_for_read(t)
+    for f in files:
+        names = pq.read_schema(os.path.join(t, f)).names
+        assert "v" not in names
+
+
+def test_drop_refused_while_referenced(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(6)],
+            "k long, v string, score double",
+        ),
+        t,
+        layout_by=["k"],
+    )
+    add_unique_constraint(spark, t, "pk", ["k"])
+    add_check_constraint(spark, t, "pos", "score >= 0")
+    with pytest.raises(ValueError, match="clustered-layout"):
+        alter_drop_column(t, "k")
+    with pytest.raises(ValueError, match="CHECK"):
+        alter_drop_column(t, "score")
+    from wrtd_etl_spark.sources.versioned import (
+        drop_check_constraint,
+        drop_unique_constraint,
+    )
+
+    drop_check_constraint(t, "pos")
+    alter_drop_column(t, "score")
+    with pytest.raises(ValueError, match="no column"):
+        alter_drop_column(t, "score")
+    drop_unique_constraint(t, "pk")
+    with pytest.raises(ValueError, match="clustered-layout"):
+        alter_drop_column(t, "k")  # layout still pins it
+
+
+def test_datasource_read_matches_after_alters(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned_table import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    alter_add_column(spark, t, "score", "double")
+    write_snapshot(
+        spark.createDataFrame([(9, "z", 2.0)], "k long, v string, score double"),
+        t,
+        mode="append",
+    )
+    alter_drop_column(t, "v")
+    api = read_snapshot(spark, t)
+    fmt = spark.read.format("versioned_table").option("path", t).load()
+    assert fmt.schema == api.schema
+    key = lambda r: (r.k, r.score)
+    assert sorted(map(key, fmt.collect())) == sorted(map(key, api.collect()))

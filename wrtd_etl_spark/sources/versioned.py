@@ -1050,6 +1050,12 @@ def _read_segments(
         )
     if out is None:
         return spark.createDataFrame([], target)
+    for f in target.fields:
+        # a column added by alter_add_column exists in the table schema
+        # before ANY segment carries it — NULL-fill, same as an evolved
+        # append would
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     return out.select(*[f.name for f in target.fields])
 
 
@@ -2406,6 +2412,142 @@ def drop_unique_constraint(table: str, name: str) -> int:
         raise ValueError(f"no unique constraint {name!r} on {table}")
     return _commit_props(
         table, {"unique": {k: v for k, v in cur.items() if k != name}}
+    )
+
+
+def alter_add_column(
+    spark: SparkSession, table: str, name: str, dtype: str
+) -> int:
+    """Metadata-only ADD COLUMN (Delta's ALTER TABLE ADD COLUMNS): the
+    schema widens by one nullable field, no data file is touched, and
+    every existing row reads back NULL — exactly what an evolved append
+    would have produced, for free. ``dtype`` is a Spark SQL type string
+    (``"string"``, ``"decimal(12,2)"``, ``"array<double>"``).
+
+    A name that was renamed away earlier in the table's history cannot
+    be reintroduced (the alias map would re-label it — the same reborn
+    rule the append path enforces)."""
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest(table, p)
+    field = spark.createDataFrame([], f"`{name}` {dtype}").schema.jsonValue()[
+        "fields"
+    ][0]
+    field["nullable"] = True
+    if name in _schema_fields(m["schema"]):
+        raise ValueError(f"column {name!r} already exists on {table}")
+    aliases = m.get("aliases", {})
+    if name in aliases and aliases[name] != name:
+        raise ValueError(
+            f"column name {name!r} was renamed away earlier in this "
+            "table's history and cannot be reintroduced; pick a new name"
+        )
+    schema = {
+        **m["schema"],
+        "fields": list(m["schema"]["fields"]) + [field],
+    }
+    return _commit_props(
+        table, {"schema": schema, "schema_evolved": True}
+    )
+
+
+def alter_drop_column(table: str, name: str) -> int:
+    """Metadata-only DROP COLUMN: the field leaves the table schema AND
+    every segment's recorded read schema, so no scan ever loads it again
+    — the data files keep the bytes (time travel to a pre-drop version
+    still reads them; ``compact`` physically sheds them), and a later
+    ``alter_add_column`` of the same name yields NULLs, never the
+    resurrected old values.
+
+    Refused while the column is referenced by the clustered layout, a
+    UNIQUE constraint, or (textually) a CHECK constraint — drop those
+    first, the error names them."""
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest(table, p)
+    if name not in _schema_fields(m["schema"]):
+        raise ValueError(f"no column {name!r} on {table}")
+    layout = m.get("layout") or {}
+    if name in (layout.get("by") or []):
+        raise ValueError(
+            f"cannot drop {name!r}: it is a clustered-layout column "
+            f"({layout['by']}); rewrite the layout first"
+        )
+    holders = [
+        cname
+        for cname, cols in m.get("unique", {}).items()
+        if name in cols
+    ]
+    if holders:
+        raise ValueError(
+            f"cannot drop {name!r}: UNIQUE constraint(s) {holders} "
+            "reference it; drop them first"
+        )
+    import re as _re
+
+    word = _re.compile(rf"\b{_re.escape(name)}\b")
+    refs = [
+        cname
+        for cname, expr in m.get("constraints", {}).items()
+        if word.search(expr)
+    ]
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: CHECK constraint(s) {refs} mention "
+            "it; drop them first"
+        )
+    schema = {
+        **m["schema"],
+        "fields": [
+            f for f in m["schema"]["fields"] if f["name"] != name
+        ],
+    }
+    al = m.get("aliases", {})
+    segments = []
+    for seg in _segments(m):
+        # the physical label(s) feeding `name` in THIS segment — the
+        # segment's own (pre-rename) names, which also key stats/blooms
+        phys = {
+            f["name"]
+            for f in seg["schema"]["fields"]
+            if al.get(f["name"], f["name"]) == name
+        }
+        new_seg = {
+            **seg,
+            "schema": {
+                **seg["schema"],
+                "fields": [
+                    f
+                    for f in seg["schema"]["fields"]
+                    if f["name"] not in phys
+                ],
+            },
+            "stats": {
+                path: {c: v for c, v in st.items() if c not in phys}
+                for path, st in seg.get("stats", {}).items()
+            },
+        }
+        if seg.get("blooms"):
+            new_seg["blooms"] = {
+                path: {c: v for c, v in bl.items() if c not in phys}
+                for path, bl in seg["blooms"].items()
+            }
+        segments.append(new_seg)
+    aliases = {
+        old: cur
+        for old, cur in m.get("aliases", {}).items()
+        if cur != name and old != name
+    }
+    return _commit_props(
+        table,
+        {
+            "schema": schema,
+            "segments": segments,
+            "aliases": aliases,
+            "schema_evolved": True,
+        },
     )
 
 
