@@ -1472,6 +1472,7 @@ def _rewrite_segment(
     rows: DataFrame,
     schema: dict | None = None,
     changed_cols: "set[str] | None" = None,
+    target_files: int | None = None,
 ) -> dict:
     """Write ``rows`` as the replacement segment for ``rewrite_segs``,
     re-collecting file stats for every column the replaced files had
@@ -1564,9 +1565,15 @@ def _rewrite_segment(
                     )
     layout = manifest.get("layout")
     if layout:
-        replaced = sum(len(s["files"]) for s in rewrite_segs) or 1
+        # ``target_files`` overrides the replaced-count sizing: a
+        # bin-packing compaction WANTS fewer files than it replaces
+        replaced = target_files or (
+            sum(len(s["files"]) for s in rewrite_segs) or 1
+        )
         cap = layout.get("files") or replaced
         rows = _apply_layout(rows, layout["by"], max(1, min(replaced, cap)))
+    elif target_files is not None:
+        rows = rows.coalesce(max(1, target_files))
     files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
     # files — an insert-only merge whose pruning carried every old file
@@ -2787,12 +2794,90 @@ def data_file_count(table: str, version: int | None = None) -> int:
     return len(_read_manifest(table, version)["files"])
 
 
+def compact_small_files(
+    spark: SparkSession,
+    table: str,
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+) -> int | None:
+    """Incremental OPTIMIZE (bin-packing): rewrite ONLY the data files
+    smaller than ``small_bytes`` into ~``target_bytes`` files; everything
+    already well-sized carries by reference, untouched.
+
+    :func:`compact` rewrites the whole table — the right tool for a
+    small dimension, a non-starter at scale: a 100-TB table with a
+    streaming small-file tail must fold the tail, not re-shuffle 100 TB
+    to fix 100 MB. This is Delta's ``OPTIMIZE`` bin-packing semantics:
+    victims are chosen by on-disk size from the manifest's file list
+    (one ``stat`` per file, no data I/O), read once, re-clustered along
+    the table's recorded layout (or coalesced), and committed through
+    the rewrite protocol — same stats/bloom re-collection, same CHECK
+    gate, same optimistic rebase over concurrent appends (row content is
+    unchanged, so any append commutes). Returns the new version, or None
+    when fewer than two victims exist (nothing to pack)."""
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    sizes = {
+        f: os.path.getsize(os.path.join(table, f)) for f in manifest["files"]
+    }
+    victims = {f for f, s in sizes.items() if s < small_bytes}
+    if len(victims) < 2:
+        return None
+    carried: list[dict] = []
+    rewrite_segs: list[dict] = []
+    for seg in _segments(manifest):
+        for keep, out in (
+            ([f for f in seg["files"] if f not in victims], carried),
+            ([f for f in seg["files"] if f in victims], rewrite_segs),
+        ):
+            if not keep:
+                continue
+            sub = {
+                **seg,
+                "files": keep,
+                "stats": {
+                    p: v for p, v in seg.get("stats", {}).items() if p in keep
+                },
+            }
+            if seg.get("blooms"):
+                sub["blooms"] = {
+                    p: v for p, v in seg["blooms"].items() if p in keep
+                }
+            out.append(sub)
+    rows = _read_segments(
+        spark, table, {**manifest, "segments": rewrite_segs}
+    )
+    n_out = max(1, -(-sum(sizes[f] for f in victims) // target_bytes))
+    new_segment = _rewrite_segment(
+        spark,
+        table,
+        manifest,
+        rewrite_segs,
+        rows,
+        changed_cols=set(),  # pure layout change: rows are untouched
+        target_files=n_out,
+    )
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        carried + [new_segment],
+        "compact",
+        # a pure layout rewrite commutes with ANY concurrent append
+        rebase=lambda seg: True,
+    )
+
+
 def maybe_compact(
     spark: SparkSession,
     table: str,
     max_files: int = 64,
     target_files: int = 8,
     stats_cols: list[str] | None = None,
+    small_bytes: int | None = None,
+    target_bytes: int = 128 << 20,
 ) -> int | None:
     """OPTIMIZE-when-needed: compact iff the latest version references
     more than ``max_files`` data files; returns the new version or None.
@@ -2805,10 +2890,22 @@ def maybe_compact(
     is the normal compaction commit (time travel intact, change-feed
     consumers see delete+insert noise they can filter on
     ``_commit_mode = 'compact'``). A losing race just means a competitor
-    committed — re-check on the next trigger; never propagate."""
+    committed — re-check on the next trigger; never propagate.
+
+    With ``small_bytes`` set, the rewrite is the INCREMENTAL
+    :func:`compact_small_files` (bin-pack only the sub-``small_bytes``
+    tail toward ``target_bytes`` files) instead of the full-table
+    rewrite — the right setting for a sink on a large table."""
     if data_file_count(table) <= max_files:
         return None
     try:
+        if small_bytes is not None:
+            return compact_small_files(
+                spark,
+                table,
+                small_bytes=small_bytes,
+                target_bytes=target_bytes,
+            )
         return compact(
             spark, table, target_files=target_files, stats_cols=stats_cols
         )

@@ -25,6 +25,7 @@ def make_versioned_append_sink(
     table: str,
     stats_cols: list[str] | None = None,
     compact_above: int | None = None,
+    compact_small_bytes: int | None = None,
 ):
     """The ``foreachBatch`` function: (batch_df, batch_id) → one append
     commit. ``stats_cols`` records per-file min/max on every batch so the
@@ -35,7 +36,13 @@ def make_versioned_append_sink(
     sink compacts (sources/versioned.maybe_compact) before returning —
     the one-file-set-per-trigger problem solved where it is created.
     Exactly-once is unaffected: the batch-id ledger check reads the
-    newest APPEND's extra, and compaction carries ``extra`` forward."""
+    newest APPEND's extra, and compaction carries ``extra`` forward.
+
+    ``compact_small_bytes`` switches that inline rewrite to the
+    INCREMENTAL bin-packer (compact_small_files): only the
+    sub-threshold tail is rewritten, well-sized files carry by
+    reference — the setting a sink on a LARGE table must use, since a
+    full-table rewrite per trigger does not survive scale."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -64,6 +71,7 @@ def make_versioned_append_sink(
                 # re-triggering on the very next batch
                 target_files=max(1, compact_above // 2),
                 stats_cols=stats_cols,
+                small_bytes=compact_small_bytes,
             )
 
     return sink
