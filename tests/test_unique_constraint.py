@@ -264,3 +264,48 @@ def test_datasource_append_gated_by_unique(spark, tmp_path):
     ok = spark.createDataFrame([(300, "fresh")], "k long, v string")
     ok.write.format("versioned_table").mode("append").option("path", t).save()
     assert read_snapshot(spark, t).count() == 9
+
+
+def test_rename_refused_under_check_and_unique_layout_follows(
+    spark, tmp_path
+):
+    """A raw-SQL CHECK cannot be rewritten and a UNIQUE probe cannot
+    span physical names mid-commit — renames of referenced columns are
+    refused; the clustered layout is a plain column list and follows."""
+    from wrtd_etl_spark.sources.versioned import (
+        add_check_constraint,
+        drop_check_constraint,
+        manifest_info,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(8)], "k long, v long"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=2,
+    )
+    add_check_constraint(spark, t, "v_pos", "v >= 0")
+    nxt = spark.createDataFrame([(100, 5)], "k long, val long")
+    with pytest.raises(ValueError, match="CHECK"):
+        write_snapshot(nxt, t, mode="append", renames={"v": "val"})
+    drop_check_constraint(t, "v_pos")
+    add_unique_constraint(spark, t, "uv", ["v"])
+    with pytest.raises(ValueError, match="UNIQUE"):
+        write_snapshot(nxt, t, mode="append", renames={"v": "val"})
+    drop_unique_constraint(t, "uv")
+    # renaming the layout column carries the spec under the new name
+    write_snapshot(
+        spark.createDataFrame([(100, 5)], "key long, v long"),
+        t,
+        mode="append",
+        renames={"k": "key"},
+    )
+    assert manifest_info(t)["layout"]["by"] == ["key"]
+    from wrtd_etl_spark.sources.versioned import compact, files_for_read
+
+    compact(spark, t)  # re-clusters on the renamed column, no crash
+    kept, total = files_for_read(t, skip_filter={"key": (0, 1)})
+    assert total >= 2 and len(kept) < total

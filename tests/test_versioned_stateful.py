@@ -1,0 +1,183 @@
+"""Model-based stateful test of the versioned-table layer: a random
+sequence of lake operations must always agree with a plain Python dict
+model, and every historical version must replay exactly.
+
+This is the property the whole layer sells — snapshot isolation with
+time travel — exercised across OPERATION INTERLEAVINGS rather than one
+scenario per test. Hypothesis drives the sequences; shrinking turns any
+failure into a minimal reproducing op list."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, settings
+    from hypothesis import strategies as st
+    from hypothesis.stateful import (
+        RuleBasedStateMachine,
+        initialize,
+        invariant,
+        precondition,
+        rule,
+    )
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.session import get_spark
+from wrtd_etl_spark.sources.versioned import (
+    delete_where,
+    history,
+    latest_version,
+    merge_into,
+    read_snapshot,
+    rollback,
+    update_where,
+    write_snapshot,
+)
+
+KEYS = st.integers(min_value=0, max_value=30)
+VALS = st.integers(min_value=-5, max_value=5)
+
+
+class VersionedModel(RuleBasedStateMachine):
+    """state: {k: v}; every committed version's expected state is kept
+    so time travel can be checked as an invariant."""
+
+    def __init__(self):
+        super().__init__()
+        self.spark = get_spark("wrtd-tests", cpus=8, shuffle_partitions=8)
+        import tempfile
+
+        self.table = tempfile.mkdtemp(prefix="wrtd_stateful_") + "/t"
+        self.model: dict[int, int] = {}
+        self.versions: list[dict[int, int]] = []
+
+    def _df(self, rows):
+        return self.spark.createDataFrame(
+            [(k, v) for k, v in rows], "k long, v long"
+        )
+
+    def _commit(self):
+        self.versions.append(dict(self.model))
+
+    @initialize(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=8))
+    def init_table(self, rows):
+        write_snapshot(self._df(rows.items()), self.table, stats_cols=["k"])
+        self.model = dict(rows)
+        self._commit()
+
+    @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
+    def append(self, rows):
+        # appends may duplicate keys already present — the layer is a
+        # multiset of rows unless UNIQUE is declared; model keeps ONE
+        # value per key, so only append genuinely fresh keys
+        fresh = {k: v for k, v in rows.items() if k not in self.model}
+        if not fresh:
+            return
+        write_snapshot(
+            self._df(fresh.items()), self.table, mode="append"
+        )
+        self.model.update(fresh)
+        self._commit()
+
+    @rule(lo=KEYS, hi=KEYS)
+    def delete_range(self, lo, hi):
+        lo, hi = min(lo, hi), max(lo, hi)
+        delete_where(
+            self.spark,
+            self.table,
+            (F.col("k") >= lo) & (F.col("k") <= hi),
+            prune={"k": (lo, hi)},
+        )
+        self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
+        self._commit()
+
+    @rule(lo=KEYS, hi=KEYS, dv=VALS)
+    def update_range(self, lo, hi, dv):
+        lo, hi = min(lo, hi), max(lo, hi)
+        update_where(
+            self.spark,
+            self.table,
+            (F.col("k") >= lo) & (F.col("k") <= hi),
+            {"v": F.col("v") + dv},
+            prune={"k": (lo, hi)},
+        )
+        for k in self.model:
+            if lo <= k <= hi:
+                self.model[k] += dv
+        self._commit()
+
+    @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
+    def merge(self, rows):
+        merge_into(
+            self.spark,
+            self.table,
+            self._df(rows.items()),
+            ["k"],
+        )
+        self.model.update(rows)
+        self._commit()
+
+    @rule()
+    def compact_all(self):
+        from wrtd_etl_spark.sources.versioned import compact
+
+        compact(self.spark, self.table, target_files=2)
+        self._commit()  # same rows, new version
+
+    @rule()
+    def compact_small(self):
+        from wrtd_etl_spark.sources.versioned import compact_small_files
+
+        v = compact_small_files(
+            self.spark, self.table, small_bytes=1 << 20, target_bytes=1 << 30
+        )
+        if v is not None:
+            self._commit()
+
+    @precondition(lambda self: len(self.versions) >= 2)
+    @rule(data=st.data())
+    def rollback_to(self, data):
+        target = data.draw(
+            st.integers(min_value=0, max_value=len(self.versions) - 1)
+        )
+        rollback(self.table, target)
+        self.model = dict(self.versions[target])
+        self._commit()
+
+    @invariant()
+    def latest_matches_model(self):
+        if not self.versions:
+            return
+        got = {
+            r.k: r.v for r in read_snapshot(self.spark, self.table).collect()
+        }
+        assert got == self.model
+        assert latest_version(self.table) == len(self.versions) - 1
+
+    @invariant()
+    def a_past_version_replays(self):
+        if len(self.versions) < 2:
+            return
+        # checking every version every step is O(n^2) collects; probe
+        # the middle one — across examples this covers the space
+        v = len(self.versions) // 2
+        got = {
+            r.k: r.v
+            for r in read_snapshot(
+                self.spark, self.table, version=v
+            ).collect()
+        }
+        assert got == self.versions[v], f"time travel to v{v} diverged"
+
+
+VersionedModel.TestCase.settings = settings(
+    max_examples=12,
+    stateful_step_count=8,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+TestVersionedModel = VersionedModel.TestCase

@@ -788,6 +788,24 @@ def write_snapshot(
     # persisted CHECK constraints (add_check_constraint) gate every
     # write exactly like an explicit checks= suite — incl. quarantine
     persisted = _table_constraints(table)
+    if renames and persisted:
+        # refuse BEFORE the gate evaluates raw exprs against the renamed
+        # batch (the constraint text cannot be rewritten mechanically)
+        import re as _re
+
+        refs = sorted(
+            {
+                cname
+                for old in renames
+                for cname, expr in persisted.items()
+                if _re.search(rf"\b{_re.escape(old)}\b", expr)
+            }
+        )
+        if refs:
+            raise ValueError(
+                f"cannot rename column(s) referenced by CHECK "
+                f"constraint(s) {refs}; drop them first"
+            )
     if persisted:
         checks = list(checks or []) + _constraint_checks(persisted)
     if checks:
@@ -947,6 +965,39 @@ def _commit_new_segment(
                     raise ValueError(
                         f"rename of unknown column(s): {missing}"
                     )
+                # a CHECK constraint stores a raw SQL expression — it
+                # cannot be rewritten mechanically, so renaming a column
+                # it references is refused (drop the constraint first);
+                # UNIQUE keys and the clustered layout store plain column
+                # lists and simply follow the rename below
+                import re as _re
+
+                refs = [
+                    (cname, old)
+                    for old in renames
+                    for cname, expr in prev_manifest.get(
+                        "constraints", {}
+                    ).items()
+                    if _re.search(rf"\b{_re.escape(old)}\b", expr)
+                ]
+                if refs:
+                    raise ValueError(
+                        f"cannot rename column(s) referenced by CHECK "
+                        f"constraint(s) {sorted(set(c for c, _ in refs))}; "
+                        "drop them first"
+                    )
+                uholders = sorted(
+                    cname
+                    for cname, ucols in prev_manifest.get(
+                        "unique", {}
+                    ).items()
+                    if any(o in ucols for o in renames)
+                )
+                if uholders:
+                    raise ValueError(
+                        f"cannot rename column(s) referenced by UNIQUE "
+                        f"constraint(s) {uholders}; drop them first"
+                    )
             if renames:
                 prev_schema = {
                     **prev_schema,
@@ -986,6 +1037,14 @@ def _commit_new_segment(
             # declaring one on an append updates it, otherwise it carries
             # forward so maintenance always knows what to restore
             layout = declared_layout or prev_manifest.get("layout")
+            if renames and layout and not declared_layout:
+                # the layout spec is a plain column list: it follows the
+                # rename, so maintenance keeps re-clustering the same
+                # physical data under its new name
+                layout = {
+                    **layout,
+                    "by": [renames.get(c, c) for c in layout["by"]],
+                }
         else:
             aliases = {}
             schema = df_schema
