@@ -1217,8 +1217,14 @@ def version_as_of(table: str, ts: float) -> int:
     if latest is None:
         raise FileNotFoundError(f"no committed version in {table}")
     for v in range(latest, -1, -1):
-        if _read_manifest(table, v).get("committed_at", 0.0) <= ts:
-            return v
+        try:
+            if _read_manifest(table, v).get("committed_at", 0.0) <= ts:
+                return v
+        except FileNotFoundError:
+            raise ValueError(
+                f"{table}: ts={ts} predates the retained history "
+                f"(expire_history trimmed the log below v{v + 1})"
+            )
     raise ValueError(
         f"{table} has no version committed at or before ts={ts}"
     )
@@ -1296,13 +1302,16 @@ def delta_files(
     if to_version is None or from_version >= to_version:
         return []
     out: list[str] = []
-    prev_files = set(_read_manifest(table, from_version)["files"])
-    for v in range(from_version + 1, to_version + 1):
-        m = _read_manifest(table, v)
-        if m["mode"] != "append" or m.get("schema_evolved"):
-            return None
-        out.extend(f for f in m["files"] if f not in prev_files)
-        prev_files = set(m["files"])
+    try:
+        prev_files = set(_read_manifest(table, from_version)["files"])
+        for v in range(from_version + 1, to_version + 1):
+            m = _read_manifest(table, v)
+            if m["mode"] != "append" or m.get("schema_evolved"):
+                return None
+            out.extend(f for f in m["files"] if f not in prev_files)
+            prev_files = set(m["files"])
+    except FileNotFoundError:
+        return None  # range predates expire_history's horizon: undefined
     return out
 
 
@@ -1319,10 +1328,15 @@ def commit_modes(
         to_version = _read_pointer(table)
     if to_version is None or from_version >= to_version:
         return []
-    return [
-        _read_manifest(table, v)["mode"]
-        for v in range(from_version + 1, to_version + 1)
-    ]
+    try:
+        return [
+            _read_manifest(table, v)["mode"]
+            for v in range(from_version + 1, to_version + 1)
+        ]
+    except FileNotFoundError:
+        # the range predates expire_history's horizon: report it the way
+        # a rewrite would, so classification-driven maintainers rebuild
+        return ["overwrite"]
 
 
 def delete_where(
@@ -2294,7 +2308,10 @@ def history(table: str) -> list[dict]:
         return []
     out = []
     for v in range(latest, -1, -1):
-        m = _read_manifest(table, v)
+        try:
+            m = _read_manifest(table, v)
+        except FileNotFoundError:
+            break  # expire_history trimmed the log below this horizon
         out.append(
             {
                 "version": m["version"],
@@ -2678,6 +2695,33 @@ def clone_table(
     if not _try_commit(dst, 0, manifest):
         raise CommitConflict(f"clone target {dst} was created concurrently")
     return 0
+
+
+def expire_history(table: str, keep_last: int = 100) -> list[int]:
+    """Trim the commit log to the newest ``keep_last`` versions —
+    Delta's ``logRetentionDuration`` expressed as a count. A streaming
+    sink committing once a minute writes half a million manifests a
+    year; the table's CURRENT state never needs more than the latest
+    one (every manifest is self-contained), history is what grows.
+
+    Deleting a manifest forfeits time travel / rollback / ``as_of`` to
+    that version (they raise ``FileNotFoundError``; ``history()`` stops
+    at the horizon) and makes ``delta_files`` ranges that start below it
+    undefined — incremental consumers that far behind rebuild, exactly
+    as they do across a compaction. Data files are NOT touched here:
+    run :func:`vacuum` AFTER expiry to reclaim files only the expired
+    manifests referenced. Returns the expired version numbers."""
+    latest = _read_pointer(table)
+    if latest is None:
+        return []
+    removed = []
+    for v in range(max(0, latest - keep_last + 1)):
+        try:
+            os.remove(_manifest_path(table, v))
+            removed.append(v)
+        except FileNotFoundError:
+            continue  # already expired
+    return removed
 
 
 def vacuum(
