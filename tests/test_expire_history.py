@@ -72,3 +72,52 @@ def test_expire_then_vacuum_reclaims_orphaned_files(spark, tmp_path):
     removed = vacuum(t, keep_last=1, tmp_age_s=0.0)
     assert removed  # the expired version's exclusive file is reclaimed
     assert read_snapshot(spark, t).count() == 1
+
+
+def test_table_maintenance_stream_packs_trims_and_vacuums(
+    spark, tmp_path
+):
+    """The feed-driven daemon: appends accrue small files; one bounded
+    maintenance run bin-packs them, trims the log, vacuums the orphaned
+    bytes — and a second run is a no-op."""
+    from wrtd_etl_spark.sources.versioned import (
+        data_file_count,
+        files_for_read,
+        history,
+        manifest_info,
+    )
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_table_maintenance_stream,
+    )
+
+    t = str(tmp_path / "tbl")
+    _mk(spark, t, 8)
+    assert data_file_count(t) == 8
+    run_table_maintenance_stream(
+        spark,
+        t,
+        str(tmp_path / "ck1"),
+        compact_above=4,
+        small_bytes=1 << 20,
+        target_bytes=1 << 30,
+        expire_keep_last=3,
+        vacuum_keep_last=1,
+        vacuum_tmp_age_s=0.0,
+    )
+    assert manifest_info(t)["mode"] == "compact"
+    files, _ = files_for_read(t)
+    assert len(files) == 1  # tail packed
+    assert len(history(t)) <= 3  # log trimmed
+    assert read_snapshot(spark, t).count() == 8  # rows intact
+    v = latest_version(t)
+    run_table_maintenance_stream(  # healthy table: nothing to do
+        spark,
+        t,
+        str(tmp_path / "ck2"),
+        compact_above=4,
+        small_bytes=1 << 20,
+        expire_keep_last=3,
+        vacuum_keep_last=1,
+        vacuum_tmp_age_s=0.0,
+    )
+    assert latest_version(t) == v

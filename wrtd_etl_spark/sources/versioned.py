@@ -392,6 +392,30 @@ def _table_constraints(table: str) -> dict[str, str]:
     return _read_manifest(table, p).get("constraints", {})
 
 
+def _table_generated(table: str) -> dict[str, str]:
+    """The latest version's GENERATED ALWAYS AS columns
+    ({column: SQL expression}; {} if none or no table)."""
+    p = _read_pointer(table)
+    if p is None:
+        return {}
+    return _read_manifest(table, p).get("generated", {})
+
+
+def _generated_as_constraints(gen: dict[str, str]) -> dict[str, str]:
+    """Generated-column verification expressed as CHECK constraints, so
+    every existing gate (write pre-gate + quarantine, rewrite gate, the
+    DataSource dual-engine staged-file gate) enforces it unchanged.
+    ``IS NOT DISTINCT FROM`` is the null-safe equality both Spark and
+    DuckDB parse, and it never yields NULL — CHECK's NULL-passes rule
+    cannot exempt a stale value."""
+    return {
+        # names are validated as plain identifiers at add time — quoted
+        # forms differ between the two engines
+        f"generated_{name}": f"{name} IS NOT DISTINCT FROM ({expr})"
+        for name, expr in gen.items()
+    }
+
+
 def _enforce_constraints_on_files(
     table: str, rel_files: list[str], constraints: dict[str, str]
 ) -> None:
@@ -785,9 +809,28 @@ def write_snapshot(
         raise ValueError(f"unsupported mode: {mode!r}")
     if renames and mode != "append":
         raise ValueError("renames are only meaningful for mode='append'")
+    # GENERATED ALWAYS AS columns: computed when the batch omits them,
+    # VERIFIED (below, as synthetic CHECKs) when the batch supplies them
+    gen = _table_generated(table)
+    if gen:
+        p = _read_pointer(table)
+        declared = {
+            f["name"]: f["type"]
+            for f in _read_manifest(table, p)["schema"]["fields"]
+        }
+        from pyspark.sql.types import StructField, _parse_datatype_json_value
+
+        for gname, gexpr in sorted(gen.items()):
+            if gname not in df.columns:
+                df = df.withColumn(
+                    gname,
+                    F.expr(gexpr).cast(
+                        _parse_datatype_json_value(declared[gname])
+                    ),
+                )
     # persisted CHECK constraints (add_check_constraint) gate every
     # write exactly like an explicit checks= suite — incl. quarantine
-    persisted = _table_constraints(table)
+    persisted = {**_table_constraints(table), **_generated_as_constraints(gen)}
     if renames and persisted:
         # refuse BEFORE the gate evaluates raw exprs against the renamed
         # batch (the constraint text cannot be rewritten mechanically)
@@ -911,12 +954,18 @@ def _commit_new_segment(
     like; THIS is the single commit protocol (schema merge, rename
     guard, layout carry, put-if-absent link)."""
     constraints = _table_constraints(table)
-    if constraints and not constraints_checked:
+    generated = _table_generated(table)
+    if not constraints_checked:
         # DataSource writers stage executor-side, so the gate runs over
         # the staged files; a refusal leaves orphans for vacuum, never a
         # committed dirty version (write_snapshot pre-gates instead and
-        # passes constraints_checked=True)
-        _enforce_constraints_on_files(table, new_files, constraints)
+        # passes constraints_checked=True). Generated columns verify as
+        # synthetic CHECKs — a format writer must SUPPLY them (no
+        # compute-if-absent outside write_snapshot), so a missing column
+        # fails the equality probe fail-closed.
+        gate = {**constraints, **_generated_as_constraints(generated)}
+        if gate:
+            _enforce_constraints_on_files(table, new_files, gate)
     stats = (
         _collect_file_stats(table, new_files, stats_cols)
         if stats_cols
@@ -1062,6 +1111,7 @@ def _commit_new_segment(
             "aliases": aliases,
             "layout": layout,
             "constraints": constraints,
+            "generated": generated,
             "unique": uniq,
             "committed_at": time.time(),
             "extra": extra or {},
@@ -1561,7 +1611,10 @@ def _rewrite_segment(
     AQE-collapse to one wide-stats file, so per-file stats stay at least
     as narrow as the files being replaced."""
     aliases = manifest.get("aliases", {})
-    constraints = manifest.get("constraints", {})
+    constraints = {
+        **manifest.get("constraints", {}),
+        **_generated_as_constraints(manifest.get("generated", {})),
+    }
     if constraints:
         # Delta enforces CHECK on UPDATE/MERGE output too: one agg pass
         # over the replacement rows, refused before any file is staged
@@ -1775,6 +1828,7 @@ def _commit_rewrite(
                 "extra": latest_m.get("extra", {}),
                 "layout": latest_m.get("layout"),
                 "constraints": latest_m.get("constraints", {}),
+                "generated": latest_m.get("generated", {}),
                 "unique": latest_m.get("unique", {}),
             }
             base = prev
@@ -1789,6 +1843,7 @@ def _commit_rewrite(
             "aliases": aliases,
             "layout": manifest.get("layout"),
             "constraints": manifest.get("constraints", {}),
+            "generated": manifest.get("generated", {}),
             "unique": manifest.get("unique", {}),
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
@@ -2346,6 +2401,7 @@ def rollback(table: str, version: int) -> int:
             "aliases": target.get("aliases", {}),
             "layout": target.get("layout"),
             "constraints": target.get("constraints", {}),
+            "generated": target.get("generated", {}),
             "unique": target.get("unique", {}),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
@@ -2434,6 +2490,74 @@ def drop_check_constraint(table: str, name: str) -> int:
         raise ValueError(f"no constraint {name!r} on {table}")
     return _commit_constraints(
         table, {k: v for k, v in cur.items() if k != name}
+    )
+
+
+def generated_columns(table: str) -> dict[str, str]:
+    """The table's GENERATED ALWAYS AS columns ({column: SQL expr})."""
+    return dict(_table_generated(table))
+
+
+def add_generated_column(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """Persist a Delta-style GENERATED ALWAYS AS column: from this
+    commit on, ``write_snapshot`` COMPUTES ``name`` as ``expr`` when a
+    batch omits it and VERIFIES it (null-safe equality, enforced through
+    the CHECK gate on every write path incl. rewrites and DataSource
+    staged files) when a batch supplies it — a stored value can never
+    drift from its formula.
+
+    The column must already exist in the schema and the CURRENT
+    snapshot must satisfy the equality (declare after materializing, or
+    include the column at creation); names must be plain identifiers
+    (the verification text is parsed by both Spark and DuckDB)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            f"generated column name {name!r} must be a plain identifier"
+        )
+    cur = _table_generated(table)
+    if name in cur:
+        raise ValueError(
+            f"column {name!r} is already generated on {table} "
+            f"({cur[name]!r}); drop it first"
+        )
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    if name not in _schema_fields(_read_manifest(table, p)["schema"]):
+        raise ValueError(
+            f"column {name!r} does not exist on {table}; generated "
+            "columns are declared over an existing (materialized) column"
+        )
+    probe = _constraint_checks(
+        _generated_as_constraints({name: expr})
+    )
+    from ..operators.quality import run_checks
+
+    bad = [
+        r
+        for r in run_checks(read_snapshot(spark, table), probe).collect()
+        if not r.passed
+    ]
+    if bad:
+        raise ValueError(
+            f"cannot declare {name!r} GENERATED AS ({expr}) on {table}: "
+            f"existing data diverges ({bad[0].violations}/{bad[0].total} "
+            "rows)"
+        )
+    return _commit_props(table, {"generated": {**cur, name: expr}})
+
+
+def drop_generated_column(table: str, name: str) -> int:
+    """Remove the GENERATED property (the column itself stays)."""
+    cur = _table_generated(table)
+    if name not in cur:
+        raise ValueError(f"no generated column {name!r} on {table}")
+    return _commit_props(
+        table, {"generated": {k: v for k, v in cur.items() if k != name}}
     )
 
 
@@ -2581,6 +2705,16 @@ def alter_drop_column(table: str, name: str) -> int:
             f"cannot drop {name!r}: CHECK constraint(s) {refs} mention "
             "it; drop them first"
         )
+    grefs = [
+        g
+        for g, gexpr in m.get("generated", {}).items()
+        if g == name or word.search(gexpr)
+    ]
+    if grefs:
+        raise ValueError(
+            f"cannot drop {name!r}: generated column(s) {grefs} are it "
+            "or derive from it; drop the generated property first"
+        )
     schema = {
         **m["schema"],
         "fields": [
@@ -2688,6 +2822,7 @@ def clone_table(
         "aliases": m.get("aliases", {}),
         "layout": m.get("layout"),
         "constraints": m.get("constraints", {}),
+        "generated": m.get("generated", {}),
         "unique": m.get("unique", {}),
         "committed_at": time.time(),
         "extra": {"cloned_from": src, "clone_source_version": version},
@@ -2874,6 +3009,7 @@ def compact(
         "aliases": {},
         "layout": layout,
         "constraints": base_manifest.get("constraints", {}),
+        "generated": base_manifest.get("generated", {}),
         "unique": base_manifest.get("unique", {}),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger

@@ -213,12 +213,27 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         parts: list[InputPartition] = []
         for v in range(max(a, -1) + 1, b + 1):
-            m = _read_manifest(self.table, v)
+            try:
+                m = _read_manifest(self.table, v)
+            except FileNotFoundError:
+                # expire_history trimmed this version: its changes are
+                # superseded by the oldest RETAINED version, which the
+                # branch below delivers as a full snapshot
+                continue
             prev_files: set[str] = set()
             prev_m = None
             if v > 0:
-                prev_m = _read_manifest(self.table, v - 1)
-                prev_files = set(prev_m["files"])
+                try:
+                    prev_m = _read_manifest(self.table, v - 1)
+                    prev_files = set(prev_m["files"])
+                except FileNotFoundError:
+                    # parent expired: v is the retention horizon — a
+                    # subscriber starting below it gets v's whole state
+                    # as inserts (initial-snapshot semantics); a LAGGING
+                    # subscriber with pre-horizon state should reset its
+                    # checkpoint (deletes older than the horizon are
+                    # unrecoverable by design)
+                    prev_m = None
             file_seg = {}
             for seg in m.get("segments", [{"files": m["files"], "schema": m["schema"]}]):
                 for f in seg["files"]:

@@ -36,13 +36,19 @@ def run_feed_driven(
     on_changes: Callable[[], object],
     starting_version: int | str = "latest",
     timeout_s: float = 120.0,
+    signal_only: bool = False,
 ):
     """Drive ``on_changes`` once per non-empty change-feed micro-batch
     (bounded run: availableNow semantics — processes everything committed
-    so far, then stops). Returns the StreamingQuery after termination."""
+    so far, then stops). Returns the StreamingQuery after termination.
+
+    ``signal_only=True`` never materializes the batch rows — the
+    callback re-derives everything from manifests anyway, and a consumer
+    that VACUUMS the table (run_table_maintenance_stream) must not read
+    change files its own previous trigger may have reclaimed."""
 
     def handle(batch, _batch_id: int) -> None:
-        if batch.take(1):
+        if signal_only or batch.take(1):
             on_changes()
 
     q = (
@@ -135,4 +141,64 @@ def run_rollup_refresh_stream(
             spark, view_table, source_table, keys, metrics, prepare
         ),
         starting_version=-1,
+    )
+
+
+def run_table_maintenance_stream(
+    spark: SparkSession,
+    table: str,
+    checkpoint: str,
+    compact_above: int = 64,
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 128 << 20,
+    expire_keep_last: "int | None" = None,
+    vacuum_keep_last: "int | None" = None,
+    vacuum_tmp_age_s: float = 3600.0,
+):
+    """One subscription keeps a table healthy: after every committed
+    change batch — bin-pack the small-file tail once the manifest
+    references more than ``compact_above`` files
+    (sources/versioned.compact_small_files via ``maybe_compact``), then
+    optionally trim the commit log (``expire_keep_last``) and reclaim
+    unreferenced bytes (``vacuum_keep_last``).
+
+    Every step is idempotent and cheap when there is nothing to do (one
+    manifest read / one directory stat pass), so replayed triggers are
+    no-ops — the same two-ledger argument as the refreshers above. The
+    maintenance commits are themselves feed events; an availableNow run
+    is still bounded (the end offset is pinned at start), and the next
+    run sees a healthy table and does nothing.
+
+    ``expire_keep_last`` must stay comfortably above any change-feed
+    subscriber's lag: a subscriber whose checkpoint offset predates the
+    trimmed horizon cannot plan its next range (its manifests are gone)
+    and must restart from a fresh checkpoint."""
+    from ..sources.versioned import expire_history, maybe_compact, vacuum
+
+    def maintain() -> None:
+        maybe_compact(
+            spark,
+            table,
+            max_files=compact_above,
+            small_bytes=small_bytes,
+            target_bytes=target_bytes,
+        )
+        if expire_keep_last is not None:
+            expire_history(table, keep_last=expire_keep_last)
+        if vacuum_keep_last is not None:
+            vacuum(
+                table,
+                keep_last=vacuum_keep_last,
+                tmp_age_s=vacuum_tmp_age_s,
+            )
+
+    return run_feed_driven(
+        spark,
+        table,
+        checkpoint,
+        maintain,
+        starting_version=-1,
+        # the daemon's own vacuum may reclaim files a later trigger's
+        # change range references; the trigger is the only signal needed
+        signal_only=True,
     )
