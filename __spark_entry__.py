@@ -134,6 +134,8 @@ _DEMOTED = (
     "stream_merge_upsert",
     # enforced UNIQUE (primary-key) ingest gate on versioned tables
     "unique_gate_ingest",
+    # GENERATED ALWAYS AS column: supplied half ≡ computed half
+    "generated_column_ingest",
 )
 
 

@@ -2124,6 +2124,9 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("explode(c)")
         .collect()
     ]
+    if len(cuts) < 2 or cuts[0] is None:
+        # empty CDC log: no batch ever commits, the dimension is empty
+        return spark.createDataFrame([], "k long, v string")
     t = _os.path.join(_tf.mkdtemp(prefix="wrtd_merge_stream_"), "dim")
     sink = make_versioned_merge_sink(
         t,
@@ -2188,4 +2191,49 @@ def unique_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("copy_"), F.col("k").cast("string")).alias("name"),
     )
     write_snapshot(fresh, t, mode="append")
+    return read_snapshot(spark, t)
+
+
+@register(
+    "generated_column_ingest",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band
+    FROM orders
+    """,
+)
+def generated_column_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS column
+    (sources/versioned.add_generated_column): the first half of orders
+    materializes price_band explicitly; after declaring it generated,
+    the second half is ingested WITHOUT the column and the write path
+    computes it — the final snapshot equals DuckDB deriving the band
+    over all of orders, proving supplied and computed values agree."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        add_generated_column,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    band = "CAST(FLOOR(price / 1000) AS BIGINT)"
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_gen_"), "tbl")
+    write_snapshot(
+        orders.filter(F.col("k") % 2 == 0).withColumn(
+            "price_band", F.expr(band)
+        ),
+        t,
+    )
+    add_generated_column(spark, t, "price_band", band)
+    write_snapshot(
+        orders.filter(F.col("k") % 2 == 1),  # band omitted: computed
+        t,
+        mode="append",
+    )
     return read_snapshot(spark, t)

@@ -632,6 +632,8 @@ def _enforce_unique_on_commit(
     Constraints whose key columns are absent from the batch schema are
     vacuously satisfied (the appended rows read back as NULL keys, which
     SQL UNIQUE exempts)."""
+    if not new_files:
+        return  # an empty batch stages no files and can conflict with nothing
     fields = set(_schema_fields(df_schema))
     for name, cols in sorted(uniq.items()):
         if not set(cols) <= fields:
