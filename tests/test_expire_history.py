@@ -121,3 +121,37 @@ def test_table_maintenance_stream_packs_trims_and_vacuums(
         vacuum_tmp_age_s=0.0,
     )
     assert latest_version(t) == v
+
+
+def test_describe_table_summarizes_everything(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import (
+        add_check_constraint,
+        add_unique_constraint,
+        describe_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=2,
+        bloom_cols=["k"],
+    )
+    add_unique_constraint(spark, t, "pk", ["k"])
+    add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+    d = describe_table(t)
+    assert d["columns"] == {"k": "long", "v": "double"}
+    assert d["layout"]["by"] == ["k"]
+    assert d["unique"] == {"pk": ["k"]}
+    assert d["constraints"] == {"v_nonneg": "v >= 0"}
+    assert d["bloom_columns"] == ["k"]
+    assert "k" in d["stats_columns"]  # layout implies stats
+    assert d["num_files"] == 2 and d["size_bytes"] > 0
+    assert d["retained_versions"] == d["version"] + 1
+    expire_history(t, keep_last=1)
+    assert describe_table(t)["retained_versions"] == 1
+    with pytest.raises(FileNotFoundError):
+        describe_table(str(tmp_path / "nope"))

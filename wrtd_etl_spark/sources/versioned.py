@@ -2770,6 +2770,61 @@ def alter_drop_column(table: str, name: str) -> int:
     )
 
 
+def describe_table(table: str) -> dict:
+    """DESCRIBE DETAIL: one dict summarizing the table's current state —
+    version, commit mode/time, column names and types, every table
+    property (clustered layout, CHECK / UNIQUE / GENERATED constraints,
+    bloomed and statted columns), file count and total on-disk bytes,
+    and how many history versions remain readable. One manifest read
+    plus one ``stat`` per data file; no Spark job."""
+    latest = _read_pointer(table)
+    if latest is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest(table, latest)
+    sizes = []
+    for f in m["files"]:
+        try:
+            sizes.append(os.path.getsize(os.path.join(table, f)))
+        except FileNotFoundError:
+            sizes.append(0)  # racing vacuum of a superseded file list
+    stats_cols = sorted(
+        {
+            c
+            for seg in _segments(m)
+            for fs in seg.get("stats", {}).values()
+            for c in fs
+        }
+    )
+    bloom_cols = sorted(
+        {
+            c
+            for seg in _segments(m)
+            for fb in seg.get("blooms", {}).values()
+            for c in fb
+        }
+    )
+    return {
+        "table": table,
+        "version": latest,
+        "mode": m["mode"],
+        "committed_at": m.get("committed_at"),
+        "columns": {
+            f["name"]: f["type"] for f in m["schema"]["fields"]
+        },
+        "schema_evolved": bool(m.get("schema_evolved")),
+        "layout": m.get("layout"),
+        "constraints": m.get("constraints", {}),
+        "unique": m.get("unique", {}),
+        "generated": m.get("generated", {}),
+        "stats_columns": stats_cols,
+        "bloom_columns": bloom_cols,
+        "num_files": len(m["files"]),
+        "size_bytes": sum(sizes),
+        "retained_versions": len(history(table)),
+        "extra": m.get("extra", {}),
+    }
+
+
 def clone_table(
     src: str,
     dst: str,
