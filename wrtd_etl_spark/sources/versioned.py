@@ -121,9 +121,136 @@ def _read_pointer(table: str) -> int | None:
     return v
 
 
-def _read_manifest(table: str, version: int) -> dict:
+def _read_manifest_root(table: str, version: int) -> dict:
+    """The root manifest document ONLY — segment heads (ref + coarse
+    summary), never the per-file detail. O(#segments) bytes regardless
+    of table size: the planning/commit fast path at 800k files, where
+    the resolved form is a multi-GB document."""
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    """The manifest with every segment RESOLVED to its full per-file
+    form ({files, schema, stats, blooms}) and the flat ``files`` list
+    materialized — the shape ALL pre-sharding code consumes. Callers
+    that only need table properties or segment summaries should use
+    :func:`_read_manifest_root` instead."""
+    m = _read_manifest_root(table, version)
+    segs = m.get("segments")
+    if segs is not None and any(_is_seg_head(s) for s in segs):
+        segs = [_resolve_seg(table, s) for s in segs]
+        m["segments"] = segs
+        m["files"] = [f for s in segs for f in s["files"]]
+    return m
+
+
+def _is_seg_head(seg: dict) -> bool:
+    """True for a sharded segment reference (detail lives in its own
+    immutable sidecar file); False for a full in-root segment dict."""
+    return "ref" in seg and "files" not in seg
+
+
+def _seg_detail_path(table: str, ref: str) -> str:
+    return os.path.join(table, _MANIFESTS, ref)
+
+
+def _resolve_seg(table: str, seg: dict) -> dict:
+    """One segment in full per-file form. The head's ``ref`` is NOT
+    carried into the resolved dict: resolved segments are freely copied
+    and mutated by the rewrite paths ({**seg, "files": ...}), and a
+    stale ref on a mutated copy would silently commit the OLD detail."""
+    if not _is_seg_head(seg):
+        return seg
+    with open(_seg_detail_path(table, seg["ref"])) as f:
+        d = json.load(f)
+    full = {
+        "files": d["files"],
+        "schema": seg["schema"],
+        "stats": d.get("stats", {}),
+    }
+    if d.get("blooms"):
+        full["blooms"] = d["blooms"]
+    return full
+
+
+def _seg_summary(stats: dict[str, dict]) -> dict[str, list]:
+    """Coarse per-SEGMENT [min,max] per column — the union of the
+    per-file stats, kept in the root head so planning can prune a whole
+    segment without opening its detail sidecar. A column missing stats
+    in ANY file is omitted (an open bound would be semantic pruning)."""
+    if not stats:
+        return {}
+    n_files = len(stats)
+    acc: dict[str, list] = {}
+    counts: dict[str, int] = {}
+    for fs in stats.values():
+        for c, (lo, hi) in fs.items():
+            counts[c] = counts.get(c, 0) + 1
+            if c not in acc:
+                acc[c] = [lo, hi]
+            else:
+                if lo < acc[c][0]:
+                    acc[c][0] = lo
+                if hi > acc[c][1]:
+                    acc[c][1] = hi
+    return {c: v for c, v in acc.items() if counts[c] == n_files}
+
+
+def _write_seg_detail(table: str, seg: dict) -> dict:
+    """Persist one segment's per-file detail as an immutable sidecar
+    (``_manifests/seg-<uuid>.json``) and return its root HEAD: ref +
+    schema + file/byte counts + coarse stat summary + bloom accounting.
+    Written BEFORE the root link, same crash contract as data files —
+    a loser's orphaned sidecar is debris for vacuum, never corruption."""
+    ref = f"seg-{uuid.uuid4().hex}.json"
+    detail: dict = {"files": seg["files"], "stats": seg.get("stats", {})}
+    if seg.get("blooms"):
+        detail["blooms"] = seg["blooms"]
+    os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    tmp = _seg_detail_path(table, ref) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(detail, f)
+    os.replace(tmp, _seg_detail_path(table, ref))
+    nbytes = 0
+    for rel in seg["files"]:
+        try:
+            nbytes += os.path.getsize(os.path.join(table, rel))
+        except FileNotFoundError:
+            pass  # racing vacuum of a superseded lineage
+    head = {
+        "ref": ref,
+        "schema": seg["schema"],
+        "n_files": len(seg["files"]),
+        "bytes": nbytes,
+        "summary": _seg_summary(seg.get("stats", {})),
+    }
+    blooms = seg.get("blooms", {})
+    if blooms:
+        head["bloom_cols"] = sorted(
+            {c for fb in blooms.values() for c in fb}
+        )
+        head["bloom_bytes"] = sum(
+            int(b["m"]) // 8 for fb in blooms.values() for b in fb.values()
+        )
+    return head
+
+
+def _shard_manifest(table: str, manifest: dict) -> dict:
+    """The compact root for serialization: every full segment becomes a
+    head whose detail was just written; segments already carried as
+    heads pass through untouched (the O(1)-per-old-segment append path).
+    The flat ``files`` list is derivable and therefore dropped."""
+    segs = manifest.get("segments")
+    if segs is None:
+        return manifest
+    heads = [
+        s if _is_seg_head(s) else _write_seg_detail(table, s)
+        for s in segs
+    ]
+    root = {k: v for k, v in manifest.items() if k != "files"}
+    root["segments"] = heads
+    return root
 
 
 def _segments(manifest: dict) -> list[dict]:
@@ -306,43 +433,56 @@ def _collect_file_blooms(
 ) -> dict[str, dict[str, dict]]:
     """relpath → {col: bloom dict} (sources/bloom.py sketches) for the
     just-written files. The per-file sketch is built EXECUTOR-side — one
-    applyInPandas group per file, so a 1000-file commit blooms in
-    parallel and the driver receives only ~1 KiB per file/column, the
-    same metadata-only footprint as the min/max stats."""
-    import json as _json
+    file per task, each opened directly with pyarrow, so a 1000-file
+    commit blooms in parallel and the driver receives only ~1 KiB per
+    file/column, the same metadata-only footprint as the min/max stats.
 
-    from .bloom import build as _bloom_build
+    pyarrow (NOT pandas) supplies the values: Arrow→pandas degrades a
+    nullable int64 column to float64, so an id >= 2**53 would tokenize
+    as 'f:...' at build time while the probe side's Python int
+    tokenizes as 'i:...' — a silent FALSE NEGATIVE that breaks the
+    zero-false-negative pruning contract. ``Table.column(c).drop_null()
+    .to_pylist()`` yields exact Python ints at any magnitude."""
+    import json as _json
 
     if not rel_files or not cols:
         return {}
-    paths = [os.path.join(table, f) for f in rel_files]
-    df = spark.read.parquet(*paths)
-    cols = [c for c in cols if c in df.columns]
-    if not cols:
-        return {}
-    src = df.select(*cols).withColumn("__f", F.input_file_name())
+    tbl = table
+    want = list(cols)
+    src = spark.createDataFrame(
+        [(r,) for r in rel_files], "rel string"
+    ).repartition(min(len(rel_files), 64))
 
-    def per_file(pdf):
+    def per_files(it):
         import pandas as pd
+        import pyarrow.parquet as pq
 
-        f = pdf["__f"].iloc[0]
-        out = []
-        for c in cols:
-            bl = _bloom_build(pdf[c].dropna().tolist())
-            if bl is not None:
-                out.append((f, c, _json.dumps(bl)))
-        return pd.DataFrame(out, columns=["f", "c", "bloom"])
+        from wrtd_etl_spark.sources.bloom import build as _bloom_build
 
-    rows = (
-        src.groupBy("__f")
-        .applyInPandas(per_file, schema="f string, c string, bloom string")
-        .collect()
-    )
+        for pdf in it:
+            out = []
+            for rel in pdf["rel"]:
+                path = os.path.join(tbl, rel)
+                names = [
+                    c for c in want if c in pq.read_schema(path).names
+                ]
+                if not names:
+                    continue
+                t = pq.read_table(path, columns=names)
+                for c in names:
+                    bl = _bloom_build(
+                        t.column(c).drop_null().to_pylist()
+                    )
+                    if bl is not None:
+                        out.append((rel, c, _json.dumps(bl)))
+            yield pd.DataFrame(out, columns=["rel", "c", "bloom"])
+
+    rows = src.mapInPandas(
+        per_files, schema="rel string, c string, bloom string"
+    ).collect()
     out: dict[str, dict[str, dict]] = {}
     for r in rows:
-        rel = next((rf for rf in rel_files if r.f.endswith(rf)), None)
-        if rel is not None:
-            out.setdefault(rel, {})[r.c] = _json.loads(r.bloom)
+        out.setdefault(r.rel, {})[r.c] = _json.loads(r.bloom)
     return out
 
 
@@ -699,6 +839,37 @@ def _compose_aliases(prev_aliases: dict, renames: dict) -> dict:
     return out
 
 
+def _layout_num_expr(dt, col: str):
+    """Numeric quantization expression for one clustering key, by Spark
+    type: numerics/booleans cast to double directly; TIMESTAMP casts to
+    double as epoch seconds; DATE has NO double cast (it yields NULL —
+    the silent-unclustered bug this replaces) so it maps to epoch days
+    via ``datediff``. Anything else (string, binary, complex) raises:
+    a type we cannot rank onto the curve must fail at write time, never
+    record a layout it didn't apply."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, DateType):
+        return F.datediff(F.col(col), F.to_date(F.lit("1970-01-01")))
+    if isinstance(dt, TimestampNTZType):
+        # NTZ has no double cast; route through TIMESTAMP (epoch
+        # seconds) — ranking only, so the session-tz offset is harmless
+        return F.col(col).cast("timestamp").cast("double")
+    if isinstance(dt, (NumericType, BooleanType, TimestampType)):
+        return F.col(col).cast("double")
+    raise TypeError(
+        f"layout_by column {col!r} has unsupported type {dt.simpleString()}: "
+        "Z-order clustering needs a numeric, boolean, date, or timestamp "
+        "key (cluster a string key via a derived numeric column instead)"
+    )
+
+
 def _apply_layout(
     df: DataFrame, layout_by: list[str], layout_files: int | None
 ) -> DataFrame:
@@ -706,6 +877,14 @@ def _apply_layout(
     repartitionByRange + sortWithinPartitions) so each output file covers
     a narrow slice of the key space — the property manifest stats +
     ``skip_filter`` turn into file pruning.
+
+    Key types: numeric / timestamp keys quantize via a double cast;
+    DATE keys via epoch-day (``datediff`` — a date's double cast is
+    NULL, which silently wrote UNCLUSTERED files before r7). Strings
+    and other unorderable-as-number types are REFUSED loudly — see
+    :func:`_layout_num_expr` — never silently degraded: the manifest
+    records the layout property, so a no-op here would claim a
+    clustering that doesn't exist.
 
     Returns ``df`` unchanged when any layout column is absent (schema
     evolution removed it from this batch) or when ANY layout column's min
@@ -716,11 +895,12 @@ def _apply_layout(
 
     if not layout_by or any(c not in df.columns for c in layout_by):
         return df
+    nums = {c: _layout_num_expr(df.schema[c].dataType, c) for c in layout_by}
     aggs = []
     for c in layout_by:
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            F.min(nums[c]).alias(f"__lo_{c}"),
+            F.max(nums[c]).alias(f"__hi_{c}"),
         ]
     row = df.agg(*aggs).collect()[0]
     if any(row[f"__lo_{c}"] is None for c in layout_by):
@@ -729,7 +909,7 @@ def _apply_layout(
         (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
         for c in layout_by
     ]
-    z = zorder_key([F.col(c) for c in layout_by], bounds)
+    z = zorder_key([nums[c] for c in layout_by], bounds)
     df = df.withColumn("__z", z)
     df = (
         df.repartitionByRange(layout_files, "__z")
@@ -889,6 +1069,14 @@ def write_snapshot(
         {"by": list(layout_by), "files": layout_files} if layout_by else None
     )
     if layout_by:
+        # a DECLARED layout must be applicable: _apply_layout's silent
+        # return paths exist for the maintenance re-apply of a CARRIED
+        # layout over an evolved batch, not for a fresh declaration
+        missing = [c for c in layout_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"layout_by column(s) {missing} not in the batch"
+            )
         df = _apply_layout(df, layout_by, layout_files)
         stats_cols = sorted(set(stats_cols or []) | set(layout_by))
     elif mode == "append":
@@ -979,14 +1167,35 @@ def _commit_new_segment(
 
     uniq_checked_internal: set = set()
     uniq_probed: dict = {}
+    gated = {**constraints, **_generated_as_constraints(generated)}
     for _ in range(20):
         prev = _read_pointer(table)
         version = 0 if prev is None else prev + 1
-        uniq = (
-            _read_manifest(table, prev).get("unique", {})
-            if prev is not None
-            else {}
-        )
+        base = _read_manifest(table, prev) if prev is not None else {}
+        uniq = base.get("unique", {})
+        if prev is not None:
+            # constraints/generated are re-read per attempt (like
+            # `unique`): a retry that stamped the pre-race dicts would
+            # silently ERASE a concurrently-added constraint from every
+            # future version. Any entries the original gate didn't cover
+            # are gated now over the staged files, fail-closed.
+            cur_c = base.get("constraints", {})
+            cur_g = base.get("generated", {})
+            if cur_c != constraints or cur_g != generated:
+                regate = {
+                    name: expr
+                    for name, expr in {
+                        **cur_c,
+                        **_generated_as_constraints(cur_g),
+                    }.items()
+                    if gated.get(name) != expr
+                }
+                if regate:
+                    _enforce_constraints_on_files(
+                        table, new_files, regate
+                    )
+                    gated.update(regate)
+                constraints, generated = cur_c, cur_g
         if uniq:
             # probe is pinned to base `prev`; if another commit wins the
             # link race we loop and re-probe only its delta — UNIQUE
@@ -1001,7 +1210,7 @@ def _commit_new_segment(
                 uniq_probed,
             )
         if mode == "append" and prev is not None:
-            prev_manifest = _read_manifest(table, prev)
+            prev_manifest = base
             aliases = _compose_aliases(
                 prev_manifest.get("aliases", {}), renames or {}
             )
@@ -1764,6 +1973,14 @@ def _rebase_appends(
             return None  # append evolved the schema: rebase would lose it
         if m.get("aliases", {}) != base_manifest.get("aliases", {}):
             return None
+        for prop in ("constraints", "generated", "unique"):
+            # a concurrent ALTER (add_check_constraint / add_unique /
+            # add_generated_column commits as a zero-segment append)
+            # must NOT be adopted silently: the rewrite's replacement
+            # rows were never validated against it — strict conflict,
+            # the caller re-runs and gates under the new rules
+            if m.get(prop, {}) != base_manifest.get(prop, {}):
+                return None
         new = _segments(m)[len(_segments(prev_m)) :]
         if guard is not None and not all(guard(s) for s in new):
             return None
@@ -2889,12 +3106,22 @@ def clone_table(
     return 0
 
 
-def expire_history(table: str, keep_last: int = 100) -> list[int]:
-    """Trim the commit log to the newest ``keep_last`` versions —
-    Delta's ``logRetentionDuration`` expressed as a count. A streaming
-    sink committing once a minute writes half a million manifests a
-    year; the table's CURRENT state never needs more than the latest
-    one (every manifest is self-contained), history is what grows.
+def expire_history(
+    table: str,
+    keep_last: "int | None" = None,
+    keep_hours: "float | None" = None,
+) -> list[int]:
+    """Trim the commit log: Delta's ``logRetentionDuration``, as a
+    version count (``keep_last``), a duration off each manifest's
+    ``committed_at`` (``keep_hours`` — the natural form for a per-minute
+    sink: "keep 7 days", not "keep 10,080"), or BOTH (a version is
+    retained if EITHER rule keeps it — union retention, so adding a
+    time bound can only keep more, never starve a count-based
+    consumer). With neither given, defaults to ``keep_last=100``. The
+    latest version is always retained. A streaming sink committing once
+    a minute writes half a million manifests a year; the table's
+    CURRENT state never needs more than the latest one (every manifest
+    is self-contained), history is what grows.
 
     Deleting a manifest forfeits time travel / rollback / ``as_of`` to
     that version (they raise ``FileNotFoundError``; ``history()`` stops
@@ -2903,11 +3130,29 @@ def expire_history(table: str, keep_last: int = 100) -> list[int]:
     as they do across a compaction. Data files are NOT touched here:
     run :func:`vacuum` AFTER expiry to reclaim files only the expired
     manifests referenced. Returns the expired version numbers."""
+    if keep_last is None and keep_hours is None:
+        keep_last = 100
     latest = _read_pointer(table)
     if latest is None:
         return []
+    cutoff = (
+        time.time() - keep_hours * 3600.0
+        if keep_hours is not None
+        else None
+    )
     removed = []
-    for v in range(max(0, latest - keep_last + 1)):
+    for v in range(latest):
+        if keep_last is not None and v > latest - keep_last:
+            break  # inside the count window — so is everything newer
+        if cutoff is not None:
+            try:
+                m = _read_manifest(table, v)
+            except FileNotFoundError:
+                continue  # already expired
+            if m.get("committed_at", 0.0) >= cutoff:
+                # commit times are monotone: everything newer is
+                # inside the time window too
+                break
         try:
             os.remove(_manifest_path(table, v))
             removed.append(v)

@@ -243,7 +243,12 @@ class VersionedTablePushdownReader(VersionedTableReader):
                 cur[1] = hi
 
         for f in filters:
-            col = f.attribute[-1] if getattr(f, "attribute", None) else None
+            # single-segment attributes ONLY: a predicate on a nested
+            # field like s.k must not prune on a top-level column that
+            # happens to share the leaf name k — that would make
+            # pushdown semantic, not pruning-only
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
             if col is None or col not in self.fields:
                 continue
             if isinstance(f, EqualTo) and f.value is not None:

@@ -152,6 +152,7 @@ def run_table_maintenance_stream(
     small_bytes: int = 32 << 20,
     target_bytes: int = 128 << 20,
     expire_keep_last: "int | None" = None,
+    expire_keep_hours: "float | None" = None,
     vacuum_keep_last: "int | None" = None,
     vacuum_tmp_age_s: float = 3600.0,
 ):
@@ -175,6 +176,20 @@ def run_table_maintenance_stream(
     and must restart from a fresh checkpoint."""
     from ..sources.versioned import expire_history, maybe_compact, vacuum
 
+    if (
+        expire_keep_last is not None
+        and vacuum_keep_last is not None
+        and expire_keep_last < vacuum_keep_last
+    ):
+        # expire would delete manifests INSIDE vacuum's retained window;
+        # vacuum's next walk over [latest-keep_last+1, latest] then hits
+        # FileNotFoundError and every subsequent trigger crashes
+        raise ValueError(
+            f"expire_keep_last ({expire_keep_last}) must be >= "
+            f"vacuum_keep_last ({vacuum_keep_last}): vacuum reads every "
+            "manifest in its retained window"
+        )
+
     def maintain() -> None:
         maybe_compact(
             spark,
@@ -183,8 +198,16 @@ def run_table_maintenance_stream(
             small_bytes=small_bytes,
             target_bytes=target_bytes,
         )
-        if expire_keep_last is not None:
-            expire_history(table, keep_last=expire_keep_last)
+        if expire_keep_last is not None or expire_keep_hours is not None:
+            # time-based expiry must still retain vacuum's manifest
+            # window (vacuum reads every manifest in it): union
+            # retention with keep_last=vacuum_keep_last guarantees it
+            floor = expire_keep_last
+            if expire_keep_hours is not None and vacuum_keep_last is not None:
+                floor = max(floor or 0, vacuum_keep_last)
+            expire_history(
+                table, keep_last=floor, keep_hours=expire_keep_hours
+            )
         if vacuum_keep_last is not None:
             vacuum(
                 table,
