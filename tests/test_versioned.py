@@ -512,11 +512,9 @@ def test_delete_where_copy_on_write_prunes_untouched_files(spark, tmp_path):
         "g", F.when(F.col("v") % 400 == 17, None).otherwise(F.col("v") % 7)
     )
     write_snapshot(df, t, layout_by=["v"], layout_files=16)
-    files_before = {
-        f for f in __import__("json").load(
-            open(os.path.join(t, "_manifests", "v0.json"))
-        )["files"]
-    }
+    from wrtd_etl_spark.sources.versioned import _read_manifest
+
+    files_before = set(_read_manifest(t, 0)["files"])
     v = delete_where(
         spark,
         t,
@@ -527,11 +525,7 @@ def test_delete_where_copy_on_write_prunes_untouched_files(spark, tmp_path):
     got = _vals(read_snapshot(spark, t))
     assert got == list(range(0, 100)) + list(range(200, 1600))
     # untouched files carried forward by reference, not rewritten
-    import json as _json
-
-    with open(os.path.join(t, "_manifests", "v1.json")) as f:
-        m1 = _json.load(f)
-    carried = set(m1["files"]) & files_before
+    carried = set(_read_manifest(t, 1)["files"]) & files_before
     assert len(carried) >= 12, "most files should carry forward untouched"
     # time travel still sees the deleted rows
     assert len(_vals(read_snapshot(spark, t, version=0))) == 1600

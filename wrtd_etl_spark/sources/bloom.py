@@ -118,6 +118,31 @@ def build(values) -> dict | None:
     }
 
 
+def fold(bloom: dict, min_bits: int = 4096) -> dict | None:
+    """Halve a bloom's bitset by OR-folding its two halves — the probe
+    positions are ``h mod m``, and for any p, ``p mod (m/2)`` lands on a
+    bit the fold set whenever bit p was set (p ≡ p mod m/2 (mod m/2)),
+    so folding preserves ZERO FALSE NEGATIVES and only raises the
+    false-positive rate. The degrade path for a table-wide bloom byte
+    budget: shrink sketches, never break the pruning contract.
+
+    None when the bloom is at the floor (``min_bits``) or its half is
+    not byte-aligned — callers stop folding there."""
+    m = int(bloom["m"])
+    half = m // 2
+    if m % 2 or half % 8 or half < min_bits:
+        return None
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["b"]), dtype=np.uint8)
+    )[:m]
+    folded = bits[:half] | bits[half:]
+    return {
+        "m": half,
+        "k": bloom["k"],
+        "b": base64.b64encode(np.packbits(folded).tobytes()).decode(),
+    }
+
+
 def contains_any(bloom: dict, values) -> bool:
     """True iff the bloom may contain AT LEAST ONE of ``values`` —
     the file-keep test for ``col IN (...)``. Unhashable lookup values

@@ -224,6 +224,11 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         "n_files": len(seg["files"]),
         "bytes": nbytes,
         "summary": _seg_summary(seg.get("stats", {})),
+        # union over files (summary keeps only all-file columns): the
+        # stat/bloom SURFACE rewrites must re-record, without detail I/O
+        "stats_cols": sorted(
+            {c for fs in seg.get("stats", {}).values() for c in fs}
+        ),
     }
     blooms = seg.get("blooms", {})
     if blooms:
@@ -288,12 +293,20 @@ def _advance_pointer(table: str, version: int) -> None:
 def _try_commit(table: str, version: int, manifest: dict) -> bool:
     """PUT-IF-ABSENT commit of ``manifest`` as version N: stage to tmp,
     publish with os.link (atomic, fails if v{N}.json exists). True iff
-    this writer won version N."""
+    this writer won version N.
+
+    The serialized root is SHARDED: full segments are spilled to
+    immutable per-segment detail sidecars (files + per-file stats +
+    blooms) and the root keeps only heads (ref + schema + coarse
+    summary) — so root size is O(#segments), not O(#files), and an
+    append that carries heads forward rewrites NO detail bytes. A lost
+    race may orphan freshly-written sidecars; vacuum sweeps them by
+    age, exactly like staged ``.tmp`` manifests."""
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     mpath = _manifest_path(table, version)
     tmp = f"{mpath}.{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(_shard_manifest(table, manifest), f)
     try:
         os.link(tmp, mpath)
     except FileExistsError:
@@ -321,7 +334,7 @@ def manifest_info(table: str, version: int | None = None) -> dict:
         version = _read_pointer(table)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
-    m = dict(_read_manifest(table, version))
+    m = dict(_read_manifest_root(table, version))
     m.pop("files", None)
     m.pop("segments", None)
     return m
@@ -486,6 +499,83 @@ def _collect_file_blooms(
     return out
 
 
+#: Table-wide cap on manifest bloom bytes (env-overridable). At ~800k
+#: files × 1-128 KiB per file/column, unbounded sketches grow the
+#: metadata layer to GBs; past the budget, NEW files' blooms are
+#: OR-folded to half size (zero-false-negative preserving) until they
+#: fit, and dropped entirely (pruning degrades to stats-only, never
+#: wrong) if even floor-sized sketches overflow.
+BLOOM_BUDGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BLOOM_BUDGET", 256 << 20)
+)
+
+
+def _table_bloom_bytes(table: str, version: "int | None" = None) -> int:
+    """Total bloom sidecar bytes the (latest unless given) version
+    references — from root heads alone, no detail I/O."""
+    if version is None:
+        version = _read_pointer(table)
+    if version is None:
+        return 0
+    total = 0
+    for seg in _segments(_read_manifest_root(table, version)):
+        if _is_seg_head(seg):
+            total += seg.get("bloom_bytes", 0)
+        else:
+            total += sum(
+                int(b["m"]) // 8
+                for fb in seg.get("blooms", {}).values()
+                for b in fb.values()
+            )
+    return total
+
+
+def _enforce_bloom_budget(
+    table: str, blooms: dict, existing_bytes: int
+) -> dict:
+    """Degrade the NEW files' blooms until ``existing + new`` fits
+    :data:`BLOOM_BUDGET_BYTES`: fold (halve) every sketch per round —
+    zero false negatives survive folding (sources/bloom.py:fold) — and
+    if the floor still overflows, drop the new blooms with a warning
+    (absent bloom = always keep: pruning weakens, correctness holds)."""
+    if not blooms:
+        return blooms
+    from .bloom import fold as _fold
+
+    def nbytes(bl):
+        return sum(
+            int(b["m"]) // 8 for fb in bl.values() for b in fb.values()
+        )
+
+    while existing_bytes + nbytes(blooms) > BLOOM_BUDGET_BYTES:
+        folded_any = False
+        out: dict = {}
+        for f, fb in blooms.items():
+            nf = {}
+            for c, b in fb.items():
+                fb2 = _fold(b)
+                if fb2 is not None:
+                    nf[c] = fb2
+                    folded_any = True
+                else:
+                    nf[c] = b
+            out[f] = nf
+        blooms = out
+        if not folded_any:
+            import warnings
+
+            warnings.warn(
+                f"{table}: bloom byte budget exhausted "
+                f"({existing_bytes}B existing, cap {BLOOM_BUDGET_BYTES}B)"
+                " — new files committed WITHOUT bloom sketches; point "
+                "pruning degrades to stats-only on them. Raise "
+                "SPARK_GRAFT_BLOOM_BUDGET or compact to reclaim.",
+                stacklevel=3,
+            )
+            return {}
+    return blooms
+
+
 def _point_keeps(st, bl, vals) -> bool:
     """File-keep decision for one column of a point filter: the file
     survives unless its [min,max] excludes EVERY value or its bloom
@@ -529,7 +619,7 @@ def _table_constraints(table: str) -> dict[str, str]:
     p = _read_pointer(table)
     if p is None:
         return {}
-    return _read_manifest(table, p).get("constraints", {})
+    return _read_manifest_root(table, p).get("constraints", {})
 
 
 def _table_generated(table: str) -> dict[str, str]:
@@ -538,7 +628,7 @@ def _table_generated(table: str) -> dict[str, str]:
     p = _read_pointer(table)
     if p is None:
         return {}
-    return _read_manifest(table, p).get("generated", {})
+    return _read_manifest_root(table, p).get("generated", {})
 
 
 def _generated_as_constraints(gen: dict[str, str]) -> dict[str, str]:
@@ -638,7 +728,7 @@ def _table_unique(table: str) -> dict[str, list[str]]:
     p = _read_pointer(table)
     if p is None:
         return {}
-    return _read_manifest(table, p).get("unique", {})
+    return _read_manifest_root(table, p).get("unique", {})
 
 
 def _uniq_spark():
@@ -792,7 +882,7 @@ def _enforce_unique_on_commit(
         else:
             existing = delta_files(table, probed[name], prev)
         if existing is None:
-            m = _read_manifest(table, prev)
+            m = _read_manifest_root(table, prev)
             if m.get("schema_evolved"):
                 # evolved segments may predate the key columns; the
                 # file-list read path can't NULL-fill, so probe through
@@ -998,7 +1088,7 @@ def write_snapshot(
         p = _read_pointer(table)
         declared = {
             f["name"]: f["type"]
-            for f in _read_manifest(table, p)["schema"]["fields"]
+            for f in _read_manifest_root(table, p)["schema"]["fields"]
         }
         from pyspark.sql.types import StructField, _parse_datatype_json_value
 
@@ -1086,7 +1176,9 @@ def write_snapshot(
         # and compaction can measure what it restores
         p0 = _read_pointer(table)
         inherited = (
-            _read_manifest(table, p0).get("layout") if p0 is not None else None
+            _read_manifest_root(table, p0).get("layout")
+            if p0 is not None
+            else None
         )
         if inherited:
             stats_cols = sorted(set(stats_cols or []) | set(inherited["by"]))
@@ -1098,18 +1190,26 @@ def write_snapshot(
         # decays to stats-only on the unclustered tail
         p0 = _read_pointer(table)
         if p0 is not None:
-            bloom_set |= {
-                c
-                for seg in _segments(_read_manifest(table, p0))
-                for fb in seg.get("blooms", {}).values()
-                for c in fb
-            }
+            for seg in _segments(_read_manifest_root(table, p0)):
+                if _is_seg_head(seg):
+                    bloom_set |= set(seg.get("bloom_cols", []))
+                else:
+                    bloom_set |= {
+                        c
+                        for fb in seg.get("blooms", {}).values()
+                        for c in fb
+                    }
     blooms = (
         _collect_file_blooms(
             df.sparkSession, table, new_files, sorted(bloom_set)
         )
         if bloom_set
         else {}
+    )
+    blooms = _enforce_bloom_budget(
+        table,
+        blooms,
+        _table_bloom_bytes(table) if mode == "append" else 0,
     )
     return _commit_new_segment(
         table,
@@ -1164,6 +1264,11 @@ def _commit_new_segment(
     new_segment = {"files": new_files, "schema": df_schema, "stats": stats}
     if blooms:
         new_segment["blooms"] = blooms
+    # shard ONCE, outside the retry loop: the new segment's detail
+    # sidecar is version-independent, so a lost link race re-stages only
+    # the tiny root, and the commit writes O(new files) detail bytes —
+    # never O(table files) (the pre-sharding single-manifest rewrite)
+    new_segment = _write_seg_detail(table, new_segment)
 
     uniq_checked_internal: set = set()
     uniq_probed: dict = {}
@@ -1171,7 +1276,7 @@ def _commit_new_segment(
     for _ in range(20):
         prev = _read_pointer(table)
         version = 0 if prev is None else prev + 1
-        base = _read_manifest(table, prev) if prev is not None else {}
+        base = _read_manifest_root(table, prev) if prev is not None else {}
         uniq = base.get("unique", {})
         if prev is not None:
             # constraints/generated are re-read per attempt (like
@@ -1315,7 +1420,6 @@ def _commit_new_segment(
             "version": version,
             "mode": mode,
             "parent": prev,
-            "files": [f for s in segments for f in s["files"]],
             "segments": segments,
             "schema": schema,
             "schema_evolved": evolved,
@@ -1377,6 +1481,48 @@ def _read_segments(
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     return out.select(*[f.name for f in target.fields])
+
+
+def _head_may_match(
+    head: dict,
+    aliases: dict,
+    skip_filter: dict[str, tuple] | None,
+    point_filter: dict[str, list] | None = None,
+) -> bool:
+    """Segment-level pruning decision from the root head's coarse
+    [min,max] summary — False only when NO file in the segment can
+    match, so the detail sidecar is never opened. Columns absent from
+    the summary keep the segment (never semantic). This is what makes
+    planning O(#segments) at the root: an 800k-file table's point
+    lookup opens detail for only the segments whose summary admits the
+    key."""
+    summary = head.get("summary") or {}
+    if not summary:
+        return True
+
+    def seg_name(cur: str) -> str | None:
+        for f in _schema_fields(head["schema"]):
+            if aliases.get(f, f) == cur:
+                return f
+        return None
+
+    for c, (lo, hi) in (skip_filter or {}).items():
+        col = seg_name(c)
+        if col is None or col not in summary:
+            continue
+        smin, smax = summary[col]
+        lo, hi = _json_val(lo), _json_val(hi)
+        if (hi is not None and smin is not None and smin > hi) or (
+            lo is not None and smax is not None and smax < lo
+        ):
+            return False
+    for c, vals in (point_filter or {}).items():
+        col = seg_name(c)
+        if col is None or col not in summary:
+            continue
+        if not _point_keeps(summary[col], None, vals):
+            return False
+    return True
 
 
 def _prune_segment_files(
@@ -1452,16 +1598,30 @@ def files_for_read(
         version = _read_pointer(table)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, version)
-    total = len(manifest["files"])
-    if not skip_filter and not point_filter:
-        return list(manifest["files"]), total
+    manifest = _read_manifest_root(table, version)
+    segs = _segments(manifest)
+    total = sum(
+        s["n_files"] if _is_seg_head(s) else len(s["files"]) for s in segs
+    )
     aliases = manifest.get("aliases", {})
-    kept = [
-        f
-        for seg in _segments(manifest)
-        for f in _prune_segment_files(seg, aliases, skip_filter, point_filter)
-    ]
+    kept: list[str] = []
+    for seg in segs:
+        if _is_seg_head(seg):
+            # two-tier plan: the root's coarse summary prunes whole
+            # segments; only survivors open their detail sidecar
+            if (skip_filter or point_filter) and not _head_may_match(
+                seg, aliases, skip_filter, point_filter
+            ):
+                continue
+            seg = _resolve_seg(table, seg)
+        if not skip_filter and not point_filter:
+            kept.extend(seg["files"])
+        else:
+            kept.extend(
+                _prune_segment_files(
+                    seg, aliases, skip_filter, point_filter
+                )
+            )
     return kept, total
 
 
@@ -1479,7 +1639,7 @@ def version_as_of(table: str, ts: float) -> int:
         raise FileNotFoundError(f"no committed version in {table}")
     for v in range(latest, -1, -1):
         try:
-            if _read_manifest(table, v).get("committed_at", 0.0) <= ts:
+            if _read_manifest_root(table, v).get("committed_at", 0.0) <= ts:
                 return v
         except FileNotFoundError:
             raise ValueError(
@@ -1514,23 +1674,28 @@ def read_snapshot(
         version = _read_pointer(table)
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, version)
+    manifest = _read_manifest_root(table, version)
     if manifest.get("schema_evolved") and "segments" in manifest:
-        if skip_filter or point_filter:
-            aliases = manifest.get("aliases", {})
-            manifest = {
-                **manifest,
-                "segments": [
-                    {
-                        **seg,
-                        "files": _prune_segment_files(
-                            seg, aliases, skip_filter, point_filter
-                        ),
-                    }
-                    for seg in _segments(manifest)
-                ],
-            }
-        return _read_segments(spark, table, manifest)
+        aliases = manifest.get("aliases", {})
+        segs = []
+        for seg in _segments(manifest):
+            if _is_seg_head(seg):
+                if (skip_filter or point_filter) and not _head_may_match(
+                    seg, aliases, skip_filter, point_filter
+                ):
+                    continue
+                seg = _resolve_seg(table, seg)
+            if skip_filter or point_filter:
+                seg = {
+                    **seg,
+                    "files": _prune_segment_files(
+                        seg, aliases, skip_filter, point_filter
+                    ),
+                }
+            segs.append(seg)
+        return _read_segments(
+            spark, table, {**manifest, "segments": segs}
+        )
     paths, _ = files_for_read(table, version, skip_filter, point_filter)
     if not paths:
         if manifest.get("schema"):
@@ -1564,13 +1729,20 @@ def delta_files(
         return []
     out: list[str] = []
     try:
-        prev_files = set(_read_manifest(table, from_version)["files"])
+        prev_m = _read_manifest_root(table, from_version)
         for v in range(from_version + 1, to_version + 1):
-            m = _read_manifest(table, v)
+            m = _read_manifest_root(table, v)
             if m["mode"] != "append" or m.get("schema_evolved"):
                 return None
-            out.extend(f for f in m["files"] if f not in prev_files)
-            prev_files = set(m["files"])
+            # appends strictly EXTEND the segment list (the commit
+            # protocol's carry), so the delta is the positional tail —
+            # only ITS detail sidecars are opened, O(delta) not O(table)
+            segs, prev_segs = _segments(m), _segments(prev_m)
+            if len(segs) < len(prev_segs):
+                return None  # not an extension: undefined, rebuild
+            for s in segs[len(prev_segs) :]:
+                out.extend(_resolve_seg(table, s)["files"])
+            prev_m = m
     except FileNotFoundError:
         return None  # range predates expire_history's horizon: undefined
     return out
@@ -1591,7 +1763,7 @@ def commit_modes(
         return []
     try:
         return [
-            _read_manifest(table, v)["mode"]
+            _read_manifest_root(table, v)["mode"]
             for v in range(from_version + 1, to_version + 1)
         ]
     except FileNotFoundError:
@@ -1632,9 +1804,13 @@ def delete_where(
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, base)
+    # ROOT manifest: rewrites touch detail sidecars only for segments
+    # the predicate can reach; everything else carries as heads
+    manifest = _read_manifest_root(table, base)
     aliases = manifest.get("aliases", {})
-    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    carried, rewrite_segs = _split_for_rewrite(
+        manifest, aliases, prune, table=table
+    )
     new_segment = None
     if rewrite_segs:
         # normalize candidates through the same rename/cast/union path a
@@ -1708,7 +1884,9 @@ def replace_where(
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, base)
+    # ROOT manifest: rewrites touch detail sidecars only for segments
+    # the predicate can reach; everything else carries as heads
+    manifest = _read_manifest_root(table, base)
     aliases = manifest.get("aliases", {})
     target = StructType.fromJson(manifest["schema"])
     bad = df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).collect()
@@ -1718,7 +1896,9 @@ def replace_where(
             f"predicate (first: {bad[0].asDict()}); the replacement for a "
             f"slice must stay inside that slice"
         )
-    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    carried, rewrite_segs = _split_for_rewrite(
+        manifest, aliases, prune, table=table
+    )
     survivors = (
         _read_segments(
             spark, table, {**manifest, "segments": rewrite_segs}
@@ -1754,21 +1934,39 @@ def _split_for_rewrite(
     aliases: dict,
     prune: dict[str, tuple] | None,
     point: dict[str, list] | None = None,
+    table: str | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Partition the version's segments into (carried, rewrite): files
     whose stats CANNOT intersect ``prune`` (range) / ``point`` (value
     membership vs stats + blooms) carry forward untouched (by reference
     — no read, no write); the rest are rewrite candidates. ``prune=None``
     with ``point=None`` means rewrite everything. Shared by delete_where
-    / update_where / merge_into — the surgical-rewrite primitive."""
+    / update_where / merge_into — the surgical-rewrite primitive.
+
+    Sharded manifests (``table`` given): a head whose root summary
+    excludes the predicate — or that survives per-file pruning fully
+    intact — carries as the HEAD, so the rewritten commit reuses its
+    detail sidecar byte-for-byte; only partially-kept segments restage
+    detail."""
     carried: list[dict] = []
     rewrite_segs: list[dict] = []
     for seg in _segments(manifest):
+        head = seg if _is_seg_head(seg) else None
+        if head is not None:
+            if (prune or point) and not _head_may_match(
+                seg, aliases, prune, point
+            ):
+                carried.append(head)
+                continue
+            seg = _resolve_seg(table, seg)
         cand = (
             set(_prune_segment_files(seg, aliases, prune, point))
             if prune or point
             else set(seg["files"])
         )
+        if not cand and head is not None:
+            carried.append(head)
+            continue
         keep = [f for f in seg["files"] if f not in cand]
         if keep:
             carried.append(
@@ -1873,23 +2071,34 @@ def _rewrite_segment(
                 if len(vals) <= _UNIQ_POINT_CAP
                 else None
             )
-            carried_segs = [
-                {
-                    **seg,
-                    "files": _prune_segment_files(
-                        {
-                            **seg,
-                            "files": [
-                                f for f in seg["files"] if f not in rewritten
-                            ],
-                        },
-                        aliases_u,
-                        None,
-                        pf,
-                    ),
-                }
-                for seg in _segments(manifest)
-            ]
+            carried_segs = []
+            for seg in _segments(manifest):
+                if _is_seg_head(seg):
+                    # summary pre-prune: a segment whose coarse bounds
+                    # exclude every replacement key never opens detail
+                    if pf is not None and not _head_may_match(
+                        seg, aliases_u, None, pf
+                    ):
+                        continue
+                    seg = _resolve_seg(table, seg)
+                carried_segs.append(
+                    {
+                        **seg,
+                        "files": _prune_segment_files(
+                            {
+                                **seg,
+                                "files": [
+                                    f
+                                    for f in seg["files"]
+                                    if f not in rewritten
+                                ],
+                            },
+                            aliases_u,
+                            None,
+                            pf,
+                        ),
+                    }
+                )
             if any(s["files"] for s in carried_segs):
                 old = _read_segments(
                     spark, table, {**manifest, "segments": carried_segs}
@@ -1914,16 +2123,27 @@ def _rewrite_segment(
     files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
     # files — an insert-only merge whose pruning carried every old file
-    # must still record stats on its fresh files, or skipping degrades
-    stat_segs = list(_segments(manifest)) + list(rewrite_segs)
-    stat_cols = sorted(
-        {
-            aliases.get(c, c)
-            for seg in stat_segs
-            for fs in seg.get("stats", {}).values()
-            for c in fs
-        }
-    )
+    # must still record stats on its fresh files, or skipping degrades.
+    # Heads carry the column SURFACE (stats_cols/bloom_cols) in the
+    # root, so this never opens a detail sidecar.
+    stat_cols_set: set = set()
+    bloom_cols_set: set = set()
+    for seg in list(_segments(manifest)) + list(rewrite_segs):
+        if _is_seg_head(seg):
+            stat_cols_set |= set(seg.get("stats_cols", []))
+            bloom_cols_set |= set(seg.get("bloom_cols", []))
+        else:
+            stat_cols_set |= {
+                c
+                for fs in seg.get("stats", {}).values()
+                for c in fs
+            }
+            bloom_cols_set |= {
+                c
+                for fb in seg.get("blooms", {}).values()
+                for c in fb
+            }
+    stat_cols = sorted(aliases.get(c, c) for c in stat_cols_set)
     stats = (
         _collect_file_stats(table, files_new, stat_cols)
         if stat_cols
@@ -1932,21 +2152,19 @@ def _rewrite_segment(
     # same rule for blooms: the replacement files re-bloom every column
     # any replaced file had a bloom on, so point pruning survives
     # merge/update/delete instead of decaying file by file
-    bloom_cols = sorted(
-        {
-            aliases.get(c, c)
-            for seg in stat_segs
-            for fb in seg.get("blooms", {}).values()
-            for c in fb
-        }
-    )
+    bloom_cols = sorted(aliases.get(c, c) for c in bloom_cols_set)
     out = {
         "files": files_new,
         "schema": schema if schema is not None else manifest["schema"],
         "stats": stats,
     }
     if bloom_cols:
-        blooms = _collect_file_blooms(spark, table, files_new, bloom_cols)
+        blooms = _enforce_bloom_budget(
+            table,
+            _collect_file_blooms(spark, table, files_new, bloom_cols),
+            # conservative: counts the replaced files' blooms too
+            _table_bloom_bytes(table),
+        )
         if blooms:
             out["blooms"] = blooms
     return out
@@ -1966,7 +2184,7 @@ def _rebase_appends(
     segs: list[dict] = []
     prev_m = base_manifest
     for v in range(base + 1, prev + 1):
-        m = _read_manifest(table, v)
+        m = _read_manifest_root(table, v)
         if m["mode"] != "append":
             return None
         if m.get("schema") != base_manifest["schema"]:
@@ -1982,7 +2200,12 @@ def _rebase_appends(
             if m.get(prop, {}) != base_manifest.get(prop, {}):
                 return None
         new = _segments(m)[len(_segments(prev_m)) :]
-        if guard is not None and not all(guard(s) for s in new):
+        # guards inspect per-file stats/blooms (merge's disjointness
+        # proof) — run them on the RESOLVED form, but carry the HEAD so
+        # the rebased commit rewrites none of the append's detail bytes
+        if guard is not None and not all(
+            guard(_resolve_seg(table, s)) for s in new
+        ):
             return None
         segs.extend(new)
         prev_m = m
@@ -2055,7 +2278,6 @@ def _commit_rewrite(
             "version": prev + 1,
             "mode": mode,
             "parent": prev,
-            "files": [f for s in segments for f in s["files"]],
             "segments": segments,
             "schema": table_schema,
             "schema_evolved": evolved,
@@ -2099,14 +2321,18 @@ def update_where(
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, base)
+    # ROOT manifest: rewrites touch detail sidecars only for segments
+    # the predicate can reach; everything else carries as heads
+    manifest = _read_manifest_root(table, base)
     aliases = manifest.get("aliases", {})
     target = StructType.fromJson(manifest["schema"])
     known = {f.name for f in target.fields}
     bad = [c for c in set_exprs if c not in known]
     if bad:
         raise ValueError(f"update of unknown column(s): {bad}")
-    carried, rewrite_segs = _split_for_rewrite(manifest, aliases, prune)
+    carried, rewrite_segs = _split_for_rewrite(
+        manifest, aliases, prune, table=table
+    )
     new_segment = None
     if rewrite_segs:
         part = _read_segments(
@@ -2214,7 +2440,9 @@ def merge_into(
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, base)
+    # ROOT manifest: rewrites touch detail sidecars only for segments
+    # the predicate can reach; everything else carries as heads
+    manifest = _read_manifest_root(table, base)
     aliases = manifest.get("aliases", {})
     schema_json = manifest["schema"]
     data_cols = [c for c in source.columns if c not in set(source_meta_cols)]
@@ -2317,7 +2545,7 @@ def merge_into(
             point = {k: [r[k] for r in krows] for k in keys}
 
     carried, rewrite_segs = _split_for_rewrite(
-        manifest, aliases, prune, point
+        manifest, aliases, prune, point, table=table
     )
 
     # source, renamed out of the target namespace, with the delete flag
@@ -2583,7 +2811,7 @@ def history(table: str) -> list[dict]:
     out = []
     for v in range(latest, -1, -1):
         try:
-            m = _read_manifest(table, v)
+            m = _read_manifest_root(table, v)
         except FileNotFoundError:
             break  # expire_history trimmed the log below this horizon
         out.append(
@@ -2591,7 +2819,10 @@ def history(table: str) -> list[dict]:
                 "version": m["version"],
                 "mode": m["mode"],
                 "parent": m["parent"],
-                "n_files": len(m["files"]),
+                "n_files": sum(
+                    s["n_files"] if _is_seg_head(s) else len(s["files"])
+                    for s in _segments(m)
+                ),
                 "committed_at": m["committed_at"],
             }
         )
@@ -2606,14 +2837,13 @@ def rollback(table: str, version: int) -> int:
     schema, evolved flag, aliases, extra): restoring an append-evolved
     version must keep the segment read path on, or the evolved columns
     silently vanish."""
-    target = _read_manifest(table, version)
+    target = _read_manifest_root(table, version)
     for _ in range(20):
         prev = _read_pointer(table)
         manifest = {
             "version": prev + 1,
             "mode": f"rollback:{version}",
             "parent": prev,
-            "files": target["files"],
             "segments": _segments(target),
             "schema": target["schema"],
             "schema_evolved": bool(target.get("schema_evolved")),
@@ -2644,10 +2874,11 @@ def _commit_props(table: str, updates: dict) -> int:
     """Metadata-only commit replacing table properties: same files and
     segments, mode 'append' with nothing appended — so delta-based
     consumers (MVs, indexes, the change feed) see an empty advance, not
-    a rewrite."""
+    a rewrite. Carries segment HEADS from the root: an ALTER on an
+    800k-file table rewrites zero detail bytes."""
     for _ in range(20):
         prev = _read_pointer(table)
-        m = _read_manifest(table, prev)
+        m = _read_manifest_root(table, prev)
         new = {
             **m,
             "version": prev + 1,
@@ -2856,7 +3087,7 @@ def alter_add_column(
     p = _read_pointer(table)
     if p is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    m = _read_manifest(table, p)
+    m = _read_manifest_root(table, p)
     field = spark.createDataFrame([], f"`{name}` {dtype}").schema.jsonValue()[
         "fields"
     ][0]
@@ -2997,29 +3228,37 @@ def describe_table(table: str) -> dict:
     latest = _read_pointer(table)
     if latest is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    m = _read_manifest(table, latest)
-    sizes = []
-    for f in m["files"]:
-        try:
-            sizes.append(os.path.getsize(os.path.join(table, f)))
-        except FileNotFoundError:
-            sizes.append(0)  # racing vacuum of a superseded file list
-    stats_cols = sorted(
-        {
-            c
-            for seg in _segments(m)
-            for fs in seg.get("stats", {}).values()
-            for c in fs
+    m = _read_manifest_root(table, latest)
+    # sharded heads carry counts/bytes/column surfaces in the root —
+    # ONE cheap read at any table size; legacy full segments fall back
+    # to a per-file stat pass
+    n_files = 0
+    size_bytes = 0
+    bloom_bytes = 0
+    stats_cols_set: set = set()
+    bloom_cols_set: set = set()
+    for seg in _segments(m):
+        if _is_seg_head(seg):
+            n_files += seg["n_files"]
+            size_bytes += seg.get("bytes", 0)
+            bloom_bytes += seg.get("bloom_bytes", 0)
+            stats_cols_set |= set(seg.get("stats_cols", []))
+            bloom_cols_set |= set(seg.get("bloom_cols", []))
+            continue
+        n_files += len(seg["files"])
+        for f in seg["files"]:
+            try:
+                size_bytes += os.path.getsize(os.path.join(table, f))
+            except FileNotFoundError:
+                pass  # racing vacuum of a superseded file list
+        stats_cols_set |= {
+            c for fs in seg.get("stats", {}).values() for c in fs
         }
-    )
-    bloom_cols = sorted(
-        {
-            c
-            for seg in _segments(m)
-            for fb in seg.get("blooms", {}).values()
-            for c in fb
-        }
-    )
+        for fb in seg.get("blooms", {}).values():
+            bloom_cols_set |= set(fb)
+            bloom_bytes += sum(int(b["m"]) // 8 for b in fb.values())
+    stats_cols = sorted(stats_cols_set)
+    bloom_cols = sorted(bloom_cols_set)
     return {
         "table": table,
         "version": latest,
@@ -3035,8 +3274,9 @@ def describe_table(table: str) -> dict:
         "generated": m.get("generated", {}),
         "stats_columns": stats_cols,
         "bloom_columns": bloom_cols,
-        "num_files": len(m["files"]),
-        "size_bytes": sum(sizes),
+        "num_files": n_files,
+        "size_bytes": size_bytes,
+        "bloom_bytes": bloom_bytes,
         "retained_versions": len(history(table)),
         "extra": m.get("extra", {}),
     }
@@ -3076,21 +3316,39 @@ def clone_table(
         version = _read_pointer(src)
         if version is None:
             raise FileNotFoundError(f"no committed version in {src}")
-    m = _read_manifest(src, version)
-    for rel in m["files"]:
-        s = os.path.join(src, rel)
-        d = os.path.join(dst, rel)
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        try:
-            os.link(s, d)
-        except OSError:  # cross-device (EXDEV) or FS without hardlinks
-            shutil.copy2(s, d)
+    m = _read_manifest_root(src, version)
+    segs: list[dict] = []
+    for seg in _segments(m):
+        if _is_seg_head(seg):
+            # sidecars are immutable like data: hardlink the detail
+            # file and carry the head verbatim — the clone's manifest
+            # work is O(#segments), zero detail bytes restaged
+            sp = _seg_detail_path(src, seg["ref"])
+            dp = _seg_detail_path(dst, seg["ref"])
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            try:
+                os.link(sp, dp)
+            except FileExistsError:
+                pass  # re-cloning over a failed attempt
+            except OSError:
+                shutil.copy2(sp, dp)
+            files = _resolve_seg(src, seg)["files"]
+        else:
+            files = seg["files"]
+        segs.append(seg)
+        for rel in files:
+            s = os.path.join(src, rel)
+            d = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device (EXDEV) or FS w/o hardlinks
+                shutil.copy2(s, d)
     manifest = {
         "version": 0,
         "mode": "overwrite",
         "parent": None,
-        "files": list(m["files"]),
-        "segments": _segments(m),
+        "segments": segs,
         "schema": m["schema"],
         "schema_evolved": bool(m.get("schema_evolved")),
         "aliases": m.get("aliases", {}),
@@ -3146,7 +3404,7 @@ def expire_history(
             break  # inside the count window — so is everything newer
         if cutoff is not None:
             try:
-                m = _read_manifest(table, v)
+                m = _read_manifest_root(table, v)
             except FileNotFoundError:
                 continue  # already expired
             if m.get("committed_at", 0.0) >= cutoff:
@@ -3192,6 +3450,31 @@ def vacuum(
     for f in os.listdir(table):
         if f.startswith(_LATEST + ".") and f.endswith(".tmp"):
             _sweep(os.path.join(table, f))
+    # segment-detail sidecars referenced by NO existing root (race
+    # losers' shards, or details whose every referencing root was
+    # expire_history'd) — age-guarded for the same in-flight reason.
+    # Referenced sidecars are kept even for roots outside the retention
+    # window: history manifests stay READABLE (metadata) after their
+    # exclusive data files go, exactly as before sharding.
+    if os.path.isdir(mdir):
+        referenced: set[str] = set()
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(mdir, f)) as fh:
+                        root = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                for s in root.get("segments", []):
+                    if _is_seg_head(s):
+                        referenced.add(s["ref"])
+        for f in os.listdir(mdir):
+            if (
+                f.startswith("seg-")
+                and f.endswith(".json")
+                and f not in referenced
+            ):
+                _sweep(os.path.join(mdir, f))
     keep_from = max(0, latest - keep_last + 1)
     live: set[str] = set()
     for v in range(keep_from, latest + 1):
@@ -3293,7 +3576,11 @@ def compact(
     )
     seg_new = {"files": files, "schema": df.schema.jsonValue(), "stats": stats}
     if bloom_cols:
-        blooms = _collect_file_blooms(spark, table, files, bloom_cols)
+        blooms = _enforce_bloom_budget(
+            table,
+            _collect_file_blooms(spark, table, files, bloom_cols),
+            0,  # compact replaces every segment
+        )
         if blooms:
             seg_new["blooms"] = blooms
     version = base + 1
@@ -3332,7 +3619,11 @@ def data_file_count(table: str, version: int | None = None) -> int:
     """Number of data files the (latest unless given) manifest references."""
     if version is None:
         version = _read_pointer(table)
-    return len(_read_manifest(table, version)["files"])
+    m = _read_manifest_root(table, version)
+    return sum(
+        s["n_files"] if _is_seg_head(s) else len(s["files"])
+        for s in _segments(m)
+    )
 
 
 def compact_small_files(

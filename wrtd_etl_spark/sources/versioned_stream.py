@@ -213,6 +213,65 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         parts: list[InputPartition] = []
         for v in range(max(a, -1) + 1, b + 1):
+            # APPEND fast path over sharded roots: the commit protocol
+            # strictly extends the segment list, so the delta is the
+            # positional tail — only ITS detail sidecars are opened.
+            # Plans stay O(delta), not O(table), per version.
+            try:
+                from .versioned import (
+                    _is_seg_head,
+                    _prune_segment_files,
+                    _read_manifest_root,
+                    _resolve_seg,
+                    _segments,
+                )
+
+                m_root = _read_manifest_root(self.table, v)
+                if m_root["mode"] == "append" and v > 0:
+                    try:
+                        p_root = _read_manifest_root(self.table, v - 1)
+                    except FileNotFoundError:
+                        p_root = None
+                    cur_segs = _segments(m_root)
+                    prev_segs = (
+                        _segments(p_root) if p_root is not None else None
+                    )
+                    if (
+                        prev_segs is not None
+                        and len(cur_segs) >= len(prev_segs)
+                        and all(
+                            _is_seg_head(x)
+                            and _is_seg_head(y)
+                            and x["ref"] == y["ref"]
+                            for x, y in zip(prev_segs, cur_segs)
+                        )
+                    ):
+                        for head in cur_segs[len(prev_segs) :]:
+                            seg = _resolve_seg(self.table, head)
+                            keep = (
+                                None
+                                if not self.skip_filter
+                                else set(
+                                    _prune_segment_files(
+                                        seg, aliases, self.skip_filter
+                                    )
+                                )
+                            )
+                            for f in seg["files"]:
+                                if keep is None or f in keep:
+                                    parts.append(
+                                        ChangeFile(
+                                            self.table,
+                                            f,
+                                            "insert",
+                                            v,
+                                            m_root["mode"],
+                                            col_map(seg["schema"]),
+                                        )
+                                    )
+                        continue
+            except FileNotFoundError:
+                continue  # expired: handled by the snapshot branch below
             try:
                 m = _read_manifest(self.table, v)
             except FileNotFoundError:
