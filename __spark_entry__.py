@@ -124,18 +124,22 @@ _DEMOTED = (
     # reads through the batch versioned_table DataSource + SQL view; new
     # query parks outside the window (oracle runs in pytest + full re-run)
     "versioned_sql_surface",
-    # bloom-sketch point_filter pruning (sources/bloom.py); parks outside
-    # the window like every post-r3 addition
-    "point_lookup_bloom",
     # atomic partial overwrite (replace_where) — the backfill idiom
     "backfill_replace_where",
-    # exactly-once streaming MERGE sink folding CDC batches (arg_max
-    # oracle); parks outside the window like every post-r3 addition
-    "stream_merge_upsert",
-    # enforced UNIQUE (primary-key) ingest gate on versioned tables
-    "unique_gate_ingest",
     # GENERATED ALWAYS AS column: supplied half ≡ computed half
     "generated_column_ingest",
+    # round 7 rotation (VERDICT r6 ask #4): the r6 lake flagships
+    # stream_merge_upsert / unique_gate_ingest / point_lookup_bloom
+    # rotate INTO the scored window; three long-stable siblings park
+    # here in exchange (each shape keeps a scored twin, and all three
+    # remain judge-oracles in the full battery regardless):
+    "dim_upsert",  # K3 upsert subsumed by scored dim_merge (MERGE INTO superset)
+    "topk_orders_per_segment",  # W1 per-group rank top-k stays scored via fs_cutlets
+    "bigram_counts",  # n-gram counting stays scored via corpus_vocab + doc_tfidf_topk
+    # round 7 additions park outside the window like every post-r3 one:
+    # GENERATED AS IDENTITY — contiguous distributed surrogate keys
+    # (density invariants oracle; assignment ORDER is engine-specific)
+    "identity_ingest",
 )
 
 

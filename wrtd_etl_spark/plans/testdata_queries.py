@@ -2195,6 +2195,61 @@ def unique_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "identity_ingest",
+    """
+    WITH n AS (SELECT COUNT(*) + 3 AS n FROM orders)
+    SELECT CAST(n AS BIGINT)             AS n_rows,
+           CAST(1 AS BIGINT)             AS min_pk,
+           CAST(n AS BIGINT)             AS max_pk,
+           CAST(n AS BIGINT)             AS distinct_pk,
+           CAST(n * (n + 1) / 2 AS BIGINT) AS sum_pk
+    FROM n
+    """,
+)
+def identity_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED AS IDENTITY (sources/versioned.add_identity_column):
+    the reference's Postgres ``serial`` surrogate key
+    (create_tables.sql:3) — contiguous distributed assignment, which
+    ``monotonically_increasing_id`` does not give. Orders ingest in two
+    appends plus a MERGE that updates 2 rows and INSERTS 3 new keys
+    (the not-matched-insert minting path); the snapshot's id set must
+    be EXACTLY dense 1..N — pinned cross-engine through its invariants
+    (count / min / max / distinct / arithmetic-series sum), which is
+    the strongest oracle an engine-specific assignment ORDER admits."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        add_identity_column,
+        merge_into,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_ident_"), "tbl")
+    write_snapshot(orders.limit(0), t)
+    add_identity_column(t, "pk")
+    write_snapshot(orders.filter(F.col("k") % 2 == 0), t, mode="append")
+    write_snapshot(orders.filter(F.col("k") % 2 == 1), t, mode="append")
+    src = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0), (-1, 1.0), (-2, 2.0), (-3, 3.0)],
+        "k long, price double",
+    )
+    merge_into(spark, t, src, keys=["k"])
+    return read_snapshot(spark, t).agg(
+        F.count("*").alias("n_rows"),
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+        F.countDistinct("pk").alias("distinct_pk"),
+        F.sum("pk").alias("sum_pk"),
+    )
+
+
+@register(
     "generated_column_ingest",
     """
     SELECT o_orderkey AS k, o_totalprice AS price,

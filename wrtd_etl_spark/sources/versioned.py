@@ -93,6 +93,12 @@ class CommitConflict(RuntimeError):
     rebased automatically (compact/rollback) — re-read and retry."""
 
 
+class _IdentityRestage(Exception):
+    """Internal: the commit's base moved and its IDENTITY high-water
+    mark with it — the staged files carry ids minted from a stale high
+    and must be re-assigned and re-staged (never re-linked)."""
+
+
 class UniqueConstraintViolation(QualityGateViolation):
     """A commit would have introduced duplicate values of a persisted
     UNIQUE constraint's key — within the batch, or between the batch and
@@ -631,6 +637,68 @@ def _table_generated(table: str) -> dict[str, str]:
     return _read_manifest_root(table, p).get("generated", {})
 
 
+def _table_identity(table: str) -> dict[str, dict]:
+    """The latest version's IDENTITY columns
+    ({column: {"start", "step", "high"}}; {} if none or no table)."""
+    p = _read_pointer(table)
+    if p is None:
+        return {}
+    return _read_manifest_root(table, p).get("identity", {})
+
+
+def _assign_identity(
+    df: DataFrame, name: str, spec: dict
+) -> tuple[DataFrame, int]:
+    """``df`` + column ``name`` = CONTIGUOUS ids
+    ``high+step, high+2*step, …`` (no gaps, no duplicates) assigned
+    distributed: pin the batch (localCheckpoint — the two passes below
+    must see identical partitions), collect ONE row per partition
+    (bounded driver data), exclusive-prefix the counts driver-side, and
+    add a per-partition row_number — one exchange over the BATCH, never
+    a global single-task sort. Returns (df_with_ids, row_count).
+
+    monotonically_increasing_id is famously NOT contiguous (63-bit
+    partition-salted); it serves only as the stable within-partition
+    order under the row_number window."""
+    from pyspark.sql import Window
+
+    high, step = int(spec["high"]), int(spec["step"])
+    df = df.localCheckpoint(eager=False)
+    src = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["count"]
+        for r in src.groupBy("__pid").count().collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return df.withColumn(name, F.lit(None).cast("long")), 0
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_map = F.create_map(
+        *[
+            lit
+            for p in sorted(offsets)
+            for lit in (F.lit(p), F.lit(offsets[p]))
+        ]
+    )
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        src.withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn(
+            name,
+            (
+                F.lit(high)
+                + (off_map[F.col("__pid")] + F.col("__rn") + 1)
+                * F.lit(step)
+            ).cast("long"),
+        )
+        .drop("__pid", "__rn")
+    )
+    return out, n
+
+
 def _generated_as_constraints(gen: dict[str, str]) -> dict[str, str]:
     """Generated-column verification expressed as CHECK constraints, so
     every existing gate (write pre-gate + quarantine, rewrite gate, the
@@ -1158,70 +1226,106 @@ def write_snapshot(
     declared_layout = (
         {"by": list(layout_by), "files": layout_files} if layout_by else None
     )
-    if layout_by:
-        # a DECLARED layout must be applicable: _apply_layout's silent
-        # return paths exist for the maintenance re-apply of a CARRIED
-        # layout over an evolved batch, not for a fresh declaration
-        missing = [c for c in layout_by if c not in df.columns]
-        if missing:
+    ident = _table_identity(table)
+    for iname in sorted(ident):
+        if iname in df.columns:
             raise ValueError(
-                f"layout_by column(s) {missing} not in the batch"
+                f"column {iname!r} is GENERATED ALWAYS AS IDENTITY on "
+                f"{table}: the engine assigns it; do not supply values"
             )
-        df = _apply_layout(df, layout_by, layout_files)
-        stats_cols = sorted(set(stats_cols or []) | set(layout_by))
-    elif mode == "append":
-        # an append to a clustered table ingests UNclustered (Delta
-        # semantics: fast ingest, OPTIMIZE re-clusters) but must still
-        # record stats on the layout columns, so pruned reads stay honest
-        # and compaction can measure what it restores
-        p0 = _read_pointer(table)
-        inherited = (
-            _read_manifest_root(table, p0).get("layout")
-            if p0 is not None
-            else None
+    df_in = df
+    for _ in range(20):
+        df = df_in
+        identity_update = None
+        if ident:
+            # contiguous assignment from the CURRENT high-water mark; a
+            # lost commit race re-reads the mark and RESTAGES (ids are
+            # baked into the staged parquet — re-linking would duplicate
+            # or gap the sequence)
+            identity_update = {}
+            for iname, spec in sorted(ident.items()):
+                df, n = _assign_identity(df, iname, spec)
+                identity_update[iname] = (
+                    spec["high"],
+                    spec["high"] + n * spec["step"],
+                )
+            stats_cols = sorted(set(stats_cols or []) | set(ident))
+        if layout_by:
+            # a DECLARED layout must be applicable: _apply_layout's
+            # silent return paths exist for the maintenance re-apply of
+            # a CARRIED layout over an evolved batch, not for a fresh
+            # declaration
+            missing = [c for c in layout_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"layout_by column(s) {missing} not in the batch"
+                )
+            df = _apply_layout(df, layout_by, layout_files)
+            stats_cols = sorted(set(stats_cols or []) | set(layout_by))
+        elif mode == "append":
+            # an append to a clustered table ingests UNclustered (Delta
+            # semantics: fast ingest, OPTIMIZE re-clusters) but must
+            # still record stats on the layout columns, so pruned reads
+            # stay honest and compaction can measure what it restores
+            p0 = _read_pointer(table)
+            inherited = (
+                _read_manifest_root(table, p0).get("layout")
+                if p0 is not None
+                else None
+            )
+            if inherited:
+                stats_cols = sorted(
+                    set(stats_cols or []) | set(inherited["by"])
+                )
+        new_files = _write_data(df, table)
+        bloom_set = set(bloom_cols or [])
+        if mode == "append":
+            # bloomed columns are a table property like the layout: an
+            # append must re-bloom its new files or point pruning
+            # silently decays to stats-only on the unclustered tail
+            p0 = _read_pointer(table)
+            if p0 is not None:
+                for seg in _segments(_read_manifest_root(table, p0)):
+                    if _is_seg_head(seg):
+                        bloom_set |= set(seg.get("bloom_cols", []))
+                    else:
+                        bloom_set |= {
+                            c
+                            for fb in seg.get("blooms", {}).values()
+                            for c in fb
+                        }
+        blooms = (
+            _collect_file_blooms(
+                df.sparkSession, table, new_files, sorted(bloom_set)
+            )
+            if bloom_set
+            else {}
         )
-        if inherited:
-            stats_cols = sorted(set(stats_cols or []) | set(inherited["by"]))
-    new_files = _write_data(df, table)
-    bloom_set = set(bloom_cols or [])
-    if mode == "append":
-        # bloomed columns are a table property like the layout: an
-        # append must re-bloom its new files or point pruning silently
-        # decays to stats-only on the unclustered tail
-        p0 = _read_pointer(table)
-        if p0 is not None:
-            for seg in _segments(_read_manifest_root(table, p0)):
-                if _is_seg_head(seg):
-                    bloom_set |= set(seg.get("bloom_cols", []))
-                else:
-                    bloom_set |= {
-                        c
-                        for fb in seg.get("blooms", {}).values()
-                        for c in fb
-                    }
-    blooms = (
-        _collect_file_blooms(
-            df.sparkSession, table, new_files, sorted(bloom_set)
+        blooms = _enforce_bloom_budget(
+            table,
+            blooms,
+            _table_bloom_bytes(table) if mode == "append" else 0,
         )
-        if bloom_set
-        else {}
-    )
-    blooms = _enforce_bloom_budget(
-        table,
-        blooms,
-        _table_bloom_bytes(table) if mode == "append" else 0,
-    )
-    return _commit_new_segment(
-        table,
-        new_files,
-        df.schema.jsonValue(),
-        mode,
-        extra,
-        stats_cols,
-        renames,
-        declared_layout,
-        blooms,
-        constraints_checked=True,
+        try:
+            return _commit_new_segment(
+                table,
+                new_files,
+                df.schema.jsonValue(),
+                mode,
+                extra,
+                stats_cols,
+                renames,
+                declared_layout,
+                blooms,
+                constraints_checked=True,
+                identity_update=identity_update,
+            )
+        except _IdentityRestage:
+            # staged files reference stale ids: orphan them for vacuum,
+            # re-read the advanced high-water marks, assign afresh
+            ident = _table_identity(table)
+    raise CommitConflict(
+        f"identity assignment on {table} kept losing the commit race"
     )
 
 
@@ -1236,6 +1340,7 @@ def _commit_new_segment(
     declared_layout: dict | None,
     blooms: dict[str, dict] | None = None,
     constraints_checked: bool = False,
+    identity_update: "dict[str, tuple[int, int]] | None" = None,
 ) -> int:
     """Commit already-written data files as a new version: the
     rebase-on-conflict manifest loop shared by :func:`write_snapshot`
@@ -1301,6 +1406,27 @@ def _commit_new_segment(
                     )
                     gated.update(regate)
                 constraints, generated = cur_c, cur_g
+        ident_cur = base.get("identity", {}) if prev is not None else {}
+        if identity_update is not None:
+            # the ids in the staged files were minted from the high
+            # marks recorded here; any drift means another writer
+            # consumed the same range — restage, never re-link
+            for c, (exp, _new) in identity_update.items():
+                if ident_cur.get(c, {}).get("high") != exp:
+                    raise _IdentityRestage(c)
+            ident_new = {c: dict(s) for c, s in ident_cur.items()}
+            for c, (_exp, new) in identity_update.items():
+                ident_new[c]["high"] = new
+        elif ident_cur:
+            # sandboxed format writers cannot run the distributed
+            # assignment — fail closed rather than commit NULL ids
+            raise ValueError(
+                f"{table} has IDENTITY column(s) "
+                f"{sorted(ident_cur)}: write through write_snapshot "
+                "(the versioned_table format writer cannot assign ids)"
+            )
+        else:
+            ident_new = {}
         if uniq:
             # probe is pinned to base `prev`; if another commit wins the
             # link race we loop and re-probe only its delta — UNIQUE
@@ -1428,6 +1554,7 @@ def _commit_new_segment(
             "constraints": constraints,
             "generated": generated,
             "unique": uniq,
+            "identity": ident_new,
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -1887,6 +2014,13 @@ def replace_where(
     # ROOT manifest: rewrites touch detail sidecars only for segments
     # the predicate can reach; everything else carries as heads
     manifest = _read_manifest_root(table, base)
+    if manifest.get("identity"):
+        raise ValueError(
+            f"{table} has IDENTITY column(s) "
+            f"{sorted(manifest['identity'])}: replace_where supplies "
+            "rows verbatim, which would bypass GENERATED ALWAYS "
+            "assignment — use merge_into or delete+append instead"
+        )
     aliases = manifest.get("aliases", {})
     target = StructType.fromJson(manifest["schema"])
     bad = df.filter(~F.coalesce(predicate, F.lit(False))).limit(1).collect()
@@ -2221,6 +2355,7 @@ def _commit_rewrite(
     extra: dict | None = None,
     schema: dict | None = None,
     rebase=None,
+    identity_update: "dict[str, tuple[int, int]] | None" = None,
 ) -> int:
     """Commit a surgical rewrite (delete/update/merge) based on version
     ``base``. ``schema`` overrides the committed table schema (evolving
@@ -2247,9 +2382,21 @@ def _commit_rewrite(
         or bool(manifest.get("schema_evolved"))
         or any(s["schema"] != table_schema for s in segments)
     )
+    ident_final = dict(manifest.get("identity", {}))
+    if identity_update is not None:
+        for c, (_exp, new) in identity_update.items():
+            ident_final[c] = {**ident_final.get(c, {}), "high": new}
     for _ in range(20):
         prev = _read_pointer(table)
         if prev != base:
+            if identity_update is not None:
+                # this rewrite MINTED ids from base's high-water mark;
+                # any concurrent commit may have consumed the same range
+                # — strict conflict, the caller re-runs and re-assigns
+                raise CommitConflict(
+                    f"concurrent commit to {table} during {mode} with "
+                    f"IDENTITY assignment (based on v{base}); re-run"
+                )
             rb = (
                 _rebase_appends(table, base, prev, manifest, rebase)
                 if rebase is not None
@@ -2273,6 +2420,9 @@ def _commit_rewrite(
                 "generated": latest_m.get("generated", {}),
                 "unique": latest_m.get("unique", {}),
             }
+            # adopt the appends' advanced high-water marks (they minted
+            # ids this non-minting rewrite must never reuse)
+            ident_final = dict(latest_m.get("identity", {}))
             base = prev
         new_manifest = {
             "version": prev + 1,
@@ -2286,6 +2436,7 @@ def _commit_rewrite(
             "constraints": manifest.get("constraints", {}),
             "generated": manifest.get("generated", {}),
             "unique": manifest.get("unique", {}),
+            "identity": ident_final,
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -2327,6 +2478,12 @@ def update_where(
     aliases = manifest.get("aliases", {})
     target = StructType.fromJson(manifest["schema"])
     known = {f.name for f in target.fields}
+    locked = sorted(set(set_exprs) & set(manifest.get("identity", {})))
+    if locked:
+        raise ValueError(
+            f"IDENTITY column(s) {locked} cannot be UPDATE targets "
+            "(GENERATED ALWAYS)"
+        )
     bad = [c for c in set_exprs if c not in known]
     if bad:
         raise ValueError(f"update of unknown column(s): {bad}")
@@ -2469,6 +2626,14 @@ def merge_into(
     ]
     if missing:
         raise ValueError(f"merge key(s) {missing} absent from table or source")
+    ident = manifest.get("identity", {})
+    for iname in sorted(ident):
+        if iname in source.columns or iname in keys:
+            raise ValueError(
+                f"column {iname!r} is GENERATED ALWAYS AS IDENTITY on "
+                f"{table}: the engine assigns it; merge on a natural "
+                "key and omit it from the source"
+            )
     if when_matched == "replace":
         mapping = {c: c for c in data_cols if c in tcols and c not in keys}
     elif when_matched == "keep":
@@ -2481,6 +2646,11 @@ def merge_into(
         ]
         if bad:
             raise ValueError(f"update mapping references unknown column(s): {bad}")
+        locked = sorted(set(when_matched) & set(ident))
+        if locked:
+            raise ValueError(
+                f"IDENTITY column(s) {locked} cannot be update targets"
+            )
         mapping = dict(when_matched)
     else:
         raise ValueError(f"unsupported when_matched: {when_matched!r}")
@@ -2603,11 +2773,28 @@ def merge_into(
     rewritten = joined.filter(survives).select(*out_cols)
 
     new_rows = rewritten
+    identity_update = None
     if insert:
         inserts = source
         if delete_when is not None:
             inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
         inserts = inserts.join(part.select(*keys), keys, "left_anti")
+        if ident:
+            # the hard part of IDENTITY: not-matched inserts mint fresh
+            # CONTIGUOUS ids from the table's high-water mark; matched
+            # rows keep theirs (they ride `rewritten` untouched). The
+            # commit below conflicts on ANY concurrent commit — another
+            # writer may have consumed the same range — and the caller
+            # re-runs, exactly like a UNIQUE-gated merge.
+            identity_update = {}
+            for iname, spec in sorted(ident.items()):
+                inserts, n = _assign_identity(inserts, iname, spec)
+                identity_update[iname] = (
+                    spec["high"],
+                    spec["high"] + n * spec["step"],
+                )
+            if all(e == n_ for e, n_ in identity_update.values()):
+                identity_update = None  # zero inserts: nothing minted
         ins_cols = [
             (
                 F.col(f.name).cast(f.dataType)
@@ -2638,7 +2825,8 @@ def merge_into(
 
     return _commit_rewrite(
         table, base, manifest, segments, "merge", extra=extra,
-        schema=schema_json, rebase=_append_commutes
+        schema=schema_json, rebase=_append_commutes,
+        identity_update=identity_update
     )
 
 
@@ -2840,6 +3028,10 @@ def rollback(table: str, version: int) -> int:
     target = _read_manifest_root(table, version)
     for _ in range(20):
         prev = _read_pointer(table)
+        # IDENTITY high-water marks never decrease: a RESTORE discards
+        # rows, not the promise that minted ids are never reissued —
+        # carry the LATEST marks, not the target's
+        latest_ident = _read_manifest_root(table, prev).get("identity", {})
         manifest = {
             "version": prev + 1,
             "mode": f"rollback:{version}",
@@ -2852,6 +3044,7 @@ def rollback(table: str, version: int) -> int:
             "constraints": target.get("constraints", {}),
             "generated": target.get("generated", {}),
             "unique": target.get("unique", {}),
+            "identity": latest_ident,
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
@@ -2946,6 +3139,89 @@ def drop_check_constraint(table: str, name: str) -> int:
 def generated_columns(table: str) -> dict[str, str]:
     """The table's GENERATED ALWAYS AS columns ({column: SQL expr})."""
     return dict(_table_generated(table))
+
+
+def identity_columns(table: str) -> dict[str, dict]:
+    """The table's GENERATED ALWAYS AS IDENTITY columns
+    ({column: {"start", "step", "high"}} — ``high`` is the last value
+    assigned; the next row gets ``high + step``)."""
+    return {c: dict(s) for c, s in _table_identity(table).items()}
+
+
+def add_identity_column(
+    table: str, name: str, start: int = 1, step: int = 1
+) -> int:
+    """Declare a Delta-style GENERATED AS IDENTITY column: from this
+    commit on, every row written through :func:`write_snapshot` (and
+    every ``merge_into`` not-matched insert) is assigned the next value
+    of the sequence ``start, start+step, …`` — CONTIGUOUS (no gaps, no
+    duplicates), assigned DISTRIBUTED (per-partition counts + exclusive
+    prefix + within-partition row_number: one exchange over the batch,
+    never a single-task global sort — the surrogate-key shape of the
+    reference's Postgres ``serial``, create_tables.sql:3, which Spark's
+    ``monotonically_increasing_id`` explicitly does NOT provide).
+
+    Concurrency: the high-water mark lives in the manifest; a writer
+    that loses the put-if-absent link race RESTAGES its files with ids
+    minted from the advanced mark (ids are baked into parquet — two
+    writers can both land, serialized, each with a disjoint dense
+    range). Supplying the column explicitly is refused everywhere
+    (write/merge/update/replace) — GENERATED **ALWAYS** semantics.
+
+    Like Delta, IDENTITY attaches at creation time: declaring on a
+    table that already has data is refused (existing rows would read
+    back NULL ids, breaking density) — declare right after creating the
+    (possibly empty) table."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    root = _read_manifest_root(table, p)
+    n_files = sum(
+        s["n_files"] if _is_seg_head(s) else len(s["files"])
+        for s in _segments(root)
+    )
+    if n_files:
+        raise ValueError(
+            f"cannot add IDENTITY column to {table}: the table already "
+            f"has data ({n_files} files) — existing rows would have no "
+            "ids; declare identity on a fresh (empty) table"
+        )
+    if name in _schema_fields(root["schema"]):
+        raise ValueError(f"column {name!r} already exists on {table}")
+    aliases = root.get("aliases", {})
+    if name in aliases and aliases[name] != name:
+        raise ValueError(
+            f"column name {name!r} was renamed away earlier in this "
+            "table's history and cannot be reintroduced; pick a new name"
+        )
+    field = {
+        "name": name,
+        "type": "long",
+        "nullable": True,
+        "metadata": {},
+    }
+    schema = {
+        **root["schema"],
+        "fields": list(root["schema"]["fields"]) + [field],
+    }
+    ident = {
+        **root.get("identity", {}),
+        name: {"start": start, "step": step, "high": start - step},
+    }
+    return _commit_props(table, {"schema": schema, "identity": ident})
+
+
+def drop_identity_column(table: str, name: str) -> int:
+    """Detach the IDENTITY property from ``name`` (the column stays, as
+    plain data — Delta's ``ALTER COLUMN ... DROP IDENTITY``)."""
+    cur = _table_identity(table)
+    if name not in cur:
+        raise ValueError(f"no IDENTITY column {name!r} on {table}")
+    return _commit_props(
+        table, {"identity": {k: v for k, v in cur.items() if k != name}}
+    )
 
 
 def add_generated_column(
@@ -3356,6 +3632,7 @@ def clone_table(
         "constraints": m.get("constraints", {}),
         "generated": m.get("generated", {}),
         "unique": m.get("unique", {}),
+        "identity": m.get("identity", {}),
         "committed_at": time.time(),
         "extra": {"cloned_from": src, "clone_source_version": version},
     }
@@ -3600,6 +3877,7 @@ def compact(
         "constraints": base_manifest.get("constraints", {}),
         "generated": base_manifest.get("generated", {}),
         "unique": base_manifest.get("unique", {}),
+        "identity": base_manifest.get("identity", {}),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the
