@@ -175,6 +175,51 @@ def test_100k_file_plan_opens_one_sidecar(spark, tmp_path, monkeypatch):
     assert resolves == []
 
 
+def test_100k_file_datasource_plan_opens_one_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """The versioned_table DataSource reader plans the same way: root
+    summary prunes segments, detail resolves only for survivors, one
+    InputPartition per surviving file."""
+    import wrtd_etl_spark.sources.versioned_table as VT
+
+    t = str(tmp_path / "big")
+    _synthetic_table(spark, t)
+    resolves = []
+    real = VT._resolve_seg
+
+    def counting(table, seg):
+        resolves.append(seg.get("ref"))
+        return real(table, seg)
+
+    monkeypatch.setattr(VT, "_resolve_seg", counting)
+    rdr = VT.VersionedTableReader(
+        {"path": t, "skip_filter": json.dumps({"k": [150, 250]})}
+    )
+    parts = rdr.partitions()
+    assert len(parts) == 2 and len(resolves) == 1
+    # change-feed stream source: the append fast path resolves only the
+    # appended segment when planning a (v0 -> v1] range
+    write_snapshot(
+        spark.createDataFrame([(10**9, "new")], "k long, s string"), t,
+        mode="append",
+    )
+    import wrtd_etl_spark.sources.versioned as VV
+
+    resolves2 = []
+    real2 = VV._resolve_seg
+
+    def counting2(table, seg):
+        resolves2.append(seg.get("ref"))
+        return real2(table, seg)
+
+    monkeypatch.setattr(VV, "_resolve_seg", counting2)
+    from wrtd_etl_spark.sources.versioned import delta_files
+
+    assert len(delta_files(t, 0, 1)) == 1
+    assert len(resolves2) == 1
+
+
 def test_100k_file_append_commit_bounded(spark, tmp_path):
     """Appending to the 100k-file table writes one new sidecar + a tiny
     root: prior sidecars byte-identical (inode check), commit latency

@@ -2860,7 +2860,7 @@ def table_changes(
             base = spark.createDataFrame(
                 [],
                 StructType.fromJson(
-                    _read_manifest(table, to_version)["schema"]
+                    _read_manifest_root(table, to_version)["schema"]
                 ),
             )
         else:
@@ -2914,7 +2914,7 @@ def table_changes_physical(
         to_version = _read_pointer(table)
         if to_version is None:
             raise FileNotFoundError(f"no committed version in {table}")
-    end_manifest = _read_manifest(table, to_version)
+    end_manifest = _read_manifest_root(table, to_version)
     target = StructType.fromJson(end_manifest["schema"])
     aliases = end_manifest.get("aliases", {})
     meta = [
@@ -2943,40 +2943,50 @@ def table_changes_physical(
             F.lit(mode).alias("_commit_mode"),
         )
 
-    def seg_index(m: dict) -> dict[str, dict]:
-        out = {}
-        for seg in m.get(
-            "segments", [{"files": m["files"], "schema": m["schema"]}]
-        ):
-            for f in seg["files"]:
-                out[f] = seg
-        return out
+    def _changed_segments(m_root: dict, p_root: dict | None):
+        """(cur_segs, prev_segs) RESOLVED, with segments whose sidecar
+        ref appears in BOTH versions dropped from both sides — identical
+        detail contributes nothing to a file diff, so the shared bulk of
+        an 800k-file table is never opened."""
+        cur = _segments(m_root)
+        prev = _segments(p_root) if p_root is not None else []
+        shared = {
+            s["ref"] for s in cur if _is_seg_head(s)
+        } & {s["ref"] for s in prev if _is_seg_head(s)}
+        cur = [
+            _resolve_seg(table, s)
+            for s in cur
+            if not (_is_seg_head(s) and s["ref"] in shared)
+        ]
+        prev = [
+            _resolve_seg(table, s)
+            for s in prev
+            if not (_is_seg_head(s) and s["ref"] in shared)
+        ]
+        return cur, prev
 
     pieces = []
     for v in range(max(from_version, -1) + 1, to_version + 1):
-        m = _read_manifest(table, v)
-        prev_m = _read_manifest(table, v - 1) if v > 0 else None
-        prev_files = set(prev_m["files"]) if prev_m else set()
-        cur_files = set(m["files"])
+        m_root = _read_manifest_root(table, v)
+        p_root = _read_manifest_root(table, v - 1) if v > 0 else None
+        cur_segs, prev_segs = _changed_segments(m_root, p_root)
+        prev_files = {f for s in prev_segs for f in s["files"]}
+        cur_files = {f for s in cur_segs for f in s["files"]}
         # one read per (change type, segment schema): files sharing a
         # schema batch into a single multi-file scan
         by_seg: dict[tuple, tuple[list[str], dict, str]] = {}
-        idx = seg_index(m)
-        for f in m["files"]:
-            if f not in prev_files:
-                key = ("insert", json.dumps(idx[f]["schema"], sort_keys=True))
-                by_seg.setdefault(key, ([], idx[f]["schema"], "insert"))[0].append(f)
-        if prev_m is not None:
-            pidx = seg_index(prev_m)
-            for f in prev_m["files"]:
+        for s in cur_segs:
+            for f in s["files"]:
+                if f not in prev_files:
+                    key = ("insert", json.dumps(s["schema"], sort_keys=True))
+                    by_seg.setdefault(key, ([], s["schema"], "insert"))[0].append(f)
+        for s in prev_segs:
+            for f in s["files"]:
                 if f not in cur_files:
-                    key = (
-                        "delete",
-                        json.dumps(pidx[f]["schema"], sort_keys=True),
-                    )
-                    by_seg.setdefault(key, ([], pidx[f]["schema"], "delete"))[0].append(f)
+                    key = ("delete", json.dumps(s["schema"], sort_keys=True))
+                    by_seg.setdefault(key, ([], s["schema"], "delete"))[0].append(f)
         for files, schema, ct in by_seg.values():
-            pieces.append(normalize(files, schema, ct, v, m["mode"]))
+            pieces.append(normalize(files, schema, ct, v, m_root["mode"]))
     if not pieces:
         full = StructType(
             list(target.fields)

@@ -72,9 +72,12 @@ from pyspark.sql.datasource import (
 
 from .versioned import (
     _commit_new_segment,
+    _head_may_match,
+    _is_seg_head,
     _prune_segment_files,
-    _read_manifest,
+    _read_manifest_root,
     _read_pointer,
+    _resolve_seg,
     _segments,
     version_as_of,
 )
@@ -112,7 +115,10 @@ def _resolve(options) -> tuple[str, int, dict]:
         v = _read_pointer(table)
         if v is None:
             raise FileNotFoundError(f"no committed version in {table}")
-    return table, v, _read_manifest(table, v)
+    # ROOT only: schema/aliases live in the root; partitions() resolves
+    # detail per segment AFTER summary pruning — plan cost is
+    # O(#segments + surviving detail), not O(table files)
+    return table, v, _read_manifest_root(table, v)
 
 
 def _nullable_struct(manifest: dict):
@@ -157,6 +163,14 @@ class VersionedTableReader(DataSourceReader):
 
         parts: list[InputPartition] = []
         for seg in _segments(self.manifest):
+            if _is_seg_head(seg):
+                if (
+                    self.skip_filter or self.point_filter
+                ) and not _head_may_match(
+                    seg, aliases, self.skip_filter, self.point_filter
+                ):
+                    continue  # whole segment pruned from the root summary
+                seg = _resolve_seg(self.table, seg)
             files = (
                 _prune_segment_files(
                     seg, aliases, self.skip_filter, self.point_filter
@@ -477,7 +491,7 @@ class VersionedTableStreamWriter(VersionedTableWriter, DataSourceStreamArrowWrit
             return  # empty trigger: no new version (sink convention)
         prev = _read_pointer(self.table)
         if prev is not None:
-            m = _read_manifest(self.table, prev)
+            m = _read_manifest_root(self.table, prev)
             if m.get("extra", {}).get("batch_id") == batchId:
                 # replayed delivery: this batch's rows are already
                 # committed; the just-written files stay unreferenced
