@@ -140,6 +140,8 @@ _DEMOTED = (
     # GENERATED AS IDENTITY — contiguous distributed surrogate keys
     # (density invariants oracle; assignment ORDER is engine-specific)
     "identity_ingest",
+    # merge-on-read DELETE via deletion vectors (full row-level oracle)
+    "delete_dv_mor",
 )
 
 

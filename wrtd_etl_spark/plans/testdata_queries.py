@@ -2195,6 +2195,44 @@ def unique_gate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delete_dv_mor",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price
+    FROM orders
+    WHERE NOT (o_totalprice < 50000 OR o_orderkey % 97 = 0)
+    """,
+)
+def delete_dv_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors
+    (sources/versioned.delete_where(strategy='dv')): two successive DV
+    deletes — a range slice, then a scattered modulo set — commit
+    metadata only (zero data files move; the second vector UNIONS into
+    the first), and the snapshot read anti-joins the positions. The
+    oracle is DuckDB applying the same two predicates to orders — a
+    full row-level equality, not just counts."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import delete_where, read_snapshot, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_dv_"), "tbl")
+    write_snapshot(orders.repartition(8), t, stats_cols=["k", "price"])
+    delete_where(
+        spark,
+        t,
+        F.col("price") < 50000,
+        prune={"price": (None, 49999.999)},
+        strategy="dv",
+    )
+    delete_where(spark, t, F.col("k") % 97 == 0, strategy="dv")
+    return read_snapshot(spark, t)
+
+
+@register(
     "identity_ingest",
     """
     WITH n AS (SELECT COUNT(*) + 3 AS n FROM orders)

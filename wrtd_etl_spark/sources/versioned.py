@@ -177,6 +177,8 @@ def _resolve_seg(table: str, seg: dict) -> dict:
     }
     if d.get("blooms"):
         full["blooms"] = d["blooms"]
+    if d.get("dvs"):
+        full["dvs"] = d["dvs"]
     return full
 
 
@@ -213,6 +215,8 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
     detail: dict = {"files": seg["files"], "stats": seg.get("stats", {})}
     if seg.get("blooms"):
         detail["blooms"] = seg["blooms"]
+    if seg.get("dvs"):
+        detail["dvs"] = seg["dvs"]
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     tmp = _seg_detail_path(table, ref) + ".tmp"
     with open(tmp, "w") as f:
@@ -243,6 +247,10 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         )
         head["bloom_bytes"] = sum(
             int(b["m"]) // 8 for fb in blooms.values() for b in fb.values()
+        )
+    if seg.get("dvs"):
+        head["dv_rows"] = sum(
+            int(v.get("n", 0)) for v in seg["dvs"].values()
         )
     return head
 
@@ -580,6 +588,123 @@ def _enforce_bloom_budget(
             )
             return {}
     return blooms
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read deletes)
+# ---------------------------------------------------------------------------
+#: A DV delete collects the matching rows' (file, row_index) positions on
+#: the driver; past this many positions the copy-on-write path is the
+#: better plan anyway (the rewrite is row-proportional too, and it
+#: reclaims the bytes) — ``strategy="auto"`` falls back.
+DV_MAX_POSITIONS = int(
+    os.environ.get("SPARK_GRAFT_DV_MAX_POSITIONS", 5_000_000)
+)
+#: Below this many TOTAL deleted positions the read-side anti-join
+#: broadcasts the position set; above it, a shuffle join (positions are
+#: parsed executor-side from the sidecars either way).
+DV_BROADCAST_POSITIONS = 2_000_000
+
+
+def _dv_pack(positions) -> str:
+    """Sorted row indexes → base64 little-endian int64 — the sidecar
+    encoding. Positions are parquet ``_metadata.row_index`` values,
+    stable for immutable files by construction."""
+    import numpy as np
+
+    arr = np.asarray(sorted(set(int(p) for p in positions)), dtype="<i8")
+    import base64
+
+    return base64.b64encode(arr.tobytes()).decode()
+
+
+def _dv_unpack(b64: str):
+    import base64
+
+    import numpy as np
+
+    return np.frombuffer(base64.b64decode(b64), dtype="<i8")
+
+
+def _dv_sidecar_path(table: str, ref: str) -> str:
+    return os.path.join(table, _MANIFESTS, ref)
+
+
+def _write_dv_sidecar(table: str, files: dict[str, list]) -> str:
+    """Persist {relfile: [cumulative positions]} as an immutable
+    ``dv-<uuid>.json`` sidecar; returns the ref. Same crash contract as
+    data/segment sidecars: written before the root link, orphaned by a
+    lost race, swept by vacuum."""
+    ref = f"dv-{uuid.uuid4().hex}.json"
+    doc = {
+        rel: {"pos": _dv_pack(pos), "n": len(set(map(int, pos)))}
+        for rel, pos in files.items()
+    }
+    os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
+    tmp = _dv_sidecar_path(table, ref) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, _dv_sidecar_path(table, ref))
+    return ref
+
+
+def _seg_dvs(seg: dict) -> dict[str, dict]:
+    """{relfile: {"ref", "n"}} for one RESOLVED segment ({} if none)."""
+    return seg.get("dvs", {})
+
+
+def _dv_filter(spark: SparkSession, table: str, df: DataFrame, dv_map):
+    """Drop rows whose (file basename, row_index) is in a deletion
+    vector. ``df`` must still carry ``_metadata`` access (a raw parquet
+    read); ``dv_map`` = {relfile: {"ref", "n"}} across the files being
+    read. Positions parse EXECUTOR-side from the sidecars (mapInPandas
+    over refs — the driver never loads them); the anti-join broadcasts
+    when the manifest-recorded total is small and shuffles otherwise.
+    File basenames are globally unique (uuid-named writes), so the join
+    key is (basename, row_index)."""
+    if not dv_map:
+        return df
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    total = sum(int(v.get("n", 0)) for v in dv_map.values())
+    refs = sorted(
+        {(v["ref"], os.path.basename(rel)) for rel, v in dv_map.items()}
+    )
+    src = spark.createDataFrame(refs, "ref string, base string").repartition(
+        min(len(refs), 32)
+    )
+    tbl = table
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_b, out_p = [], []
+            by_ref: dict[str, set] = {}
+            for ref, base in zip(pdf["ref"], pdf["base"]):
+                by_ref.setdefault(ref, set()).add(base)
+            for ref, bases in by_ref.items():
+                with open(os.path.join(tbl, _MANIFESTS, ref)) as f:
+                    doc = json.load(f)
+                for rel, entry in doc.items():
+                    b = os.path.basename(rel)
+                    if b not in bases:
+                        continue
+                    for p in _dv_unpack(entry["pos"]).tolist():
+                        out_b.append(b)
+                        out_p.append(p)
+            yield pd.DataFrame({"__dv_base": out_b, "__dv_pos": out_p})
+
+    dv_df = src.mapInPandas(parse, "__dv_base string, __dv_pos long")
+    if total <= DV_BROADCAST_POSITIONS:
+        dv_df = F.broadcast(dv_df)
+    keyed = df.withColumn(
+        "__dv_base",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    return keyed.join(
+        dv_df, ["__dv_base", "__dv_pos"], "left_anti"
+    ).drop("__dv_base", "__dv_pos")
 
 
 def _point_keeps(st, bl, vals) -> bool:
@@ -1587,6 +1712,15 @@ def _read_segments(
         part = spark.read.schema(
             StructType.fromJson(seg["schema"])
         ).parquet(*[os.path.join(table, f) for f in seg["files"]])
+        dvs = {
+            rel: v
+            for rel, v in _seg_dvs(seg).items()
+            if rel in set(seg["files"])
+        }
+        if dvs:
+            # merge-on-read: drop DV-deleted rows while _metadata is
+            # still reachable (before the rename/cast projection)
+            part = _dv_filter(spark, table, part, dvs)
         cols = []
         for c in part.columns:
             cur = aliases.get(c, c)
@@ -1802,28 +1936,28 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no committed version in {table}")
     manifest = _read_manifest_root(table, version)
-    if manifest.get("schema_evolved") and "segments" in manifest:
-        aliases = manifest.get("aliases", {})
-        segs = []
-        for seg in _segments(manifest):
-            if _is_seg_head(seg):
-                if (skip_filter or point_filter) and not _head_may_match(
+    aliases = manifest.get("aliases", {})
+    segs = []
+    for seg in _segments(manifest):
+        if _is_seg_head(seg):
+            if (skip_filter or point_filter) and not _head_may_match(
+                seg, aliases, skip_filter, point_filter
+            ):
+                continue
+            seg = _resolve_seg(table, seg)
+        if skip_filter or point_filter:
+            seg = {
+                **seg,
+                "files": _prune_segment_files(
                     seg, aliases, skip_filter, point_filter
-                ):
-                    continue
-                seg = _resolve_seg(table, seg)
-            if skip_filter or point_filter:
-                seg = {
-                    **seg,
-                    "files": _prune_segment_files(
-                        seg, aliases, skip_filter, point_filter
-                    ),
-                }
-            segs.append(seg)
+                ),
+            }
+        segs.append(seg)
+    if manifest.get("schema_evolved") and "segments" in manifest:
         return _read_segments(
             spark, table, {**manifest, "segments": segs}
         )
-    paths, _ = files_for_read(table, version, skip_filter, point_filter)
+    paths = [f for s in segs for f in s["files"]]
     if not paths:
         if manifest.get("schema"):
             from pyspark.sql.types import StructType
@@ -1836,7 +1970,16 @@ def read_snapshot(
     if manifest.get("schema_evolved"):
         # legacy evolved manifest without segments: parquet footer merge
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(table, f) for f in paths])
+    out = reader.parquet(*[os.path.join(table, f) for f in paths])
+    dv_map = {
+        rel: v
+        for s in segs
+        for rel, v in _seg_dvs(s).items()
+        if rel in set(s["files"])
+    }
+    if dv_map:
+        out = _dv_filter(spark, table, out, dv_map)
+    return out
 
 
 def delta_files(
@@ -1905,10 +2048,30 @@ def delete_where(
     predicate,
     prune: dict[str, tuple] | None = None,
     isolation: str = "write_serializable",
+    strategy: str = "cow",
 ) -> int:
-    """Copy-on-write DELETE: commit a new version with every row
-    matching ``predicate`` removed (SQL semantics — NULL predicate rows
-    are kept), rewriting ONLY the files that might contain matches.
+    """DELETE: commit a new version with every row matching
+    ``predicate`` removed (SQL semantics — NULL predicate rows are
+    kept).
+
+    ``strategy`` picks the physical plan (Delta's two delete modes):
+
+    * ``"cow"`` (default) — copy-on-write: rewrite only the files that
+      might contain matches; cost proportional to the TOUCHED FILES'
+      bytes, reclaims space immediately.
+    * ``"dv"`` — merge-on-read DELETION VECTORS: record the matching
+      rows' (file, row_index) positions in an immutable sidecar and
+      commit METADATA ONLY; cost proportional to the DELETED ROWS, no
+      data file is written. Reads anti-join the positions (zero cost
+      for tables without DVs); ``compact`` materializes survivors and
+      sheds the vectors. A point-delete of 100 rows from a 100-TB table
+      is one small sidecar instead of a multi-GB file rewrite — the
+      reason Delta made DVs its default. Refused (ValueError) on tables
+      with UNIQUE constraints (the append-side existence probe scans
+      raw files and would resurrect deleted keys) and when the match
+      count exceeds ``DV_MAX_POSITIONS`` (a rewrite is the better plan
+      past that, and the driver holds the positions).
+    * ``"auto"`` — ``dv`` when eligible, else ``cow``.
 
     ``prune`` is the same {col: (lo, hi)} shape as ``skip_filter`` and
     should over-approximate the predicate: files whose recorded min/max
@@ -1935,13 +2098,33 @@ def delete_where(
     # the predicate can reach; everything else carries as heads
     manifest = _read_manifest_root(table, base)
     aliases = manifest.get("aliases", {})
+    if strategy not in ("cow", "dv", "auto"):
+        raise ValueError(
+            f"strategy must be 'cow', 'dv' or 'auto', got {strategy!r}"
+        )
     carried, rewrite_segs = _split_for_rewrite(
         manifest, aliases, prune, table=table
     )
+    if strategy in ("dv", "auto"):
+        v = _delete_where_dv(
+            spark,
+            table,
+            base,
+            manifest,
+            predicate,
+            carried,
+            rewrite_segs,
+            isolation,
+            required=strategy == "dv",
+        )
+        if v is not None:
+            return v  # DV commit landed (auto fell through otherwise)
     new_segment = None
     if rewrite_segs:
         # normalize candidates through the same rename/cast/union path a
         # read uses, so the predicate sees CURRENT column names/types
+        # (and, via the DV-aware read, never resurrects a row a prior
+        # deletion vector already removed)
         part = _read_segments(
             spark, table, {**manifest, "segments": rewrite_segs}
         )
@@ -1961,6 +2144,128 @@ def delete_where(
         manifest,
         segments,
         "delete",
+        rebase=_blind_rebase(isolation),
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    manifest: dict,
+    predicate,
+    carried: list[dict],
+    rewrite_segs: list[dict],
+    isolation: str,
+    required: bool,
+) -> "int | None":
+    """The merge-on-read DELETE: collect matching (file, row_index)
+    positions from the candidate files, merge them into each file's
+    cumulative deletion vector, and commit new segment details with the
+    SAME data files — metadata only. Returns the version, or None when
+    ineligible and ``required`` is False (auto falls back to CoW);
+    raises when ``required``."""
+    from pyspark.sql.types import StructType
+
+    def bail(reason: str):
+        if required:
+            raise ValueError(
+                f"deletion-vector delete on {table} refused: {reason}"
+            )
+        return None
+
+    if manifest.get("unique"):
+        return bail(
+            "table has UNIQUE constraints (the append-side existence "
+            "probe reads raw files and would see deleted keys); use "
+            "strategy='cow'"
+        )
+    if not rewrite_segs:
+        # nothing can match: metadata-only no-op delete, same version
+        # bump the CoW path would produce
+        return _commit_rewrite(
+            table, base, manifest, carried, "delete_dv",
+            rebase=_blind_rebase(isolation),
+        )
+    target = StructType.fromJson(manifest["schema"])
+    aliases = manifest.get("aliases", {})
+    hits = None
+    for seg in rewrite_segs:
+        part = spark.read.schema(
+            StructType.fromJson(seg["schema"])
+        ).parquet(*[os.path.join(table, f) for f in seg["files"]])
+        cols = [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dvb"),
+            F.col("_metadata.row_index").alias("__dvp"),
+        ]
+        for c in part.columns:
+            cur = aliases.get(c, c)
+            tf = next(
+                (f for f in target.fields if f.name == cur), None
+            )
+            cols.append(
+                F.col(c).cast(tf.dataType).alias(cur)
+                if tf is not None
+                else F.col(c).alias(cur)
+            )
+        p = part.select(*cols)
+        for f in target.fields:
+            if f.name not in p.columns:
+                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
+        h = p.filter(F.coalesce(predicate, F.lit(False))).select(
+            "__dvb", "__dvp"
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    hits = hits.localCheckpoint(eager=False)
+    n = hits.count()
+    if n > DV_MAX_POSITIONS:
+        return bail(
+            f"{n} matching rows exceed DV_MAX_POSITIONS "
+            f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
+            "better plan"
+        )
+    base_to_rel = {
+        os.path.basename(f): f
+        for seg in rewrite_segs
+        for f in seg["files"]
+    }
+    new_pos: dict[str, list] = {}
+    for r in hits.collect():
+        new_pos.setdefault(base_to_rel[r["__dvb"]], []).append(
+            int(r["__dvp"])
+        )
+    # cumulative per file: union the new positions into any existing
+    # vector (old sidecars stay for old versions — immutable, like data)
+    merged: dict[str, list] = {}
+    for seg in rewrite_segs:
+        for rel, entry in _seg_dvs(seg).items():
+            if rel in new_pos:
+                with open(_dv_sidecar_path(table, entry["ref"])) as f:
+                    old = json.load(f)[rel]
+                new_pos[rel].extend(_dv_unpack(old["pos"]).tolist())
+    for rel, pos in new_pos.items():
+        merged[rel] = sorted(set(pos))
+    segments = list(carried)
+    if merged:
+        ref = _write_dv_sidecar(table, merged)
+        for seg in rewrite_segs:
+            dvs = dict(_seg_dvs(seg))
+            for rel in seg["files"]:
+                if rel in merged:
+                    dvs[rel] = {"ref": ref, "n": len(merged[rel])}
+            segments.append(
+                {**seg, **({"dvs": dvs} if dvs else {})}
+            )
+    else:
+        segments.extend(rewrite_segs)  # no matches: carry unchanged
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "delete_dv",
         rebase=_blind_rebase(isolation),
     )
 
@@ -2103,28 +2408,30 @@ def _split_for_rewrite(
             continue
         keep = [f for f in seg["files"] if f not in cand]
         if keep:
-            carried.append(
-                {
-                    **seg,
-                    "files": keep,
-                    "stats": {
-                        k: v
-                        for k, v in seg.get("stats", {}).items()
-                        if k in keep
-                    },
-                    **(
-                        {
-                            "blooms": {
-                                k: v
-                                for k, v in seg["blooms"].items()
-                                if k in keep
-                            }
-                        }
-                        if seg.get("blooms")
-                        else {}
-                    ),
+            part = {
+                **seg,
+                "files": keep,
+                "stats": {
+                    k: v
+                    for k, v in seg.get("stats", {}).items()
+                    if k in keep
+                },
+            }
+            if seg.get("blooms"):
+                part["blooms"] = {
+                    k: v for k, v in seg["blooms"].items() if k in keep
                 }
-            )
+            if seg.get("dvs"):
+                # kept files keep their deletion vectors; replaced
+                # files' vectors die with the files
+                kept_dvs = {
+                    k: v for k, v in seg["dvs"].items() if k in keep
+                }
+                if kept_dvs:
+                    part["dvs"] = kept_dvs
+                else:
+                    part.pop("dvs", None)
+            carried.append(part)
         if cand:
             rewrite_segs.append({**seg, "files": sorted(cand)})
     return carried, rewrite_segs
@@ -2907,7 +3214,13 @@ def table_changes_physical(
     cancel under a fold; the logical mode's exceptAll cancels them for
     you at the price of shuffling both snapshots), and a compaction is
     all noise. Schema evolution pads through the end manifest's alias
-    map, like any read."""
+    map, like any read.
+
+    Deletion-vector commits (``delete_dv``) move NO files, so this
+    FILE-level diff does not surface their row deletes — use
+    :func:`table_changes` (logical, DV-aware snapshots) or the
+    streaming change feed (which emits a DV commit's newly-deleted
+    positions exactly) for row-accurate CDC over DV'd tables."""
     from pyspark.sql.types import StructType
 
     if to_version is None:
@@ -3327,6 +3640,18 @@ def add_unique_constraint(
         )
     if not cols:
         raise ValueError("unique constraint needs at least one column")
+    p = _read_pointer(table)
+    if p is not None and any(
+        _seg_dvs(_resolve_seg(table, s) if _is_seg_head(s) else s)
+        for s in _segments(_read_manifest_root(table, p))
+    ):
+        # the append-side existence probe reads raw files and would see
+        # DV-deleted keys as live — materialize first, then constrain
+        raise ValueError(
+            f"cannot add unique constraint to {table} while deletion "
+            "vectors are present; run compact() to materialize them "
+            "first"
+        )
     snap = read_snapshot(spark, table)
     missing = [c for c in cols if c not in snap.columns]
     if missing:
@@ -3521,6 +3846,7 @@ def describe_table(table: str) -> dict:
     n_files = 0
     size_bytes = 0
     bloom_bytes = 0
+    dv_rows = 0
     stats_cols_set: set = set()
     bloom_cols_set: set = set()
     for seg in _segments(m):
@@ -3528,9 +3854,13 @@ def describe_table(table: str) -> dict:
             n_files += seg["n_files"]
             size_bytes += seg.get("bytes", 0)
             bloom_bytes += seg.get("bloom_bytes", 0)
+            dv_rows += seg.get("dv_rows", 0)
             stats_cols_set |= set(seg.get("stats_cols", []))
             bloom_cols_set |= set(seg.get("bloom_cols", []))
             continue
+        dv_rows += sum(
+            int(v.get("n", 0)) for v in _seg_dvs(seg).values()
+        )
         n_files += len(seg["files"])
         for f in seg["files"]:
             try:
@@ -3563,6 +3893,7 @@ def describe_table(table: str) -> dict:
         "num_files": n_files,
         "size_bytes": size_bytes,
         "bloom_bytes": bloom_bytes,
+        "dv_rows": dv_rows,
         "retained_versions": len(history(table)),
         "extra": m.get("extra", {}),
     }
@@ -3603,24 +3934,35 @@ def clone_table(
         if version is None:
             raise FileNotFoundError(f"no committed version in {src}")
     m = _read_manifest_root(src, version)
+
+    def _link_sidecar(ref: str) -> None:
+        sp = _seg_detail_path(src, ref)
+        dp = _seg_detail_path(dst, ref)
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        try:
+            os.link(sp, dp)
+        except FileExistsError:
+            pass  # re-cloning over a failed attempt
+        except OSError:
+            shutil.copy2(sp, dp)
+
     segs: list[dict] = []
     for seg in _segments(m):
         if _is_seg_head(seg):
             # sidecars are immutable like data: hardlink the detail
             # file and carry the head verbatim — the clone's manifest
             # work is O(#segments), zero detail bytes restaged
-            sp = _seg_detail_path(src, seg["ref"])
-            dp = _seg_detail_path(dst, seg["ref"])
-            os.makedirs(os.path.dirname(dp), exist_ok=True)
-            try:
-                os.link(sp, dp)
-            except FileExistsError:
-                pass  # re-cloning over a failed attempt
-            except OSError:
-                shutil.copy2(sp, dp)
-            files = _resolve_seg(src, seg)["files"]
+            _link_sidecar(seg["ref"])
+            resolved = _resolve_seg(src, seg)
+            files = resolved["files"]
         else:
+            resolved = seg
             files = seg["files"]
+        # deletion-vector sidecars travel with their segments (same
+        # immutability argument), so a clone of a DV'd version reads
+        # the same live rows
+        for v in _seg_dvs(resolved).values():
+            _link_sidecar(v["ref"])
         segs.append(seg)
         for rel in files:
             s = os.path.join(src, rel)
@@ -3745,6 +4087,7 @@ def vacuum(
     # exclusive data files go, exactly as before sharding.
     if os.path.isdir(mdir):
         referenced: set[str] = set()
+        dv_referenced: set[str] = set()
         for f in os.listdir(mdir):
             if f.startswith("v") and f.endswith(".json"):
                 try:
@@ -3755,11 +4098,31 @@ def vacuum(
                 for s in root.get("segments", []):
                     if _is_seg_head(s):
                         referenced.add(s["ref"])
+                    else:
+                        dv_referenced.update(
+                            v["ref"] for v in s.get("dvs", {}).values()
+                        )
+        for ref in referenced:
+            # deletion-vector refs live inside the segment details —
+            # a dv sidecar is live while ANY existing root's segment
+            # points at it
+            try:
+                with open(os.path.join(mdir, ref)) as fh:
+                    dv_referenced.update(
+                        v["ref"]
+                        for v in json.load(fh).get("dvs", {}).values()
+                    )
+            except (OSError, ValueError):
+                continue
         for f in os.listdir(mdir):
             if (
                 f.startswith("seg-")
                 and f.endswith(".json")
                 and f not in referenced
+            ) or (
+                f.startswith("dv-")
+                and f.endswith(".json")
+                and f not in dv_referenced
             ):
                 _sweep(os.path.join(mdir, f))
     keep_from = max(0, latest - keep_last + 1)

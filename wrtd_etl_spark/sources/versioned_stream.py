@@ -56,6 +56,8 @@ class ChangeFile(InputPartition):
         version: int,
         mode: str,
         col_map: list[tuple[str, str | None]],
+        dv_drop=None,
+        dv_take=None,
     ):
         self.table = table
         self.file = file
@@ -66,6 +68,12 @@ class ChangeFile(InputPartition):
         # on the DRIVER against the manifest's alias map, so executors
         # need no manifest access
         self.col_map = col_map
+        # deletion-vector directives (see _load_file_table): dv_drop
+        # excludes already-deleted positions when a whole file is
+        # emitted; dv_take emits ONLY the newly-deleted positions of a
+        # metadata-only delete_dv commit
+        self.dv_drop = dv_drop
+        self.dv_take = dv_take
 
 
 def _target_schema(table: str):
@@ -101,18 +109,67 @@ def _to_arrow_schema(fields):
         return None
 
 
-def _file_arrays(path: str, col_map, arrow_schema):
+def _dv_positions(table: str, ref: str, rel: str):
+    """Executor-side load of one file's deletion-vector positions from a
+    ``dv-*.json`` sidecar (same shared-FS access as the data files)."""
+    import json as _json
+    import os as _os
+
+    from .versioned import _dv_unpack
+
+    with open(_os.path.join(table, "_manifests", ref)) as f:
+        entry = _json.load(f)[rel]
+    return _dv_unpack(entry["pos"])
+
+
+def _load_file_table(path: str, want, dv_drop=None, dv_take=None):
+    """One data file as a pyarrow Table with deletion vectors applied —
+    the shared loader for the Arrow and per-row read paths (stream +
+    batch DataSource)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=want)
+    if dv_take is not None:
+        import numpy as np
+
+        t, new_ref, rel, old_ref = dv_take
+        pos = _dv_positions(t, new_ref, rel)
+        if old_ref is not None:
+            pos = np.setdiff1d(pos, _dv_positions(t, old_ref, rel))
+        pos = pos[pos < tbl.num_rows]
+        tbl = tbl.take(pa.array(pos))
+    elif dv_drop is not None:
+        import numpy as np
+
+        t, ref, rel = dv_drop
+        pos = _dv_positions(t, ref, rel)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[pos[pos < tbl.num_rows]] = False
+        tbl = tbl.filter(pa.array(mask))
+    return tbl
+
+
+def _file_arrays(
+    path: str, col_map, arrow_schema, dv_drop=None, dv_take=None
+):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
     [(target_name, file_column_or_None)]: absent columns null-fill, casts
     cover widened columns (int32 file → long table) and tz
     normalization — lossless by the manifest's widening rules. Returns
-    (arrays, n_rows)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    (arrays, n_rows).
 
-    want = [s for _, s in col_map if s is not None]
-    tbl = pq.read_table(path, columns=want)
+    Deletion-vector awareness: ``dv_drop=(table, ref, rel)`` EXCLUDES
+    that vector's positions (reading a live snapshot of a DV'd file);
+    ``dv_take=(table, new_ref, rel, old_ref|None)`` emits ONLY the
+    positions newly added between the two vectors (the change-feed's
+    row-accurate view of a metadata-only DV delete)."""
+    import pyarrow as pa
+
+    tbl = _load_file_table(
+        path, [s for _, s in col_map if s is not None], dv_drop, dv_take
+    )
     n = tbl.num_rows
     arrays = []
     for tgt, src in col_map:
@@ -293,10 +350,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     # checkpoint (deletes older than the horizon are
                     # unrecoverable by design)
                     prev_m = None
+            def _dvs_of(mm) -> dict[str, dict]:
+                out = {}
+                for seg in mm.get(
+                    "segments",
+                    [{"files": mm["files"], "schema": mm["schema"]}],
+                ):
+                    out.update(seg.get("dvs", {}))
+                return out
+
             file_seg = {}
             for seg in m.get("segments", [{"files": m["files"], "schema": m["schema"]}]):
                 for f in seg["files"]:
                     file_seg[f] = seg
+            cur_dvs = _dvs_of(m)
+            prev_dvs = _dvs_of(prev_m) if prev_m is not None else {}
             allow_cur = allowed(m)
             for f in m["files"]:
                 if f not in prev_files and (
@@ -306,6 +374,37 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         ChangeFile(
                             self.table, f, "insert", v, m["mode"],
                             col_map(file_seg[f]["schema"]),
+                            # a file can arrive ALREADY carrying a
+                            # vector (rollback to / clone of a DV'd
+                            # version): its deleted rows never insert
+                            dv_drop=(
+                                (self.table, cur_dvs[f]["ref"], f)
+                                if f in cur_dvs
+                                else None
+                            ),
+                        )
+                    )
+                elif (
+                    f in prev_files
+                    and cur_dvs.get(f, {}).get("ref")
+                    != prev_dvs.get(f, {}).get("ref")
+                    and f in cur_dvs
+                    and (allow_cur is None or f in allow_cur)
+                ):
+                    # metadata-only DV delete: the file is unchanged but
+                    # its vector grew — emit EXACTLY the newly-deleted
+                    # positions as delete rows (row-accurate CDC for
+                    # delete_dv commits, which move zero data files)
+                    parts.append(
+                        ChangeFile(
+                            self.table, f, "delete", v, m["mode"],
+                            col_map(file_seg[f]["schema"]),
+                            dv_take=(
+                                self.table,
+                                cur_dvs[f]["ref"],
+                                f,
+                                prev_dvs.get(f, {}).get("ref"),
+                            ),
                         )
                     )
             if prev_m is not None:
@@ -326,6 +425,19 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                             ChangeFile(
                                 self.table, f, "delete", v, m["mode"],
                                 col_map(prev_file_seg[f]["schema"]),
+                                # rows the file's vector had ALREADY
+                                # deleted were reported when the vector
+                                # landed — a rewrite/compact removing
+                                # the file must not re-delete them
+                                dv_drop=(
+                                    (
+                                        self.table,
+                                        prev_dvs[f]["ref"],
+                                        f,
+                                    )
+                                    if f in prev_dvs
+                                    else None
+                                ),
                             )
                         )
         return parts
@@ -338,17 +450,23 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             import pyarrow as pa
 
             sch = self._arrow_schema
-            arrays, n = _file_arrays(path, partition.col_map, sch)
+            arrays, n = _file_arrays(
+                path,
+                partition.col_map,
+                sch,
+                dv_drop=partition.dv_drop,
+                dv_take=partition.dv_take,
+            )
             arrays.append(pa.array([partition.change_type] * n, pa.string()))
             arrays.append(pa.array([partition.version] * n, pa.int64()))
             arrays.append(pa.array([partition.mode] * n, pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=sch)
             return
         # fallback: per-row python tuples (values coerce as natives)
-        import pyarrow.parquet as pq
-
         want = [s for _, s in partition.col_map if s is not None]
-        tbl = pq.read_table(path, columns=want)
+        tbl = _load_file_table(
+            path, want, partition.dv_drop, partition.dv_take
+        )
         n = tbl.num_rows
         cols = {}
         for tgt, src in partition.col_map:

@@ -87,13 +87,16 @@ from .versioned_stream import _file_arrays, _to_arrow_schema
 class TableFile(InputPartition):
     """One pinned data file: read, project/cast to the table schema."""
 
-    def __init__(self, table: str, file: str, col_map):
+    def __init__(self, table: str, file: str, col_map, dv_drop=None):
         self.table = table
         self.file = file
         # (target_name, file_column_or_None) per output field — resolved
         # on the DRIVER against the manifest's alias map, so executors
         # need no manifest access (same contract as the stream reader)
         self.col_map = col_map
+        # (table, dv_ref, relfile) when the file carries a deletion
+        # vector: the executor drops those row positions
+        self.dv_drop = dv_drop
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -179,7 +182,20 @@ class VersionedTableReader(DataSourceReader):
                 else seg["files"]
             )
             cm = col_map(seg["schema"])
-            parts.extend(TableFile(self.table, f, cm) for f in files)
+            dvs = seg.get("dvs", {})
+            parts.extend(
+                TableFile(
+                    self.table,
+                    f,
+                    cm,
+                    dv_drop=(
+                        (self.table, dvs[f]["ref"], f)
+                        if f in dvs
+                        else None
+                    ),
+                )
+                for f in files
+            )
         return parts
 
     def read(self, partition: TableFile) -> Iterator:
@@ -188,16 +204,19 @@ class VersionedTableReader(DataSourceReader):
             import pyarrow as pa
 
             arrays, _ = _file_arrays(
-                path, partition.col_map, self._arrow_schema
+                path,
+                partition.col_map,
+                self._arrow_schema,
+                dv_drop=partition.dv_drop,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
             )
             return
-        import pyarrow.parquet as pq
+        from .versioned_stream import _load_file_table
 
         want = [s for _, s in partition.col_map if s is not None]
-        tbl = pq.read_table(path, columns=want)
+        tbl = _load_file_table(path, want, dv_drop=partition.dv_drop)
         n = tbl.num_rows
         cols = {
             tgt: (tbl.column(src).to_pylist() if src is not None else [None] * n)
