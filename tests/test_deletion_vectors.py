@@ -159,6 +159,23 @@ def test_auto_strategy_and_caps(spark, tmp_path, monkeypatch):
     )
 
 
+def test_maybe_compact_purges_heavy_vectors(spark, tmp_path):
+    """Maintenance trigger: past dv_rows_max the next maybe_compact
+    materializes survivors and sheds the vectors (Delta's REORG PURGE
+    shape); below it, no rewrite fires."""
+    from wrtd_etl_spark.sources.versioned import maybe_compact
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t, n=500, parts=3)
+    delete_where(spark, t, F.col("k") < 200, strategy="dv")
+    assert (
+        maybe_compact(spark, t, max_files=64, dv_rows_max=1000) is None
+    )
+    v = maybe_compact(spark, t, max_files=64, dv_rows_max=100)
+    assert v is not None and describe_table(t)["dv_rows"] == 0
+    assert read_snapshot(spark, t).count() == 300
+
+
 def test_unique_interlock_both_directions(spark, tmp_path):
     t = str(tmp_path / "tbl")
     _base(spark, t, n=50, parts=2)
@@ -175,6 +192,88 @@ def test_unique_interlock_both_directions(spark, tmp_path):
         add_unique_constraint(spark, t2, "pk", ["k"])
     compact(spark, t2, target_files=1)
     add_unique_constraint(spark, t2, "pk", ["k"])  # clean after compact
+
+
+def test_update_dv_merge_on_read(spark, tmp_path):
+    """MoR UPDATE: one commit = positions into the vectors + updated
+    rows as a fresh segment; equals the CoW update row-for-row, moves
+    none of the original files, composes with prior vectors, and the
+    change feed sees delta-deletes + inserts."""
+    from wrtd_etl_spark.sources.versioned_stream import (
+        VersionedChangesDataSource,
+    )
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t, n=400, parts=3)
+    before = _data_files(t)
+    delete_where(spark, t, F.col("k") < 10, strategy="dv")  # v1
+    update_where(
+        spark, t, F.col("k") % 50 == 0, {"g": F.lit(999)}, strategy="dv"
+    )  # v2
+    assert history(t)[0]["mode"] == "update_dv"
+    assert before <= _data_files(t)  # originals untouched, one new seg
+    rows = {r.k: r.g for r in read_snapshot(spark, t).collect()}
+    assert len(rows) == 390  # ks 0-9 deleted (incl. k=0 — deleted wins)
+    for k in (50, 100, 150, 200, 250, 300, 350):
+        assert rows[k] == 999
+    assert rows[51] == 51 % 7
+    # time travel: v1 still has the pre-update values
+    old = {
+        r.k: r.g
+        for r in read_snapshot(spark, t, version=1).collect()
+    }
+    assert old[50] == 50 % 7
+    # equals a CoW update of a twin table
+    t2 = str(tmp_path / "t2")
+    _base(spark, t2, n=400, parts=3)
+    delete_where(spark, t2, F.col("k") < 10, strategy="cow")
+    update_where(
+        spark, t2, F.col("k") % 50 == 0, {"g": F.lit(999)}, strategy="cow"
+    )
+    assert rows == {r.k: r.g for r in read_snapshot(spark, t2).collect()}
+    # repeat MoR update over the SAME rows: prior updated rows live in
+    # the new segment; the vectors must not resurrect the originals
+    update_where(
+        spark, t, F.col("k") % 50 == 0, {"g": F.lit(-1)}, strategy="dv"
+    )
+    rows = {r.k: r.g for r in read_snapshot(spark, t).collect()}
+    assert len(rows) == 390 and rows[50] == -1 and rows[350] == -1
+    # stream fold across dv delete + two MoR updates ≡ live snapshot
+    spark.dataSource.register(VersionedChangesDataSource)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    (
+        spark.readStream.format("versioned_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    ins = got.filter(F.col("_change_type") == "insert")
+    dels = got.filter(F.col("_change_type") == "delete")
+    assert ins.count() - dels.count() == 390
+    # the fold by (k) max-version state equals the snapshot
+    # within one commit a key can have BOTH a delete (old image) and an
+    # insert (new image) — the insert wins at the same version
+    last = (
+        got.withColumn(
+            "__is_del", (F.col("_change_type") == "delete").cast("int")
+        )
+        .groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("__is_del", "g"),
+                F.struct("_commit_version", 1 - F.col("__is_del")),
+            ).alias("s")
+        )
+        .filter(F.col("s.__is_del") == 0)
+        .select("k", F.col("s.g").alias("g"))
+    )
+    assert {r.k: r.g for r in last.collect()} == rows
 
 
 def test_logical_cdc_and_stream_row_accurate(spark, tmp_path):

@@ -653,19 +653,12 @@ def _seg_dvs(seg: dict) -> dict[str, dict]:
     return seg.get("dvs", {})
 
 
-def _dv_filter(spark: SparkSession, table: str, df: DataFrame, dv_map):
-    """Drop rows whose (file basename, row_index) is in a deletion
-    vector. ``df`` must still carry ``_metadata`` access (a raw parquet
-    read); ``dv_map`` = {relfile: {"ref", "n"}} across the files being
-    read. Positions parse EXECUTOR-side from the sidecars (mapInPandas
-    over refs — the driver never loads them); the anti-join broadcasts
-    when the manifest-recorded total is small and shuffles otherwise.
-    File basenames are globally unique (uuid-named writes), so the join
-    key is (basename, row_index)."""
-    if not dv_map:
-        return df
-    import pandas as pd  # noqa: F401 (executor-side)
-
+def _dv_positions_df(spark: SparkSession, table: str, dv_map) -> DataFrame:
+    """(__dv_base, __dv_pos) rows for every position in ``dv_map``
+    ({relfile: {"ref", "n"}}). Positions parse EXECUTOR-side from the
+    sidecars (mapInPandas over refs — the driver never loads them);
+    the result is broadcast-hinted when the manifest-recorded total is
+    small. File basenames are globally unique (uuid-named writes)."""
     total = sum(int(v.get("n", 0)) for v in dv_map.values())
     refs = sorted(
         {(v["ref"], os.path.basename(rel)) for rel, v in dv_map.items()}
@@ -698,6 +691,18 @@ def _dv_filter(spark: SparkSession, table: str, df: DataFrame, dv_map):
     dv_df = src.mapInPandas(parse, "__dv_base string, __dv_pos long")
     if total <= DV_BROADCAST_POSITIONS:
         dv_df = F.broadcast(dv_df)
+    return dv_df
+
+
+def _dv_filter(spark: SparkSession, table: str, df: DataFrame, dv_map):
+    """Drop rows whose (file basename, row_index) is in a deletion
+    vector. ``df`` must still carry ``_metadata`` access (a raw parquet
+    read); ``dv_map`` = {relfile: {"ref", "n"}} across the files being
+    read. The anti-join broadcasts when the recorded total is small and
+    shuffles otherwise (see :func:`_dv_positions_df`)."""
+    if not dv_map:
+        return df
+    dv_df = _dv_positions_df(spark, table, dv_map)
     keyed = df.withColumn(
         "__dv_base",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -2148,6 +2153,65 @@ def delete_where(
     )
 
 
+def _dv_candidate_scan(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    rewrite_segs: list[dict],
+) -> DataFrame:
+    """The candidate files normalized to CURRENT names/types (alias map
+    + casts + NULL fill, the same shape a read presents) PLUS
+    ``__dvb``/``__dvp`` (file basename, row_index) — the position
+    source for merge-on-read deletes/updates. Rows an EXISTING deletion
+    vector already removed are excluded, so a MoR update can never
+    resurrect them and a repeat delete never re-collects them."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromJson(manifest["schema"])
+    aliases = manifest.get("aliases", {})
+    out = None
+    for seg in rewrite_segs:
+        part = spark.read.schema(
+            StructType.fromJson(seg["schema"])
+        ).parquet(*[os.path.join(table, f) for f in seg["files"]])
+        cols = [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dvb"),
+            F.col("_metadata.row_index").alias("__dvp"),
+        ]
+        for c in part.columns:
+            cur = aliases.get(c, c)
+            tf = next(
+                (f for f in target.fields if f.name == cur), None
+            )
+            cols.append(
+                F.col(c).cast(tf.dataType).alias(cur)
+                if tf is not None
+                else F.col(c).alias(cur)
+            )
+        p = part.select(*cols)
+        dvs = {
+            rel: v
+            for rel, v in _seg_dvs(seg).items()
+            if rel in set(seg["files"])
+        }
+        if dvs:
+            # anti-join on the ALREADY-materialized keys (_metadata is
+            # only reachable on the raw file relation, not post-join)
+            dv_df = (
+                _dv_positions_df(spark, table, dvs)
+                .withColumnRenamed("__dv_base", "__dvb")
+                .withColumnRenamed("__dv_pos", "__dvp")
+            )
+            p = p.join(dv_df, ["__dvb", "__dvp"], "left_anti")
+        for f in target.fields:
+            if f.name not in p.columns:
+                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
 def _delete_where_dv(
     spark: SparkSession,
     table: str,
@@ -2187,37 +2251,10 @@ def _delete_where_dv(
             table, base, manifest, carried, "delete_dv",
             rebase=_blind_rebase(isolation),
         )
-    target = StructType.fromJson(manifest["schema"])
-    aliases = manifest.get("aliases", {})
-    hits = None
-    for seg in rewrite_segs:
-        part = spark.read.schema(
-            StructType.fromJson(seg["schema"])
-        ).parquet(*[os.path.join(table, f) for f in seg["files"]])
-        cols = [
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dvb"),
-            F.col("_metadata.row_index").alias("__dvp"),
-        ]
-        for c in part.columns:
-            cur = aliases.get(c, c)
-            tf = next(
-                (f for f in target.fields if f.name == cur), None
-            )
-            cols.append(
-                F.col(c).cast(tf.dataType).alias(cur)
-                if tf is not None
-                else F.col(c).alias(cur)
-            )
-        p = part.select(*cols)
-        for f in target.fields:
-            if f.name not in p.columns:
-                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
-        h = p.filter(F.coalesce(predicate, F.lit(False))).select(
-            "__dvb", "__dvp"
-        )
-        hits = h if hits is None else hits.unionByName(h)
+    hits = _dv_candidate_scan(spark, table, manifest, rewrite_segs)
+    hits = hits.filter(F.coalesce(predicate, F.lit(False))).select(
+        "__dvb", "__dvp"
+    )
     hits = hits.localCheckpoint(eager=False)
     n = hits.count()
     if n > DV_MAX_POSITIONS:
@@ -2226,13 +2263,31 @@ def _delete_where_dv(
             f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
             "better plan"
         )
+    segments = list(carried) + _dv_mark_deleted(table, rewrite_segs, hits)
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "delete_dv",
+        rebase=_blind_rebase(isolation),
+    )
+
+
+def _dv_mark_deleted(
+    table: str, rewrite_segs: list[dict], hits: DataFrame
+) -> list[dict]:
+    """Collect the (__dvb, __dvp) hit positions, union them into each
+    file's cumulative vector, persist ONE new sidecar, and return the
+    candidate segments with updated ``dvs`` entries — same files, new
+    metadata. The shared tail of merge-on-read DELETE and UPDATE."""
     base_to_rel = {
         os.path.basename(f): f
         for seg in rewrite_segs
         for f in seg["files"]
     }
     new_pos: dict[str, list] = {}
-    for r in hits.collect():
+    for r in hits.select("__dvb", "__dvp").collect():
         new_pos.setdefault(base_to_rel[r["__dvb"]], []).append(
             int(r["__dvp"])
         )
@@ -2247,25 +2302,100 @@ def _delete_where_dv(
                 new_pos[rel].extend(_dv_unpack(old["pos"]).tolist())
     for rel, pos in new_pos.items():
         merged[rel] = sorted(set(pos))
-    segments = list(carried)
-    if merged:
-        ref = _write_dv_sidecar(table, merged)
-        for seg in rewrite_segs:
-            dvs = dict(_seg_dvs(seg))
-            for rel in seg["files"]:
-                if rel in merged:
-                    dvs[rel] = {"ref": ref, "n": len(merged[rel])}
-            segments.append(
-                {**seg, **({"dvs": dvs} if dvs else {})}
+    if not merged:
+        return list(rewrite_segs)  # no matches: carry unchanged
+    ref = _write_dv_sidecar(table, merged)
+    out = []
+    for seg in rewrite_segs:
+        dvs = dict(_seg_dvs(seg))
+        for rel in seg["files"]:
+            if rel in merged:
+                dvs[rel] = {"ref": ref, "n": len(merged[rel])}
+        out.append({**seg, **({"dvs": dvs} if dvs else {})})
+    return out
+
+
+def _update_where_dv(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    manifest: dict,
+    predicate,
+    set_exprs: dict,
+    carried: list[dict],
+    rewrite_segs: list[dict],
+    isolation: str,
+    required: bool,
+) -> "int | None":
+    """Merge-on-read UPDATE — Delta's DV update decomposition in ONE
+    atomic commit: the matched rows' positions join each file's
+    deletion vector (the old values disappear) and the UPDATED rows
+    land as a fresh appended segment. Cost proportional to the MATCHED
+    rows, not the touched files' bytes. Returns the version, or None
+    when ineligible and ``required`` is False; raises when required."""
+    from pyspark.sql.types import StructType
+
+    def bail(reason: str):
+        if required:
+            raise ValueError(
+                f"deletion-vector update on {table} refused: {reason}"
             )
-    else:
-        segments.extend(rewrite_segs)  # no matches: carry unchanged
+        return None
+
+    if manifest.get("unique"):
+        return bail(
+            "table has UNIQUE constraints (the append-side existence "
+            "probe reads raw files and would see deleted keys); use "
+            "strategy='cow'"
+        )
+    if not rewrite_segs:
+        return _commit_rewrite(
+            table, base, manifest, carried, "update_dv",
+            rebase=_blind_rebase(isolation),
+        )
+    target = StructType.fromJson(manifest["schema"])
+    scan = _dv_candidate_scan(spark, table, manifest, rewrite_segs)
+    matched = scan.filter(
+        F.coalesce(predicate, F.lit(False))
+    ).localCheckpoint(eager=False)
+    n = matched.count()
+    if n > DV_MAX_POSITIONS:
+        return bail(
+            f"{n} matching rows exceed DV_MAX_POSITIONS "
+            f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
+            "better plan"
+        )
+    segments = list(carried) + _dv_mark_deleted(
+        table, rewrite_segs, matched
+    )
+    if n:
+        cols = []
+        for f in target.fields:
+            if f.name in set_exprs:
+                v = set_exprs[f.name]
+                expr = v if isinstance(v, Column) else F.lit(v)
+                cols.append(expr.cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        updated = matched.select(*cols)
+        # the updated-rows segment is matched-rows-sized (small by the
+        # position cap) — a handful of files, not one per scan task
+        new_segment = _rewrite_segment(
+            spark,
+            table,
+            manifest,
+            rewrite_segs,
+            updated,
+            changed_cols=set(set_exprs),
+            target_files=max(1, min(n // 500_000 + 1, 8)),
+        )
+        segments.append(new_segment)
     return _commit_rewrite(
         table,
         base,
         manifest,
         segments,
-        "delete_dv",
+        "update_dv",
         rebase=_blind_rebase(isolation),
     )
 
@@ -2759,8 +2889,17 @@ def update_where(
     set_exprs: dict[str, "Column | object"],
     prune: dict[str, tuple] | None = None,
     isolation: str = "write_serializable",
+    strategy: str = "cow",
 ) -> int:
-    """Copy-on-write UPDATE: commit a new version where every row
+    """UPDATE with the same two physical plans as :func:`delete_where`:
+    ``strategy="cow"`` (default) rewrites the candidate files;
+    ``"dv"`` is the merge-on-read decomposition — matched rows'
+    positions join the deletion vectors and the UPDATED rows land as a
+    fresh segment, ONE atomic commit whose cost is proportional to the
+    matched rows (``"auto"`` picks dv when eligible; same UNIQUE and
+    position-cap rules as delete).
+
+    Copy-on-write semantics: commit a new version where every row
     matching ``predicate`` has the ``set_exprs`` columns replaced
     (``{col: Column-or-literal}``, evaluated over the row), rewriting
     ONLY the files that might contain matches — symmetric to
@@ -2794,9 +2933,28 @@ def update_where(
     bad = [c for c in set_exprs if c not in known]
     if bad:
         raise ValueError(f"update of unknown column(s): {bad}")
+    if strategy not in ("cow", "dv", "auto"):
+        raise ValueError(
+            f"strategy must be 'cow', 'dv' or 'auto', got {strategy!r}"
+        )
     carried, rewrite_segs = _split_for_rewrite(
         manifest, aliases, prune, table=table
     )
+    if strategy in ("dv", "auto"):
+        v = _update_where_dv(
+            spark,
+            table,
+            base,
+            manifest,
+            predicate,
+            set_exprs,
+            carried,
+            rewrite_segs,
+            isolation,
+            required=strategy == "dv",
+        )
+        if v is not None:
+            return v
     new_segment = None
     if rewrite_segs:
         part = _read_segments(
@@ -4361,9 +4519,15 @@ def maybe_compact(
     stats_cols: list[str] | None = None,
     small_bytes: int | None = None,
     target_bytes: int = 128 << 20,
+    dv_rows_max: int = 1_000_000,
 ) -> int | None:
     """OPTIMIZE-when-needed: compact iff the latest version references
-    more than ``max_files`` data files; returns the new version or None.
+    more than ``max_files`` data files, OR deletion vectors shadow more
+    than ``dv_rows_max`` rows table-wide (Delta's REORG PURGE
+    heuristic: every scan pays the position anti-join, so past the
+    threshold materializing survivors beats keeping the metadata —
+    the check is root-only, summing the heads' ``dv_rows``); returns
+    the new version or None.
 
     The scheduling half of :func:`compact` — an append-per-micro-batch
     sink (streaming/versioned_sink.py) accrues one file set per trigger,
@@ -4379,8 +4543,30 @@ def maybe_compact(
     :func:`compact_small_files` (bin-pack only the sub-``small_bytes``
     tail toward ``target_bytes`` files) instead of the full-table
     rewrite — the right setting for a sink on a large table."""
-    if data_file_count(table) <= max_files:
+    p = _read_pointer(table)
+    if p is None:
         return None
+    root = _read_manifest_root(table, p)
+    n_files = sum(
+        s["n_files"] if _is_seg_head(s) else len(s["files"])
+        for s in _segments(root)
+    )
+    dv_rows = sum(
+        (
+            s.get("dv_rows", 0)
+            if _is_seg_head(s)
+            else sum(int(v.get("n", 0)) for v in _seg_dvs(s).values())
+        )
+        for s in _segments(root)
+    )
+    if n_files <= max_files and dv_rows <= dv_rows_max:
+        return None
+    if dv_rows > dv_rows_max and small_bytes is not None:
+        # bin-packing only touches small files; a vector purge needs
+        # the full rewrite so every shadowed file materializes
+        small_bytes = None
+        if n_files <= max_files:
+            target_files = max(1, min(n_files, target_files))
     try:
         if small_bytes is not None:
             return compact_small_files(
