@@ -121,6 +121,38 @@ class VersionedModel(RuleBasedStateMachine):
         self.model.update(rows)
         self._commit()
 
+    @rule(lo=KEYS, hi=KEYS)
+    def delete_range_dv(self, lo, hi):
+        # merge-on-read twin of delete_range: vectors must be
+        # indistinguishable from a rewrite at every later step,
+        # including interleaved CoW ops, compaction, and rollback
+        lo, hi = min(lo, hi), max(lo, hi)
+        delete_where(
+            self.spark,
+            self.table,
+            (F.col("k") >= lo) & (F.col("k") <= hi),
+            prune={"k": (lo, hi)},
+            strategy="dv",
+        )
+        self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
+        self._commit()
+
+    @rule(lo=KEYS, hi=KEYS, dv=VALS)
+    def update_range_dv(self, lo, hi, dv):
+        lo, hi = min(lo, hi), max(lo, hi)
+        update_where(
+            self.spark,
+            self.table,
+            (F.col("k") >= lo) & (F.col("k") <= hi),
+            {"v": F.col("v") + dv},
+            prune={"k": (lo, hi)},
+            strategy="dv",
+        )
+        for k in self.model:
+            if lo <= k <= hi:
+                self.model[k] += dv
+        self._commit()
+
     @rule()
     def compact_all(self):
         from wrtd_etl_spark.sources.versioned import compact
