@@ -159,6 +159,55 @@ def test_auto_strategy_and_caps(spark, tmp_path, monkeypatch):
     )
 
 
+def test_point_pruned_dv_erasure(spark, tmp_path, monkeypatch):
+    """The GDPR shape: erase a few scattered keys via bloom point
+    pruning + deletion vectors — only files whose sketch admits a key
+    are SCANNED (counted via the candidate split), zero files are
+    rewritten, and the rows are gone."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(4000)], "k long, s string"
+    ).repartition(8)
+    write_snapshot(df, t, bloom_cols=["k"])
+    keys = [17, 1017, 3999]
+    scanned = []
+    real = V._dv_candidate_scan
+
+    def counting(spark_, table_, manifest_, rewrite_segs):
+        scanned.extend(f for s in rewrite_segs for f in s["files"])
+        return real(spark_, table_, manifest_, rewrite_segs)
+
+    monkeypatch.setattr(V, "_dv_candidate_scan", counting)
+    before = _data_files(t)
+    delete_where(
+        spark,
+        t,
+        F.col("k").isin(keys),
+        point={"k": keys},
+        strategy="dv",
+    )
+    assert _data_files(t) == before  # metadata-only
+    assert 0 < len(scanned) < 8  # bloom pruning kept files out of scan
+    got = read_snapshot(spark, t, point_filter={"k": keys}).filter(
+        F.col("k").isin(keys)
+    )
+    assert got.count() == 0
+    assert read_snapshot(spark, t).count() == 3997
+    # update_where accepts point pruning too
+    update_where(
+        spark,
+        t,
+        F.col("k") == 500,
+        {"s": F.lit("anon")},
+        point={"k": [500]},
+        strategy="dv",
+    )
+    assert [
+        r.s
+        for r in read_snapshot(spark, t).filter(F.col("k") == 500).collect()
+    ] == ["anon"]
+
+
 def test_maybe_compact_purges_heavy_vectors(spark, tmp_path):
     """Maintenance trigger: past dv_rows_max the next maybe_compact
     materializes survivors and sheds the vectors (Delta's REORG PURGE

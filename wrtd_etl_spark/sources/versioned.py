@@ -2054,6 +2054,7 @@ def delete_where(
     prune: dict[str, tuple] | None = None,
     isolation: str = "write_serializable",
     strategy: str = "cow",
+    point: "dict[str, list] | None" = None,
 ) -> int:
     """DELETE: commit a new version with every row matching
     ``predicate`` removed (SQL semantics — NULL predicate rows are
@@ -2077,6 +2078,14 @@ def delete_where(
       count exceeds ``DV_MAX_POSITIONS`` (a rewrite is the better plan
       past that, and the driver holds the positions).
     * ``"auto"`` — ``dv`` when eligible, else ``cow``.
+
+    ``point={col: [values]}`` prunes candidates by MEMBERSHIP against
+    per-file stats + bloom sketches — the GDPR / right-to-be-forgotten
+    shape: erasing a handful of scattered keys from a date-clustered
+    100-TB table touches only the files whose blooms admit a key,
+    where a range ``prune`` would scan everything. Combined with
+    ``strategy="dv"`` the erasure is bloom-pruned AND metadata-only.
+    Same over-approximation contract as ``prune``.
 
     ``prune`` is the same {col: (lo, hi)} shape as ``skip_filter`` and
     should over-approximate the predicate: files whose recorded min/max
@@ -2108,7 +2117,7 @@ def delete_where(
             f"strategy must be 'cow', 'dv' or 'auto', got {strategy!r}"
         )
     carried, rewrite_segs = _split_for_rewrite(
-        manifest, aliases, prune, table=table
+        manifest, aliases, prune, point, table=table
     )
     if strategy in ("dv", "auto"):
         v = _delete_where_dv(
@@ -2466,7 +2475,7 @@ def replace_where(
             f"slice must stay inside that slice"
         )
     carried, rewrite_segs = _split_for_rewrite(
-        manifest, aliases, prune, table=table
+        manifest, aliases, prune, None, table=table
     )
     survivors = (
         _read_segments(
@@ -2890,6 +2899,7 @@ def update_where(
     prune: dict[str, tuple] | None = None,
     isolation: str = "write_serializable",
     strategy: str = "cow",
+    point: "dict[str, list] | None" = None,
 ) -> int:
     """UPDATE with the same two physical plans as :func:`delete_where`:
     ``strategy="cow"`` (default) rewrites the candidate files;
@@ -2938,7 +2948,7 @@ def update_where(
             f"strategy must be 'cow', 'dv' or 'auto', got {strategy!r}"
         )
     carried, rewrite_segs = _split_for_rewrite(
-        manifest, aliases, prune, table=table
+        manifest, aliases, prune, point, table=table
     )
     if strategy in ("dv", "auto"):
         v = _update_where_dv(
