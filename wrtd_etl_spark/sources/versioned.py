@@ -182,14 +182,19 @@ def _resolve_seg(table: str, seg: dict) -> dict:
     return full
 
 
-def _seg_summary(stats: dict[str, dict]) -> dict[str, list]:
+def _seg_summary(stats: dict[str, dict], n_files: int) -> dict[str, list]:
     """Coarse per-SEGMENT [min,max] per column — the union of the
     per-file stats, kept in the root head so planning can prune a whole
     segment without opening its detail sidecar. A column missing stats
-    in ANY file is omitted (an open bound would be semantic pruning)."""
-    if not stats:
+    in ANY file is omitted (an open bound would be semantic pruning).
+
+    ``n_files`` is the segment's REAL file count, not ``len(stats)``: a
+    file with no stats entry at all (zero row groups, NaN-poisoned
+    double footer, stats stripped) must make every column's bound open
+    — otherwise ``_head_may_match`` could prune the whole segment
+    including the stats-less file that per-file pruning always keeps."""
+    if not stats or n_files <= 0:
         return {}
-    n_files = len(stats)
     acc: dict[str, list] = {}
     counts: dict[str, int] = {}
     for fs in stats.values():
@@ -233,7 +238,7 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         "schema": seg["schema"],
         "n_files": len(seg["files"]),
         "bytes": nbytes,
-        "summary": _seg_summary(seg.get("stats", {})),
+        "summary": _seg_summary(seg.get("stats", {}), len(seg["files"])),
         # union over files (summary keeps only all-file columns): the
         # stat/bloom SURFACE rewrites must re-record, without detail I/O
         "stats_cols": sorted(
@@ -1159,7 +1164,10 @@ def _layout_num_expr(dt, col: str):
 
 
 def _apply_layout(
-    df: DataFrame, layout_by: list[str], layout_files: int | None
+    df: DataFrame,
+    layout_by: list[str],
+    layout_files: int | None,
+    strict: bool = True,
 ) -> DataFrame:
     """Z-cluster ``df`` along ``layout_by`` (operators/zorder.py key +
     repartitionByRange + sortWithinPartitions) so each output file covers
@@ -1178,12 +1186,35 @@ def _apply_layout(
     evolution removed it from this batch) or when ANY layout column's min
     aggregates to NULL (empty or all-NULL input — nothing to cluster;
     checking only the first column would raise an opaque
-    ``float(None)`` TypeError on mixed inputs)."""
+    ``float(None)`` TypeError on mixed inputs).
+
+    ``strict=False`` is the CARRIED-layout re-apply mode (rewrite /
+    compact / maintenance of a table whose recorded layout predates the
+    type guard): an unsupported key type skips clustering with a
+    warning instead of raising, so DML and maintenance on a legacy
+    table keep working (its files simply stay unclustered, which is
+    what they already were). Fresh ``layout_by`` declarations keep the
+    hard raise."""
     from ..operators.zorder import zorder_key
 
     if not layout_by or any(c not in df.columns for c in layout_by):
         return df
-    nums = {c: _layout_num_expr(df.schema[c].dataType, c) for c in layout_by}
+    try:
+        nums = {
+            c: _layout_num_expr(df.schema[c].dataType, c) for c in layout_by
+        }
+    except TypeError:
+        if strict:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"carried layout {layout_by} has a non-clusterable key type; "
+            "writing unclustered (legacy layout — re-declare with a "
+            "numeric derived column to restore clustering)",
+            stacklevel=2,
+        )
+        return df
     aggs = []
     for c in layout_by:
         aggs += [
@@ -2295,11 +2326,14 @@ def _dv_mark_deleted(
         for seg in rewrite_segs
         for f in seg["files"]
     }
-    new_pos: dict[str, list] = {}
-    for r in hits.select("__dvb", "__dvp").collect():
-        new_pos.setdefault(base_to_rel[r["__dvb"]], []).append(
-            int(r["__dvp"])
-        )
+    # Arrow transfer, not Row collect: at DV_MAX_POSITIONS (5M) the
+    # Row-object form is GBs of driver heap; the pandas frame is two
+    # flat columns (~80 MB) and the groupby yields numpy int64 blocks.
+    pdf = hits.select("__dvb", "__dvp").toPandas()
+    new_pos: dict[str, list] = {
+        base_to_rel[b]: grp["__dvp"].astype("int64").tolist()
+        for b, grp in pdf.groupby("__dvb", sort=False)
+    }
     # cumulative per file: union the new positions into any existing
     # vector (old sidecars stay for old versions — immutable, like data)
     merged: dict[str, list] = {}
@@ -2572,7 +2606,29 @@ def _split_for_rewrite(
                     part.pop("dvs", None)
             carried.append(part)
         if cand:
-            rewrite_segs.append({**seg, "files": sorted(cand)})
+            # The candidate segment must carry ONLY cand-file sidecar
+            # state: a stale dv/stat/bloom entry for a file kept by the
+            # carried part would be re-persisted by _dv_mark_deleted and
+            # could later shadow the owning segment's newer ref.
+            cseg = {
+                **seg,
+                "files": sorted(cand),
+                "stats": {
+                    k: v
+                    for k, v in seg.get("stats", {}).items()
+                    if k in cand
+                },
+            }
+            for extra in ("blooms", "dvs"):
+                if seg.get(extra):
+                    sub = {
+                        k: v for k, v in seg[extra].items() if k in cand
+                    }
+                    if sub:
+                        cseg[extra] = sub
+                    else:
+                        cseg.pop(extra, None)
+            rewrite_segs.append(cseg)
     return carried, rewrite_segs
 
 
@@ -2697,7 +2753,9 @@ def _rewrite_segment(
             sum(len(s["files"]) for s in rewrite_segs) or 1
         )
         cap = layout.get("files") or replaced
-        rows = _apply_layout(rows, layout["by"], max(1, min(replaced, cap)))
+        rows = _apply_layout(
+            rows, layout["by"], max(1, min(replaced, cap)), strict=False
+        )
     elif target_files is not None:
         rows = rows.coalesce(max(1, target_files))
     files_new = _write_data(rows, table)
@@ -3015,6 +3073,7 @@ def merge_into(
     source_meta_cols: "list[str] | tuple[str, ...]" = (),
     when_not_matched_by_source: "str | dict[str, Column | object] | None" = None,
     extra: dict | None = None,
+    strategy: str = "cow",
 ) -> int:
     """General MERGE INTO: ONE atomic commit doing matched-update /
     matched-delete / not-matched-insert against a versioned table — the
@@ -3384,11 +3443,15 @@ def table_changes_physical(
     all noise. Schema evolution pads through the end manifest's alias
     map, like any read.
 
-    Deletion-vector commits (``delete_dv``) move NO files, so this
-    FILE-level diff does not surface their row deletes — use
-    :func:`table_changes` (logical, DV-aware snapshots) or the
-    streaming change feed (which emits a DV commit's newly-deleted
-    positions exactly) for row-accurate CDC over DV'd tables."""
+    Deletion-vector commits (``delete_dv``/``update_dv``) move no
+    files, but their row deletes ARE surfaced: the per-file vector
+    DELTA (new-minus-old positions, the streaming source's exact
+    logic, batch-side) reads just the delta rows of the shadowed
+    files as ``'delete'``; a later rewrite that removes a DV'd file
+    excludes the already-vectored positions from its file-removal
+    deletes, so a folding consumer never double-deletes. Vector
+    sidecars parse executor-side and join broadcast when small — the
+    base file diff keeps its zero-shuffle plan."""
     from pyspark.sql.types import StructType
 
     if to_version is None:
@@ -3404,10 +3467,48 @@ def table_changes_physical(
         ("_commit_mode", "string"),
     ]
 
-    def normalize(files: list[str], seg_schema: dict, ct: str, v: int, mode: str):
+    def normalize(
+        files: list[str],
+        seg_schema: dict,
+        ct: str,
+        v: int,
+        mode: str,
+        dv_drop: dict | None = None,
+        dv_take: "tuple[dict, dict] | None" = None,
+    ):
+        """Read ``files``, pad to the end schema, stamp CDC meta.
+        ``dv_drop`` excludes vectored positions (insert of a shadowed
+        file / removal of a file whose vectored rows were already
+        emitted); ``dv_take`` keeps ONLY the cur-minus-prev vector
+        delta (the rows a DV commit newly deleted)."""
         part = spark.read.schema(StructType.fromJson(seg_schema)).parquet(
             *[os.path.join(table, f) for f in files]
         )
+        if dv_drop:
+            part = _dv_filter(spark, table, part, dv_drop)
+        if dv_take is not None:
+            cur_map, prev_map = dv_take
+            pos = _dv_positions_df(spark, table, cur_map)
+            if prev_map:
+                pos = pos.join(
+                    _dv_positions_df(spark, table, prev_map),
+                    ["__dv_base", "__dv_pos"],
+                    "left_anti",
+                )
+            total = sum(int(e.get("n", 0)) for e in cur_map.values())
+            if total <= DV_BROADCAST_POSITIONS:
+                pos = F.broadcast(pos)
+            part = (
+                part.withColumn(
+                    "__dv_base",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                .join(pos, ["__dv_base", "__dv_pos"], "inner")
+                .drop("__dv_base", "__dv_pos")
+            )
         cur = {aliases.get(c, c): c for c in part.columns}
         cols = []
         for f in target.fields:
@@ -3453,21 +3554,65 @@ def table_changes_physical(
         cur_segs, prev_segs = _changed_segments(m_root, p_root)
         prev_files = {f for s in prev_segs for f in s["files"]}
         cur_files = {f for s in cur_segs for f in s["files"]}
+        # per-file deletion-vector entries on each side (shared-ref
+        # segments dropped above have IDENTICAL vectors — no delta)
+        cur_dvs: dict[str, dict] = {}
+        for s in cur_segs:
+            mem = set(s["files"])
+            cur_dvs.update(
+                {k: e for k, e in _seg_dvs(s).items() if k in mem}
+            )
+        prev_dvs: dict[str, dict] = {}
+        for s in prev_segs:
+            mem = set(s["files"])
+            prev_dvs.update(
+                {k: e for k, e in _seg_dvs(s).items() if k in mem}
+            )
         # one read per (change type, segment schema): files sharing a
         # schema batch into a single multi-file scan
         by_seg: dict[tuple, tuple[list[str], dict, str]] = {}
+        # DV deltas: a file present in BOTH versions whose vector GREW —
+        # the grown positions are this commit's row deletes
+        dv_delta: dict[tuple, tuple[list[str], dict]] = {}
         for s in cur_segs:
             for f in s["files"]:
                 if f not in prev_files:
                     key = ("insert", json.dumps(s["schema"], sort_keys=True))
                     by_seg.setdefault(key, ([], s["schema"], "insert"))[0].append(f)
+                elif f in cur_dvs and cur_dvs[f] != prev_dvs.get(f):
+                    key = (json.dumps(s["schema"], sort_keys=True),)
+                    dv_delta.setdefault(key, ([], s["schema"]))[0].append(f)
         for s in prev_segs:
             for f in s["files"]:
                 if f not in cur_files:
                     key = ("delete", json.dumps(s["schema"], sort_keys=True))
                     by_seg.setdefault(key, ([], s["schema"], "delete"))[0].append(f)
-        for files, schema, ct in by_seg.values():
-            pieces.append(normalize(files, schema, ct, v, m_root["mode"]))
+        for (ct, _), (files, schema, _ct) in list(by_seg.items()):
+            # a removed file's already-vectored rows were emitted as
+            # deletes when vectored — exclude them here; an inserted
+            # file born shadowed likewise never exposes vectored rows
+            side = prev_dvs if ct == "delete" else cur_dvs
+            drop = {f: side[f] for f in files if f in side}
+            pieces.append(
+                normalize(
+                    files, schema, ct, v, m_root["mode"], dv_drop=drop or None
+                )
+            )
+        for files, schema in dv_delta.values():
+            take_cur = {f: cur_dvs[f] for f in files}
+            take_prev = {
+                f: prev_dvs[f] for f in files if f in prev_dvs
+            }
+            pieces.append(
+                normalize(
+                    files,
+                    schema,
+                    "delete",
+                    v,
+                    m_root["mode"],
+                    dv_take=(take_cur, take_prev),
+                )
+            )
     if not pieces:
         full = StructType(
             list(target.fields)
@@ -4362,7 +4507,10 @@ def compact(
     layout = base_manifest.get("layout")
     if layout and all(c in df.columns for c in layout["by"]):
         clustered = _apply_layout(
-            df, layout["by"], layout.get("files") or target_files
+            df,
+            layout["by"],
+            layout.get("files") or target_files,
+            strict=False,
         )
     else:
         clustered = df.coalesce(target_files)
@@ -4521,6 +4669,107 @@ def compact_small_files(
     )
 
 
+def reorg_purge(
+    spark: SparkSession,
+    table: str,
+    target_bytes: int = 128 << 20,
+) -> int | None:
+    """REORG TABLE ... APPLY (PURGE): materialize deletion vectors by
+    rewriting ONLY the DV-shadowed files; every unshadowed file — and
+    every unshadowed SEGMENT — carries by reference, untouched.
+
+    Victim choice is metadata-only: root heads carry a per-segment
+    ``dv_rows`` sum, so segments without vectors never even resolve
+    their detail sidecar (their head passes through byte-for-byte, the
+    ``compact_small_files`` shape). Only files with a vector entry are
+    read (through the DV anti-join, so survivors only) and re-packed
+    toward ``target_bytes`` files. At 100 TB with vectors concentrated
+    in a few segments this moves O(shadowed bytes), where a full
+    :func:`compact` would rewrite the whole table to purge a few
+    hundred MB. Returns the new version, or None when no file carries
+    a vector (nothing to purge)."""
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest_root(table, base)
+    carried: list[dict] = []
+    rewrite_segs: list[dict] = []
+    for seg in _segments(manifest):
+        head = seg if _is_seg_head(seg) else None
+        if head is not None:
+            if not head.get("dv_rows", 0):
+                carried.append(head)  # unshadowed: zero detail I/O
+                continue
+            seg = _resolve_seg(table, seg)
+        dvs = {
+            k: v for k, v in _seg_dvs(seg).items() if k in set(seg["files"])
+        }
+        victims = set(dvs)
+        if not victims:
+            carried.append(head if head is not None else seg)
+            continue
+        keep = [f for f in seg["files"] if f not in victims]
+        if keep:
+            part = {
+                **seg,
+                "files": keep,
+                "stats": {
+                    p: v for p, v in seg.get("stats", {}).items() if p in keep
+                },
+            }
+            part.pop("dvs", None)  # kept files are unshadowed by choice
+            if seg.get("blooms"):
+                part["blooms"] = {
+                    p: v for p, v in seg["blooms"].items() if p in keep
+                }
+            carried.append(part)
+        cseg = {
+            **seg,
+            "files": sorted(victims),
+            "stats": {
+                p: v for p, v in seg.get("stats", {}).items() if p in victims
+            },
+            "dvs": dvs,
+        }
+        if seg.get("blooms"):
+            cseg["blooms"] = {
+                p: v for p, v in seg["blooms"].items() if p in victims
+            }
+        rewrite_segs.append(cseg)
+    if not rewrite_segs:
+        return None
+    # survivors only: _read_segments applies the DV anti-join
+    rows = _read_segments(
+        spark, table, {**manifest, "segments": rewrite_segs}
+    )
+    victim_bytes = 0
+    for seg in rewrite_segs:
+        for f in seg["files"]:
+            try:
+                victim_bytes += os.path.getsize(os.path.join(table, f))
+            except FileNotFoundError:
+                pass
+    n_out = max(1, -(-victim_bytes // target_bytes))
+    new_segment = _rewrite_segment(
+        spark,
+        table,
+        manifest,
+        rewrite_segs,
+        rows,
+        changed_cols=set(),  # purge changes layout, never logical rows
+        target_files=n_out,
+    )
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        carried + [new_segment],
+        "compact",
+        # logically a no-op rewrite: any concurrent append commutes
+        rebase=lambda seg: True,
+    )
+
+
 def maybe_compact(
     spark: SparkSession,
     table: str,
@@ -4552,7 +4801,10 @@ def maybe_compact(
     With ``small_bytes`` set, the rewrite is the INCREMENTAL
     :func:`compact_small_files` (bin-pack only the sub-``small_bytes``
     tail toward ``target_bytes`` files) instead of the full-table
-    rewrite — the right setting for a sink on a large table."""
+    rewrite — the right setting for a sink on a large table.
+
+    The ``dv_rows_max`` trigger routes to :func:`reorg_purge`, which
+    rewrites ONLY the DV-shadowed files — never the whole table."""
     p = _read_pointer(table)
     if p is None:
         return None
@@ -4571,13 +4823,16 @@ def maybe_compact(
     )
     if n_files <= max_files and dv_rows <= dv_rows_max:
         return None
-    if dv_rows > dv_rows_max and small_bytes is not None:
-        # bin-packing only touches small files; a vector purge needs
-        # the full rewrite so every shadowed file materializes
-        small_bytes = None
-        if n_files <= max_files:
-            target_files = max(1, min(n_files, target_files))
     try:
+        if dv_rows > dv_rows_max:
+            # surgical REORG PURGE: rewrite ONLY the DV-shadowed files
+            # (victims chosen from root-head dv_rows — metadata-only);
+            # a full compact here would rewrite 100 TB to purge MBs
+            v = reorg_purge(spark, table, target_bytes=target_bytes)
+            if v is not None or n_files <= max_files:
+                return v
+            # vectors already gone but the file count still trips:
+            # fall through to the size-triggered path
         if small_bytes is not None:
             return compact_small_files(
                 spark,

@@ -351,12 +351,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     # unrecoverable by design)
                     prev_m = None
             def _dvs_of(mm) -> dict[str, dict]:
+                # filter to seg["files"]: a dv entry for a file the
+                # segment no longer owns (stale carry) must not shadow
+                # the owning segment's newer ref
                 out = {}
                 for seg in mm.get(
                     "segments",
                     [{"files": mm["files"], "schema": mm["schema"]}],
                 ):
-                    out.update(seg.get("dvs", {}))
+                    members = set(seg["files"])
+                    out.update(
+                        {
+                            k: v
+                            for k, v in seg.get("dvs", {}).items()
+                            if k in members
+                        }
+                    )
                 return out
 
             file_seg = {}
