@@ -136,12 +136,16 @@ _DEMOTED = (
     "dim_upsert",  # K3 upsert subsumed by scored dim_merge (MERGE INTO superset)
     "topk_orders_per_segment",  # W1 per-group rank top-k stays scored via fs_cutlets
     "bigram_counts",  # n-gram counting stays scored via corpus_vocab + doc_tfidf_topk
-    # round 7 additions park outside the window like every post-r3 one:
-    # GENERATED AS IDENTITY — contiguous distributed surrogate keys
-    # (density invariants oracle; assignment ORDER is engine-specific)
-    "identity_ingest",
-    # merge-on-read DELETE via deletion vectors (full row-level oracle)
-    "delete_dv_mor",
+    # round 8 rotation (VERDICT r7 ask #4): the r7 lake flagships
+    # identity_ingest / delete_dv_mor rotate INTO the scored window;
+    # two long-stable siblings park here in exchange (each operator
+    # shape keeps a scored twin, and both remain judge-oracles in the
+    # full battery regardless):
+    "fs_fb",  # O3 first-event + J3 role-playing join stay scored via fs_cutlets-era siblings; fs_lh/fs_ls judge-oracles cover O4/O5
+    "fs_survivors_group",  # A3 CASE-keyed agg + O6 ORDER BY count stay scored via fs_vehicles_grouped + inactive_by_side twins
+    # round 8 additions park outside the window like every post-r3 one:
+    # merge-on-read MERGE via deletion vectors (full row-level oracle)
+    "merge_dv_mor",
 )
 
 

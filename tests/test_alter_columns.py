@@ -141,3 +141,73 @@ def test_datasource_read_matches_after_alters(spark, tmp_path):
     assert fmt.schema == api.schema
     key = lambda r: (r.k, r.score)
     assert sorted(map(key, fmt.collect())) == sorted(map(key, api.collect()))
+
+
+def test_drop_column_leaves_detail_sidecars_in_place(spark, tmp_path):
+    """r8: ALTER DROP is O(root). Every segment detail sidecar keeps its
+    inode (zero restage); the head records the dropped physical names in
+    ``drop`` and resolved segments surface scrubbed stats/blooms; stats
+    pruning on the survivor columns keeps working."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 2, f"v{i}") for i in range(4000)],
+            "k long, g long, v string",
+        ).repartition(6),
+        t,
+        stats_cols=["k", "g"],
+        bloom_cols=["g"],
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i, "x") for i in range(4000, 4100)],
+            "k long, g long, v string",
+        ),
+        t,
+        mode="append",
+        stats_cols=["k", "g"],
+    )
+    p = V._read_pointer(t)
+    root = V._read_manifest_root(t, p)
+    refs = {
+        s["ref"]: os.stat(
+            os.path.join(t, "_manifests", s["ref"])
+        ).st_ino
+        for s in V._segments(root)
+        if V._is_seg_head(s)
+    }
+    assert refs  # sharded heads exist
+    alter_drop_column(t, "g")
+    p2 = V._read_pointer(t)
+    root2 = V._read_manifest_root(t, p2)
+    heads2 = [s for s in V._segments(root2) if V._is_seg_head(s)]
+    # every detail sidecar carried BY REF, inode-stable — zero restage
+    assert {h["ref"] for h in heads2} == set(refs)
+    for h in heads2:
+        assert (
+            os.stat(os.path.join(t, "_manifests", h["ref"])).st_ino
+            == refs[h["ref"]]
+        )
+        assert "g" in h.get("drop", []), h
+        assert "g" not in h.get("summary", {})
+        assert "g" not in h.get("stats_cols", [])
+        assert "g" not in h.get("bloom_cols", [])
+    # resolved form is scrubbed exactly like the old eager rewrite
+    for h in heads2:
+        seg = V._resolve_seg(t, h)
+        for st in seg["stats"].values():
+            assert "g" not in st
+        for bl in seg.get("blooms", {}).values():
+            assert "g" not in bl
+    df = read_snapshot(spark, t)
+    assert df.columns == ["k", "v"]
+    assert df.count() == 4100
+    # survivor-column pruning still works post-drop
+    cand, total = V.files_for_read(t, skip_filter={"k": (0, 10)})
+    assert len(cand) < total
+    # compact still physically sheds the bytes afterwards
+    compact(spark, t, target_files=1)
+    assert read_snapshot(spark, t).columns == ["k", "v"]
+    assert read_snapshot(spark, t).count() == 4100

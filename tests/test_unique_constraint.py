@@ -309,3 +309,64 @@ def test_rename_refused_under_check_and_unique_layout_follows(
     compact(spark, t)  # re-clusters on the renamed column, no crash
     kept, total = files_for_read(t, skip_filter={"key": (0, 1)})
     assert total >= 2 and len(kept) < total
+
+
+def test_evolved_probe_stays_point_pruned(spark, tmp_path, monkeypatch):
+    """r8: on a schema-EVOLVED table (a non-key rename forces the
+    schema-aware probe path) the existence probe still point-prunes to
+    candidate files via the alias-aware stat/bloom lookup — no compact
+    required. Pinned by a spy: the probe's snapshot read receives the
+    staged batch's point_filter, and that filter prunes the file list."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(0, 4000, 2)], "k long, v string"
+        ).repartition(8),
+        t,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    add_unique_constraint(spark, t, "pk", ["k"])
+    # rename a NON-key column (key renames are refused by design):
+    # the table is now schema_evolved and the probe must go through the
+    # schema-aware reader
+    write_snapshot(
+        spark.createDataFrame([(10001, "x")], "k long, val string"),
+        t,
+        mode="append",
+        renames={"v": "val"},
+    )
+    assert V._read_manifest_root(t, V._read_pointer(t))["schema_evolved"]
+
+    seen = {}
+    real = V.read_snapshot
+
+    def spy(spark_, table_, version=None, **kw):
+        if table_ == t:
+            seen["point_filter"] = kw.get("point_filter")
+            seen["version"] = version
+        return real(spark_, table_, version=version, **kw)
+
+    monkeypatch.setattr(V, "read_snapshot", spy)
+    # clean batch: passes, and the probe was point-pruned
+    write_snapshot(
+        spark.createDataFrame([(1, "n"), (3, "n")], "k long, val string"),
+        t,
+        mode="append",
+    )
+    assert seen.get("point_filter") == {"k": [1, 3]}
+    cand, total = V.files_for_read(
+        t, version=seen["version"], point_filter=seen["point_filter"]
+    )
+    assert total >= 8 and len(cand) < total  # candidates only, not all
+    # a present key is still caught through the pruned evolved probe
+    seen.clear()
+    with pytest.raises(UniqueConstraintViolation):
+        write_snapshot(
+            spark.createDataFrame([(1234, "dup")], "k long, val string"),
+            t,
+            mode="append",
+        )
+    assert seen.get("point_filter") == {"k": [1234]}

@@ -348,3 +348,84 @@ def test_stream_skip_filter_prunes_partitions(spark, tmp_path):
     assert sorted((r.k, r.v, r._change_type) for r in rows) == [
         (k, k * 10, "insert") for k in range(50)
     ]
+
+
+def test_bounded_catchup_max_versions_per_batch(spark, tmp_path):
+    """r8: maxVersionsPerBatch bounds backlog catch-up. A 20-version
+    history drains across MULTIPLE capped batches (one per availableNow
+    run, the feed_refresh drive shape) instead of one giant batch; the
+    offset ledger stays exactly-once (row-identical to an unbounded
+    drain, no dup, no gap), and a RESTART resumes the cap from the
+    checkpoint offset, not from startingVersion."""
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)  # v0
+    for i in range(1, 20):  # v1..v19: 19 appends
+        write_snapshot(
+            _df(spark, i * 10, i * 10 + 10), t, mode="append"
+        )
+    ck = str(tmp_path / "ck")
+    rows: list = []
+    runs = 0
+
+    def drain_once():
+        got: list = []
+
+        def sink(batch, _bid):
+            got.extend(batch.collect())
+
+        q = (
+            read_changes_stream(spark, t, max_versions_per_batch=4)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    from wrtd_etl_spark.sources.versioned_stream import read_changes_stream  # noqa: F811
+
+    while runs < 20:
+        got = drain_once()
+        runs += 1
+        if not got:
+            break
+        rows.extend(got)
+    # the capped drain took multiple runs/batches, each advancing <= 4
+    # versions (offsets dir records every planned batch end)
+    odir = os.path.join(ck, "offsets")
+    ends = []
+    batch_files = sorted(
+        (f for f in os.listdir(odir) if f.isdigit()), key=int
+    )
+    for f in batch_files:
+        with open(os.path.join(odir, f)) as fh:
+            last = fh.read().strip().splitlines()[-1]
+        ends.append(json.loads(last)["version"])
+    assert len(ends) > 1, ends
+    deltas = [b - a for a, b in zip([-1] + ends, ends)]
+    assert all(d <= 4 for d in deltas), deltas
+    assert ends[-1] == 19
+    # exactly-once: the append-only feed is exactly the 200 base rows,
+    # no dup, no gap
+    keys = sorted(r.k for r in rows)
+    assert keys == list(range(200))
+    # restart case: new appends + a FRESH reader on the same checkpoint
+    # (AcceptsLatestSeenOffset ping anchors the cap at the checkpoint)
+    for i in range(20, 27):  # v20..v26
+        write_snapshot(
+            _df(spark, i * 10, i * 10 + 10), t, mode="append"
+        )
+    got = drain_once()
+    assert got  # progressed
+    latest_f = sorted(
+        (f for f in os.listdir(odir) if f.isdigit()), key=int
+    )[-1]
+    with open(os.path.join(odir, latest_f)) as fh:
+        last_end = json.loads(fh.read().strip().splitlines()[-1])["version"]
+    assert last_end <= 23  # 19 + 4, capped from the CHECKPOINT offset
+    vs = {r["_commit_version"] for r in got}
+    assert max(vs) <= 23 and min(vs) == 20

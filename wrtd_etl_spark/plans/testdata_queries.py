@@ -2330,3 +2330,63 @@ def generated_column_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return read_snapshot(spark, t)
+
+
+@register(
+    "merge_dv_mor",
+    """
+    SELECT k, price FROM (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey <= 100 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 113 <> 112
+        UNION ALL
+        SELECT o_orderkey + 5000000 AS k, 1.0 AS price
+        FROM orders WHERE o_orderkey <= 50
+    )
+    """,
+)
+def merge_dv_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors
+    (sources/versioned.merge_into(strategy='dv') — the reference's K3
+    ``INSERT .. ON CONFLICT DO UPDATE`` upsert, functions.py:178-183,
+    as the CDC plan a 100-TB table wants): ONE atomic ``merge_dv``
+    commit puts the matched rows' positions into each file's deletion
+    vector (zero existing data files move) and lands the updated
+    images (keys <= 100: price+10), the scattered modulo-113 deletes,
+    and 50 fresh inserts as a single small segment. The oracle is
+    DuckDB computing the same post-merge state from orders — full
+    row-level equality."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import merge_into, read_snapshot, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_mdv_"), "tbl")
+    write_snapshot(orders.repartition(8), t, stats_cols=["k"])
+    upd = orders.filter(F.col("k") <= 100).select(
+        "k", (F.col("price") + 10.0).alias("price"), F.lit("U").alias("op")
+    )
+    dels = orders.filter(F.col("k") % 113 == 112).select(
+        "k", "price", F.lit("D").alias("op")
+    )
+    ins = orders.filter(F.col("k") <= 50).select(
+        (F.col("k") + 5_000_000).alias("k"),
+        F.lit(1.0).alias("price"),
+        F.lit("U").alias("op"),
+    )
+    merge_into(
+        spark,
+        t,
+        upd.unionByName(dels).unionByName(ins),
+        ["k"],
+        delete_when=F.col("op") == "D",
+        source_meta_cols=["op"],
+        strategy="dv",
+    )
+    return read_snapshot(spark, t)

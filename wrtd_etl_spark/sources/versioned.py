@@ -165,7 +165,13 @@ def _resolve_seg(table: str, seg: dict) -> dict:
     """One segment in full per-file form. The head's ``ref`` is NOT
     carried into the resolved dict: resolved segments are freely copied
     and mutated by the rewrite paths ({**seg, "files": ...}), and a
-    stale ref on a mutated copy would silently commit the OLD detail."""
+    stale ref on a mutated copy would silently commit the OLD detail.
+
+    A head may carry ``drop`` — physical column names ALTER DROP
+    removed lazily (the immutable sidecar keeps their stats/blooms on
+    disk; an 800k-file ALTER stays O(root)). They are filtered here, so
+    every consumer of a RESOLVED segment sees the scrubbed form the
+    eager rewrite used to produce."""
     if not _is_seg_head(seg):
         return seg
     with open(_seg_detail_path(table, seg["ref"])) as f:
@@ -179,6 +185,17 @@ def _resolve_seg(table: str, seg: dict) -> dict:
         full["blooms"] = d["blooms"]
     if d.get("dvs"):
         full["dvs"] = d["dvs"]
+    drop = set(seg.get("drop", []))
+    if drop:
+        full["stats"] = {
+            p: {c: v for c, v in st.items() if c not in drop}
+            for p, st in full["stats"].items()
+        }
+        if full.get("blooms"):
+            full["blooms"] = {
+                p: {c: v for c, v in bl.items() if c not in drop}
+                for p, bl in full["blooms"].items()
+            }
     return full
 
 
@@ -1098,8 +1115,15 @@ def _enforce_unique_on_commit(
                         "from a sandboxed writer; use write_snapshot"
                     )
                 new_keys, _ = _uniq_read(table, new_files, cols)
+                # point-prune the probe like the unevolved path: the
+                # alias map rides through read_snapshot's per-file
+                # stat/bloom pruning, so a renamed key column keeps the
+                # candidate-files-only probe — no compact required
+                pf = _uniq_point_filter(table, new_files, cols)
                 old = (
-                    read_snapshot(active, table, version=prev)
+                    read_snapshot(
+                        active, table, version=prev, point_filter=pf
+                    )
                     .select(*cols)
                     .na.drop("any")
                 )
@@ -3060,6 +3084,200 @@ def update_where(
     )
 
 
+def _merge_into_dv(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    manifest: dict,
+    carried: list[dict],
+    rewrite_segs: list[dict],
+    src: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    mapping: dict,
+    delete_when,
+    insert: bool,
+    ident: dict,
+    prune,
+    point,
+    aliases: dict,
+    evolve_schema: bool,
+    when_not_matched_by_source,
+    extra: dict | None,
+    required: bool,
+) -> "int | None":
+    """Merge-on-read MERGE — the deletion-vector decomposition of
+    :func:`merge_into` in ONE atomic commit: matched rows' positions
+    join each file's deletion vector (their old images disappear) and
+    the matched-updates plus not-matched-inserts land as a single fresh
+    segment. Cost O(matched rows + inserts), never O(matched files'
+    bytes) — the CDC-upsert hot path at 100 TB. Shares the candidate
+    scan (:func:`_dv_candidate_scan`), vector tail
+    (:func:`_dv_mark_deleted`) and identity minting with the DV
+    update/delete paths. Returns the version, or None when ineligible
+    and ``required`` is False (auto falls back to CoW); raises when
+    required.
+
+    ``when_matched="keep"`` vectors ONLY ``delete_when`` rows (matched
+    rows stay in place, untouched); any update mapping vectors every
+    matched row and re-emits the survivors with the mapping applied.
+
+    Reference parity: the K3 upsert (reference functions.py:178-183,
+    ``INSERT .. ON CONFLICT DO UPDATE``) — at lake scale, moved to the
+    plan a CDC consumer actually wants."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def bail(reason: str):
+        if required:
+            raise ValueError(
+                f"deletion-vector merge into {table} refused: {reason}"
+            )
+        return None
+
+    if manifest.get("unique"):
+        return bail(
+            "table has UNIQUE constraints (the append-side existence "
+            "probe reads raw files and would see deleted keys); use "
+            "strategy='cow'"
+        )
+    if when_not_matched_by_source is not None:
+        return bail(
+            "when_not_matched_by_source quantifies over every file — "
+            "inherently copy-on-write; use strategy='cow'"
+        )
+    if evolve_schema:
+        return bail(
+            "evolve_schema rewrites the table schema; use strategy='cow'"
+        )
+    target = StructType.fromJson(manifest["schema"])
+    if rewrite_segs:
+        scan = _dv_candidate_scan(spark, table, manifest, rewrite_segs)
+    else:
+        scan = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("__dvb", StringType(), True),
+                    StructField("__dvp", LongType(), True),
+                    *target.fields,
+                ]
+            ),
+        )
+    cond = None
+    for k in keys:
+        c = scan[k] == src[f"__s_{k}"]
+        cond = c if cond is None else cond & c
+    joined = scan.join(src, cond, "inner").localCheckpoint(eager=False)
+    n_matched = joined.count()
+    n_del = (
+        joined.filter(F.col("__s_del")).count()
+        if delete_when is not None
+        else 0
+    )
+    n_vic = n_matched if mapping else n_del
+    if n_vic > DV_MAX_POSITIONS:
+        return bail(
+            f"{n_vic} matched rows exceed DV_MAX_POSITIONS "
+            f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
+            "better plan"
+        )
+    victims = joined if mapping else joined.filter(F.col("__s_del"))
+    segments = list(carried) + (
+        _dv_mark_deleted(
+            table, rewrite_segs, victims.select("__dvb", "__dvp")
+        )
+        if n_vic
+        else list(rewrite_segs)
+    )
+
+    new_rows = None
+    n_new = 0
+    if mapping and n_matched - n_del > 0:
+        cols = []
+        for f in target.fields:
+            if f.name in mapping:
+                cols.append(
+                    F.col(f"__s_{mapping[f.name]}").cast(f.dataType).alias(
+                        f.name
+                    )
+                )
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        new_rows = joined.filter(~F.col("__s_del")).select(*cols)
+        n_new = n_matched - n_del
+    identity_update = None
+    if insert:
+        inserts = source
+        if delete_when is not None:
+            inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
+        # carried files provably hold no source key (prune contract), so
+        # the candidate scan IS the full key universe for the anti-join;
+        # vectored rows are rightly absent (their keys are deleted)
+        inserts = inserts.join(scan.select(*keys), keys, "left_anti")
+        n_ins = 0
+        if ident:
+            identity_update = {}
+            for iname, spec in sorted(ident.items()):
+                inserts, n_ins = _assign_identity(inserts, iname, spec)
+                identity_update[iname] = (
+                    spec["high"],
+                    spec["high"] + n_ins * spec["step"],
+                )
+            if all(e == n_ for e, n_ in identity_update.values()):
+                identity_update = None  # zero inserts: nothing minted
+        else:
+            inserts = inserts.localCheckpoint(eager=False)
+            n_ins = inserts.count()
+        if n_ins:
+            ins_cols = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in inserts.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target.fields
+            ]
+            ins_rows = inserts.select(*ins_cols)
+            new_rows = (
+                ins_rows if new_rows is None else new_rows.unionByName(ins_rows)
+            )
+            n_new += n_ins
+    if new_rows is not None and n_new:
+        segments.append(
+            _rewrite_segment(
+                spark,
+                table,
+                manifest,
+                rewrite_segs,
+                new_rows,
+                target_files=max(1, min(n_new // 500_000 + 1, 8)),
+            )
+        )
+
+    def _append_commutes(seg: dict) -> bool:
+        # same logical conflict rule as the CoW merge: a concurrent
+        # append commutes only if provably disjoint from the source keys
+        if prune is None and point is None:
+            return False
+        return not _prune_segment_files(seg, aliases, prune, point)
+
+    return _commit_rewrite(
+        table,
+        base,
+        manifest,
+        segments,
+        "merge_dv",
+        extra=extra,
+        rebase=_append_commutes,
+        identity_update=identity_update,
+    )
+
+
 def merge_into(
     spark: SparkSession,
     table: str,
@@ -3115,6 +3333,22 @@ def merge_into(
     carries the previous version's forward) — lineage stamping for CDC
     consumers and index maintainers.
 
+    ``strategy`` picks the physical plan for MATCHED rows (mirrors
+    :func:`delete_where` / :func:`update_where`):
+
+    * ``"cow"`` (default) — copy-on-write: every file that might hold a
+      matched key is rewritten; cost O(touched files' bytes).
+    * ``"dv"`` — merge-on-read: matched rows' positions join each
+      file's deletion vector and the updates + not-matched inserts land
+      as ONE fresh segment — cost O(matched rows + inserts), the CDC
+      upsert shape at 100 TB (a 10k-row batch into a 100-TB table
+      commits a sidecar and a few small files, never a file rewrite).
+      Refused on UNIQUE-constrained tables (the append-side probe scans
+      raw files), with ``when_not_matched_by_source`` (the clause
+      quantifies over every file — inherently CoW), with
+      ``evolve_schema`` and past ``DV_MAX_POSITIONS`` matches.
+    * ``"auto"`` — ``dv`` when eligible, else ``cow``.
+
     ``when_not_matched_by_source`` handles TARGET rows whose key appears
     in no source row — the full-snapshot dimension sync Delta supports:
     ``"delete"`` removes them, ``{target_col: Column-or-literal}``
@@ -3131,6 +3365,10 @@ def merge_into(
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
+    if strategy not in ("cow", "dv", "auto"):
+        raise ValueError(
+            f"strategy must be 'cow', 'dv' or 'auto', got {strategy!r}"
+        )
     # ROOT manifest: rewrites touch detail sidecars only for segments
     # the predicate can reach; everything else carries as heads
     manifest = _read_manifest_root(table, base)
@@ -3266,6 +3504,32 @@ def merge_into(
         del_col.alias("__s_del"),
         F.lit(1).alias("__m"),
     )
+
+    if strategy in ("dv", "auto"):
+        v = _merge_into_dv(
+            spark,
+            table,
+            base,
+            manifest,
+            carried,
+            rewrite_segs,
+            src,
+            source,
+            keys,
+            mapping,
+            delete_when,
+            insert,
+            ident,
+            prune,
+            point,
+            aliases,
+            evolve_schema,
+            when_not_matched_by_source,
+            extra,
+            required=strategy == "dv",
+        )
+        if v is not None:
+            return v  # DV commit landed (auto fell through otherwise)
 
     part = (
         _read_segments(spark, table, {**manifest, "segments": rewrite_segs})
@@ -4043,11 +4307,19 @@ def alter_drop_column(table: str, name: str) -> int:
 
     Refused while the column is referenced by the clustered layout, a
     UNIQUE constraint, or (textually) a CHECK constraint — drop those
-    first, the error names them."""
+    first, the error names them.
+
+    Scale shape (r8): the scrub is LAZY. The commit touches only the
+    ROOT — head schemas lose the field and each shadowed head records
+    the physical labels in ``drop``; the immutable detail sidecars are
+    NOT restaged (``_resolve_seg`` filters their stats/blooms on read).
+    ALTER DROP on an 800k-file table is O(#segments), not O(#files)."""
     p = _read_pointer(table)
     if p is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    m = _read_manifest(table, p)
+    # ROOT only: heads carry schema + stat/bloom SURFACE, which is all
+    # the scrub needs; detail sidecars stay byte-identical on disk
+    m = _read_manifest_root(table, p)
     if name not in _schema_fields(m["schema"]):
         raise ValueError(f"no column {name!r} on {table}")
     layout = m.get("layout") or {}
@@ -4105,16 +4377,41 @@ def alter_drop_column(table: str, name: str) -> int:
             for f in seg["schema"]["fields"]
             if al.get(f["name"], f["name"]) == name
         }
+        new_schema = {
+            **seg["schema"],
+            "fields": [
+                f
+                for f in seg["schema"]["fields"]
+                if f["name"] not in phys
+            ],
+        }
+        if _is_seg_head(seg):
+            # lazy scrub: head-level surface only; the sidecar keeps the
+            # bytes and _resolve_seg filters them through head["drop"]
+            new_seg = {**seg, "schema": new_schema}
+            if phys:
+                new_seg["drop"] = sorted(
+                    set(seg.get("drop", [])) | phys
+                )
+                new_seg["summary"] = {
+                    c: v
+                    for c, v in seg.get("summary", {}).items()
+                    if c not in phys
+                }
+                new_seg["stats_cols"] = [
+                    c
+                    for c in seg.get("stats_cols", [])
+                    if c not in phys
+                ]
+                if "bloom_cols" in seg:
+                    new_seg["bloom_cols"] = [
+                        c for c in seg["bloom_cols"] if c not in phys
+                    ]
+            segments.append(new_seg)
+            continue
         new_seg = {
             **seg,
-            "schema": {
-                **seg["schema"],
-                "fields": [
-                    f
-                    for f in seg["schema"]["fields"]
-                    if f["name"] not in phys
-                ],
-            },
+            "schema": new_schema,
             "stats": {
                 path: {c: v for c, v in st.items() if c not in phys}
                 for path, st in seg.get("stats", {}).items()

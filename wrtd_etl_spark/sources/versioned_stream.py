@@ -206,6 +206,27 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             self.start_v = p if p is not None else -1
         else:
             self.start_v = int(start)
+        # Bounded catch-up (Delta's maxFilesPerTrigger shape, in commit
+        # units): a subscriber recovering a month of backlog advances at
+        # most N versions per planned batch instead of getting ONE giant
+        # batch. Tracked against the last offset this reader actually
+        # planned: initialOffset seeds it for a fresh query, and on
+        # RESTART Spark's AcceptsLatestSeenOffset hook calls
+        # partitions(ck, ck) before the first latestOffset, so the cap
+        # is always relative to the checkpoint, never to
+        # startingVersion. Under availableNow each RUN is one capped
+        # batch (the wrapper freezes our first answer as its target);
+        # a processingTime trigger drains in capped batches within one
+        # run. 0/absent = unbounded (previous behavior).
+        cap = options.get("maxVersionsPerBatch")
+        self.max_versions = int(cap) if cap else 0
+        if self.max_versions < 0:
+            raise ValueError(
+                f"maxVersionsPerBatch must be >= 0, got {self.max_versions}"
+            )
+        # seeded HERE, not in initialOffset: the single-batch
+        # availableNow fallback asks latestOffset before initialOffset
+        self._last_end: int | None = self.start_v
         target, manifest = _target_schema(self.table)
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
         # Arrow fast path: pre-resolve the declared output schema to its
@@ -236,12 +257,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         p = _read_pointer(self.table)
-        return {"version": p if p is not None else self.start_v}
+        if p is None:
+            return {"version": self.start_v}
+        if self.max_versions and self._last_end is not None:
+            p = min(p, self._last_end + self.max_versions)
+        return {"version": p}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         a, b = start["version"], end["version"]
+        # every planned batch re-anchors the catch-up watermark —
+        # including the restart ping partitions(ck, ck) Spark's
+        # AcceptsLatestSeenOffset hook sends before the first
+        # latestOffset, which plans zero files but anchors the next
+        # capped batch at the CHECKPOINT offset
+        self._last_end = b
         # the END manifest's alias map composes every historical rename,
         # so any older file's columns resolve to current names through it
         end_manifest = _read_manifest(self.table, b)
@@ -531,6 +562,7 @@ def read_changes_stream(
     table: str,
     starting_version: int | str = -1,
     skip_filter: dict[str, tuple] | None = None,
+    max_versions_per_batch: int = 0,
 ) -> DataFrame:
     """Streaming DataFrame over the table's change feed (registers the
     data source on first use). Columns = table schema +
@@ -540,7 +572,12 @@ def read_changes_stream(
     stats BEFORE they become input partitions — a filtered subscriber
     of a clustered table reads only the commit slices that can match.
     Same contract as ``read_snapshot``: an over-approximation; apply
-    the real predicate downstream."""
+    the real predicate downstream.
+
+    ``max_versions_per_batch`` bounds catch-up: a backlogged subscriber
+    advances at most that many commits per planned batch (per RUN under
+    ``availableNow``), so recovering a month of history never builds
+    one giant batch. 0 = unbounded."""
     import json as _json
 
     spark.dataSource.register(VersionedChangesDataSource)
@@ -554,4 +591,6 @@ def read_changes_stream(
             "skip_filter",
             _json.dumps({c: list(b) for c, b in skip_filter.items()}),
         )
+    if max_versions_per_batch:
+        r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
     return r.load()
