@@ -211,3 +211,66 @@ def test_drop_column_leaves_detail_sidecars_in_place(spark, tmp_path):
     compact(spark, t, target_files=1)
     assert read_snapshot(spark, t).columns == ["k", "v"]
     assert read_snapshot(spark, t).count() == 4100
+
+
+def test_alter_cluster_by_metadata_only_then_compact_applies(
+    spark, tmp_path
+):
+    """r8: CLUSTER BY redeclaration (Delta liquid-clustering shape) is a
+    metadata-only commit — zero data movement; appends record stats on
+    the new keys, and the next compact physically re-clusters so range
+    pruning becomes effective. Validation mirrors a fresh layout_by."""
+    import glob
+
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.sources.versioned import alter_cluster_by
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 97, f"s{i}") for i in range(8000)],
+            "k long, g long, s string",
+        ).repartition(6),
+        t,
+    )
+    files_before = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(t, "data", "*", "*.parquet"))
+    }
+    alter_cluster_by(t, ["k"], files=4)
+    # metadata only: same files, same inodes
+    assert {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(t, "data", "*", "*.parquet"))
+    } == files_before
+    m = V._read_manifest_root(t, V._read_pointer(t))
+    assert m["layout"] == {"by": ["k"], "files": 4}
+    # appends now record stats on the declared key
+    write_snapshot(
+        spark.createDataFrame([(9000, 1, "x")], "k long, g long, s string"),
+        t,
+        mode="append",
+    )
+    m2 = V._read_manifest_root(t, V._read_pointer(t))
+    tail = V._resolve_seg(t, V._segments(m2)[-1])
+    assert all("k" in st for st in tail["stats"].values())
+    # compact applies the clustering: a narrow range now prunes files
+    compact(spark, t)
+    cand, total = V.files_for_read(t, skip_filter={"k": (0, 100)})
+    assert total >= 4 and len(cand) < total
+    assert read_snapshot(spark, t).count() == 8001
+    # re-declare to another key, then uncluster
+    alter_cluster_by(t, ["g"])
+    assert V._read_manifest_root(t, V._read_pointer(t))["layout"] == {
+        "by": ["g"]
+    }
+    alter_cluster_by(t, None)
+    assert (
+        V._read_manifest_root(t, V._read_pointer(t)).get("layout") is None
+    )
+    with pytest.raises(ValueError, match="no clustered layout"):
+        alter_cluster_by(t, None)
+    with pytest.raises(ValueError, match="not in"):
+        alter_cluster_by(t, ["nope"])
+    with pytest.raises(TypeError, match="unsupported type"):
+        alter_cluster_by(t, ["s"])  # string keys refused like layout_by

@@ -358,3 +358,44 @@ def test_refresh_ann_index_reingested_id_rebuilds(spark, tmp_path):
     rows = read_snapshot(spark, idx)
     assert rows.count() == read_snapshot(spark, corpus).count()
     assert manifest_info(idx)["extra"]["source_version"] == 1
+
+
+def test_refresh_ann_index_folds_dv_deletes(spark, tmp_path):
+    """r8: a deletion-vector DELETE on the corpus (metadata-only commit)
+    folds surgically too — the physical feed now emits the vector
+    position deltas row-exactly, so the erased-id subtraction works for
+    delete_dv ranges; a follow-up reorg_purge (compact noise with
+    vectored rows excluded) composes into the same fold."""
+    from wrtd_etl_spark.similarity.index_store import (
+        refresh_ann_index,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import (
+        delete_where,
+        read_snapshot,
+        reorg_purge,
+        write_snapshot,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    write_snapshot(emb.repartition(4), corpus, stats_cols=["vec_id"])
+    write_ann_index_from(spark, corpus, idx, "sq8")
+    before = {r.vec_id for r in read_snapshot(spark, idx).collect()}
+    erased = {
+        r.vec_id for r in emb.filter(F.col("vec_id") % 5 == 1).collect()
+    }
+    delete_where(spark, corpus, F.col("vec_id") % 5 == 1, strategy="dv")
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "delete_fold"
+    after = {r.vec_id for r in read_snapshot(spark, idx).collect()}
+    assert after == before - erased
+    # purge materializes the vectors; a second refresh over the purge
+    # range must be a logical no-op for the index (stamp bump at most,
+    # never a rebuild, and the id set is unchanged)
+    assert reorg_purge(spark, corpus) is not None
+    _, action2 = refresh_ann_index(spark, corpus, idx)
+    assert action2 in ("delete_fold", "stamp")
+    assert {
+        r.vec_id for r in read_snapshot(spark, idx).collect()
+    } == before - erased

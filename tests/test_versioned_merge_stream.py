@@ -124,3 +124,43 @@ def test_merge_sink_streaming_e2e_orders(spark, tmp_path):
         .collect()
     }
     assert _state(spark, table) == want
+
+
+def test_merge_sink_mor_strategy(spark, tmp_path):
+    """r8: strategy='auto' gives CDC micro-batches the merge-on-read
+    plan — post-bootstrap commits are merge_dv (vectors + one small
+    segment, zero existing data files move), the fold equals the CoW
+    twin exactly, and the batch-id ledger still dedups replays."""
+    import glob
+    import os
+
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    batches = [
+        [(k, f"v{k}", k, "I") for k in range(100)],
+        [(1, "u1", 200, "U"), (2, "x", 201, "D"), (300, "n", 202, "I")],
+        [(1, "u2", 300, "U"), (300, "n2", 301, "U"), (5, "x", 302, "D")],
+    ]
+    s_cow = _sink(cow)
+    s_mor = _sink(mor, strategy="auto")
+    for i, rows in enumerate(batches):
+        s_cow(spark.createDataFrame(rows, SCHEMA), i)
+        if i == 0:
+            s_mor(spark.createDataFrame(rows, SCHEMA), i)
+            files_after_boot = set(
+                glob.glob(os.path.join(mor, "data", "*", "*.parquet"))
+            )
+        else:
+            s_mor(spark.createDataFrame(rows, SCHEMA), i)
+    assert _state(spark, mor) == _state(spark, cow)
+    # post-bootstrap commits are merge-on-read and moved no base files
+    assert [h["mode"] for h in history(mor)[:2]] == [
+        "merge_dv",
+        "merge_dv",
+    ]
+    assert files_after_boot <= set(
+        glob.glob(os.path.join(mor, "data", "*", "*.parquet"))
+    )
+    # replayed delivery: ledger no-op
+    v = history(mor)[0]["version"]
+    s_mor(spark.createDataFrame(batches[2], SCHEMA), 2)
+    assert history(mor)[0]["version"] == v

@@ -459,9 +459,12 @@ def refresh_ann_index(
       twice) → rebuild;
     * compact-only range → logical no-op: bump the stamp with an empty
       append, so later deltas still compose incrementally;
-    * delete-only range (delete/compact commits) → SURGICAL fold: the
-      erased ids come from the zero-exchange physical file diff
-      (deletes minus re-inserted survivors), and a keyed merge-delete
+    * delete-only range (delete / delete_dv / compact commits) →
+      SURGICAL fold: the erased ids come from the physical change feed
+      (deletes minus re-inserted survivors; a deletion-vector commit's
+      deletes are the r8 position DELTAS, row-exact, and a purge's
+      file-removal deletes exclude already-vectored rows — the
+      subtraction stays exact), and a keyed merge-delete
       removes exactly those rows from the index — training state is
       kept (the Faiss ``remove_ids`` semantics), only the index files
       whose id range can match are rewritten, and the result is
@@ -527,7 +530,7 @@ def refresh_ann_index(
         return append(new_vecs, index_table, extra_update=stamp), "append"
     if delta is None:
         modes = set(commit_modes(corpus_table, prev_v, src_v))
-        if modes <= {"delete", "compact"}:
+        if modes <= {"delete", "delete_dv", "compact"}:
             # monotone shrinkage: rows only left the corpus. The erased
             # ids are the physical feed's deleted rows minus the CoW
             # survivors it re-inserted (compact noise cancels in the

@@ -4260,6 +4260,44 @@ def drop_unique_constraint(table: str, name: str) -> int:
     )
 
 
+def alter_cluster_by(
+    table: str, by: "list[str] | None", files: int | None = None
+) -> int:
+    """Metadata-only CLUSTER BY (Delta's ``ALTER TABLE ... CLUSTER BY``
+    / liquid-clustering redeclaration): record a NEW clustered layout —
+    or ``by=None`` to uncluster — without touching any data file. From
+    this commit on, appends record stats on the new keys, and the next
+    ``compact`` / maintenance rewrite re-clusters the data along them
+    (Delta semantics: the declaration is instant, OPTIMIZE applies it).
+
+    The declaration is validated like a fresh ``layout_by``: every key
+    must exist in the CURRENT schema with a clusterable type (numeric /
+    boolean / date / timestamp) — recording a layout the writer can
+    never apply would poison every future maintenance rewrite."""
+    from pyspark.sql.types import StructType
+
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest_root(table, p)
+    if not by:
+        if m.get("layout") is None:
+            raise ValueError(f"{table} has no clustered layout to drop")
+        return _commit_props(table, {"layout": None})
+    target = StructType.fromJson(m["schema"])
+    missing = [c for c in by if c not in {f.name for f in target.fields}]
+    if missing:
+        raise ValueError(
+            f"cluster-by column(s) {missing} not in {table}'s schema"
+        )
+    for c in by:
+        _layout_num_expr(target[c].dataType, c)  # raises on bad types
+    layout: dict = {"by": list(by)}
+    if files:
+        layout["files"] = int(files)
+    return _commit_props(table, {"layout": layout})
+
+
 def alter_add_column(
     spark: SparkSession, table: str, name: str, dtype: str
 ) -> int:

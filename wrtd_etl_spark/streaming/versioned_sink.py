@@ -105,6 +105,7 @@ def make_versioned_merge_sink(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     max_conflict_retries: int = 5,
+    strategy: str = "cow",
 ):
     """Exactly-once streaming UPSERT: the ``foreachBatch`` function that
     folds each micro-batch into a versioned table with ONE atomic
@@ -131,6 +132,13 @@ def make_versioned_merge_sink(
     * A ``CommitConflict`` (non-commuting concurrent writer) re-runs the
       merge on the new base — safe because the merge itself is
       idempotent per batch id and nothing was committed.
+
+    ``strategy`` forwards to ``merge_into`` — ``"auto"`` gives CDC
+    micro-batches the merge-on-read plan (matched rows become deletion-
+    vector positions, updates + inserts land as one small segment per
+    trigger: cost O(batch), never O(matched files)) with automatic
+    copy-on-write fallback; pair with the maintenance daemon's
+    ``dv_rows_max`` purge so vectors never accrue unboundedly.
 
     First batch bootstraps the table (delete rows dropped)."""
     from ..sources.versioned import CommitConflict, merge_into
@@ -178,6 +186,7 @@ def make_versioned_merge_sink(
                     delete_when=delete_when,
                     source_meta_cols=source_meta_cols,
                     extra={"batch_id": batch_id},
+                    strategy=strategy,
                 )
                 return
             except CommitConflict:
