@@ -306,3 +306,135 @@ def test_reorg_purge_after_dv_merge(spark, tmp_path):
     assert reorg_purge(spark, t) is not None
     assert describe_table(t)["dv_rows"] == 0
     assert _snap(spark, t) == snap
+
+
+def test_concurrent_dv_merges_one_writer_loses_cleanly(spark, tmp_path):
+    """Two MoR merges racing from the same base: exactly one commits;
+    the loser raises CommitConflict; the table equals the winner's
+    result — vectors are never half-applied (the dv sidecar links only
+    through the winning manifest)."""
+    import threading
+
+    from wrtd_etl_spark.sources.versioned import CommitConflict
+
+    t = str(tmp_path / "tbl")
+    _mk(spark, t, n=50, parts=2)
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def racer(name, key, val):
+        src = spark.createDataFrame(
+            [(key, val, name)], "k long, v long, s string"
+        )
+        barrier.wait()
+        try:
+            results[name] = merge_into(
+                spark, t, src, ["k"], prune=None, strategy="dv"
+            )
+        except CommitConflict as e:
+            results[name] = e
+
+    ts = [
+        threading.Thread(target=racer, args=(n, k, v))
+        for n, k, v in (("a", 1, 101), ("b", 2, 202))
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    outcomes = list(results.values())
+    winners = [r for r in outcomes if isinstance(r, int)]
+    losers = [r for r in outcomes if isinstance(r, CommitConflict)]
+    assert len(winners) + len(losers) == 2 and len(winners) >= 1
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 50  # no dup, no loss
+    if len(winners) == 2:
+        assert got[1] == 101 and got[2] == 202
+    else:
+        w = [n for n, r in results.items() if isinstance(r, int)][0]
+        k, v = (1, 101) if w == "a" else (2, 202)
+        assert got[k] == v
+        other_k = 2 if k == 1 else 1
+        assert got[other_k] == other_k * 10  # loser's edit NOT applied
+
+
+def test_dv_merge_rebases_over_disjoint_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent APPEND provably disjoint from the source keys
+    commutes with a MoR merge (same logical rule as the CoW merge):
+    the rebase carries the appended segment and the commit lands."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _mk(spark, t, n=50, parts=2)
+
+    # inject an append AFTER the merge snapshots its base
+    real = V._dv_candidate_scan
+    fired = {}
+
+    def hook(*a, **kw):
+        if not fired:
+            fired["x"] = True
+            write_snapshot(
+                spark.createDataFrame(
+                    [(900, 9, "app")], "k long, v long, s string"
+                ),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return real(*a, **kw)
+
+    monkeypatch.setattr(V, "_dv_candidate_scan", hook)
+    merge_into(
+        spark,
+        t,
+        _src(spark, [(1, 111, "m")]),
+        ["k"],
+        strategy="dv",
+    )
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[1] == 111 and got[900] == 9 and len(got) == 51
+
+
+def test_dv_merge_evolves_schema(spark, tmp_path):
+    """r8: evolve_schema composes with the MoR path — the CDC batch
+    gained a column; matched rows vector away, the fresh segment writes
+    the WIDENED schema, old files NULL-pad on read; equals the CoW
+    evolving merge row-for-row."""
+    t1, t2 = str(tmp_path / "cow"), str(tmp_path / "dv")
+    for t in (t1, t2):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(40)], "k long, v long"
+            ).repartition(2),
+            t,
+            stats_cols=["k"],
+        )
+    src = spark.createDataFrame(
+        [(1, 111, "new1"), (100, 1, "new2")], "k long, v long, tag string"
+    )
+    merge_into(spark, t1, src, ["k"], evolve_schema=True)
+    merge_into(spark, t2, src, ["k"], evolve_schema=True, strategy="dv")
+    assert history(t2)[0]["mode"] == "merge_dv"
+    a = sorted(
+        (r.k, r.v, r.tag) for r in read_snapshot(spark, t1).collect()
+    )
+    b = sorted(
+        (r.k, r.v, r.tag) for r in read_snapshot(spark, t2).collect()
+    )
+    assert a == b
+    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, t2).collect()}
+    assert got[1] == (111, "new1") and got[100] == (1, "new2")
+    assert got[2] == (20, None)  # old rows pad the new column
+    # follow-up plain merge on the evolved table still works MoR
+    merge_into(
+        spark,
+        t2,
+        spark.createDataFrame([(2, 222, "t")], "k long, v long, tag string"),
+        ["k"],
+        strategy="dv",
+    )
+    got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, t2).collect()}
+    assert got[2] == (222, "t")

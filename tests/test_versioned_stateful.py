@@ -153,6 +153,29 @@ class VersionedModel(RuleBasedStateMachine):
                 self.model[k] += dv
         self._commit()
 
+    @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
+    def merge_dv(self, rows):
+        # merge-on-read twin of merge: matched rows become vector
+        # positions + a fresh segment; must stay indistinguishable from
+        # the CoW merge under every later interleaving (r8)
+        merge_into(
+            self.spark,
+            self.table,
+            self._df(rows.items()),
+            ["k"],
+            strategy="dv",
+        )
+        self.model.update(rows)
+        self._commit()
+
+    @rule()
+    def purge_vectors(self):
+        from wrtd_etl_spark.sources.versioned import reorg_purge
+
+        v = reorg_purge(self.spark, self.table)
+        if v is not None:
+            self._commit()  # same rows, new version
+
     @rule()
     def compact_all(self):
         from wrtd_etl_spark.sources.versioned import compact

@@ -3101,7 +3101,7 @@ def _merge_into_dv(
     prune,
     point,
     aliases: dict,
-    evolve_schema: bool,
+    schema_json: dict,
     when_not_matched_by_source,
     extra: dict | None,
     required: bool,
@@ -3150,13 +3150,15 @@ def _merge_into_dv(
             "when_not_matched_by_source quantifies over every file — "
             "inherently copy-on-write; use strategy='cow'"
         )
-    if evolve_schema:
-        return bail(
-            "evolve_schema rewrites the table schema; use strategy='cow'"
-        )
-    target = StructType.fromJson(manifest["schema"])
+    # evolving merge: the WIDENED schema is the target; the candidate
+    # scan below normalizes to the pre-merge schema, so new fields
+    # NULL-fill the way any evolved read does
+    target = StructType.fromJson(schema_json)
     if rewrite_segs:
         scan = _dv_candidate_scan(spark, table, manifest, rewrite_segs)
+        for f in target.fields:
+            if f.name not in scan.columns:
+                scan = scan.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
         scan = spark.createDataFrame(
             [],
@@ -3208,6 +3210,7 @@ def _merge_into_dv(
                 )
             else:
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        # noqa: target fields absent from the scan were NULL-filled above
         new_rows = joined.filter(~F.col("__s_del")).select(*cols)
         n_new = n_matched - n_del
     identity_update = None
@@ -3255,6 +3258,7 @@ def _merge_into_dv(
                 manifest,
                 rewrite_segs,
                 new_rows,
+                schema=schema_json,
                 target_files=max(1, min(n_new // 500_000 + 1, 8)),
             )
         )
@@ -3273,6 +3277,7 @@ def _merge_into_dv(
         segments,
         "merge_dv",
         extra=extra,
+        schema=schema_json,
         rebase=_append_commutes,
         identity_update=identity_update,
     )
@@ -3345,8 +3350,9 @@ def merge_into(
       commits a sidecar and a few small files, never a file rewrite).
       Refused on UNIQUE-constrained tables (the append-side probe scans
       raw files), with ``when_not_matched_by_source`` (the clause
-      quantifies over every file — inherently CoW), with
-      ``evolve_schema`` and past ``DV_MAX_POSITIONS`` matches.
+      quantifies over every file — inherently CoW), and past
+      ``DV_MAX_POSITIONS`` matches. ``evolve_schema`` composes: the
+      fresh segment writes the widened schema, old files pad on read.
     * ``"auto"`` — ``dv`` when eligible, else ``cow``.
 
     ``when_not_matched_by_source`` handles TARGET rows whose key appears
@@ -3523,7 +3529,7 @@ def merge_into(
             prune,
             point,
             aliases,
-            evolve_schema,
+            schema_json,
             when_not_matched_by_source,
             extra,
             required=strategy == "dv",
