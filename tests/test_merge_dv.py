@@ -438,3 +438,40 @@ def test_dv_merge_evolves_schema(spark, tmp_path):
     )
     got = {r.k: (r.v, r.tag) for r in read_snapshot(spark, t2).collect()}
     assert got[2] == (222, "t")
+
+
+def test_dv_commits_record_operation_metrics(spark, tmp_path):
+    """r8: DESCRIBE HISTORY parity — merge-on-read DML records the row
+    counts it already computed (never a new job) and history surfaces
+    them."""
+    t = str(tmp_path / "tbl")
+    _mk(spark, t, n=60, parts=2)
+    merge_into(
+        spark,
+        t,
+        _src(spark, [(1, 11, "D"), (2, 22, "U"), (900, 9, "U")]),
+        ["k"],
+        delete_when=F.col("s") == "D",
+        strategy="dv",
+    )
+    delete_where(spark, t, F.col("k") < 5, strategy="dv")
+    from wrtd_etl_spark.sources.versioned import update_where
+
+    update_where(
+        spark, t, F.col("k") >= 58, {"v": F.lit(0)}, strategy="dv"
+    )
+    h = history(t)
+    assert h[0]["metrics"] == {"rows_updated": 3}  # 58, 59, 900
+    assert h[1]["metrics"] == {"rows_deleted": 4}  # 0,2,3,4 (1 gone)
+    assert h[2]["metrics"] == {
+        "rows_matched": 2,
+        "rows_deleted": 1,
+        "rows_updated": 1,
+        "rows_inserted": 1,
+    }
+    assert "metrics" not in h[3]  # the bootstrap overwrite records none
+    # a metadata-only props commit must NOT inherit the last metrics
+    from wrtd_etl_spark.sources.versioned import add_check_constraint
+
+    add_check_constraint(spark, t, "vnn", "v IS NOT NULL OR v IS NULL")
+    assert "metrics" not in history(t)[0]

@@ -429,3 +429,36 @@ def test_bounded_catchup_max_versions_per_batch(spark, tmp_path):
     assert last_end <= 23  # 19 + 4, capped from the CHECKPOINT offset
     vs = {r["_commit_version"] for r in got}
     assert max(vs) <= 23 and min(vs) == 20
+
+
+def test_drain_changes_bounded_recovery_loop(spark, tmp_path):
+    """r8: drain_changes folds a deep backlog through a capped
+    subscriber in bounded bites — every pass <= cap versions, the union
+    of delivered rows is exactly-once, and the loop stops on its own."""
+    from wrtd_etl_spark.sources.versioned_stream import drain_changes
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)
+    for i in range(1, 12):
+        write_snapshot(_df(spark, i * 10, i * 10 + 10), t, mode="append")
+    rows: list = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    runs = drain_changes(
+        spark,
+        t,
+        sink,
+        str(tmp_path / "ck"),
+        max_versions_per_batch=5,
+    )
+    # 12 versions / cap 5 → 3 delivering passes + 1 no-progress probe
+    assert runs == 4
+    assert sorted(r.k for r in rows) == list(range(120))
+    # already drained: one probe pass, nothing delivered
+    n0 = len(rows)
+    assert drain_changes(
+        spark, t, sink, str(tmp_path / "ck"), max_versions_per_batch=5
+    ) == 1
+    assert len(rows) == n0

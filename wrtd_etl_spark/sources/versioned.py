@@ -2335,6 +2335,7 @@ def _delete_where_dv(
         segments,
         "delete_dv",
         rebase=_blind_rebase(isolation),
+        metrics={"rows_deleted": n},
     )
 
 
@@ -2464,6 +2465,7 @@ def _update_where_dv(
         segments,
         "update_dv",
         rebase=_blind_rebase(isolation),
+        metrics={"rows_updated": n},
     )
 
 
@@ -2884,10 +2886,12 @@ def _commit_rewrite(
     schema: dict | None = None,
     rebase=None,
     identity_update: "dict[str, tuple[int, int]] | None" = None,
+    metrics: dict | None = None,
 ) -> int:
     """Commit a surgical rewrite (delete/update/merge) based on version
     ``base``. ``schema`` overrides the committed table schema (evolving
-    merge).
+    merge). ``metrics`` (Delta DESCRIBE HISTORY operationMetrics shape)
+    records row counts the operation already computed — never a new job.
 
     Concurrency: with ``rebase=None`` a concurrent commit raises —
     strict serializability, the rewrite reflects a superseded snapshot.
@@ -2968,6 +2972,8 @@ def _commit_rewrite(
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
+        if metrics:
+            new_manifest["metrics"] = metrics
         if _try_commit(table, prev + 1, new_manifest):
             return prev + 1
     raise CommitConflict(f"{mode} on {table} kept losing the commit race")
@@ -3280,6 +3286,12 @@ def _merge_into_dv(
         schema=schema_json,
         rebase=_append_commutes,
         identity_update=identity_update,
+        metrics={
+            "rows_matched": n_matched,
+            "rows_deleted": n_del,
+            "rows_updated": (n_matched - n_del) if mapping else 0,
+            "rows_inserted": n_ins if insert else 0,
+        },
     )
 
 
@@ -3898,7 +3910,10 @@ def table_changes_physical(
 
 
 def history(table: str) -> list[dict]:
-    """Commit log, newest first (version, mode, parent, n_files, ts)."""
+    """Commit log, newest first (version, mode, parent, n_files, ts;
+    plus ``metrics`` — Delta's operationMetrics — on commits that
+    recorded row counts: the merge-on-read DML paths, where the counts
+    were already computed for the position cap and cost nothing)."""
     latest = _read_pointer(table)
     if latest is None:
         return []
@@ -3918,6 +3933,9 @@ def history(table: str) -> list[dict]:
                     for s in _segments(m)
                 ),
                 "committed_at": m["committed_at"],
+                **(
+                    {"metrics": m["metrics"]} if m.get("metrics") else {}
+                ),
             }
         )
     return out
@@ -3986,6 +4004,8 @@ def _commit_props(table: str, updates: dict) -> int:
             **updates,
             "committed_at": time.time(),
         }
+        # operation metrics describe exactly ONE commit — never inherited
+        new.pop("metrics", None)
         if _try_commit(table, prev + 1, new):
             return prev + 1
     raise CommitConflict(

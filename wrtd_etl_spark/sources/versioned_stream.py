@@ -594,3 +594,61 @@ def read_changes_stream(
     if max_versions_per_batch:
         r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
     return r.load()
+def drain_changes(
+    spark: SparkSession,
+    table: str,
+    sink,
+    checkpoint: str,
+    starting_version: int | str = -1,
+    skip_filter: dict[str, tuple] | None = None,
+    max_versions_per_batch: int = 0,
+    max_runs: int = 10_000,
+) -> int:
+    """Drain the change-feed backlog through ``sink`` (a foreachBatch
+    callable) in BOUNDED bites: repeated ``availableNow`` passes, each
+    processing at most ``max_versions_per_batch`` commits, until a pass
+    makes no offset progress. Returns the number of passes that ran.
+
+    This is the recovery loop a capped subscriber needs: Python
+    streaming sources get no admission control from Spark, so one
+    ``availableNow`` run is ONE batch — the cap bounds that batch, and
+    this helper supplies the re-trigger until the backlog is gone.
+    Exactly-once holds across passes and crashes (same checkpoint, same
+    offset ledger)."""
+    import json as _json
+    import os as _os
+
+    def _last_offset() -> int | None:
+        odir = _os.path.join(checkpoint, "offsets")
+        try:
+            files = sorted(
+                (f for f in _os.listdir(odir) if f.isdigit()), key=int
+            )
+        except FileNotFoundError:
+            return None
+        if not files:
+            return None
+        with open(_os.path.join(odir, files[-1])) as f:
+            return _json.loads(f.read().strip().splitlines()[-1])["version"]
+
+    runs = 0
+    while runs < max_runs:
+        before = _last_offset()
+        q = (
+            read_changes_stream(
+                spark,
+                table,
+                starting_version,
+                skip_filter,
+                max_versions_per_batch,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        runs += 1
+        if _last_offset() == before:
+            break  # no progress: backlog drained
+    return runs
