@@ -475,3 +475,42 @@ def test_dv_commits_record_operation_metrics(spark, tmp_path):
 
     add_check_constraint(spark, t, "vnn", "v IS NOT NULL OR v IS NULL")
     assert "metrics" not in history(t)[0]
+
+
+def test_logical_changes_dv_fast_path_plans_delta_only(spark, tmp_path):
+    """r8: table_changes over a range whose commits only add files or
+    grow vectors (append/dv DML) routes to the manifest-planned
+    physical delta — the plan reads ONLY changed files, never both
+    snapshots through exceptAll."""
+    t = str(tmp_path / "tbl")
+    _mk(spark, t, n=200, parts=4)  # v0: 4 files
+    write_snapshot(  # v1: append
+        _src(spark, [(500 + i, i, "a") for i in range(10)]),
+        t,
+        mode="append",
+    )
+    delete_where(spark, t, F.col("k") < 10, strategy="dv")  # v2
+    merge_into(  # v3
+        spark, t, _src(spark, [(20, 2020, "m"), (600, 6, "m")]), ["k"],
+        strategy="dv",
+    )
+    ch = table_changes(spark, t, 0)
+    assert set(ch.columns) == {"k", "v", "s", "_change_type"}
+    fold = {}
+    for r in ch.collect():
+        fold.setdefault(r.k, []).append((r._change_type, r.v))
+    assert ("insert", 0) in fold[500]  # appended row (500, 0, "a")
+    assert fold[0] == [("delete", 0)]
+    assert ("delete", 200) in fold[20] and ("insert", 2020) in fold[20]
+    # the plan read only the CHANGED files: v1's append files, the two
+    # dv-shadowed base files' delta rows, and v3's insert segment —
+    # never all 4 base files twice (the exceptAll shape)
+    read_files = {os.path.basename(p) for p in ch.inputFiles()}
+    m0 = V._read_manifest(t, 0)
+    base_files = {os.path.basename(f) for f in m0["files"]}
+    assert len(base_files & read_files) < len(base_files)
+    # a CoW rewrite in the range falls back to the honest snapshot diff
+    delete_where(spark, t, F.col("k") == 30, strategy="cow")  # v4
+    ch2 = table_changes(spark, t, 0)
+    got = {r.k for r in ch2.filter("_change_type = 'delete'").collect()}
+    assert 30 in got and 0 in got

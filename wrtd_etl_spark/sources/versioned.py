@@ -3684,6 +3684,25 @@ def table_changes(
                 *[os.path.join(table, f) for f in delta]
             )
         return base.withColumn("_change_type", F.lit("insert"))
+    # DV fast path (r8): a range whose every commit only ADDS files or
+    # grows deletion vectors (append / delete_dv / update_dv / merge_dv
+    # — none removes a file) has NO rewrite noise to cancel, so the
+    # manifest-planned physical feed IS the exact logical delta: O(delta
+    # rows) instead of shuffling BOTH snapshots through exceptAll. The
+    # one semantic nuance: an update that rewrites a row to its
+    # identical old value appears as a delete+insert pair here (Delta
+    # CDF's behavior) where exceptAll would cancel it.
+    try:
+        dv_only = all(
+            m in ("append", "delete_dv", "update_dv", "merge_dv")
+            for m in commit_modes(table, from_version, to_version)
+        )
+    except FileNotFoundError:
+        dv_only = False  # expired history below the range: honest diff
+    if dv_only:
+        return table_changes_physical(
+            spark, table, from_version, to_version
+        ).drop("_commit_version", "_commit_mode")
     new = read_snapshot(spark, table, version=to_version)
     old = read_snapshot(spark, table, version=from_version)
     new_types = dict(new.dtypes)
