@@ -785,3 +785,48 @@ def test_rewrite_rebase_preserves_append_ledger(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(V, "_rewrite_segment", hooked)
     delete_where(spark, t, F.col("k") < 5)
     assert manifest_info(t)["extra"] == {"batch_ids": [7]}
+
+
+def test_physical_changes_skip_filter_prunes_files(spark, tmp_path):
+    """r8: the batch physical feed takes the streaming source's
+    subscriber-predicate contract — skip_filter prunes changed files by
+    manifest stats before any read, results equal the post-filtered
+    unpruned feed, and the plan touches fewer files."""
+    from wrtd_etl_spark.sources.versioned import (
+        delete_where,
+        table_changes_physical,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(k, k % 5, f"s{k}") for k in range(4000)],
+            "k long, v long, s string",
+        ).repartition(8),
+        t,
+        layout_by=["k"],
+        layout_files=8,
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(k, 1, "a") for k in range(4000, 4100)],
+            "k long, v long, s string",
+        ),
+        t,
+        mode="append",
+        stats_cols=["k"],
+    )
+    delete_where(
+        spark, t, F.col("k") < 100, prune={"k": (None, 99)}, strategy="dv"
+    )
+    full = table_changes_physical(spark, t, 0)
+    pruned = table_changes_physical(spark, t, 0, skip_filter={"k": (0, 150)})
+    want = sorted(
+        (r.k, r._change_type)
+        for r in full.collect()
+        if 0 <= r.k <= 150
+    )
+    got_all = sorted((r.k, r._change_type) for r in pruned.collect())
+    got = [x for x in got_all if 0 <= x[0] <= 150]
+    assert got == want  # over-approximation: superset filtered == exact
+    assert len(pruned.inputFiles()) < len(full.inputFiles())

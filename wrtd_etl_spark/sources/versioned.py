@@ -3727,6 +3727,7 @@ def table_changes_physical(
     table: str,
     from_version: int,
     to_version: int | None = None,
+    skip_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Row-level multiset delta from the FILE diff of each commit in
     (from_version, to_version] — files added since the parent stream as
@@ -3752,7 +3753,15 @@ def table_changes_physical(
     excludes the already-vectored positions from its file-removal
     deletes, so a folding consumer never double-deletes. Vector
     sidecars parse executor-side and join broadcast when small — the
-    base file diff keeps its zero-shuffle plan."""
+    base file diff keeps its zero-shuffle plan.
+
+    ``skip_filter={col: (lo, hi)}`` prunes changed files by manifest
+    stats before they are read — the streaming source's subscriber-
+    predicate contract, batch-side: an over-approximation of the
+    consumer's real predicate (files whose recorded bounds cannot
+    intersect emit NOTHING on either side of the diff — consistent,
+    because every row of such a file fails the predicate). Purely an
+    optimization; apply the real predicate downstream."""
     from pyspark.sql.types import StructType
 
     if to_version is None:
@@ -3853,8 +3862,18 @@ def table_changes_physical(
         m_root = _read_manifest_root(table, v)
         p_root = _read_manifest_root(table, v - 1) if v > 0 else None
         cur_segs, prev_segs = _changed_segments(m_root, p_root)
+        # membership sets stay UNPRUNED (a file moved between segments
+        # must never be misread as removed+inserted); the subscriber
+        # filter applies only at emission below
         prev_files = {f for s in prev_segs for f in s["files"]}
         cur_files = {f for s in cur_segs for f in s["files"]}
+        allow: "set[str] | None" = None
+        if skip_filter:
+            allow = set()
+            for s in cur_segs + prev_segs:
+                allow.update(
+                    _prune_segment_files(s, aliases, skip_filter)
+                )
         # per-file deletion-vector entries on each side (shared-ref
         # segments dropped above have IDENTICAL vectors — no delta)
         cur_dvs: dict[str, dict] = {}
@@ -3877,6 +3896,8 @@ def table_changes_physical(
         dv_delta: dict[tuple, tuple[list[str], dict]] = {}
         for s in cur_segs:
             for f in s["files"]:
+                if allow is not None and f not in allow:
+                    continue
                 if f not in prev_files:
                     key = ("insert", json.dumps(s["schema"], sort_keys=True))
                     by_seg.setdefault(key, ([], s["schema"], "insert"))[0].append(f)
@@ -3885,6 +3906,8 @@ def table_changes_physical(
                     dv_delta.setdefault(key, ([], s["schema"]))[0].append(f)
         for s in prev_segs:
             for f in s["files"]:
+                if allow is not None and f not in allow:
+                    continue
                 if f not in cur_files:
                     key = ("delete", json.dumps(s["schema"], sort_keys=True))
                     by_seg.setdefault(key, ([], s["schema"], "delete"))[0].append(f)
