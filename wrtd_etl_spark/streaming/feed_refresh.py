@@ -37,10 +37,17 @@ def run_feed_driven(
     starting_version: int | str = "latest",
     timeout_s: float = 120.0,
     signal_only: bool = False,
+    max_versions_per_batch: int = 0,
 ):
     """Drive ``on_changes`` once per non-empty change-feed micro-batch
     (bounded run: availableNow semantics — processes everything committed
     so far, then stops). Returns the StreamingQuery after termination.
+
+    ``max_versions_per_batch`` bounds backlog catch-up (the r8 stream
+    cap): one run then advances at most that many commits — a refresher
+    recovering deep history re-triggers until the offset stops moving
+    (the drain_changes loop shape) instead of folding a month in one
+    giant batch.
 
     ``signal_only=True`` never materializes the batch rows — the
     callback re-derives everything from manifests anyway, and a consumer
@@ -52,7 +59,12 @@ def run_feed_driven(
             on_changes()
 
     q = (
-        read_changes_stream(spark, source_table, starting_version)
+        read_changes_stream(
+            spark,
+            source_table,
+            starting_version,
+            max_versions_per_batch=max_versions_per_batch,
+        )
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
