@@ -143,9 +143,13 @@ _DEMOTED = (
     # full battery regardless):
     "fs_fb",  # O3 first-event + J3 role-playing join stay scored via fs_cutlets-era siblings; fs_lh/fs_ls judge-oracles cover O4/O5
     "fs_survivors_group",  # A3 CASE-keyed agg + O6 ORDER BY count stay scored via fs_vehicles_grouped + inactive_by_side twins
-    # round 8 additions park outside the window like every post-r3 one:
-    # merge-on-read MERGE via deletion vectors (full row-level oracle)
-    "merge_dv_mor",
+    # round 9 rotation (VERDICT r8 ask #6): merge_dv_mor — the r8
+    # flagship (merge-on-read MERGE via deletion vectors) — rotates INTO
+    # the scored window; asof_latest_order parks here in exchange: its
+    # temporal as-of-latest shape stays judge-oracle via
+    # events_asof_status (the same AS-OF join idiom over the SCD2
+    # history) and it remains in the full battery regardless.
+    "asof_latest_order",
 )
 
 

@@ -272,5 +272,8 @@ def test_alter_cluster_by_metadata_only_then_compact_applies(
         alter_cluster_by(t, None)
     with pytest.raises(ValueError, match="not in"):
         alter_cluster_by(t, ["nope"])
-    with pytest.raises(TypeError, match="unsupported type"):
-        alter_cluster_by(t, ["s"])  # string keys refused like layout_by
+    # string keys VALIDATE since r9 (byte-prefix rank); compact applies
+    alter_cluster_by(t, ["s"])
+    assert V._read_manifest_root(t, V._read_pointer(t))["layout"] == {
+        "by": ["s"]
+    }

@@ -249,3 +249,187 @@ def test_drop_identity_reopens_column(spark, tmp_path):
     assert sorted(r.pk for r in read_snapshot(spark, t).collect()) == [1, 777]
     with pytest.raises(ValueError, match="no IDENTITY"):
         drop_identity_column(t, "pk")
+
+
+def _stat_fresh(spark, t, n=50):
+    """Identity table with k-stats so the merge's disjointness proof
+    (prune vs appended files' stats) has material to work with."""
+    write_snapshot(spark.createDataFrame([], "k long, v string"), t)
+    add_identity_column(t, "pk")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"a{i}") for i in range(1, n + 1)], "k long, v string"
+        ).repartition(2),
+        t,
+        mode="append",
+        stats_cols=["k"],
+    )
+
+
+def test_minting_merge_restages_over_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """r9 (r8 sharp edge #2): a minting merge no longer conflicts on a
+    provably-disjoint concurrent append — even though the append itself
+    minted ids and advanced the mark, the merge RESTAGES its fresh
+    segment from the new high (no merge re-run: candidate scan runs
+    exactly once) and both commits land with dense, non-overlapping
+    ids. Covers the MoR (dv) path."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _stat_fresh(spark, t, n=50)  # ids 1..50, keys 1..50
+
+    real_scan = V._dv_candidate_scan
+    scans = []
+
+    def hook(*a, **kw):
+        scans.append(1)
+        if len(scans) == 1:
+            # a disjoint concurrent append (key 900 is not a source
+            # key — point-membership proof) that MINTS pk=51
+            write_snapshot(
+                spark.createDataFrame([(900, "app")], "k long, v string"),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(V, "_dv_candidate_scan", hook)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "upd"), (60, "i60")], "k long, v string"),
+        keys=["k"],
+        strategy="dv",
+    )
+    rows = {r.k: r for r in read_snapshot(spark, t).collect()}
+    assert len(scans) == 1  # the merge ran ONCE — restage, not re-run
+    assert rows[900].pk == 51  # append's minted id kept
+    assert rows[60].pk == 52  # merge insert re-minted PAST the append
+    assert rows[1].v == "upd"
+    assert identity_columns(t)["pk"]["high"] == 52
+    assert sorted(r.pk for r in rows.values()) == list(range(1, 53))
+
+
+def test_minting_merge_restage_shifts_insert_ids(
+    spark, tmp_path, monkeypatch
+):
+    """The restaged insert mints AFTER the concurrent append's range:
+    ids stay dense 1..n with the append's row keeping its id."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _stat_fresh(spark, t, n=50)
+
+    real_scan = V._dv_candidate_scan
+    fired = {}
+
+    def hook(*a, **kw):
+        if not fired:
+            fired["x"] = True
+            write_snapshot(
+                spark.createDataFrame(
+                    [(900, "app1"), (901, "app2")], "k long, v string"
+                ),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(V, "_dv_candidate_scan", hook)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "u1"), (60, "i60"), (61, "i61")], "k long, v string"
+        ),
+        keys=["k"],
+        strategy="dv",
+    )
+    rows = {r.k: r for r in read_snapshot(spark, t).collect()}
+    assert {rows[900].pk, rows[901].pk} == {51, 52}
+    assert {rows[60].pk, rows[61].pk} == {53, 54}
+    assert identity_columns(t)["pk"]["high"] == 54
+    assert sorted(r.pk for r in rows.values()) == list(range(1, 55))
+
+
+def test_minting_merge_cow_restages_too(spark, tmp_path, monkeypatch):
+    """Same contract on the CoW path: _rewrite_segment is called twice
+    (stage + restage) and the merge itself never re-runs."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _stat_fresh(spark, t, n=50)
+
+    real_rw = V._rewrite_segment
+    calls = []
+
+    def hook(*a, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            write_snapshot(
+                spark.createDataFrame([(900, "app")], "k long, v string"),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return real_rw(*a, **kw)
+
+    monkeypatch.setattr(V, "_rewrite_segment", hook)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "u1"), (70, "i70")], "k long, v string"
+        ),
+        keys=["k"],
+        strategy="cow",
+    )
+    rows = {r.k: r for r in read_snapshot(spark, t).collect()}
+    assert len(calls) == 2  # stage + restage, no third pass
+    assert rows[900].pk == 51 and rows[70].pk == 52
+    assert rows[1].v == "u1"
+    assert sorted(r.pk for r in rows.values()) == list(range(1, 53))
+
+
+def test_minting_merge_overlapping_append_still_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """An append whose file may CONTAIN a source key is unprovable —
+    the merge must still raise CommitConflict (its matched-row scan and
+    insert anti-join are stale), minting or not. Key 60 IS the merge's
+    insert key, so the point-membership proof rightly fails."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.sources.versioned import CommitConflict
+
+    t = str(tmp_path / "tbl")
+    _stat_fresh(spark, t, n=50)
+
+    real_scan = V._dv_candidate_scan
+    fired = {}
+
+    def hook(*a, **kw):
+        if not fired:
+            fired["x"] = True
+            write_snapshot(
+                spark.createDataFrame([(60, "race")], "k long, v string"),
+                t,
+                mode="append",
+                stats_cols=["k"],
+            )
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(V, "_dv_candidate_scan", hook)
+    with pytest.raises(CommitConflict):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(1, "u1"), (60, "i60")], "k long, v string"
+            ),
+            keys=["k"],
+            strategy="dv",
+        )

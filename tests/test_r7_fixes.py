@@ -94,12 +94,55 @@ def test_timestamp_layout_clusters_and_prunes(spark, tmp_path):
     assert total == 12 and len(kept) <= total / 3
 
 
-def test_string_layout_refused_loudly(spark, tmp_path):
-    """A string layout key raises at write time — no data staged, no
-    manifest recorded. The silent-unclustered alternative claims a
-    clustering that does not exist."""
+def test_string_clustering_prunes(spark, tmp_path):
+    """``layout_by=["source"]`` on a string key clusters via the r9
+    byte-prefix rank: an equality ``skip_filter`` on the key reads at
+    most a third of the files (the L90 idiom), values round-trip, the
+    carried layout re-applies through compact, and ``alter_cluster_by``
+    accepts the key."""
+    from wrtd_etl_spark.sources.versioned import alter_cluster_by, compact
+
+    sources = [f"src-{chr(ord('a') + i)}.example.com" for i in range(12)]
     df = spark.createDataFrame(
-        [(1, "a"), (2, "b")], "k long, s string"
+        [(i, sources[i % 12], i * 1.5) for i in range(6000)],
+        "doc_id long, source string, score double",
+    ).repartition(8)
+    t = str(tmp_path / "docs_by_source")
+    write_snapshot(df, t, layout_by=["source"], layout_files=12)
+    probe = sources[3]
+    kept, total = files_for_read(t, skip_filter={"source": (probe, probe)})
+    assert total >= 9 and len(kept) <= total / 3
+    got = sorted(
+        r.doc_id
+        for r in read_snapshot(
+            spark, t, skip_filter={"source": (probe, probe)}
+        )
+        .filter(F.col("source") == probe)
+        .collect()
+    )
+    assert got == list(range(3, 6000, 12))
+    # carried layout re-applies through compact (no warn, still prunes)
+    write_snapshot(
+        spark.createDataFrame(
+            [(9001, probe, 0.0)], "doc_id long, source string, score double"
+        ),
+        t,
+        mode="append",
+    )
+    compact(spark, t)
+    kept2, total2 = files_for_read(t, skip_filter={"source": (probe, probe)})
+    assert total2 >= 6 and len(kept2) <= total2 / 3
+    # ALTER CLUSTER BY accepts a string key
+    alter_cluster_by(t, ["source"], files=6)
+
+
+def test_binary_layout_refused_loudly(spark, tmp_path):
+    """A binary layout key raises at write time — no data staged, no
+    manifest recorded. The silent-unclustered alternative claims a
+    clustering that does not exist. (String keys cluster since r9 via
+    the byte-prefix rank — see test_string_clustering_prunes.)"""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a")), (2, bytearray(b"b"))], "k long, s binary"
     )
     t = str(tmp_path / "tbl")
     with pytest.raises(TypeError, match="layout_by column 's'"):

@@ -229,16 +229,19 @@ def test_chained_partial_dv_no_stale_entries(spark, tmp_path):
     assert read_snapshot(spark, t).filter("g = 7").count() == 10
 
 
-def test_legacy_string_layout_warns_not_raises(spark, tmp_path):
-    """Maintenance on a table whose RECORDED layout has a string key
-    (legacy, pre-type-guard) must warn and skip clustering — never
-    fail the rewrite. Fresh declarations still raise."""
+def test_legacy_unclusterable_layout_warns_not_raises(spark, tmp_path):
+    """Maintenance on a table whose RECORDED layout has a key type the
+    curve cannot rank (binary — legacy / forged state) must warn and
+    skip clustering — never fail the rewrite. Fresh declarations still
+    raise. (String keys stopped being this case in r9: they cluster
+    via the byte-prefix rank.)"""
     t = str(tmp_path / "tbl")
     df = spark.createDataFrame(
-        [(i, f"s{i % 4}") for i in range(200)], "k long, s string"
+        [(i, bytearray(f"s{i % 4}".encode())) for i in range(200)],
+        "k long, s binary",
     ).repartition(2)
     write_snapshot(df, t, stats_cols=["k"], layout_by=["k"])
-    # forge the legacy state: recorded layout points at the string col
+    # forge the legacy state: recorded layout points at the binary col
     p = V._read_pointer(t)
     root = V._read_manifest_root(t, p)
     root["layout"] = {"by": ["s"], "files": 2}
@@ -250,7 +253,7 @@ def test_legacy_string_layout_warns_not_raises(spark, tmp_path):
     with pytest.warns(UserWarning, match="non-clusterable"):
         delete_where(spark, t, F.col("k") < 10, prune={"k": (None, 9)})
     assert read_snapshot(spark, t).count() == 190
-    # a FRESH declaration of a string layout still refuses loudly
+    # a FRESH declaration of a binary layout still refuses loudly
     t2 = str(tmp_path / "t2")
     with pytest.raises(TypeError, match="unsupported type"):
         write_snapshot(df, t2, layout_by=["s"])

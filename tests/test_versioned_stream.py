@@ -431,6 +431,54 @@ def test_bounded_catchup_max_versions_per_batch(spark, tmp_path):
     assert max(vs) <= 23 and min(vs) == 20
 
 
+def test_run_feed_driven_drains_capped_backlog_in_one_call(spark, tmp_path):
+    """r9: the drain loop lives INSIDE run_feed_driven — a backlogged
+    capped refresher folds the WHOLE history in ONE call (per-pass
+    offset deltas <= cap), and a second call triggers nothing new."""
+    from wrtd_etl_spark.sources.versioned_stream import (
+        checkpoint_last_offset,
+    )
+    from wrtd_etl_spark.streaming.feed_refresh import run_feed_driven
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t)
+    for i in range(1, 12):
+        write_snapshot(_df(spark, i * 10, i * 10 + 10), t, mode="append")
+    ck = str(tmp_path / "ck")
+    fired: list = []
+    run_feed_driven(
+        spark,
+        t,
+        ck,
+        lambda: fired.append(1),
+        starting_version=-1,
+        max_versions_per_batch=5,
+    )
+    # drained to the tip in ONE call: 12 versions / cap 5 → 3 passes
+    assert checkpoint_last_offset(ck) == 11
+    assert len(fired) == 3
+    # per-pass offset deltas <= cap (read every committed offset file)
+    import json as _json
+    import os
+
+    odir = os.path.join(ck, "offsets")
+    offs = [
+        _json.loads(
+            open(os.path.join(odir, f)).read().strip().splitlines()[-1]
+        )["version"]
+        for f in sorted(
+            (f for f in os.listdir(odir) if f.isdigit()), key=int
+        )
+    ]
+    deltas = [b - a for a, b in zip([-1] + offs, offs)]
+    assert all(d <= 5 for d in deltas)
+    # already drained: second call fires nothing, offset unchanged
+    run_feed_driven(
+        spark, t, ck, lambda: fired.append(1), max_versions_per_batch=5
+    )
+    assert len(fired) == 3 and checkpoint_last_offset(ck) == 11
+
+
 def test_drain_changes_bounded_recovery_loop(spark, tmp_path):
     """r8: drain_changes folds a deep backlog through a capped
     subscriber in bounded bites — every pass <= cap versions, the union

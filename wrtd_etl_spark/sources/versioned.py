@@ -1161,13 +1161,24 @@ def _layout_num_expr(dt, col: str):
     type: numerics/booleans cast to double directly; TIMESTAMP casts to
     double as epoch seconds; DATE has NO double cast (it yields NULL —
     the silent-unclustered bug this replaces) so it maps to epoch days
-    via ``datediff``. Anything else (string, binary, complex) raises:
-    a type we cannot rank onto the curve must fail at write time, never
-    record a layout it didn't apply."""
+    via ``datediff``. STRING maps to an order-preserving byte-prefix
+    rank: the first 7 UTF-8 bytes read big-endian as an int64
+    (``conv(hex(rpad(substring(encode(s), 1, 7), 7, x'00')), 16, 10)``)
+    — ranking ONLY, so prefix collisions past 7 bytes merely coarsen
+    the curve; file-skipping correctness always comes from the real
+    min/max stats, which parquet keeps for strings natively. 7 bytes,
+    not 8: byte 8 would push non-ASCII first bytes (>= 0xC2) past the
+    signed-BIGINT range that ``conv`` can return exactly. The bytes
+    are sliced AFTER encode (``substring`` on BINARY slices bytes) —
+    a 7-CHARACTER prefix could exceed 8 bytes under multibyte UTF-8
+    and overflow. Anything else (binary, complex) raises: a type we
+    cannot rank onto the curve must fail at write time, never record
+    a layout it didn't apply."""
     from pyspark.sql.types import (
         BooleanType,
         DateType,
         NumericType,
+        StringType,
         TimestampNTZType,
         TimestampType,
     )
@@ -1178,12 +1189,24 @@ def _layout_num_expr(dt, col: str):
         # NTZ has no double cast; route through TIMESTAMP (epoch
         # seconds) — ranking only, so the session-tz offset is harmless
         return F.col(col).cast("timestamp").cast("double")
+    if isinstance(dt, StringType):
+        return F.conv(
+            F.hex(
+                F.rpad(
+                    F.substring(F.encode(F.col(col), "UTF-8"), 1, 7),
+                    7,
+                    F.lit(b"\x00"),
+                )
+            ),
+            16,
+            10,
+        ).cast("bigint")
     if isinstance(dt, (NumericType, BooleanType, TimestampType)):
         return F.col(col).cast("double")
     raise TypeError(
         f"layout_by column {col!r} has unsupported type {dt.simpleString()}: "
-        "Z-order clustering needs a numeric, boolean, date, or timestamp "
-        "key (cluster a string key via a derived numeric column instead)"
+        "Z-order clustering needs a numeric, boolean, date, timestamp, "
+        "or string key (binary/complex keys need a derived numeric column)"
     )
 
 
@@ -2887,6 +2910,7 @@ def _commit_rewrite(
     rebase=None,
     identity_update: "dict[str, tuple[int, int]] | None" = None,
     metrics: dict | None = None,
+    restage=None,
 ) -> int:
     """Commit a surgical rewrite (delete/update/merge) based on version
     ``base``. ``schema`` overrides the committed table schema (evolving
@@ -2901,7 +2925,16 @@ def _commit_rewrite(
     carried into the rewritten manifest and the commit retries on the
     new base — concurrent ingest no longer kills maintenance. Anything
     unprovable (a racing rewrite, schema evolution, a guard miss) still
-    raises."""
+    raises.
+
+    ``restage`` (minting merges): called when the rebase proof succeeds
+    but a carried commit ADVANCED an identity mark this rewrite minted
+    from — ``restage(latest_identity) -> (segments, identity_update)``
+    re-assigns the fresh segment's minted ids from the new mark and
+    re-stages ONLY that segment (the write_snapshot restage-on-race
+    idiom: ids are baked into staged parquet, so re-linking would
+    duplicate or gap the sequence). Without it a drifted mark is a
+    strict :class:`CommitConflict`."""
     aliases = manifest.get("aliases", {})
     table_schema = schema if schema is not None else manifest["schema"]
     if manifest.get("unique") and rebase is not None:
@@ -2918,17 +2951,10 @@ def _commit_rewrite(
     if identity_update is not None:
         for c, (_exp, new) in identity_update.items():
             ident_final[c] = {**ident_final.get(c, {}), "high": new}
+    carried_appends: list[dict] = []
     for _ in range(20):
         prev = _read_pointer(table)
         if prev != base:
-            if identity_update is not None:
-                # this rewrite MINTED ids from base's high-water mark;
-                # any concurrent commit may have consumed the same range
-                # — strict conflict, the caller re-runs and re-assigns
-                raise CommitConflict(
-                    f"concurrent commit to {table} during {mode} with "
-                    f"IDENTITY assignment (based on v{base}); re-run"
-                )
             rb = (
                 _rebase_appends(table, base, prev, manifest, rebase)
                 if rebase is not None
@@ -2940,21 +2966,59 @@ def _commit_rewrite(
                     f"on v{base}); re-run"
                 )
             carried_segs, latest_m = rb
+            if identity_update is not None:
+                # this rewrite MINTED ids from base's high-water mark.
+                # The rebase guard already proved the interleaved commits
+                # are plain appends disjoint from the source keys; the
+                # only remaining hazard is the minted RANGE itself — so
+                # a mark that did NOT drift commutes outright (r8 sharp
+                # edge #2), and a drifted mark RESTAGES the fresh
+                # segment from the new mark when the caller supplied the
+                # re-assign hook — never a full merge re-run.
+                latest_ident = latest_m.get("identity", {})
+                drifted = [
+                    c
+                    for c, (exp, _n) in identity_update.items()
+                    if latest_ident.get(c, {}).get("high") != exp
+                ]
+                if drifted:
+                    if restage is None:
+                        raise CommitConflict(
+                            f"concurrent commit to {table} advanced "
+                            f"IDENTITY {drifted} during {mode} (based on "
+                            f"v{base}); minted ids may collide — re-run"
+                        )
+                    fresh_segments, identity_update = restage(latest_ident)
+                    # the restaged list replaces THIS rewrite's segments
+                    # only — appends carried in earlier loop iterations
+                    # ride along (they live in carried_appends)
+                    segments = fresh_segments + carried_appends
+            carried_appends = carried_appends + carried_segs
             segments = segments + carried_segs
             evolved = evolved or any(
                 s["schema"] != table_schema for s in carried_segs
             )
             manifest = {
                 **manifest,
+                # adopt the latest SEGMENTS too: a second rebase
+                # iteration slices its append carry from
+                # len(_segments(base_manifest)) — a stale list would
+                # re-carry this iteration's appends (double rows)
+                "segments": list(_segments(latest_m)),
                 "extra": latest_m.get("extra", {}),
                 "layout": latest_m.get("layout"),
                 "constraints": latest_m.get("constraints", {}),
                 "generated": latest_m.get("generated", {}),
                 "unique": latest_m.get("unique", {}),
             }
-            # adopt the appends' advanced high-water marks (they minted
-            # ids this non-minting rewrite must never reuse)
+            # adopt the appends' advanced high-water marks for columns
+            # this rewrite did NOT mint (they minted ids we must never
+            # reuse), then overlay our own minted marks (non-drifted or
+            # freshly restaged above)
             ident_final = dict(latest_m.get("identity", {}))
+            if identity_update is not None:
+                for c, (_exp, new) in identity_update.items():
+                    ident_final[c] = {**ident_final.get(c, {}), "high": new}
             base = prev
         new_manifest = {
             "version": prev + 1,
@@ -3220,6 +3284,9 @@ def _merge_into_dv(
         new_rows = joined.filter(~F.col("__s_del")).select(*cols)
         n_new = n_matched - n_del
     identity_update = None
+    restage = None
+    upd_part = new_rows  # matched-update rows only (pre-insert union)
+    inserts_raw = None
     if insert:
         inserts = source
         if delete_when is not None:
@@ -3228,6 +3295,7 @@ def _merge_into_dv(
         # the candidate scan IS the full key universe for the anti-join;
         # vectored rows are rightly absent (their keys are deleted)
         inserts = inserts.join(scan.select(*keys), keys, "left_anti")
+        inserts_raw = inserts  # pre-identity lineage (restage re-mints)
         n_ins = 0
         if ident:
             identity_update = {}
@@ -3257,6 +3325,7 @@ def _merge_into_dv(
             )
             n_new += n_ins
     if new_rows is not None and n_new:
+        fresh_files = max(1, min(n_new // 500_000 + 1, 8))
         segments.append(
             _rewrite_segment(
                 spark,
@@ -3265,9 +3334,55 @@ def _merge_into_dv(
                 rewrite_segs,
                 new_rows,
                 schema=schema_json,
-                target_files=max(1, min(n_new // 500_000 + 1, 8)),
+                target_files=fresh_files,
             )
         )
+        if identity_update is not None:
+            segs_base = segments[:-1]
+
+            def _restage_minted(latest_ident):
+                # a carried append advanced the mark: re-mint the insert
+                # ids from the NEW high and re-stage ONLY the fresh
+                # segment (same rows, shifted ids) — the matched-update
+                # part and the carried segments are untouched
+                ins2 = inserts_raw
+                iu = {}
+                for iname, spec0 in sorted(ident.items()):
+                    spec = {
+                        **spec0,
+                        "high": latest_ident.get(iname, spec0)["high"],
+                    }
+                    ins2, n2 = _assign_identity(ins2, iname, spec)
+                    iu[iname] = (
+                        spec["high"],
+                        spec["high"] + n2 * spec["step"],
+                    )
+                cols2 = [
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in ins2.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+                rows2 = ins2.select(*cols2)
+                all2 = (
+                    rows2
+                    if upd_part is None
+                    else upd_part.unionByName(rows2)
+                )
+                seg2 = _rewrite_segment(
+                    spark,
+                    table,
+                    manifest,
+                    rewrite_segs,
+                    all2,
+                    schema=schema_json,
+                    target_files=fresh_files,
+                )
+                return segs_base + [seg2], iu
+
+            restage = _restage_minted
 
     def _append_commutes(seg: dict) -> bool:
         # same logical conflict rule as the CoW merge: a concurrent
@@ -3286,6 +3401,7 @@ def _merge_into_dv(
         schema=schema_json,
         rebase=_append_commutes,
         identity_update=identity_update,
+        restage=restage,
         metrics={
             "rows_matched": n_matched,
             "rows_deleted": n_del,
@@ -3590,17 +3706,21 @@ def merge_into(
 
     new_rows = rewritten
     identity_update = None
+    restage = None
+    inserts_raw = None
     if insert:
         inserts = source
         if delete_when is not None:
             inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
         inserts = inserts.join(part.select(*keys), keys, "left_anti")
+        inserts_raw = inserts  # pre-identity lineage (restage re-mints)
         if ident:
             # the hard part of IDENTITY: not-matched inserts mint fresh
             # CONTIGUOUS ids from the table's high-water mark; matched
-            # rows keep theirs (they ride `rewritten` untouched). The
-            # commit below conflicts on ANY concurrent commit — another
-            # writer may have consumed the same range — and the caller
+            # rows keep theirs (they ride `rewritten` untouched). A
+            # concurrent commit that advanced the mark RESTAGES the
+            # fresh segment from the new mark (see _commit_rewrite);
+            # anything unprovable still conflicts and the caller
             # re-runs, exactly like a UNIQUE-gated merge.
             identity_update = {}
             for iname, spec in sorted(ident.items()):
@@ -3625,6 +3745,40 @@ def merge_into(
         spark, table, manifest, rewrite_segs, new_rows, schema=schema_json
     )
     segments = carried + [new_segment]
+    if identity_update is not None:
+
+        def _restage_minted(latest_ident):
+            # re-mint the not-matched inserts from the advanced mark and
+            # re-stage only this merge's fresh segment (same rows,
+            # shifted ids); matched rewrites and carried segments ride
+            ins2 = inserts_raw
+            iu = {}
+            for iname, spec0 in sorted(ident.items()):
+                spec = {
+                    **spec0,
+                    "high": latest_ident.get(iname, spec0)["high"],
+                }
+                ins2, n2 = _assign_identity(ins2, iname, spec)
+                iu[iname] = (spec["high"], spec["high"] + n2 * spec["step"])
+            cols2 = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in ins2.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in target.fields
+            ]
+            seg2 = _rewrite_segment(
+                spark,
+                table,
+                manifest,
+                rewrite_segs,
+                rewritten.unionByName(ins2.select(*cols2)),
+                schema=schema_json,
+            )
+            return carried + [seg2], iu
+
+        restage = _restage_minted
 
     def _append_commutes(seg: dict) -> bool:
         # Delta-style logical conflict detection: a concurrent append
@@ -3642,7 +3796,7 @@ def merge_into(
     return _commit_rewrite(
         table, base, manifest, segments, "merge", extra=extra,
         schema=schema_json, rebase=_append_commutes,
-        identity_update=identity_update
+        identity_update=identity_update, restage=restage
     )
 
 
@@ -4842,9 +4996,21 @@ def vacuum(
             ):
                 _sweep(os.path.join(mdir, f))
     keep_from = max(0, latest - keep_last + 1)
+    # live set from the HEAD DIFF: consecutive roots share almost every
+    # segment ref (appends extend, rewrites swap a few), and a detail
+    # sidecar is immutable per ref — so each unique ref is opened ONCE
+    # across the whole retained window instead of once per version
+    # (_read_manifest resolved every version's full sidecar fan-out,
+    # O(keep_last × segments) opens on a long-retained table)
     live: set[str] = set()
+    live_refs: set[str] = set()
     for v in range(keep_from, latest + 1):
-        live.update(_read_manifest(table, v)["files"])
+        for s in _segments(_read_manifest_root(table, v)):
+            if not _is_seg_head(s):
+                live.update(s["files"])  # legacy inline segment
+            elif s["ref"] not in live_refs:
+                live_refs.add(s["ref"])
+                live.update(_resolve_seg(table, s)["files"])
     deleted = []
     now = time.time()
     data_root = os.path.join(table, "data")

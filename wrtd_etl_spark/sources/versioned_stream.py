@@ -58,6 +58,7 @@ class ChangeFile(InputPartition):
         col_map: list[tuple[str, str | None]],
         dv_drop=None,
         dv_take=None,
+        rg_filter=None,
     ):
         self.table = table
         self.file = file
@@ -74,6 +75,10 @@ class ChangeFile(InputPartition):
         # metadata-only delete_dv commit
         self.dv_drop = dv_drop
         self.dv_take = dv_take
+        # row-group pushdown of the subscriber's skip_filter (r9):
+        # only set when NO dv directive rides the file — dv positions
+        # are absolute row indices, which skipped groups would shift
+        self.rg_filter = rg_filter
 
 
 def _target_schema(table: str):
@@ -122,13 +127,101 @@ def _dv_positions(table: str, ref: str, rel: str):
     return _dv_unpack(entry["pos"])
 
 
-def _load_file_table(path: str, want, dv_drop=None, dv_take=None):
+def _rg_keep_groups(pf, rg_filter) -> "list[int] | None":
+    """Row-group indices of ``pf`` that MAY hold matching rows under
+    ``rg_filter`` ({"rng": {col: [lo, hi]}, "pts": {col: [vals]}},
+    columns already resolved to FILE names). Pure parquet-footer
+    arithmetic — keeps a group on ANY doubt (missing stats, type
+    mismatch), because this is an I/O saver, never a correctness gate:
+    every consumer (Spark re-applying pushed filters; a change-feed
+    subscriber applying its own predicate) treats the delivered rows as
+    an over-approximation. Returns None when nothing prunes (callers
+    take the whole-file fast path)."""
+
+    def _comparable(stat_v, filt_v) -> bool:
+        num = (int, float)
+        if isinstance(stat_v, bool) or isinstance(filt_v, bool):
+            return isinstance(stat_v, bool) and isinstance(filt_v, bool)
+        if isinstance(stat_v, num) and isinstance(filt_v, num):
+            return True
+        return isinstance(stat_v, str) and isinstance(filt_v, str)
+
+    rng = (rg_filter or {}).get("rng") or {}
+    pts = (rg_filter or {}).get("pts") or {}
+    if not rng and not pts:
+        return None
+    md = pf.metadata
+    col_idx = {}
+    for i in range(md.num_columns):
+        col_idx[md.schema.column(i).name] = i
+    keep: list[int] = []
+    for g in range(md.num_row_groups):
+        rg_md = md.row_group(g)
+
+        def _bounds(col):
+            i = col_idx.get(col)
+            if i is None:
+                return None
+            st = rg_md.column(i).statistics
+            if st is None or not st.has_min_max:
+                return None
+            return st.min, st.max
+
+        alive = True
+        for col, (lo, hi) in rng.items():
+            b = _bounds(col)
+            if b is None:
+                continue
+            smin, smax = b
+            if lo is not None and _comparable(smax, lo) and smax < lo:
+                alive = False
+                break
+            if hi is not None and _comparable(smin, hi) and smin > hi:
+                alive = False
+                break
+        if alive:
+            for col, vals in pts.items():
+                b = _bounds(col)
+                if b is None or not vals:
+                    continue
+                smin, smax = b
+                if all(
+                    _comparable(smin, v) and (v < smin or v > smax)
+                    for v in vals
+                ):
+                    alive = False
+                    break
+        if alive:
+            keep.append(g)
+    return None if len(keep) == md.num_row_groups else keep
+
+
+def _load_file_table(
+    path: str, want, dv_drop=None, dv_take=None, rg_filter=None
+):
     """One data file as a pyarrow Table with deletion vectors applied —
     the shared loader for the Arrow and per-row read paths (stream +
-    batch DataSource)."""
+    batch DataSource).
+
+    ``rg_filter`` (r9): row-group predicate pushdown — groups whose
+    footer min/max provably exclude the pushed range/point filter are
+    never materialized (a 128 MB file holds ~100 row groups; a point
+    lookup on a clustered key reads 1). Callers pass it ONLY when no
+    deletion vector rides the file: dv positions address rows by
+    absolute ``_metadata.row_index``, and a skipped leading group would
+    shift every surviving position."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    keep = None
+    if rg_filter is not None and dv_drop is None and dv_take is None:
+        pf = pq.ParquetFile(path)
+        keep = _rg_keep_groups(pf, rg_filter)
+        if keep is not None:
+            if keep:
+                return pf.read_row_groups(keep, columns=want)
+            empty = pf.schema_arrow.empty_table()
+            return empty.select(want) if want is not None else empty
     tbl = pq.read_table(path, columns=want)
     if dv_take is not None:
         import numpy as np
@@ -150,8 +243,28 @@ def _load_file_table(path: str, want, dv_drop=None, dv_take=None):
     return tbl
 
 
+def _to_file_rg_filter(col_map, rg_filter):
+    """Translate an rg_filter keyed by CURRENT column names to the
+    file's own column names through the driver-resolved col_map;
+    columns this file doesn't carry drop out (no stats to prune on)."""
+    if not rg_filter:
+        return None
+    src_of = {tgt: src for tgt, src in col_map if src is not None}
+    out = {}
+    for part in ("rng", "pts"):
+        sub = {
+            src_of[c]: v
+            for c, v in (rg_filter.get(part) or {}).items()
+            if c in src_of
+        }
+        if sub:
+            out[part] = sub
+    return out or None
+
+
 def _file_arrays(
-    path: str, col_map, arrow_schema, dv_drop=None, dv_take=None
+    path: str, col_map, arrow_schema, dv_drop=None, dv_take=None,
+    rg_filter=None,
 ):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
@@ -168,7 +281,11 @@ def _file_arrays(
     import pyarrow as pa
 
     tbl = _load_file_table(
-        path, [s for _, s in col_map if s is not None], dv_drop, dv_take
+        path,
+        [s for _, s in col_map if s is not None],
+        dv_drop,
+        dv_take,
+        rg_filter=_to_file_rg_filter(col_map, rg_filter),
     )
     n = tbl.num_rows
     arrays = []
@@ -198,6 +315,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self.skip_filter = (
             {c: tuple(b) for c, b in _json.loads(skip).items()}
             if skip
+            else None
+        )
+        # the same ranges, pushed one level deeper: row-group footer
+        # pruning inside surviving files (still an over-approximation)
+        self._rg = (
+            {"rng": {c: list(b) for c, b in self.skip_filter.items()}}
+            if self.skip_filter
             else None
         )
         start = options.get("startingVersion", "-1")
@@ -355,6 +479,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                             v,
                                             m_root["mode"],
                                             col_map(seg["schema"]),
+                                            rg_filter=self._rg,
                                         )
                                     )
                         continue
@@ -423,6 +548,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                 if f in cur_dvs
                                 else None
                             ),
+                            rg_filter=(
+                                None if f in cur_dvs else self._rg
+                            ),
                         )
                     )
                 elif (
@@ -479,6 +607,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                     if f in prev_dvs
                                     else None
                                 ),
+                                rg_filter=(
+                                    None if f in prev_dvs else self._rg
+                                ),
                             )
                         )
         return parts
@@ -497,6 +628,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 sch,
                 dv_drop=partition.dv_drop,
                 dv_take=partition.dv_take,
+                rg_filter=partition.rg_filter,
             )
             arrays.append(pa.array([partition.change_type] * n, pa.string()))
             arrays.append(pa.array([partition.version] * n, pa.int64()))
@@ -506,7 +638,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # fallback: per-row python tuples (values coerce as natives)
         want = [s for _, s in partition.col_map if s is not None]
         tbl = _load_file_table(
-            path, want, partition.dv_drop, partition.dv_take
+            path,
+            want,
+            partition.dv_drop,
+            partition.dv_take,
+            rg_filter=_to_file_rg_filter(
+                partition.col_map, partition.rg_filter
+            ),
         )
         n = tbl.num_rows
         cols = {}
@@ -594,6 +732,25 @@ def read_changes_stream(
     if max_versions_per_batch:
         r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
     return r.load()
+def checkpoint_last_offset(checkpoint: str) -> int | None:
+    """Latest committed change-feed offset (end version) recorded in a
+    streaming checkpoint, or None before the first batch. This is the
+    progress probe the capped-drain loops key on: a pass that leaves it
+    unchanged means the backlog is gone."""
+    import json as _json
+    import os as _os
+
+    odir = _os.path.join(checkpoint, "offsets")
+    try:
+        files = sorted((f for f in _os.listdir(odir) if f.isdigit()), key=int)
+    except FileNotFoundError:
+        return None
+    if not files:
+        return None
+    with open(_os.path.join(odir, files[-1])) as f:
+        return _json.loads(f.read().strip().splitlines()[-1])["version"]
+
+
 def drain_changes(
     spark: SparkSession,
     table: str,
@@ -615,21 +772,9 @@ def drain_changes(
     this helper supplies the re-trigger until the backlog is gone.
     Exactly-once holds across passes and crashes (same checkpoint, same
     offset ledger)."""
-    import json as _json
-    import os as _os
 
     def _last_offset() -> int | None:
-        odir = _os.path.join(checkpoint, "offsets")
-        try:
-            files = sorted(
-                (f for f in _os.listdir(odir) if f.isdigit()), key=int
-            )
-        except FileNotFoundError:
-            return None
-        if not files:
-            return None
-        with open(_os.path.join(odir, files[-1])) as f:
-            return _json.loads(f.read().strip().splitlines()[-1])["version"]
+        return checkpoint_last_offset(checkpoint)
 
     runs = 0
     while runs < max_runs:

@@ -87,7 +87,9 @@ from .versioned_stream import _file_arrays, _to_arrow_schema
 class TableFile(InputPartition):
     """One pinned data file: read, project/cast to the table schema."""
 
-    def __init__(self, table: str, file: str, col_map, dv_drop=None):
+    def __init__(
+        self, table: str, file: str, col_map, dv_drop=None, rg_filter=None
+    ):
         self.table = table
         self.file = file
         # (target_name, file_column_or_None) per output field — resolved
@@ -97,6 +99,12 @@ class TableFile(InputPartition):
         # (table, dv_ref, relfile) when the file carries a deletion
         # vector: the executor drops those row positions
         self.dv_drop = dv_drop
+        # pushed skip/point filter for ROW-GROUP footer pruning inside
+        # this file (r9); None when a dv rides it — vector positions are
+        # absolute row indices that skipped groups would shift. Safe
+        # because pushFilters is pruning-only: Spark re-applies every
+        # pushed predicate on the returned rows.
+        self.rg_filter = rg_filter
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -183,6 +191,17 @@ class VersionedTableReader(DataSourceReader):
             )
             cm = col_map(seg["schema"])
             dvs = seg.get("dvs", {})
+            rg = None
+            if self.skip_filter or self.point_filter:
+                rg = {}
+                if self.skip_filter:
+                    rg["rng"] = {
+                        c: list(b) for c, b in self.skip_filter.items()
+                    }
+                if self.point_filter:
+                    rg["pts"] = {
+                        c: list(v) for c, v in self.point_filter.items()
+                    }
             parts.extend(
                 TableFile(
                     self.table,
@@ -193,6 +212,7 @@ class VersionedTableReader(DataSourceReader):
                         if f in dvs
                         else None
                     ),
+                    rg_filter=None if f in dvs else rg,
                 )
                 for f in files
             )
@@ -208,15 +228,23 @@ class VersionedTableReader(DataSourceReader):
                 partition.col_map,
                 self._arrow_schema,
                 dv_drop=partition.dv_drop,
+                rg_filter=partition.rg_filter,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
             )
             return
-        from .versioned_stream import _load_file_table
+        from .versioned_stream import _load_file_table, _to_file_rg_filter
 
         want = [s for _, s in partition.col_map if s is not None]
-        tbl = _load_file_table(path, want, dv_drop=partition.dv_drop)
+        tbl = _load_file_table(
+            path,
+            want,
+            dv_drop=partition.dv_drop,
+            rg_filter=_to_file_rg_filter(
+                partition.col_map, partition.rg_filter
+            ),
+        )
         n = tbl.num_rows
         cols = {
             tgt: (tbl.column(src).to_pylist() if src is not None else [None] * n)
