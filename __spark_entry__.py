@@ -150,6 +150,9 @@ _DEMOTED = (
     # events_asof_status (the same AS-OF join idiom over the SCD2
     # history) and it remains in the full battery regardless.
     "asof_latest_order",
+    # round 9 addition parks outside the window like every post-r3 one:
+    # row-tracking keyed CDC across a compaction (full row-level oracle)
+    "cdc_rewrite_fold",
 )
 
 

@@ -325,14 +325,20 @@ def test_refresh_ann_index_delete_folds_surgically(spark, tmp_path):
     assert not set(r.neighbor_id for r in got) & set(erased), (
         "refreshed index returned erased vectors"
     )
-    # a VALUE-rewriting commit (update) still forces the honest rebuild
+    # a VALUE-rewriting commit (update): since r9's row tracking the
+    # keyed diff folds it SURGICALLY too (delete touched ids, re-append
+    # the updated rows) — no rebuild, index ids unchanged minus none
     from wrtd_etl_spark.sources.versioned import update_where
 
+    survivors = {r.vec_id for r in read_snapshot(spark, corpus).collect()}
     update_where(
         spark, corpus, F.col("vec_id") == 0, {"label": F.lit(-1)}
     )
     _, action = refresh_ann_index(spark, corpus, idx)
-    assert action == "rebuild"
+    assert action == "upsert_fold"
+    assert {
+        r.vec_id for r in read_snapshot(spark, idx).collect()
+    } == survivors
 
 
 def test_refresh_ann_index_reingested_id_rebuilds(spark, tmp_path):

@@ -130,11 +130,15 @@ def refresh_text_index(
     postings files untouched — per-(token, doc) rows are disjoint
     across docs, so appended postings compose exactly); a compact-only
     range → stamp bump (logical no-op, so later deltas keep composing);
-    any rewriting commit (delete/update/merge/overwrite/rollback), or a
-    re-ingested existing doc id → full rebuild (removing a doc's
-    postings would rewrite arbitrary token files anyway, so the rebuild
-    IS the honest cost). Search results after refresh are identical to
-    an index built from scratch at the current version.
+    a range MIXING appends with compaction/purge → the r9 keyed row-id
+    diff recovers exactly the appended docs (rewrite churn cancels by
+    row id), so routine maintenance no longer forces rebuilds; any
+    actual deletion/update, a re-ingested existing doc id, or a range
+    the keyed proof can't cover (overwrite/rollback, pre-tracking
+    segments) → full rebuild (removing a doc's postings would rewrite
+    arbitrary token files anyway, so the rebuild IS the honest cost).
+    Search results after refresh are identical to an index built from
+    scratch at the current version.
 
     The classification is MANIFEST-driven (``delta_files`` +
     ``commit_modes``): no data is read or diffed to decide — the
@@ -159,15 +163,47 @@ def refresh_text_index(
     if src_v == prev_v:
         return None  # fresh: no data touched
     delta = delta_files(docs_table, prev_v, src_v)
-    if delta is None and not all(
-        m == "compact" for m in commit_modes(docs_table, prev_v, src_v)
-    ):
-        return build_text_index_from(
-            spark, docs_table, index_table, text_col, id_col, n_files
+    new_docs = None
+    if delta is None:
+        # a rewrite interrupted the positional append chain. Row
+        # tracking (r9) recovers the honest delta anyway: the keyed
+        # diff cancels compaction/purge churn by row id, so a range
+        # like append→compact→append still folds as ITS APPENDED DOCS
+        # instead of forcing a rebuild. Deletes/updates in the diff
+        # still rebuild (removing postings rewrites arbitrary token
+        # files — the rebuild is the honest cost), as does anything
+        # the keyed proof can't cover (overwrite/rollback, untracked
+        # segments).
+        from ..sources.versioned import (
+            _KEYED_CDC_MODES,
+            _table_changes_keyed,
         )
-    if not delta:
-        # compact-only range or empty appends: nothing changed logically
-        # — bump the stamp so future deltas compose from here
+
+        ch = (
+            _table_changes_keyed(spark, docs_table, prev_v, src_v)
+            if set(commit_modes(docs_table, prev_v, src_v))
+            <= _KEYED_CDC_MODES
+            else None
+        )
+        if ch is None:
+            return build_text_index_from(
+                spark, docs_table, index_table, text_col, id_col, n_files
+            )
+        ch = ch.localCheckpoint(eager=False)
+        if ch.filter(F.col("_change_type") == "delete").take(1):
+            return build_text_index_from(
+                spark, docs_table, index_table, text_col, id_col, n_files
+            )
+        new_docs = ch.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        if not new_docs.take(1):
+            new_docs = None  # pure rewrite churn: logical no-op
+    if delta is not None and not delta:
+        new_docs = None  # empty appends
+    if new_docs is None and not delta:
+        # compact-only / churn-only range or empty appends: nothing
+        # changed logically — bump the stamp so future deltas compose
         return write_snapshot(
             read_snapshot(spark, index_table).limit(0),
             index_table,
@@ -175,9 +211,10 @@ def refresh_text_index(
             extra={**info, "source_version": src_v},
             stats_cols=["token"],
         )
-    new_docs = spark.read.parquet(
-        *[os.path.join(docs_table, f) for f in delta]
-    )
+    if new_docs is None:
+        new_docs = spark.read.parquet(
+            *[os.path.join(docs_table, f) for f in delta]
+        )
     # a re-ingested doc_id cannot append-compose: its old postings rows
     # would double-count df/tf vs a rebuild — detect and rebuild instead
     indexed_ids = read_snapshot(spark, index_table).select("doc_id").distinct()

@@ -2390,3 +2390,80 @@ def merge_dv_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="dv",
     )
     return read_snapshot(spark, t)
+
+
+@register(
+    "cdc_rewrite_fold",
+    """
+    WITH v0 AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    final AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey BETWEEN 1 AND 50
+                    THEN o_totalprice + 5.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 89 <> 0
+        UNION ALL
+        SELECT * FROM (
+            VALUES (CAST(-1 AS BIGINT), 1.0), (CAST(-2 AS BIGINT), 2.0),
+                   (CAST(-3 AS BIGINT), 3.0)
+        ) AS t(k, price)
+    )
+    SELECT k, price, 'insert' AS change
+    FROM (SELECT * FROM final EXCEPT SELECT * FROM v0)
+    UNION ALL
+    SELECT k, price, 'delete' AS change
+    FROM (SELECT * FROM v0 EXCEPT SELECT * FROM final)
+    """,
+)
+def cdc_rewrite_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-tracking keyed CDC across rewrites (r9 flagship,
+    sources/versioned.table_changes → _table_changes_keyed): the
+    lineage snapshot(evens) → append(odds) → DV delete(k%89) →
+    COMPACT → CoW MERGE (update keys 1..50, insert 3 fresh) crosses a
+    full compaction, which used to force the exceptAll double-snapshot
+    fallback; with manifest row lineage (per-file ``row_base``+offset,
+    materialized ``__row_id`` through rewrites) the diff joins on the
+    STABLE ROW ID over changed segments only — compaction churn
+    cancels by id. The emitted change set equals DuckDB's value-level
+    symmetric diff between the two endpoint states (exact here because
+    every commit in the range is id-preserving), row for row."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        compact,
+        delete_where,
+        merge_into,
+        table_changes,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_cdc_"), "tbl")
+    write_snapshot(
+        orders.filter(F.col("k") % 2 == 0).repartition(4),
+        t,
+        stats_cols=["k"],
+    )
+    write_snapshot(
+        orders.filter(F.col("k") % 2 == 1), t, mode="append",
+        stats_cols=["k"],
+    )
+    delete_where(spark, t, F.col("k") % 89 == 0, strategy="dv")
+    compact(spark, t)
+    upd = orders.filter((F.col("k") >= 1) & (F.col("k") <= 50)).select(
+        "k", (F.col("price") + 5.0).alias("price")
+    )
+    ins = spark.createDataFrame(
+        [(-1, 1.0), (-2, 2.0), (-3, 3.0)], "k long, price double"
+    )
+    merge_into(spark, t, upd.unionByName(ins), keys=["k"])
+    return table_changes(spark, t, 0).withColumnRenamed(
+        "_change_type", "change"
+    )

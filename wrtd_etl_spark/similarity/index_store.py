@@ -470,14 +470,22 @@ def refresh_ann_index(
       whose id range can match are rewritten, and the result is
       row-identical to rebuilding with the SAME stored training state
       (assignment/quantization are per-row);
-    * anything else (update/merge/overwrite/rollback) → honest rebuild
-      from the current snapshot, retraining with the recorded build
-      params — rewritten vectors re-index, and results equal a
-      from-scratch build at the current version (training is
-      deterministic given the corpus)."""
+    * any other id-preserving rewrite range (update / merge / a mix of
+      appends with maintenance compaction) → r9 KEYED UPSERT fold: the
+      row-tracking diff yields the exact insert/delete rows, every
+      touched id is merge-deleted and the insert rows re-quantize with
+      the stored training state — routine compaction no longer forces
+      rebuilds (action ``upsert_fold``);
+    * anything the keyed proof can't cover (overwrite/rollback,
+      pre-tracking segments) → honest rebuild from the current
+      snapshot, retraining with the recorded build params — rewritten
+      vectors re-index, and results equal a from-scratch build at the
+      current version (training is deterministic given the corpus)."""
     from pyspark.sql import functions as F
 
     from ..sources.versioned import (
+        _KEYED_CDC_MODES,
+        _table_changes_keyed,
         commit_modes,
         delta_files,
         latest_version,
@@ -564,6 +572,49 @@ def refresh_ann_index(
                     "delete_fold",
                 )
             # pure compact churn: nothing actually left — stamp below
+        elif modes <= _KEYED_CDC_MODES:
+            # r9 row tracking: the keyed diff yields EXACT insert/delete
+            # rows across any id-preserving rewrite lineage — a range
+            # mixing appends with maintenance compaction, a vector
+            # UPDATE, a MERGE — so the fold is a keyed upsert: purge
+            # every touched id, then quantize/append the insert rows
+            # with the stored training state (row-identical to a
+            # rebuild with that state). Falls back to rebuild when the
+            # proof doesn't hold (pre-tracking segments).
+            ch = _table_changes_keyed(spark, corpus_table, prev_v, src_v)
+            if ch is None:
+                return rebuild()
+            ch = ch.localCheckpoint(eager=False)
+            id_col = info["id_col"]
+            ins = ch.filter(F.col("_change_type") == "insert").drop(
+                "_change_type"
+            )
+            touched = (
+                ch.select(F.col(id_col)).distinct().localCheckpoint(
+                    eager=False
+                )
+            )
+            if not touched.take(1):
+                pass  # pure churn: stamp below
+            else:
+                v = merge_into(
+                    spark,
+                    index_table,
+                    touched,
+                    [id_col],
+                    when_matched="keep",
+                    delete_when=F.lit(True),
+                    insert=False,
+                    extra={**info, **stamp},
+                )
+                if ins.take(1):
+                    append = {
+                        "sq8": sq8_append,
+                        "ivf": ivf_append,
+                        "ivfsq8": ivfsq8_append,
+                    }[kind]
+                    v = append(ins, index_table, extra_update=stamp)
+                return v, "upsert_fold"
         else:
             return rebuild()
     # compact-only range or empty appends: nothing changed logically —

@@ -185,6 +185,15 @@ def _resolve_seg(table: str, seg: dict) -> dict:
         full["blooms"] = d["blooms"]
     if d.get("dvs"):
         full["dvs"] = d["dvs"]
+    if d.get("rows"):
+        full["rows"] = d["rows"]
+        if seg.get("row_base") is not None:
+            # absolute base rides the HEAD (re-minted on commit races);
+            # carried here so resolved copies that re-shard (DV growth,
+            # partial keeps) preserve the lineage
+            full["row_base"] = seg["row_base"]
+    if d.get("rid"):
+        full["rid"] = d["rid"]
     drop = set(seg.get("drop", []))
     if drop:
         full["stats"] = {
@@ -239,6 +248,13 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         detail["blooms"] = seg["blooms"]
     if seg.get("dvs"):
         detail["dvs"] = seg["dvs"]
+    if seg.get("rows"):
+        # row tracking: per-file [segment-relative offset, count] —
+        # immutable once staged (only the head's row_base shifts on a
+        # commit race)
+        detail["rows"] = seg["rows"]
+    if seg.get("rid"):
+        detail["rid"] = seg["rid"]
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     tmp = _seg_detail_path(table, ref) + ".tmp"
     with open(tmp, "w") as f:
@@ -274,6 +290,14 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         head["dv_rows"] = sum(
             int(v.get("n", 0)) for v in seg["dvs"].values()
         )
+    if seg.get("rows"):
+        # head-level so the commit loop can mint/adopt row_base without
+        # opening the detail it just wrote
+        head["rows_minted"] = sum(n for _, n in seg["rows"].values())
+        if seg.get("row_base") is not None:
+            head["row_base"] = seg["row_base"]
+    elif seg.get("rid"):
+        head["rows_minted"] = 0
     return head
 
 
@@ -673,6 +697,87 @@ def _write_dv_sidecar(table: str, files: dict[str, list]) -> str:
 def _seg_dvs(seg: dict) -> dict[str, dict]:
     """{relfile: {"ref", "n"}} for one RESOLVED segment ({} if none)."""
     return seg.get("dvs", {})
+
+
+# ---------------------------------------------------------------------------
+# Row tracking (row lineage for rewrite-exact CDC)
+# ---------------------------------------------------------------------------
+#: Physical column name materialized into REWRITTEN files so carried rows
+#: keep their ids across compaction/purge/CoW DML. Hidden from every
+#: reader surface (explicit-schema reads ignore it; the inference fast
+#: path drops it). Delta Lake's row tracking is the same split: fresh
+#: files get a manifest-assigned base (``row_base`` in the segment head +
+#: per-file ``[offset, n]`` in the immutable detail — ids are pure
+#: metadata, so a lost commit race just re-mints the base, never
+#: restages data), while rewrites materialize the ids they must preserve.
+ROW_ID_COL = "__row_id"
+#: Public column name row-id-aware scans attach.
+ROW_ID_OUT = "_row_id"
+
+
+def _collect_file_rows(table: str, files: list[str]) -> dict[str, int]:
+    """Exact per-file row counts from the parquet footers — zero data
+    I/O, threaded (commits stage tens of files, not thousands)."""
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _n(rel: str) -> int:
+        return pq.ParquetFile(os.path.join(table, rel)).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        return dict(zip(files, ex.map(_n, files)))
+
+
+def _attach_row_offsets(seg: dict, table: str) -> dict:
+    """Stamp row-tracking metadata onto a freshly-staged segment: every
+    file not already id-materialized gets a ``[segment-relative offset,
+    row count]`` entry under ``rows`` (offsets cumsum'd in file order —
+    they never change after staging, so they live in the immutable
+    detail; only the segment's absolute ``row_base`` is minted at commit
+    time). ``rows_minted`` (head-level) is what the commit loop adds to
+    the table's ``row_high``."""
+    rid = set(seg.get("rid", []))
+    counts = _collect_file_rows(
+        table, [f for f in seg["files"] if f not in rid]
+    )
+    rows: dict[str, list] = {}
+    off = 0
+    for f in seg["files"]:
+        if f in rid:
+            continue
+        n = counts[f]
+        rows[f] = [off, n]
+        off += n
+    out = {**seg, "rows": rows, "rows_minted": off}
+    return out
+
+
+def _seg_row_tracked(seg: dict) -> bool:
+    """True when EVERY file of a resolved segment carries row lineage:
+    a minted ``rows`` entry (needs the head's ``row_base``) or a
+    materialized ``__row_id`` column (listed in ``rid``)."""
+    rows = seg.get("rows", {})
+    rid = set(seg.get("rid", []))
+    if not all(f in rows or f in rid for f in seg["files"]):
+        return False
+    minted = [f for f in seg["files"] if f in rows and f not in rid]
+    return not minted or seg.get("row_base") is not None
+
+
+def _assign_row_bases(segments: list[dict], row_high: int):
+    """Mint absolute ``row_base`` values for the fresh segments of a
+    commit (those carrying ``rows_minted`` but no ``row_base`` yet) from
+    the table's high-water mark. Pure metadata — called INSIDE the
+    commit retry loops, so a lost race re-mints from the winner's mark
+    without touching any staged byte. Returns (segments, new_high)."""
+    out = []
+    high = row_high
+    for s in segments:
+        if s.get("row_base") is None and s.get("rows_minted"):
+            s = {**s, "row_base": high}
+            high += s["rows_minted"]
+        out.append(s)
+    return out, high
 
 
 def _dv_positions_df(spark: SparkSession, table: str, dv_map) -> DataFrame:
@@ -1577,6 +1682,13 @@ def _commit_new_segment(
     new_segment = {"files": new_files, "schema": df_schema, "stats": stats}
     if blooms:
         new_segment["blooms"] = blooms
+    # row tracking: per-file [offset, count] from the staged footers —
+    # offsets are segment-relative and race-stable, so they can live in
+    # the immutable detail; the absolute row_base is minted per attempt
+    # inside the loop below (pure metadata — a lost race re-mints, it
+    # never restages data, unlike IDENTITY whose ids are baked in)
+    new_segment = _attach_row_offsets(new_segment, table)
+    rows_minted = new_segment.pop("rows_minted")  # head recomputes it
     # shard ONCE, outside the retry loop: the new segment's detail
     # sidecar is version-independent, so a lost link race re-stages only
     # the tiny root, and the commit writes O(new files) detail bytes —
@@ -1750,6 +1862,11 @@ def _commit_new_segment(
             evolved = False
             segments = [new_segment]
             layout = declared_layout
+        # mint the new segment's absolute row base from the CURRENT
+        # high-water mark (per attempt: a lost race re-mints from the
+        # winner's mark — metadata only, nothing restages)
+        row_high = base.get("row_high", 0) if prev is not None else 0
+        new_segment["row_base"] = row_high
         manifest = {
             "version": version,
             "mode": mode,
@@ -1763,6 +1880,7 @@ def _commit_new_segment(
             "generated": generated,
             "unique": uniq,
             "identity": ident_new,
+            "row_high": row_high + rows_minted,
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -1779,22 +1897,63 @@ def _commit_new_segment(
 
 
 def _read_segments(
-    spark: SparkSession, table: str, manifest: dict
+    spark: SparkSession, table: str, manifest: dict,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Evolved-table read: per segment rename (alias map) → lossless cast
     to the table schema → unionByName with NULL fill for absent columns.
-    Column order pinned to the manifest schema."""
-    from pyspark.sql.types import StructType
+    Column order pinned to the manifest schema.
+
+    ``with_row_ids=True`` attaches the stable row id as ``__row_id``
+    (ROW_ID_COL): files that materialized the column (rewrites) read it
+    directly; freshly-minted files derive ``row_base + offset +
+    _metadata.row_index`` through one broadcast join on the (tiny)
+    per-file base map. Raises ValueError when any file lacks lineage
+    (pre-tracking segment) — callers fall back to untracked reads."""
+    from pyspark.sql.types import LongType, StructType
 
     target = StructType.fromJson(manifest["schema"])
     aliases = manifest.get("aliases", {})
+    bases: list[tuple[str, int]] = []
+    if with_row_ids:
+        for seg in _segments(manifest):
+            if not _seg_row_tracked(seg):
+                raise ValueError(
+                    f"{table}: segment files lack row lineage "
+                    "(written before row tracking); cannot attach row ids"
+                )
+            rmap = seg.get("rows", {})
+            rid = set(seg.get("rid", []))
+            for f in seg["files"]:
+                if f not in rid:
+                    off, _n = rmap[f]
+                    bases.append(
+                        (
+                            os.path.basename(f),
+                            int(seg["row_base"]) + int(off),
+                        )
+                    )
     out = None
     for seg in _segments(manifest):
         if not seg["files"]:
             continue
-        part = spark.read.schema(
-            StructType.fromJson(seg["schema"])
-        ).parquet(*[os.path.join(table, f) for f in seg["files"]])
+        schema = StructType.fromJson(seg["schema"])
+        if with_row_ids and ROW_ID_COL not in schema.names:
+            # materialized files carry the column; minted files
+            # NULL-fill under schema-on-read and derive from the base
+            schema = schema.add(ROW_ID_COL, LongType(), True)
+        part = spark.read.schema(schema).parquet(
+            *[os.path.join(table, f) for f in seg["files"]]
+        )
+        if with_row_ids:
+            # _metadata is only reachable on the raw file relation —
+            # capture BEFORE the dv anti-join's projection
+            part = part.withColumn(
+                "__rt_f",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            ).withColumn("__rt_ix", F.col("_metadata.row_index"))
         dvs = {
             rel: v
             for rel, v in _seg_dvs(seg).items()
@@ -1817,13 +1976,33 @@ def _read_segments(
             part, allowMissingColumns=True
         )
     if out is None:
-        return spark.createDataFrame([], target)
+        if not with_row_ids:
+            return spark.createDataFrame([], target)
+        return spark.createDataFrame([], target).withColumn(
+            ROW_ID_COL, F.lit(None).cast("long")
+        )
     for f in target.fields:
         # a column added by alter_add_column exists in the table schema
         # before ANY segment carries it — NULL-fill, same as an evolved
         # append would
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if with_row_ids:
+        base_df = spark.createDataFrame(
+            bases, "__rt_f string, __rt_b long"
+        )
+        out = (
+            out.join(F.broadcast(base_df), "__rt_f", "left")
+            .withColumn(
+                ROW_ID_COL,
+                F.coalesce(
+                    F.col(ROW_ID_COL), F.col("__rt_b") + F.col("__rt_ix")
+                ),
+            )
+        )
+        return out.select(
+            *[f.name for f in target.fields], ROW_ID_COL
+        )
     return out.select(*[f.name for f in target.fields])
 
 
@@ -2002,6 +2181,7 @@ def read_snapshot(
     skip_filter: dict[str, tuple] | None = None,
     as_of: float | None = None,
     point_filter: dict[str, list] | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """DataFrame pinned to one manifest (the latest unless ``version``
     or ``as_of`` — epoch seconds, resolved via :func:`version_as_of`).
@@ -2009,7 +2189,11 @@ def read_snapshot(
     ``skip_filter={col: (lo, hi)}`` prunes files via manifest statistics
     and ``point_filter={col: [values]}`` via stats + bloom sketches —
     pure optimizations; the caller still applies the real predicate
-    (None bounds are open-ended)."""
+    (None bounds are open-ended).
+
+    ``with_row_ids=True`` attaches ``_row_id`` — the stable row id row
+    tracking maintains across compaction/purge/CoW rewrites (Delta row
+    lineage). Raises ValueError on tables with pre-tracking segments."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version or as_of, not both")
@@ -2036,6 +2220,14 @@ def read_snapshot(
                 ),
             }
         segs.append(seg)
+    if with_row_ids:
+        out = _read_segments(
+            spark,
+            table,
+            {**manifest, "segments": segs},
+            with_row_ids=True,
+        )
+        return out.withColumnRenamed(ROW_ID_COL, ROW_ID_OUT)
     if manifest.get("schema_evolved") and "segments" in manifest:
         return _read_segments(
             spark, table, {**manifest, "segments": segs}
@@ -2062,6 +2254,10 @@ def read_snapshot(
     }
     if dv_map:
         out = _dv_filter(spark, table, out, dv_map)
+    if ROW_ID_COL in out.columns:
+        # rewritten files materialize their row ids as a physical
+        # column; the schema-INFERRED fast path must never leak it
+        out = out.drop(ROW_ID_COL)
     return out
 
 
@@ -2216,9 +2412,13 @@ def delete_where(
         # normalize candidates through the same rename/cast/union path a
         # read uses, so the predicate sees CURRENT column names/types
         # (and, via the DV-aware read, never resurrects a row a prior
-        # deletion vector already removed)
+        # deletion vector already removed). Surviving rows carry their
+        # row ids into the replacement files (keyed CDC cancels them).
         part = _read_segments(
-            spark, table, {**manifest, "segments": rewrite_segs}
+            spark,
+            table,
+            {**manifest, "segments": rewrite_segs},
+            with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
         )
         survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
         new_segment = _rewrite_segment(
@@ -2560,9 +2760,15 @@ def replace_where(
     carried, rewrite_segs = _split_for_rewrite(
         manifest, aliases, prune, None, table=table
     )
+    tracked = bool(rewrite_segs) and all(
+        _seg_row_tracked(s) for s in rewrite_segs
+    )
     survivors = (
         _read_segments(
-            spark, table, {**manifest, "segments": rewrite_segs}
+            spark,
+            table,
+            {**manifest, "segments": rewrite_segs},
+            with_row_ids=tracked,
         ).filter(~F.coalesce(predicate, F.lit(False)))
         if rewrite_segs
         else spark.createDataFrame([], target)
@@ -2575,9 +2781,13 @@ def replace_where(
         ).alias(f.name)
         for f in target.fields
     ]
+    if tracked:
+        # survivors carry their ids; the replacement slice is NEW rows
+        # (fresh identity — its files mint metadata bases)
+        ins_cols.append(F.lit(None).cast("long").alias(ROW_ID_COL))
     new_rows = survivors.unionByName(df.select(*ins_cols))
     new_segment = _rewrite_segment(
-        spark, table, manifest, rewrite_segs, new_rows
+        spark, table, manifest, rewrite_segs, new_rows, may_mint=tracked
     )
     segments = carried + [new_segment]
     return _commit_rewrite(
@@ -2629,55 +2839,48 @@ def _split_for_rewrite(
             carried.append(head)
             continue
         keep = [f for f in seg["files"] if f not in cand]
-        if keep:
-            part = {
-                **seg,
-                "files": keep,
+
+        def _trim(side: dict, members) -> dict:
+            # row-tracking maps trim with the files: per-file offsets
+            # are SEGMENT-relative and never renumber, so a partial
+            # keep preserves every kept file's (row_base + offset) ids
+            out = {
+                **side,
                 "stats": {
                     k: v
-                    for k, v in seg.get("stats", {}).items()
-                    if k in keep
+                    for k, v in side.get("stats", {}).items()
+                    if k in members
                 },
             }
-            if seg.get("blooms"):
-                part["blooms"] = {
-                    k: v for k, v in seg["blooms"].items() if k in keep
-                }
-            if seg.get("dvs"):
-                # kept files keep their deletion vectors; replaced
-                # files' vectors die with the files
-                kept_dvs = {
-                    k: v for k, v in seg["dvs"].items() if k in keep
-                }
-                if kept_dvs:
-                    part["dvs"] = kept_dvs
+            for extra in ("blooms", "dvs", "rows"):
+                if side.get(extra):
+                    sub = {
+                        k: v for k, v in side[extra].items() if k in members
+                    }
+                    if sub:
+                        out[extra] = sub
+                    else:
+                        out.pop(extra, None)
+            if side.get("rid"):
+                rid = [f for f in side["rid"] if f in members]
+                if rid:
+                    out["rid"] = rid
                 else:
-                    part.pop("dvs", None)
-            carried.append(part)
+                    out.pop("rid", None)
+            return out
+
+        if keep:
+            # kept files keep their deletion vectors; replaced files'
+            # vectors die with the files
+            carried.append({**_trim(seg, set(keep)), "files": keep})
         if cand:
             # The candidate segment must carry ONLY cand-file sidecar
             # state: a stale dv/stat/bloom entry for a file kept by the
             # carried part would be re-persisted by _dv_mark_deleted and
             # could later shadow the owning segment's newer ref.
-            cseg = {
-                **seg,
-                "files": sorted(cand),
-                "stats": {
-                    k: v
-                    for k, v in seg.get("stats", {}).items()
-                    if k in cand
-                },
-            }
-            for extra in ("blooms", "dvs"):
-                if seg.get(extra):
-                    sub = {
-                        k: v for k, v in seg[extra].items() if k in cand
-                    }
-                    if sub:
-                        cseg[extra] = sub
-                    else:
-                        cseg.pop(extra, None)
-            rewrite_segs.append(cseg)
+            rewrite_segs.append(
+                {**_trim(seg, cand), "files": sorted(cand)}
+            )
     return carried, rewrite_segs
 
 
@@ -2690,6 +2893,7 @@ def _rewrite_segment(
     schema: dict | None = None,
     changed_cols: "set[str] | None" = None,
     target_files: int | None = None,
+    may_mint: bool = False,
 ) -> dict:
     """Write ``rows`` as the replacement segment for ``rewrite_segs``,
     re-collecting file stats for every column the replaced files had
@@ -2807,7 +3011,27 @@ def _rewrite_segment(
         )
     elif target_files is not None:
         rows = rows.coalesce(max(1, target_files))
-    files_new = _write_data(rows, table)
+    # row tracking through rewrites: when the caller threaded __row_id
+    # (a CoW/compaction scan over a tracked table), the replacement
+    # files MATERIALIZE the ids — carried rows keep their identity so
+    # the keyed CDC diff cancels them by id instead of shuffling both
+    # snapshots. ``may_mint`` (merge) splits the NULL-id rows (fresh
+    # inserts) into their own files, which mint metadata bases like any
+    # append; id-carrying and id-minting rows never share a file.
+    rid_files: list[str] = []
+    if ROW_ID_COL in rows.columns:
+        if may_mint:
+            rid_files = _write_data(
+                rows.filter(F.col(ROW_ID_COL).isNotNull()), table
+            )
+            files_new = rid_files + _write_data(
+                rows.filter(F.col(ROW_ID_COL).isNull()).drop(ROW_ID_COL),
+                table,
+            )
+        else:
+            files_new = rid_files = _write_data(rows, table)
+    else:
+        files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
     # files — an insert-only merge whose pruning carried every old file
     # must still record stats on its fresh files, or skipping degrades.
@@ -2854,6 +3078,10 @@ def _rewrite_segment(
         )
         if blooms:
             out["blooms"] = blooms
+    if rid_files:
+        out["rid"] = rid_files
+    # non-materialized files mint metadata bases at commit time
+    out = _attach_row_offsets(out, table)
     return out
 
 
@@ -2952,6 +3180,7 @@ def _commit_rewrite(
         for c, (_exp, new) in identity_update.items():
             ident_final[c] = {**ident_final.get(c, {}), "high": new}
     carried_appends: list[dict] = []
+    row_high = manifest.get("row_high", 0)
     for _ in range(20):
         prev = _read_pointer(table)
         if prev != base:
@@ -3019,12 +3248,19 @@ def _commit_rewrite(
             if identity_update is not None:
                 for c, (_exp, new) in identity_update.items():
                     ident_final[c] = {**ident_final.get(c, {}), "high": new}
+            # adopt the interleaved commits' advanced row-id mark (their
+            # appends minted bases this rewrite must never reuse)
+            row_high = latest_m.get("row_high", 0)
             base = prev
+        # mint row bases for THIS rewrite's fresh segments per attempt
+        # (copies — a retried loop re-mints from the adopted mark, so a
+        # lost race can never double-assign an id range)
+        seg_final, row_high_new = _assign_row_bases(segments, row_high)
         new_manifest = {
             "version": prev + 1,
             "mode": mode,
             "parent": prev,
-            "segments": segments,
+            "segments": seg_final,
             "schema": table_schema,
             "schema_evolved": evolved,
             "aliases": aliases,
@@ -3033,6 +3269,7 @@ def _commit_rewrite(
             "generated": manifest.get("generated", {}),
             "unique": manifest.get("unique", {}),
             "identity": ident_final,
+            "row_high": row_high_new,
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -3119,8 +3356,12 @@ def update_where(
             return v
     new_segment = None
     if rewrite_segs:
+        tracked = all(_seg_row_tracked(s) for s in rewrite_segs)
         part = _read_segments(
-            spark, table, {**manifest, "segments": rewrite_segs}
+            spark,
+            table,
+            {**manifest, "segments": rewrite_segs},
+            with_row_ids=tracked,
         )
         matched = F.coalesce(predicate, F.lit(False))
         cols = []
@@ -3135,6 +3376,10 @@ def update_where(
                 )
             else:
                 cols.append(F.col(f.name))
+        if tracked:
+            # updated rows are the SAME logical rows: they keep their
+            # ids (the keyed CDC diff reports them as value changes)
+            cols.append(F.col(ROW_ID_COL))
         new_segment = _rewrite_segment(
             spark,
             table,
@@ -3665,8 +3910,16 @@ def merge_into(
         if v is not None:
             return v  # DV commit landed (auto fell through otherwise)
 
+    tracked = bool(rewrite_segs) and all(
+        _seg_row_tracked(s) for s in rewrite_segs
+    )
     part = (
-        _read_segments(spark, table, {**manifest, "segments": rewrite_segs})
+        _read_segments(
+            spark,
+            table,
+            {**manifest, "segments": rewrite_segs},
+            with_row_ids=tracked,
+        )
         if rewrite_segs
         else spark.createDataFrame([], target)
     )
@@ -3702,6 +3955,10 @@ def merge_into(
     survives = ~(matched & F.col("__s_del"))
     if when_not_matched_by_source == "delete":
         survives = survives & matched
+    if tracked:
+        # matched updates and unmatched carries are the same logical
+        # rows — both keep their ids through the rewrite
+        out_cols.append(F.col(ROW_ID_COL))
     rewritten = joined.filter(survives).select(*out_cols)
 
     new_rows = rewritten
@@ -3739,10 +3996,20 @@ def merge_into(
             ).alias(f.name)
             for f in target.fields
         ]
+        if tracked:
+            # not-matched inserts are NEW rows: NULL id here, the
+            # rewrite splits them into metadata-minting files
+            ins_cols.append(F.lit(None).cast("long").alias(ROW_ID_COL))
         new_rows = rewritten.unionByName(inserts.select(*ins_cols))
 
     new_segment = _rewrite_segment(
-        spark, table, manifest, rewrite_segs, new_rows, schema=schema_json
+        spark,
+        table,
+        manifest,
+        rewrite_segs,
+        new_rows,
+        schema=schema_json,
+        may_mint=tracked and bool(insert),
     )
     segments = carried + [new_segment]
     if identity_update is not None:
@@ -3768,6 +4035,8 @@ def merge_into(
                 ).alias(f.name)
                 for f in target.fields
             ]
+            if tracked:
+                cols2.append(F.lit(None).cast("long").alias(ROW_ID_COL))
             seg2 = _rewrite_segment(
                 spark,
                 table,
@@ -3775,6 +4044,7 @@ def merge_into(
                 rewrite_segs,
                 rewritten.unionByName(ins2.select(*cols2)),
                 schema=schema_json,
+                may_mint=tracked,
             )
             return carried + [seg2], iu
 
@@ -3798,6 +4068,131 @@ def merge_into(
         schema=schema_json, rebase=_append_commutes,
         identity_update=identity_update, restage=restage
     )
+
+
+#: Commit modes whose rewrites PRESERVE row lineage (carried rows
+#: materialize their ids; fresh rows mint) — eligible for the keyed CDC
+#: diff. Overwrite and rollback re-stamp identity wholesale and keep the
+#: value-canceling exceptAll semantics.
+_KEYED_CDC_MODES = frozenset(
+    {
+        "append",
+        "delete",
+        "update",
+        "merge",
+        "delete_dv",
+        "update_dv",
+        "merge_dv",
+        "compact",
+        "replace",
+    }
+)
+
+
+def _table_changes_keyed(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> "DataFrame | None":
+    """Row-id keyed diff between two versions — O(changed segments), the
+    row-tracking answer to CDC across rewrites (VERDICT r8 ask #1).
+
+    Plan: segments whose sidecar ref appears in BOTH endpoint roots are
+    IDENTICAL (files, vectors, lineage) and cancel without a read; the
+    remaining segments of each side scan WITH row ids, and one
+    full-outer join on the id classifies every row — id only on the new
+    side → insert, only on the old side → delete, both sides with equal
+    values → carried by a rewrite, cancels. A compaction's churn
+    vanishes for the cost of joining only the REWRITTEN bytes; the old
+    exceptAll fallback shuffled both full snapshots.
+
+    Returns None whenever the proof doesn't hold — a mode outside
+    ``_KEYED_CDC_MODES`` (overwrite/rollback re-mint identity), expired
+    history, pre-tracking segments, or map-typed columns (Spark defines
+    no equality on maps) — and the caller falls back to exceptAll."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    try:
+        modes = commit_modes(table, from_version, to_version)
+    except FileNotFoundError:
+        return None
+    if not modes or any(m not in _KEYED_CDC_MODES for m in modes):
+        return None
+    try:
+        to_root = _read_manifest_root(table, to_version)
+        from_root = _read_manifest_root(table, from_version)
+    except FileNotFoundError:
+        return None
+    shared = {
+        s["ref"] for s in _segments(to_root) if _is_seg_head(s)
+    } & {s["ref"] for s in _segments(from_root) if _is_seg_head(s)}
+
+    def _changed(root: dict) -> list[dict]:
+        return [
+            _resolve_seg(table, s)
+            for s in _segments(root)
+            if not (_is_seg_head(s) and s["ref"] in shared)
+        ]
+
+    cur_segs, prev_segs = _changed(to_root), _changed(from_root)
+    if not all(_seg_row_tracked(s) for s in cur_segs + prev_segs):
+        return None  # pre-tracking files in the diff scope: honest diff
+    if any(
+        "map<" in f.dataType.simpleString()
+        for root in (to_root, from_root)
+        for f in StructType.fromJson(root["schema"]).fields
+    ):
+        return None
+    new = _read_segments(
+        spark, table, {**to_root, "segments": cur_segs}, with_row_ids=True
+    ).withColumnRenamed(ROW_ID_COL, "__n_rid")
+    old = _read_segments(
+        spark,
+        table,
+        {**from_root, "segments": prev_segs},
+        with_row_ids=True,
+    ).withColumnRenamed(ROW_ID_COL, "__o_rid")
+    # schema harmonization, exactly the exceptAll branch's rules: pad
+    # old to new's types, surface old-only columns on the new side
+    new_types = dict(
+        (c, t) for c, t in new.dtypes if c != "__n_rid"
+    )
+    old_types = dict(
+        (c, t) for c, t in old.dtypes if c != "__o_rid"
+    )
+    for c, t in new_types.items():
+        if c not in old_types:
+            old = old.withColumn(c, F.lit(None).cast(t))
+        elif old_types[c] != t:
+            old = old.withColumn(c, F.col(c).cast(t))
+    for c in [c for c in old_types if c not in new_types]:
+        new = new.withColumn(c, F.lit(None).cast(old_types[c]))
+    data_cols = [c for c in new.columns if c != "__n_rid"]
+    n2 = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in data_cols], "__n_rid"
+    )
+    o2 = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols], "__o_rid"
+    )
+    j = n2.join(o2, F.col("__n_rid") == F.col("__o_rid"), "full_outer")
+    same = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}"))
+            for c in data_cols
+        ],
+        F.lit(True),
+    )
+    changed = j.filter(
+        F.col("__n_rid").isNull() | F.col("__o_rid").isNull() | ~same
+    )
+    inserts = changed.filter(F.col("__n_rid").isNotNull()).select(
+        *[F.col(f"__n_{c}").alias(c) for c in data_cols]
+    ).withColumn("_change_type", F.lit("insert"))
+    deletes = changed.filter(F.col("__o_rid").isNotNull()).select(
+        *[F.col(f"__o_{c}").alias(c) for c in data_cols]
+    ).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def table_changes(
@@ -3857,6 +4252,13 @@ def table_changes(
         return table_changes_physical(
             spark, table, from_version, to_version
         ).drop("_commit_version", "_commit_mode")
+    # Keyed row-id diff (r9): a range whose rewrites all preserved row
+    # lineage diffs on the STABLE ROW ID over only the CHANGED segments
+    # — a partial compaction/purge/CoW DML costs O(rewritten bytes), and
+    # its carried rows cancel by id, never a double-snapshot shuffle.
+    keyed = _table_changes_keyed(spark, table, from_version, to_version)
+    if keyed is not None:
+        return keyed
     new = read_snapshot(spark, table, version=to_version)
     old = read_snapshot(spark, table, version=from_version)
     new_types = dict(new.dtypes)
@@ -4148,10 +4550,11 @@ def rollback(table: str, version: int) -> int:
     target = _read_manifest_root(table, version)
     for _ in range(20):
         prev = _read_pointer(table)
-        # IDENTITY high-water marks never decrease: a RESTORE discards
-        # rows, not the promise that minted ids are never reissued —
-        # carry the LATEST marks, not the target's
-        latest_ident = _read_manifest_root(table, prev).get("identity", {})
+        # IDENTITY and row-id high-water marks never decrease: a RESTORE
+        # discards rows, not the promise that minted ids are never
+        # reissued — carry the LATEST marks, not the target's
+        latest_root = _read_manifest_root(table, prev)
+        latest_ident = latest_root.get("identity", {})
         manifest = {
             "version": prev + 1,
             "mode": f"rollback:{version}",
@@ -4165,6 +4568,7 @@ def rollback(table: str, version: int) -> int:
             "generated": target.get("generated", {}),
             "unique": target.get("unique", {}),
             "identity": latest_ident,
+            "row_high": latest_root.get("row_high", 0),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
@@ -4855,6 +5259,7 @@ def clone_table(
         "generated": m.get("generated", {}),
         "unique": m.get("unique", {}),
         "identity": m.get("identity", {}),
+        "row_high": m.get("row_high", 0),
         "committed_at": time.time(),
         "extra": {"cloned_from": src, "clone_source_version": version},
     }
@@ -5072,7 +5477,18 @@ def compact(
     recorded ``layout_files`` (fallback ``target_files``)."""
     base = _read_pointer(table)
     base_manifest = _read_manifest(table, base)
-    df = read_snapshot(spark, table, version=base)
+    # carried rows keep their ids through the compaction (materialized
+    # __row_id column) so the keyed CDC diff cancels the whole rewrite;
+    # a table with pre-tracking segments compacts untracked, preserving
+    # its exceptAll CDC semantics instead of reminting every row
+    tracked = all(
+        _seg_row_tracked(s) for s in _segments(base_manifest)
+    )
+    df = (
+        _read_segments(spark, table, base_manifest, with_row_ids=True)
+        if tracked
+        else read_snapshot(spark, table, version=base)
+    )
     layout = base_manifest.get("layout")
     if layout and all(c in df.columns for c in layout["by"]):
         clustered = _apply_layout(
@@ -5109,7 +5525,16 @@ def compact(
             for c in fb
         }
     )
-    seg_new = {"files": files, "schema": df.schema.jsonValue(), "stats": stats}
+    data_schema = (
+        df.drop(ROW_ID_COL).schema.jsonValue()
+        if tracked
+        else df.schema.jsonValue()
+    )
+    seg_new = {"files": files, "schema": data_schema, "stats": stats}
+    if tracked:
+        seg_new["rid"] = files  # every file materialized its row ids
+        seg_new = _attach_row_offsets(seg_new, table)
+        seg_new.pop("rows_minted", None)
     if bloom_cols:
         blooms = _enforce_bloom_budget(
             table,
@@ -5125,7 +5550,7 @@ def compact(
         "parent": base,
         "files": files,
         "segments": [seg_new],
-        "schema": df.schema.jsonValue(),
+        "schema": data_schema,
         # the rewrite materializes ONE uniform (merged) schema, so the
         # compacted version no longer needs the segment read path even if
         # its ancestors did
@@ -5136,6 +5561,9 @@ def compact(
         "generated": base_manifest.get("generated", {}),
         "unique": base_manifest.get("unique", {}),
         "identity": base_manifest.get("identity", {}),
+        # the mark carries: compaction mints nothing, but ids the
+        # lineage already consumed must never be reissued
+        "row_high": base_manifest.get("row_high", 0),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the
@@ -5209,13 +5637,21 @@ def compact_small_files(
                     p: v for p, v in seg.get("stats", {}).items() if p in keep
                 },
             }
-            if seg.get("blooms"):
-                sub["blooms"] = {
-                    p: v for p, v in seg["blooms"].items() if p in keep
-                }
+            for extra in ("blooms", "dvs", "rows"):
+                if seg.get(extra):
+                    sub[extra] = {
+                        p: v for p, v in seg[extra].items() if p in keep
+                    }
+            if seg.get("rid"):
+                sub["rid"] = [p for p in seg["rid"] if p in keep]
             out.append(sub)
     rows = _read_segments(
-        spark, table, {**manifest, "segments": rewrite_segs}
+        spark,
+        table,
+        {**manifest, "segments": rewrite_segs},
+        # bin-packed rows are carries: they keep their ids so the keyed
+        # CDC diff cancels a compaction to an EMPTY delta
+        with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
     )
     n_out = max(1, -(-sum(sizes[f] for f in victims) // target_bytes))
     new_segment = _rewrite_segment(
@@ -5278,38 +5714,44 @@ def reorg_purge(
             carried.append(head if head is not None else seg)
             continue
         keep = [f for f in seg["files"] if f not in victims]
-        if keep:
-            part = {
+
+        def _purge_trim(members) -> dict:
+            sub = {
                 **seg,
-                "files": keep,
                 "stats": {
-                    p: v for p, v in seg.get("stats", {}).items() if p in keep
+                    p: v
+                    for p, v in seg.get("stats", {}).items()
+                    if p in members
                 },
             }
+            for extra in ("blooms", "rows"):
+                if seg.get(extra):
+                    sub[extra] = {
+                        p: v for p, v in seg[extra].items() if p in members
+                    }
+            if seg.get("rid"):
+                sub["rid"] = [p for p in seg["rid"] if p in members]
+            return sub
+
+        if keep:
+            part = {**_purge_trim(set(keep)), "files": keep}
             part.pop("dvs", None)  # kept files are unshadowed by choice
-            if seg.get("blooms"):
-                part["blooms"] = {
-                    p: v for p, v in seg["blooms"].items() if p in keep
-                }
             carried.append(part)
         cseg = {
-            **seg,
+            **_purge_trim(victims),
             "files": sorted(victims),
-            "stats": {
-                p: v for p, v in seg.get("stats", {}).items() if p in victims
-            },
             "dvs": dvs,
         }
-        if seg.get("blooms"):
-            cseg["blooms"] = {
-                p: v for p, v in seg["blooms"].items() if p in victims
-            }
         rewrite_segs.append(cseg)
     if not rewrite_segs:
         return None
-    # survivors only: _read_segments applies the DV anti-join
+    # survivors only: _read_segments applies the DV anti-join; they are
+    # carries, so they keep their ids (keyed CDC cancels the purge)
     rows = _read_segments(
-        spark, table, {**manifest, "segments": rewrite_segs}
+        spark,
+        table,
+        {**manifest, "segments": rewrite_segs},
+        with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
     )
     victim_bytes = 0
     for seg in rewrite_segs:
