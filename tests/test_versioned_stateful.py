@@ -214,6 +214,33 @@ class VersionedModel(RuleBasedStateMachine):
         assert latest_version(self.table) == len(self.versions) - 1
 
     @invariant()
+    def cdc_fold_reaches_latest(self):
+        # r9 row tracking: folding table_changes(mid → latest) onto the
+        # mid snapshot must reproduce the latest state — whichever path
+        # the range takes (keyed row-id diff across compact/purge/DV/
+        # CoW lineages, physical delta, or the exceptAll fallback after
+        # a rollback). One probe per step, same budget rationale as
+        # a_past_version_replays.
+        if len(self.versions) < 2:
+            return
+        from wrtd_etl_spark.sources.versioned import table_changes
+
+        v = len(self.versions) // 2
+        rows = [
+            (r.k, r.v, r._change_type)
+            for r in table_changes(
+                self.spark, self.table, v, len(self.versions) - 1
+            ).collect()
+        ]
+        folded = dict(self.versions[v])
+        for k, val, ct in sorted(rows, key=lambda x: x[2] == "insert"):
+            if ct == "delete":
+                assert folded.pop(k) == val, (k, val)
+            else:
+                folded[k] = val
+        assert folded == self.model, f"CDC fold v{v}→latest diverged"
+
+    @invariant()
     def a_past_version_replays(self):
         if len(self.versions) < 2:
             return

@@ -3015,21 +3015,19 @@ def _rewrite_segment(
     # (a CoW/compaction scan over a tracked table), the replacement
     # files MATERIALIZE the ids — carried rows keep their identity so
     # the keyed CDC diff cancels them by id instead of shuffling both
-    # snapshots. ``may_mint`` (merge) splits the NULL-id rows (fresh
-    # inserts) into their own files, which mint metadata bases like any
-    # append; id-carrying and id-minting rows never share a file.
+    # snapshots. ``may_mint`` (merge/replace with fresh inserts): the
+    # NULL-id rows ride the SAME files (one write, the join never
+    # recomputes) and the files register metadata bases spanning their
+    # FULL row count — the read path's coalesce(__row_id, base +
+    # row_index) hands carried rows their materialized ids and minted
+    # rows the positional fallback, unique because carried rows simply
+    # never use their base slots (id-space gaps are free in an int64;
+    # uniqueness is the contract — Delta's fresh/materialized split).
     rid_files: list[str] = []
     if ROW_ID_COL in rows.columns:
-        if may_mint:
-            rid_files = _write_data(
-                rows.filter(F.col(ROW_ID_COL).isNotNull()), table
-            )
-            files_new = rid_files + _write_data(
-                rows.filter(F.col(ROW_ID_COL).isNull()).drop(ROW_ID_COL),
-                table,
-            )
-        else:
-            files_new = rid_files = _write_data(rows, table)
+        files_new = _write_data(rows, table)
+        if not may_mint:
+            rid_files = files_new
     else:
         files_new = _write_data(rows, table)
     # stat columns come from the WHOLE version, not just the rewritten
@@ -4249,9 +4247,28 @@ def table_changes(
     except FileNotFoundError:
         dv_only = False  # expired history below the range: honest diff
     if dv_only:
-        return table_changes_physical(
+        phys = table_changes_physical(
             spark, table, from_version, to_version
         ).drop("_commit_version", "_commit_mode")
+        # NET semantics repair (latent r8 bug, caught by the stateful
+        # model's CDC-fold invariant): the physical feed is per-COMMIT,
+        # so a row appended at v and DV-deleted at v' > v inside the
+        # range emits BOTH an insert and a delete — but this logical
+        # surface drops the version column, leaving the consumer no
+        # order to fold them in. Cancel opposing multiset pairs the way
+        # exceptAll endpoint semantics would: both sides are DELTA-
+        # sized, so the cancel costs O(changed rows), never a snapshot.
+        ins = phys.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        dels = phys.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        return ins.exceptAll(dels).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            dels.exceptAll(ins).withColumn("_change_type", F.lit("delete"))
+        )
     # Keyed row-id diff (r9): a range whose rewrites all preserved row
     # lineage diffs on the STABLE ROW ID over only the CHANGED segments
     # — a partial compaction/purge/CoW DML costs O(rewritten bytes), and
