@@ -2395,16 +2395,16 @@ def merge_dv_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_rewrite_fold",
     """
-    WITH v0 AS (
+    WITH sub AS (
         SELECT o_orderkey AS k, o_totalprice AS price
-        FROM orders WHERE o_orderkey % 2 = 0
+        FROM orders WHERE o_orderkey % 3 = 0
     ),
+    v0 AS (SELECT * FROM sub),
     final AS (
-        SELECT o_orderkey AS k,
-               CASE WHEN o_orderkey BETWEEN 1 AND 50
-                    THEN o_totalprice + 5.0
-                    ELSE o_totalprice END AS price
-        FROM orders WHERE o_orderkey % 89 <> 0
+        SELECT k,
+               CASE WHEN k BETWEEN 1 AND 50 THEN price + 5.0
+                    ELSE price END AS price
+        FROM sub WHERE k % 89 <> 0
         UNION ALL
         SELECT * FROM (
             VALUES (CAST(-1 AS BIGINT), 1.0), (CAST(-2 AS BIGINT), 2.0),
@@ -2421,15 +2421,15 @@ def merge_dv_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_rewrite_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-tracking keyed CDC across rewrites (r9 flagship,
     sources/versioned.table_changes → _table_changes_keyed): the
-    lineage snapshot(evens) → append(odds) → DV delete(k%89) →
-    COMPACT → CoW MERGE (update keys 1..50, insert 3 fresh) crosses a
-    full compaction, which used to force the exceptAll double-snapshot
-    fallback; with manifest row lineage (per-file ``row_base``+offset,
-    materialized ``__row_id`` through rewrites) the diff joins on the
-    STABLE ROW ID over changed segments only — compaction churn
-    cancels by id. The emitted change set equals DuckDB's value-level
-    symmetric diff between the two endpoint states (exact here because
-    every commit in the range is id-preserving), row for row."""
+    lineage snapshot → DV delete(k%89) → COMPACT → CoW MERGE (update
+    keys 1..50, insert 3 fresh) crosses a full compaction, which used
+    to force the exceptAll double-snapshot fallback; with manifest row
+    lineage (per-file ``row_base``+offset, materialized ``__row_id``
+    through rewrites) the diff joins on the STABLE ROW ID over changed
+    segments only — compaction churn cancels by id. The emitted change
+    set equals DuckDB's value-level symmetric diff between the two
+    endpoint states (exact here because every commit in the range is
+    id-preserving), row for row."""
     import os as _os
     import tempfile as _tf
 
@@ -2441,20 +2441,16 @@ def cdc_rewrite_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_totalprice").alias("price"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
     )
     t = _os.path.join(_tf.mkdtemp(prefix="wrtd_cdc_"), "tbl")
-    write_snapshot(
-        orders.filter(F.col("k") % 2 == 0).repartition(4),
-        t,
-        stats_cols=["k"],
-    )
-    write_snapshot(
-        orders.filter(F.col("k") % 2 == 1), t, mode="append",
-        stats_cols=["k"],
-    )
+    write_snapshot(orders.repartition(4), t, stats_cols=["k"])
     delete_where(spark, t, F.col("k") % 89 == 0, strategy="dv")
     compact(spark, t)
     upd = orders.filter((F.col("k") >= 1) & (F.col("k") <= 50)).select(

@@ -1988,17 +1988,30 @@ def _read_segments(
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     if with_row_ids:
-        base_df = spark.createDataFrame(
-            bases, "__rt_f string, __rt_b long"
-        )
-        out = (
-            out.join(F.broadcast(base_df), "__rt_f", "left")
-            .withColumn(
-                ROW_ID_COL,
-                F.coalesce(
-                    F.col(ROW_ID_COL), F.col("__rt_b") + F.col("__rt_ix")
-                ),
+        # per-file base lookup: a literal map expression for the common
+        # case (whole-stage codegen, no driver-side DataFrame — a tiny
+        # spark.createDataFrame costs ~300 ms of session round-trips in
+        # Spark 4, which dominated every CoW DML commit); past a few
+        # thousand files fall back to a broadcast join so the analyzed
+        # plan never carries a megabyte of literals
+        if not bases:
+            base_expr = F.lit(None).cast("long")
+        elif len(bases) <= 2048:
+            entries: list = []
+            for f, b in bases:
+                entries += [F.lit(f), F.lit(b)]
+            base_expr = F.element_at(
+                F.create_map(*entries), F.col("__rt_f")
             )
+        else:
+            base_df = spark.createDataFrame(
+                bases, "__rt_f string, __rt_b long"
+            )
+            out = out.join(F.broadcast(base_df), "__rt_f", "left")
+            base_expr = F.col("__rt_b")
+        out = out.withColumn(
+            ROW_ID_COL,
+            F.coalesce(F.col(ROW_ID_COL), base_expr + F.col("__rt_ix")),
         )
         return out.select(
             *[f.name for f in target.fields], ROW_ID_COL
