@@ -321,3 +321,63 @@ def test_text_index_append_folds_across_compaction(spark, tmp_path):
     # idempotent: a second refresh is a pure stamp
     v2 = refresh_text_index(spark, docs, idx)
     assert read_snapshot(spark, idx).count() == folded.count()
+
+
+def test_datasource_and_sql_surface_row_ids(spark, tmp_path):
+    """`read_versioned(with_row_ids=True)` (Arrow executors) equals
+    `read_snapshot(with_row_ids=True)` (JVM path) row-for-row across a
+    lineage with minted, materialized, AND mixed files — and the SQL
+    view exposes `_row_id` to plain spark.sql."""
+    from wrtd_etl_spark.sources.versioned_table import (
+        read_versioned,
+        register_versioned_view,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 80).repartition(2), t, stats_cols=["k"])
+    delete_where(spark, t, F.col("k").isin(5), strategy="dv", prune={"k": (5, 5)})
+    compact(spark, t)  # materialized-id files
+    merge_into(  # mixed file: carried ids + NULL-id insert
+        spark, t,
+        spark.createDataFrame([(7, 77), (900, 9)], "k long, v long"),
+        keys=["k"],
+    )
+    jvm = {
+        (r.k, r.v, r._row_id)
+        for r in read_snapshot(spark, t, with_row_ids=True).collect()
+    }
+    arrow = {
+        (r.k, r.v, r._row_id)
+        for r in read_versioned(spark, t, with_row_ids=True).collect()
+    }
+    assert arrow == jvm and len(jvm) == 80
+    # SQL surface
+    register_versioned_view(spark, "rt_view", t, with_row_ids=True)
+    got = {
+        (r.k, r._row_id)
+        for r in spark.sql(
+            "SELECT k, _row_id FROM rt_view WHERE k IN (7, 900)"
+        ).collect()
+    }
+    want = {(k, rid) for k, v, rid in jvm if k in (7, 900)}
+    assert got == want
+    # plain reads stay clean
+    assert read_versioned(spark, t).columns == ["k", "v"]
+
+
+def test_datasource_row_ids_refuse_untracked(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    import json
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10).coalesce(1), t)
+    root = V._read_manifest_root(t, 0)
+    p = os.path.join(t, "_manifests", V._segments(root)[0]["ref"])
+    d = json.load(open(p))
+    d.pop("rows", None)
+    with open(p, "w") as f:
+        json.dump(d, f)
+    with pytest.raises(Exception, match="row lineage"):
+        read_versioned(spark, t, with_row_ids=True).collect()

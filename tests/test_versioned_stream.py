@@ -510,3 +510,51 @@ def test_drain_changes_bounded_recovery_loop(spark, tmp_path):
         spark, t, sink, str(tmp_path / "ck"), max_versions_per_batch=5
     ) == 1
     assert len(rows) == n0
+
+
+def test_skip_compactions_emits_no_churn(spark, tmp_path):
+    """r9 (Delta CDF parity): ``skipCompactions`` subscribers get NO
+    events for carry-only rewrite commits — append → compact → append
+    delivers exactly the appended rows, and the fold equals the default
+    subscriber's (which still receives the cancellable churn)."""
+    from wrtd_etl_spark.sources.versioned import (
+        compact,
+        table_changes_physical,
+    )
+    from wrtd_etl_spark.sources.versioned_stream import read_changes_stream
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), t)
+    write_snapshot(_df(spark, 50, 80), t, mode="append")
+    compact(spark, t)  # v2: pure churn
+    write_snapshot(_df(spark, 80, 90), t, mode="append")
+
+    def drain(**kw):
+        rows = []
+
+        def sink(batch, _bid):
+            rows.extend(batch.collect())
+
+        q = (
+            read_changes_stream(spark, t, -1, **kw)
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck{len(kw)}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    skipped = drain(skip_compactions=True)
+    assert {r._commit_version for r in skipped} == {0, 1, 3}
+    assert sorted(r.k for r in skipped) == list(range(90))  # inserts only
+    assert all(r._change_type == "insert" for r in skipped)
+    noisy = drain()
+    assert 2 in {r._commit_version for r in noisy}  # default keeps churn
+    # batch twin
+    phys = table_changes_physical(spark, t, -1, skip_compactions=True)
+    assert {r._commit_version for r in phys.collect()} == {0, 1, 3}
+    assert phys.count() == 90

@@ -4314,6 +4314,7 @@ def table_changes_physical(
     from_version: int,
     to_version: int | None = None,
     skip_filter: dict[str, tuple] | None = None,
+    skip_compactions: bool = False,
 ) -> DataFrame:
     """Row-level multiset delta from the FILE diff of each commit in
     (from_version, to_version] — files added since the parent stream as
@@ -4446,6 +4447,10 @@ def table_changes_physical(
     pieces = []
     for v in range(max(from_version, -1) + 1, to_version + 1):
         m_root = _read_manifest_root(table, v)
+        if skip_compactions and m_root["mode"] == "compact" and v > 0:
+            # Delta CDF's OPTIMIZE behavior, batch-side: carry-only
+            # rewrites emit nothing instead of cancellable churn
+            continue
         p_root = _read_manifest_root(table, v - 1) if v > 0 else None
         cur_segs, prev_segs = _changed_segments(m_root, p_root)
         # membership sets stay UNPRUNED (a file moved between segments

@@ -197,7 +197,12 @@ def _rg_keep_groups(pf, rg_filter) -> "list[int] | None":
 
 
 def _load_file_table(
-    path: str, want, dv_drop=None, dv_take=None, rg_filter=None
+    path: str,
+    want,
+    dv_drop=None,
+    dv_take=None,
+    rg_filter=None,
+    row_ids: "tuple | None" = None,
 ):
     """One data file as a pyarrow Table with deletion vectors applied —
     the shared loader for the Arrow and per-row read paths (stream +
@@ -209,20 +214,60 @@ def _load_file_table(
     lookup on a clustered key reads 1). Callers pass it ONLY when no
     deletion vector rides the file: dv positions address rows by
     absolute ``_metadata.row_index``, and a skipped leading group would
-    shift every surviving position."""
+    shift every surviving position.
+
+    ``row_ids=(base,)`` (r9 row tracking): append a ``_row_id`` column
+    — the file's materialized ``__row_id`` where present, else
+    ``base + position`` — BEFORE any dv mask, so deletion vectors
+    filter the ids together with the rows. Disables row-group pruning
+    (positions must stay absolute)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    keep = None
-    if rg_filter is not None and dv_drop is None and dv_take is None:
+    if row_ids is not None:
+        from .versioned import ROW_ID_COL, ROW_ID_OUT
+
+        (base,) = row_ids
         pf = pq.ParquetFile(path)
-        keep = _rg_keep_groups(pf, rg_filter)
-        if keep is not None:
-            if keep:
-                return pf.read_row_groups(keep, columns=want)
-            empty = pf.schema_arrow.empty_table()
-            return empty.select(want) if want is not None else empty
-    tbl = pq.read_table(path, columns=want)
+        has_col = ROW_ID_COL in pf.schema_arrow.names
+        read_cols = want
+        if want is not None and has_col:
+            read_cols = list(want) + [ROW_ID_COL]
+        tbl = pq.read_table(path, columns=read_cols)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = tbl.num_rows
+        pos = (
+            pa.array(np.arange(n, dtype="int64") + int(base), pa.int64())
+            if base is not None
+            else None
+        )
+        if has_col and pos is not None:
+            ids = pc.coalesce(tbl.column(ROW_ID_COL), pos)
+        elif has_col:
+            ids = tbl.column(ROW_ID_COL).cast(pa.int64())
+        elif pos is not None:
+            ids = pos
+        else:
+            raise ValueError(
+                f"{path}: no row lineage (no materialized column, no "
+                "base) — the planner must refuse untracked files"
+            )
+        if has_col:
+            tbl = tbl.drop_columns([ROW_ID_COL])
+        tbl = tbl.append_column(ROW_ID_OUT, ids)
+    else:
+        keep = None
+        if rg_filter is not None and dv_drop is None and dv_take is None:
+            pf = pq.ParquetFile(path)
+            keep = _rg_keep_groups(pf, rg_filter)
+            if keep is not None:
+                if keep:
+                    return pf.read_row_groups(keep, columns=want)
+                empty = pf.schema_arrow.empty_table()
+                return empty.select(want) if want is not None else empty
+        tbl = pq.read_table(path, columns=want)
     if dv_take is not None:
         import numpy as np
 
@@ -264,7 +309,7 @@ def _to_file_rg_filter(col_map, rg_filter):
 
 def _file_arrays(
     path: str, col_map, arrow_schema, dv_drop=None, dv_take=None,
-    rg_filter=None,
+    rg_filter=None, row_ids=None,
 ):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
@@ -286,6 +331,7 @@ def _file_arrays(
         dv_drop,
         dv_take,
         rg_filter=_to_file_rg_filter(col_map, rg_filter),
+        row_ids=row_ids,
     )
     n = tbl.num_rows
     arrays = []
@@ -296,6 +342,10 @@ def _file_arrays(
             if src is None
             else tbl.column(src).cast(ftype).combine_chunks()
         )
+    if row_ids is not None:
+        from .versioned import ROW_ID_OUT
+
+        arrays.append(tbl.column(ROW_ID_OUT).combine_chunks())
     return arrays, n
 
 
@@ -348,6 +398,17 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxVersionsPerBatch must be >= 0, got {self.max_versions}"
             )
+        # Delta CDF parity: OPTIMIZE produces no change events. A
+        # "compact"-mode commit (compact / compact_small_files /
+        # reorg_purge) is carry-only BY CONSTRUCTION — its file diff is
+        # pure rewrite churn that any folding consumer must cancel —
+        # so a subscriber may skip those versions wholesale instead of
+        # paying to read, ship, and cancel them. Opt-in: the default
+        # keeps the historical per-commit multiset (noise included),
+        # which some consumers count on for byte-level auditing.
+        self.skip_compactions = (
+            str(options.get("skipCompactions", "false")).lower() == "true"
+        )
         # seeded HERE, not in initialOffset: the single-batch
         # availableNow fallback asks latestOffset before initialOffset
         self._last_end: int | None = self.start_v
@@ -439,6 +500,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
 
                 m_root = _read_manifest_root(self.table, v)
+                if (
+                    self.skip_compactions
+                    and m_root["mode"] == "compact"
+                    and v > 0
+                ):
+                    try:
+                        _read_manifest_root(self.table, v - 1)
+                        # carry-only rewrite: no CDC events (Delta CDF's
+                        # OPTIMIZE behavior). If the PARENT expired this
+                        # version doubles as the horizon snapshot and
+                        # must still deliver — fall through below.
+                        continue
+                    except FileNotFoundError:
+                        pass
                 if m_root["mode"] == "append" and v > 0:
                     try:
                         p_root = _read_manifest_root(self.table, v - 1)
@@ -701,6 +776,7 @@ def read_changes_stream(
     starting_version: int | str = -1,
     skip_filter: dict[str, tuple] | None = None,
     max_versions_per_batch: int = 0,
+    skip_compactions: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame over the table's change feed (registers the
     data source on first use). Columns = table schema +
@@ -715,7 +791,12 @@ def read_changes_stream(
     ``max_versions_per_batch`` bounds catch-up: a backlogged subscriber
     advances at most that many commits per planned batch (per RUN under
     ``availableNow``), so recovering a month of history never builds
-    one giant batch. 0 = unbounded."""
+    one giant batch. 0 = unbounded.
+
+    ``skip_compactions=True`` emits NOTHING for ``compact``-mode
+    commits (compact / bin-pack / reorg purge — carry-only rewrites):
+    Delta CDF's OPTIMIZE behavior. Folding subscribers get the same
+    final state without reading, shipping, and canceling the churn."""
     import json as _json
 
     spark.dataSource.register(VersionedChangesDataSource)
@@ -731,6 +812,8 @@ def read_changes_stream(
         )
     if max_versions_per_batch:
         r = r.option("maxVersionsPerBatch", str(max_versions_per_batch))
+    if skip_compactions:
+        r = r.option("skipCompactions", "true")
     return r.load()
 def checkpoint_last_offset(checkpoint: str) -> int | None:
     """Latest committed change-feed offset (end version) recorded in a

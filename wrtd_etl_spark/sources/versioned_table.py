@@ -88,7 +88,13 @@ class TableFile(InputPartition):
     """One pinned data file: read, project/cast to the table schema."""
 
     def __init__(
-        self, table: str, file: str, col_map, dv_drop=None, rg_filter=None
+        self,
+        table: str,
+        file: str,
+        col_map,
+        dv_drop=None,
+        rg_filter=None,
+        row_ids=None,
     ):
         self.table = table
         self.file = file
@@ -105,6 +111,10 @@ class TableFile(InputPartition):
         # because pushFilters is pruning-only: Spark re-applies every
         # pushed predicate on the returned rows.
         self.rg_filter = rg_filter
+        # (base,) when the read surfaces _row_id (r9 row tracking):
+        # the executor appends coalesce(materialized __row_id,
+        # base + position) before any dv mask. Disables rg pruning.
+        self.row_ids = row_ids
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -130,6 +140,19 @@ def _resolve(options) -> tuple[str, int, dict]:
     # detail per segment AFTER summary pruning — plan cost is
     # O(#segments + surviving detail), not O(table files)
     return table, v, _read_manifest_root(table, v)
+
+
+def _row_id_struct(manifest: dict):
+    """``_nullable_struct`` plus the row-tracking ``_row_id`` column —
+    the schema a ``with_row_ids`` read presents."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = _nullable_struct(manifest)
+    from .versioned import ROW_ID_OUT
+
+    return StructType(
+        list(base.fields) + [StructField(ROW_ID_OUT, LongType(), True)]
+    )
 
 
 def _nullable_struct(manifest: dict):
@@ -159,8 +182,15 @@ class VersionedTableReader(DataSourceReader):
         )
         pts = options.get("point_filter")
         self.point_filter = dict(json.loads(pts)) if pts else None
+        self.with_row_ids = (
+            str(options.get("with_row_ids", "false")).lower() == "true"
+        )
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
-        self._arrow_schema = _to_arrow_schema(_nullable_struct(manifest))
+        self._arrow_schema = _to_arrow_schema(
+            _row_id_struct(manifest)
+            if self.with_row_ids
+            else _nullable_struct(manifest)
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
         aliases = self.manifest.get("aliases", {})
@@ -192,7 +222,9 @@ class VersionedTableReader(DataSourceReader):
             cm = col_map(seg["schema"])
             dvs = seg.get("dvs", {})
             rg = None
-            if self.skip_filter or self.point_filter:
+            if (self.skip_filter or self.point_filter) and not (
+                self.with_row_ids
+            ):
                 rg = {}
                 if self.skip_filter:
                     rg["rng"] = {
@@ -202,6 +234,23 @@ class VersionedTableReader(DataSourceReader):
                     rg["pts"] = {
                         c: list(v) for c, v in self.point_filter.items()
                     }
+            row_base: dict[str, tuple] = {}
+            if self.with_row_ids:
+                from .versioned import _seg_row_tracked
+
+                if not _seg_row_tracked(seg):
+                    raise ValueError(
+                        f"{self.table}: segment files lack row lineage "
+                        "(written before row tracking); cannot attach "
+                        "row ids"
+                    )
+                rmap = seg.get("rows", {})
+                rb = seg.get("row_base")
+                for f in seg["files"]:
+                    if f in rmap:
+                        row_base[f] = (int(rb) + int(rmap[f][0]),)
+                    else:
+                        row_base[f] = (None,)  # materialized column only
             parts.extend(
                 TableFile(
                     self.table,
@@ -213,6 +262,7 @@ class VersionedTableReader(DataSourceReader):
                         else None
                     ),
                     rg_filter=None if f in dvs else rg,
+                    row_ids=row_base.get(f),
                 )
                 for f in files
             )
@@ -229,11 +279,13 @@ class VersionedTableReader(DataSourceReader):
                 self._arrow_schema,
                 dv_drop=partition.dv_drop,
                 rg_filter=partition.rg_filter,
+                row_ids=partition.row_ids,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
             )
             return
+        from .versioned import ROW_ID_OUT
         from .versioned_stream import _load_file_table, _to_file_rg_filter
 
         want = [s for _, s in partition.col_map if s is not None]
@@ -244,6 +296,7 @@ class VersionedTableReader(DataSourceReader):
             rg_filter=_to_file_rg_filter(
                 partition.col_map, partition.rg_filter
             ),
+            row_ids=partition.row_ids,
         )
         n = tbl.num_rows
         cols = {
@@ -251,6 +304,9 @@ class VersionedTableReader(DataSourceReader):
             for tgt, src in partition.col_map
         }
         names = [t for t, _ in partition.col_map]
+        if partition.row_ids is not None:
+            cols[ROW_ID_OUT] = tbl.column(ROW_ID_OUT).to_pylist()
+            names = names + [ROW_ID_OUT]
         for i in range(n):
             yield tuple(cols[t][i] for t in names)
 
@@ -354,6 +410,8 @@ class VersionedTableDataSource(DataSource):
 
     def schema(self):
         _, _, manifest = _resolve(self.options)
+        if str(self.options.get("with_row_ids", "false")).lower() == "true":
+            return _row_id_struct(manifest)
         return _nullable_struct(manifest)
 
     def reader(self, schema) -> VersionedTableReader:
@@ -377,13 +435,19 @@ def read_versioned(
     as_of: float | None = None,
     skip_filter: dict[str, tuple] | None = None,
     point_filter: dict[str, list] | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """DataFrame over the registered batch source — ``read_snapshot``
     semantics (time travel, stats pruning) through the DataSource API.
     When the session has ``spark.sql.python.filterPushdown.enabled``,
     the pushdown reader is selected automatically and plain ``.filter``
     predicates prune files via manifest stats with no explicit
-    ``skip_filter``."""
+    ``skip_filter``.
+
+    ``with_row_ids=True`` appends ``_row_id`` — the stable row-tracking
+    id (r9) — so pure-SQL consumers can do keyed incremental work over
+    pinned views. Raises on tables with pre-tracking segments; disables
+    row-group pruning (ids are positional)."""
     spark.dataSource.register(VersionedTableDataSource)
     r = spark.read.format("versioned_table").option("path", table)
     try:
@@ -412,6 +476,8 @@ def read_versioned(
             "point_filter",
             json.dumps({c: list(v) for c, v in point_filter.items()}),
         )
+    if with_row_ids:
+        r = r.option("with_row_ids", "true")
     return r.load()
 
 
@@ -421,13 +487,18 @@ def register_versioned_view(
     table: str,
     version: int | None = None,
     as_of: float | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Pin the (latest unless ``version``/``as_of``) snapshot as a temp
     view so plain ``spark.sql`` joins versioned tables like any other
     relation. The view stays pinned to the version resolved NOW — later
     commits don't move it (re-register to advance), which is exactly the
-    reader-isolation contract of the manifest design."""
-    df = read_versioned(spark, table, version=version, as_of=as_of)
+    reader-isolation contract of the manifest design.
+    ``with_row_ids=True`` exposes the stable ``_row_id`` to SQL."""
+    df = read_versioned(
+        spark, table, version=version, as_of=as_of,
+        with_row_ids=with_row_ids,
+    )
     df.createOrReplaceTempView(name)
     return df
 
