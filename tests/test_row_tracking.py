@@ -381,3 +381,43 @@ def test_datasource_row_ids_refuse_untracked(spark, tmp_path):
         json.dump(d, f)
     with pytest.raises(Exception, match="row lineage"):
         read_versioned(spark, t, with_row_ids=True).collect()
+
+
+def test_row_tracking_edge_cases(spark, tmp_path):
+    """Empty-table merge, zero-row commits, ALTER inside a diff range —
+    the lineage machinery degrades cleanly at every edge."""
+    from wrtd_etl_spark.sources.versioned import (
+        alter_add_column,
+        alter_drop_column,
+    )
+
+    # merge into an EMPTY tracked table: no candidates → inserts mint
+    t = str(tmp_path / "empty")
+    write_snapshot(_df(spark, 0, 0), t)
+    merge_into(spark, t, _df(spark, 0, 5), keys=["k"])
+    assert sorted(_ids(spark, t).values()) == list(range(5))
+    # a props-style empty append advances nothing and diffs empty
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(_df(spark, 0, 20).coalesce(1), t2, stats_cols=["k"])
+    write_snapshot(_df(spark, 0, 0), t2, mode="append")
+    assert V._read_manifest_root(t2, 1)["row_high"] == 20
+    assert table_changes(spark, t2, 0, 1).count() == 0
+    # ALTER inside the diff range: keyed diff still folds
+    alter_add_column(spark, t2, "tag", "string")
+    write_snapshot(
+        spark.createDataFrame([(100, 1, "x")], "k long, v long, tag string"),
+        t2,
+        mode="append",
+    )
+    compact(spark, t2)
+    alter_drop_column(t2, "tag")
+    rows = [
+        (r.k, r._change_type)
+        for r in table_changes(spark, t2, 0).collect()
+    ]
+    # the added-then-dropped column nets out; only the append surfaces
+    ins = [k for k, ct in rows if ct == "insert"]
+    dels = [k for k, ct in rows if ct == "delete"]
+    assert ins == [100] and dels == []
+    # ids still dense + stable through the ALTER lineage
+    assert sorted(_ids(spark, t2).values()) == list(range(21))
