@@ -1,0 +1,195 @@
+"""Incremental re-clustering (sources/versioned.recluster): only the
+files that hurt pruning on the recorded layout keys are rewritten;
+well-clustered files carry by reference. The liquid-clustering
+maintenance shape — victim choice is metadata-only (stats-box volume
+vs the ideal per-file share of the key-space)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.sources.versioned import (
+    delete_where,
+    files_for_read,
+    latest_version,
+    manifest_info,
+    maybe_compact,
+    read_snapshot,
+    recluster,
+    table_changes,
+    write_snapshot,
+)
+
+
+def _rows(spark, t, **kw):
+    return sorted((r.k, r.v) for r in read_snapshot(spark, t, **kw).collect())
+
+
+def _mk_clustered(spark, t, n=20000, files=4):
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k long, v string"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=files,
+    )
+
+
+def test_recluster_rewrites_only_the_wide_tail(spark, tmp_path):
+    """A well-sized but UNclustered append (full key range) is the case
+    size-based bin-packing can never repair: recluster folds exactly
+    those files back into the curve and carries the clustered base by
+    reference."""
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t)
+    base_files, _ = files_for_read(t)
+    # two appends spanning the whole key range — unclustered by design
+    for off in (0, 1):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i * 2 + off, "tail") for i in range(10000)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    want = _rows(spark, t)
+    v = recluster(spark, t)
+    assert v == latest_version(t)
+    assert manifest_info(t)["mode"] == "compact"
+    after, _ = files_for_read(t)
+    for f in base_files:
+        assert f in after  # clustered base carried BY REFERENCE
+    assert _rows(spark, t) == want  # rows bit-identical
+    # pruning restored: a narrow range read opens few files
+    kept, total = files_for_read(t, skip_filter={"k": (100, 200)})
+    assert total >= 6 and len(kept) <= 2
+
+
+def test_recluster_noop_on_well_clustered_table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t)
+    assert recluster(spark, t) is None
+    # and on a table with no recorded layout at all
+    t2 = str(tmp_path / "flat")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        t2,
+        stats_cols=["k"],
+    )
+    assert recluster(spark, t2) is None
+
+
+def test_recluster_folds_small_files_in_the_same_commit(spark, tmp_path):
+    """small_bytes folds the bin-pack victims into the ONE rewrite:
+    a maintenance pass repairs layout and file size together."""
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t)
+    write_snapshot(  # wide append
+        spark.createDataFrame(
+            [(i * 3, "tail") for i in range(8000)], "k long, v string"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    write_snapshot(  # tiny append (narrow span, small file)
+        spark.createDataFrame([(7, "tiny")], "k long, v string"),
+        t,
+        mode="append",
+    )
+    files0, _ = files_for_read(t)
+    sizes = {f: os.path.getsize(os.path.join(t, f)) for f in files0}
+    tiny = min(sizes, key=sizes.get)
+    want = _rows(spark, t)
+    v0 = latest_version(t)
+    v = recluster(spark, t, small_bytes=sizes[tiny] + 1)
+    assert v == v0 + 1  # ONE commit
+    after, _ = files_for_read(t)
+    assert tiny not in after  # the small file folded too
+    assert _rows(spark, t) == want
+
+
+def test_recluster_through_deletion_vectors(spark, tmp_path):
+    """A DV-shadowed victim rewrites to its survivors; the vectors on
+    rewritten files are gone afterwards."""
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t, n=5000)
+    for off in (1, 3):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i * 4 + off, "tail") for i in range(3000)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    delete_where(
+        spark,
+        t,
+        (F.col("v") == "tail") & (F.col("k") % 10 == 1),
+        strategy="dv",
+    )
+    want = _rows(spark, t)
+    assert recluster(spark, t) is not None
+    assert _rows(spark, t) == want
+    # the rewrite materialized survivors: no vector shadows any
+    # rewritten file (wide tail files were the only shadowed ones)
+    import wrtd_etl_spark.sources.versioned as V
+
+    root = V._read_manifest_root(t, latest_version(t))
+    assert all(
+        (s.get("dv_rows", 0) if V._is_seg_head(s) else len(s.get("dvs", {})))
+        == 0
+        for s in V._segments(root)
+    )
+
+
+def test_recluster_is_carry_only_for_cdc(spark, tmp_path):
+    """On a row-tracked table the keyed CDC diff cancels a recluster to
+    an EMPTY logical delta — subscribers pay nothing for maintenance."""
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t, n=5000)
+    for off in (0, 2):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i * 4 + off, "tail") for i in range(2000)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    v_before = latest_version(t)
+    v = recluster(spark, t)
+    assert v is not None
+    delta = table_changes(spark, t, v_before + 1, v)
+    assert delta.count() == 0
+
+
+def test_maybe_compact_routes_clustered_tables_to_recluster(
+    spark, tmp_path, monkeypatch
+):
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t, n=4000)
+    write_snapshot(
+        spark.createDataFrame(
+            [(i * 2, "tail") for i in range(4000)], "k long, v string"
+        ).coalesce(1),
+        t,
+        mode="append",
+    )
+    called = {}
+    real = V.recluster
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "recluster", spy)
+    v = maybe_compact(spark, t, max_files=1, small_bytes=1 << 20)
+    assert called.get("yes") and v is not None

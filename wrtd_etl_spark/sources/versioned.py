@@ -5656,6 +5656,27 @@ def compact_small_files(
     victims = {f for f, s in sizes.items() if s < small_bytes}
     if len(victims) < 2:
         return None
+    return _rewrite_victims(spark, table, base, manifest, victims, target_bytes)
+
+
+def _rewrite_victims(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    manifest: dict,
+    victims: set,
+    target_bytes: int,
+    min_files: int = 1,
+) -> int:
+    """Shared tail of the incremental-OPTIMIZE family (bin-pack /
+    recluster): split every segment around ``victims``, read ONLY the
+    victim rows (through their deletion vectors), rewrite them as one
+    fresh segment re-clustered along the recorded layout, and commit as
+    an append-commuting ``compact``. ``min_files`` floors the output
+    count (recluster keeps the recorded layout granularity even when
+    the victim bytes would pack into fewer files — a single wide output
+    file would still be row-group-prunable, but file-level skipping is
+    the cheaper first gate)."""
     carried: list[dict] = []
     rewrite_segs: list[dict] = []
     for seg in _segments(manifest):
@@ -5684,11 +5705,14 @@ def compact_small_files(
         spark,
         table,
         {**manifest, "segments": rewrite_segs},
-        # bin-packed rows are carries: they keep their ids so the keyed
+        # rewritten rows are carries: they keep their ids so the keyed
         # CDC diff cancels a compaction to an EMPTY delta
         with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
     )
-    n_out = max(1, -(-sum(sizes[f] for f in victims) // target_bytes))
+    victim_bytes = sum(
+        os.path.getsize(os.path.join(table, f)) for f in victims
+    )
+    n_out = max(1, min_files, -(-victim_bytes // target_bytes))
     new_segment = _rewrite_segment(
         spark,
         table,
@@ -5706,6 +5730,135 @@ def compact_small_files(
         "compact",
         # a pure layout rewrite commutes with ANY concurrent append
         rebase=lambda seg: True,
+    )
+
+
+def _stat_rank(v) -> float | None:
+    """Python mirror of :func:`_layout_num_expr` over MANIFEST stat
+    values (already JSON-native via ``_json_val``): numerics/booleans
+    rank as themselves; strings — including the isoformat encodings of
+    dates/timestamps, whose lexicographic order IS chronological — rank
+    by their first 7 UTF-8 bytes read big-endian. Ranking only (victim
+    CHOICE for maintenance); correctness never depends on it."""
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return float(
+            int.from_bytes(v.encode("utf-8")[:7].ljust(7, b"\x00"), "big")
+        )
+    return None
+
+
+def recluster(
+    spark: SparkSession,
+    table: str,
+    width_factor: float = 4.0,
+    small_bytes: int | None = None,
+    target_bytes: int = 128 << 20,
+) -> int | None:
+    """Incremental OPTIMIZE for CLUSTERING (the liquid-clustering
+    maintenance shape): rewrite ONLY the files that hurt pruning on the
+    table's recorded ``layout_by`` keys; every well-clustered file
+    carries by reference, untouched.
+
+    Appends to a clustered table ingest UNclustered by design (fast
+    ingest; maintenance re-clusters) — but the repair used to be either
+    :func:`compact` (a full-table rewrite, a non-starter at 100 TB) or
+    :func:`compact_small_files` (victims by SIZE only, so a well-sized
+    unclustered batch append never folds back into the curve and
+    ``skip_filter`` pruning decays permanently). Victim choice here is
+    metadata-only, from the per-file min/max stats the manifests
+    already carry: normalize each file's stats-box to the table-wide
+    key range and take its VOLUME across the layout keys — a clustered
+    file occupies ~1/n of the key-space, an unclustered one ~all of it.
+    A file is a victim when
+
+        volume > width_factor / n_live_files
+
+    i.e. its box claims more than ``width_factor`` times the ideal
+    per-file share. A key with no stats on a file counts as
+    span 1.0 in that dimension, so stat-less files (unprunable on the
+    cluster keys) volunteer naturally; a key whose TABLE span is zero
+    contributes span 0 (every file is perfectly clustered in a
+    constant dimension). ``small_bytes`` folds the bin-pack victims
+    into the SAME single rewrite commit, so one maintenance pass
+    repairs both layout and file size. Needs >= 2 victims (rewriting
+    one file alone cannot narrow it below the recorded layout's file
+    cap); returns the new version or None.
+
+    Honest cost shape: O(victim bytes) data I/O + O(#segments)
+    metadata. When MOST of the table is unclustered the victim set
+    approaches the whole table and this degrades to :func:`compact` —
+    the repair is genuinely that big; run maintenance often enough
+    that it isn't. Commits as mode ``compact`` (carry-only), so
+    ``skipCompactions`` change-feed subscribers see nothing and the
+    keyed CDC diff cancels it on row-tracked tables."""
+    base = _read_pointer(table)
+    if base is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    manifest = _read_manifest(table, base)
+    layout = manifest.get("layout")
+    if not layout:
+        return None  # nothing to recluster toward
+    keys = layout["by"]
+    boxes: dict[str, dict[str, tuple[float, float] | None]] = {}
+    for seg in _segments(manifest):
+        stats = seg.get("stats", {})
+        for f in seg["files"]:
+            spans: dict[str, tuple[float, float] | None] = {}
+            for c in keys:
+                mm = stats.get(f, {}).get(c)
+                lo = _stat_rank(mm[0]) if mm else None
+                hi = _stat_rank(mm[1]) if mm else None
+                spans[c] = (lo, hi) if lo is not None and hi is not None else None
+            boxes[f] = spans
+    n_live = len(boxes)
+    if n_live < 2:
+        return None
+    t_lo = {c: min((s[c][0] for s in boxes.values() if s[c]), default=None) for c in keys}
+    t_hi = {c: max((s[c][1] for s in boxes.values() if s[c]), default=None) for c in keys}
+    wide: set[str] = set()
+    for f, spans in boxes.items():
+        volume = 1.0
+        for c in keys:
+            if t_lo[c] is None or t_hi[c] == t_lo[c]:
+                volume *= 0.0  # constant (or fully stat-less) dimension
+            elif spans[c] is None:
+                volume *= 1.0  # no stats: unprunable, claims everything
+            else:
+                volume *= (spans[c][1] - spans[c][0]) / (t_hi[c] - t_lo[c])
+        if volume > width_factor / n_live:
+            wide.add(f)
+    victims = set(wide)
+    if small_bytes is not None:
+        victims |= {
+            f
+            for f in boxes
+            if os.path.getsize(os.path.join(table, f)) < small_bytes
+        }
+    if len(victims) < 2:
+        # a LONE wide file stays (splitting it, then bin-packing the
+        # narrow smalls back together, would churn forever on a table
+        # receiving no new data) — the honest steady-state remainder,
+        # same shape as Delta OPTIMIZE's one partial file
+        return None
+    return _rewrite_victims(
+        spark,
+        table,
+        base,
+        manifest,
+        victims,
+        target_bytes,
+        # when a WIDE victim is being folded back, keep the recorded
+        # clustering granularity: collapsing full-range rows below
+        # layout_files files would trade file-level skipping for
+        # row-group-level — the wrong direction for a maintenance pass
+        # whose whole point is restoring pruning. A pure small-file
+        # fold (no wide victim) packs by bytes alone, exactly like
+        # compact_small_files.
+        min_files=(layout.get("files") or 1) if wide else 1,
     )
 
 
@@ -5880,6 +6033,17 @@ def maybe_compact(
             # vectors already gone but the file count still trips:
             # fall through to the size-triggered path
         if small_bytes is not None:
+            if root.get("layout"):
+                # clustered table: one rewrite commit repairs BOTH the
+                # small-file tail and the unclustered (wide-stats-box)
+                # tail — bin-packing alone would leave well-sized
+                # unclustered appends eroding skip_filter forever
+                return recluster(
+                    spark,
+                    table,
+                    small_bytes=small_bytes,
+                    target_bytes=target_bytes,
+                )
             return compact_small_files(
                 spark,
                 table,
