@@ -2463,3 +2463,48 @@ def cdc_rewrite_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(spark, t, 0).withColumnRenamed(
         "_change_type", "change"
     )
+
+
+@register(
+    "recluster_maintenance",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price
+    FROM orders
+    """,
+)
+def recluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-clustering (sources/versioned.recluster, the r9
+    liquid-clustering maintenance shape): a Z-clustered base ingests
+    two well-sized but UNclustered appends — the case size-based
+    bin-packing can never repair — and maintenance folds exactly those
+    files back into the curve from METADATA-ONLY victim choice (each
+    file's stats-box volume vs the ideal per-file share of the key
+    space), carrying every well-clustered base file by reference. The
+    oracle is DuckDB over all of orders: maintenance must be
+    row-invisible — full row-level equality after the rewrite. File
+    carry, pruning restoration, and the empty keyed CDC delta are
+    pinned in tests/test_recluster.py."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import read_snapshot, recluster, write_snapshot
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_recl_"), "tbl")
+    write_snapshot(
+        orders.filter(F.col("k") % 2 == 0),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )
+    for rem in (1, 3):
+        write_snapshot(
+            orders.filter(F.col("k") % 4 == rem).coalesce(1),
+            t,
+            mode="append",
+        )
+    recluster(spark, t)
+    return read_snapshot(spark, t)
