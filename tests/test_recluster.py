@@ -193,3 +193,68 @@ def test_maybe_compact_routes_clustered_tables_to_recluster(
     monkeypatch.setattr(V, "recluster", spy)
     v = maybe_compact(spark, t, max_files=1, small_bytes=1 << 20)
     assert called.get("yes") and v is not None
+
+
+def test_recluster_victim_scan_is_two_tier(spark, tmp_path, monkeypatch):
+    """Victim SCREENING is root-only: narrow sharded segments (their
+    coarse summary box already under the victim threshold) never
+    resolve their detail sidecar and their heads carry byte-for-byte
+    into the new manifest — the reorg_purge discipline. Only the
+    possible-victim segments (wide summary box) open detail."""
+    import wrtd_etl_spark.sources.versioned as V
+
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t)  # 1 segment, 4 narrow files, WIDE box
+    # six narrow disjoint appends: each segment's box spans 1/20th
+    for i in range(6):
+        lo = i * 1000
+        write_snapshot(
+            spark.createDataFrame(
+                [(k, "nar") for k in range(lo, lo + 1000)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    # two wide appends: full-range boxes, the victims
+    for off in (0, 1):
+        write_snapshot(
+            spark.createDataFrame(
+                [(k * 2 + off, "tail") for k in range(10000)],
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    root_before = V._read_manifest_root(t, latest_version(t))
+    narrow_refs = {
+        s["ref"]
+        for s in V._segments(root_before)
+        if V._is_seg_head(s) and s["n_files"] == 1 and s.get("bytes", 0)
+        and (lambda mm: mm and mm[1] - mm[0] < 2000)(
+            (s.get("summary") or {}).get("k")
+        )
+    }
+    assert len(narrow_refs) == 6
+    want = _rows(spark, t)
+    real = V._resolve_seg
+    opened = []
+
+    def counting(table, seg):
+        if V._is_seg_head(seg):
+            opened.append(seg["ref"])
+        return real(table, seg)
+
+    monkeypatch.setattr(V, "_resolve_seg", counting)
+    v = recluster(spark, t)
+    assert v is not None
+    # no narrow segment's sidecar ever opened during the whole rewrite
+    assert not (set(opened) & narrow_refs), opened
+    # and their heads carried by reference into the new root
+    root_after = V._read_manifest_root(t, v)
+    after_refs = {
+        s["ref"] for s in V._segments(root_after) if V._is_seg_head(s)
+    }
+    assert narrow_refs <= after_refs
+    monkeypatch.setattr(V, "_resolve_seg", real)
+    assert _rows(spark, t) == want

@@ -5680,6 +5680,12 @@ def _rewrite_victims(
     carried: list[dict] = []
     rewrite_segs: list[dict] = []
     for seg in _segments(manifest):
+        if _is_seg_head(seg):
+            # an unresolved head carries byte-for-byte: the caller only
+            # leaves a segment sharded when its victim scan proved no
+            # file inside can be a victim (reorg_purge's carry shape)
+            carried.append(seg)
+            continue
         for keep, out in (
             ([f for f in seg["files"] if f not in victims], carried),
             ([f for f in seg["files"] if f in victims], rewrite_segs),
@@ -5788,56 +5794,116 @@ def recluster(
     one file alone cannot narrow it below the recorded layout's file
     cap); returns the new version or None.
 
-    Honest cost shape: O(victim bytes) data I/O + O(#segments)
-    metadata. When MOST of the table is unclustered the victim set
-    approaches the whole table and this degrades to :func:`compact` —
-    the repair is genuinely that big; run maintenance often enough
-    that it isn't. Commits as mode ``compact`` (carry-only), so
-    ``skipCompactions`` change-feed subscribers see nothing and the
-    keyed CDC diff cancels it on row-tracked tables."""
+    Two-tier cost shape (the ``reorg_purge`` discipline): victim
+    SCREENING is root-only — a sharded segment whose coarse summary box
+    is already narrower than the victim threshold cannot contain a wide
+    file (file boxes nest inside their segment box), so its detail
+    sidecar never opens and its head carries byte-for-byte. Detail
+    resolves only for segments that MAY hold victims: summary missing a
+    layout key (some file is stat-less), summary volume over threshold,
+    or (with ``small_bytes``) average file size under 4× the small
+    bound — so an 800k-file table with a 10-file unclustered tail opens
+    ~1 sidecar, not 800. The avg-size gate can miss a lone tiny file
+    hiding in a big-avg segment; a lone small file is harmless (the
+    same reason the <2-victim guard exists) and a tail of them drags
+    the average down into the gate. Data I/O is O(victim bytes). When
+    MOST of the table is unclustered the victim set approaches the
+    whole table and this degrades to :func:`compact` — the repair is
+    genuinely that big; run maintenance often enough that it isn't.
+    Commits as mode ``compact`` (carry-only), so ``skipCompactions``
+    change-feed subscribers see nothing and the keyed CDC diff cancels
+    it on row-tracked tables."""
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    manifest = _read_manifest(table, base)
-    layout = manifest.get("layout")
+    root = _read_manifest_root(table, base)
+    layout = root.get("layout")
     if not layout:
         return None  # nothing to recluster toward
     keys = layout["by"]
-    boxes: dict[str, dict[str, tuple[float, float] | None]] = {}
-    for seg in _segments(manifest):
+
+    def _span(summ: dict, c: str) -> "tuple[float, float] | None":
+        mm = summ.get(c)
+        lo = _stat_rank(mm[0]) if mm else None
+        hi = _stat_rank(mm[1]) if mm else None
+        return (lo, hi) if lo is not None and hi is not None else None
+
+    # tier 1 — root only: totals and the table-wide key range from the
+    # heads' coarse summaries (inline legacy segments compute their
+    # union in place; they are already in the root, nothing to save)
+    seg_boxes: list[tuple[dict, dict, int, int]] = []
+    for seg in _segments(root):
+        if _is_seg_head(seg):
+            summ, n_f, nbytes = seg.get("summary") or {}, seg["n_files"], seg.get("bytes", 0)
+        else:
+            summ = _seg_summary(seg.get("stats", {}), len(seg["files"]))
+            n_f = len(seg["files"])
+            nbytes = sum(
+                os.path.getsize(os.path.join(table, f)) for f in seg["files"]
+            )
+        seg_boxes.append((seg, {c: _span(summ, c) for c in keys}, n_f, nbytes))
+    n_live = sum(n_f for _, _, n_f, _ in seg_boxes)
+    if n_live < 2:
+        return None
+    t_lo = {
+        c: min((b[c][0] for _, b, _, _ in seg_boxes if b[c]), default=None)
+        for c in keys
+    }
+    t_hi = {
+        c: max((b[c][1] for _, b, _, _ in seg_boxes if b[c]), default=None)
+        for c in keys
+    }
+
+    def _volume(spans: dict) -> float:
+        v = 1.0
+        for c in keys:
+            if t_lo[c] is None or t_hi[c] == t_lo[c]:
+                v *= 0.0  # constant (or fully stat-less) dimension
+            elif spans[c] is None:
+                v *= 1.0  # no stats: unprunable, claims everything
+            else:
+                v *= (spans[c][1] - spans[c][0]) / (t_hi[c] - t_lo[c])
+        return v
+
+    threshold = width_factor / n_live
+    # tier 2 — resolve detail ONLY for possible-victim segments
+    segments: list[dict] = []
+    candidates: list[dict] = []
+    for seg, box, n_f, nbytes in seg_boxes:
+        may_hold_victim = (
+            any(box[c] is None for c in keys)  # a file may be stat-less
+            or _volume(box) > threshold
+            or (
+                small_bytes is not None
+                and n_f > 0
+                and nbytes / n_f < small_bytes * 4
+            )
+        )
+        if may_hold_victim:
+            seg = _resolve_seg(table, seg)
+            candidates.append(seg)
+        segments.append(seg)
+    manifest = {**root, "segments": segments}
+    wide: set[str] = set()
+    small: set[str] = set()
+    for seg in candidates:
         stats = seg.get("stats", {})
         for f in seg["files"]:
-            spans: dict[str, tuple[float, float] | None] = {}
+            spans = {}
             for c in keys:
                 mm = stats.get(f, {}).get(c)
                 lo = _stat_rank(mm[0]) if mm else None
                 hi = _stat_rank(mm[1]) if mm else None
-                spans[c] = (lo, hi) if lo is not None and hi is not None else None
-            boxes[f] = spans
-    n_live = len(boxes)
-    if n_live < 2:
-        return None
-    t_lo = {c: min((s[c][0] for s in boxes.values() if s[c]), default=None) for c in keys}
-    t_hi = {c: max((s[c][1] for s in boxes.values() if s[c]), default=None) for c in keys}
-    wide: set[str] = set()
-    for f, spans in boxes.items():
-        volume = 1.0
-        for c in keys:
-            if t_lo[c] is None or t_hi[c] == t_lo[c]:
-                volume *= 0.0  # constant (or fully stat-less) dimension
-            elif spans[c] is None:
-                volume *= 1.0  # no stats: unprunable, claims everything
-            else:
-                volume *= (spans[c][1] - spans[c][0]) / (t_hi[c] - t_lo[c])
-        if volume > width_factor / n_live:
-            wide.add(f)
-    victims = set(wide)
-    if small_bytes is not None:
-        victims |= {
-            f
-            for f in boxes
-            if os.path.getsize(os.path.join(table, f)) < small_bytes
-        }
+                spans[c] = (
+                    (lo, hi) if lo is not None and hi is not None else None
+                )
+            if _volume(spans) > threshold:
+                wide.add(f)
+            if small_bytes is not None and os.path.getsize(
+                os.path.join(table, f)
+            ) < small_bytes:
+                small.add(f)
+    victims = wide | small
     if len(victims) < 2:
         # a LONE wide file stays (splitting it, then bin-packing the
         # narrow smalls back together, would churn forever on a table
