@@ -258,3 +258,73 @@ def test_recluster_victim_scan_is_two_tier(spark, tmp_path, monkeypatch):
     assert narrow_refs <= after_refs
     monkeypatch.setattr(V, "_resolve_seg", real)
     assert _rows(spark, t) == want
+
+
+def test_recluster_follows_renamed_layout_key(spark, tmp_path):
+    """A renamed clustering key resolves through the alias map: old
+    segments' stats (physical names) still screen, so the clustered
+    base is NOT misread as stat-less and carries by reference."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20000)], "k long, v string"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )
+    base_files, _ = files_for_read(t)
+    # rename the layout key, then two wide unclustered appends
+    write_snapshot(
+        spark.createDataFrame([(90000, "r")], "kk long, v string"),
+        t,
+        mode="append",
+        renames={"k": "kk"},
+    )
+    for off in (0, 1):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i * 2 + off, "tail") for i in range(10000)],
+                "kk long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    want = sorted(
+        (r.kk, r.v) for r in read_snapshot(spark, t).collect()
+    )
+    v = recluster(spark, t)
+    assert v is not None
+    after, _ = files_for_read(t)
+    for f in base_files:
+        assert f in after  # pre-rename clustered base carried by ref
+    assert (
+        sorted((r.kk, r.v) for r in read_snapshot(spark, t).collect())
+        == want
+    )
+
+
+def test_recluster_on_evolved_schema(spark, tmp_path):
+    """Victims spanning a schema evolution rewrite NULL-filled to the
+    table schema; rows survive exactly."""
+    from wrtd_etl_spark.sources.versioned import alter_add_column
+
+    t = str(tmp_path / "tbl")
+    _mk_clustered(spark, t, n=8000)
+    alter_add_column(spark, t, "w", "long")
+    for off in (0, 1):
+        write_snapshot(
+            spark.createDataFrame(
+                [(i * 2 + off, "tail", i) for i in range(4000)],
+                "k long, v string, w long",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    want = sorted(
+        (r.k, r.v, r.w) for r in read_snapshot(spark, t).collect()
+    )
+    v = recluster(spark, t)
+    assert v is not None
+    got = sorted((r.k, r.v, r.w) for r in read_snapshot(spark, t).collect())
+    assert got == want

@@ -193,6 +193,25 @@ class VersionedModel(RuleBasedStateMachine):
         if v is not None:
             self._commit()
 
+    @rule()
+    def declare_layout(self):
+        from wrtd_etl_spark.sources.versioned import alter_cluster_by
+
+        alter_cluster_by(self.table, ["k"], files=2)
+        self._commit()  # metadata-only: same rows, new version
+
+    @rule()
+    def recluster_pass(self):
+        # the r9 incremental re-clustering rewrite, interleaved with
+        # every DV/CoW/rollback shape (no-op until a layout is declared)
+        from wrtd_etl_spark.sources.versioned import recluster
+
+        v = recluster(
+            self.spark, self.table, small_bytes=1 << 20, target_bytes=1 << 30
+        )
+        if v is not None:
+            self._commit()
+
     @precondition(lambda self: len(self.versions) >= 2)
     @rule(data=st.data())
     def rollback_to(self, data):

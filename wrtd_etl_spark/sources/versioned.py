@@ -5821,9 +5821,19 @@ def recluster(
     if not layout:
         return None  # nothing to recluster toward
     keys = layout["by"]
+    aliases = root.get("aliases", {})
 
-    def _span(summ: dict, c: str) -> "tuple[float, float] | None":
-        mm = summ.get(c)
+    def _phys(seg_schema: dict, cur: str) -> str:
+        # stats/summaries are keyed by each segment's PHYSICAL field
+        # names; a renamed layout key resolves through the alias map
+        # (the _head_may_match idiom) so old segments still screen
+        for f in _schema_fields(seg_schema):
+            if aliases.get(f, f) == cur:
+                return f
+        return cur
+
+    def _span(summ: dict, schema: dict, c: str) -> "tuple[float, float] | None":
+        mm = summ.get(_phys(schema, c))
         lo = _stat_rank(mm[0]) if mm else None
         hi = _stat_rank(mm[1]) if mm else None
         return (lo, hi) if lo is not None and hi is not None else None
@@ -5841,7 +5851,9 @@ def recluster(
             nbytes = sum(
                 os.path.getsize(os.path.join(table, f)) for f in seg["files"]
             )
-        seg_boxes.append((seg, {c: _span(summ, c) for c in keys}, n_f, nbytes))
+        seg_boxes.append(
+            (seg, {c: _span(summ, seg["schema"], c) for c in keys}, n_f, nbytes)
+        )
     n_live = sum(n_f for _, _, n_f, _ in seg_boxes)
     if n_live < 2:
         return None
@@ -5888,10 +5900,11 @@ def recluster(
     small: set[str] = set()
     for seg in candidates:
         stats = seg.get("stats", {})
+        phys = {c: _phys(seg["schema"], c) for c in keys}
         for f in seg["files"]:
             spans = {}
             for c in keys:
-                mm = stats.get(f, {}).get(c)
+                mm = stats.get(f, {}).get(phys[c])
                 lo = _stat_rank(mm[0]) if mm else None
                 hi = _stat_rank(mm[1]) if mm else None
                 spans[c] = (
