@@ -1,0 +1,253 @@
+"""Row commit versions (sources/versioned.ROW_CV_COL → `_commit_version`,
+the second half of Delta-style row tracking): every row reports the
+version whose commit last INSERTED or UPDATED its values.
+
+Mechanics: fresh segments are stamped `cv` on the HEAD in the commit
+loop (pure metadata, re-stamped on a lost race like row_base); rewrites
+materialize carried rows' versions as a hidden `__row_cv` column and
+leave modified/inserted rows NULL, which the read side coalesces to the
+fresh segment's cv. So maintenance (compact / bin-pack / recluster /
+reorg_purge) and deletes of OTHER rows never bump a row's version, while
+CoW and MoR updates, merges, and inserts stamp exactly the rows they
+set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import wrtd_etl_spark.sources.versioned as V
+from wrtd_etl_spark.sources.versioned import (
+    clone_table,
+    compact,
+    compact_small_files,
+    delete_where,
+    merge_into,
+    read_snapshot,
+    recluster,
+    reorg_purge,
+    rollback,
+    update_where,
+    write_snapshot,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i * 10) for i in range(lo, hi)], "k long, v long"
+    )
+
+
+def _cvs(spark, t, version=None):
+    return {
+        r.k: r._commit_version
+        for r in read_snapshot(
+            spark, t, version=version, with_commit_versions=True
+        ).collect()
+    }
+
+
+def test_mint_update_merge_and_maintenance(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100).repartition(3), t, stats_cols=["k"])
+    write_snapshot(_df(spark, 100, 150), t, mode="append")
+    c = _cvs(spark, t)
+    assert all(c[k] == 0 for k in range(100))
+    assert all(c[k] == 1 for k in range(100, 150))
+    compact(spark, t)  # v2: maintenance must not bump ANY row
+    assert _cvs(spark, t) == c
+    update_where(spark, t, F.col("k") == 50, {"v": F.lit(9)})  # v3
+    c = _cvs(spark, t)
+    assert c[50] == 3 and c[49] == 0  # only the matched row bumps
+    delete_where(spark, t, F.col("k") < 10)  # v4: survivors keep theirs
+    c = _cvs(spark, t)
+    assert 0 not in c and c[10] == 0 and c[50] == 3
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(60, 1), (900, 2)], "k long, v long"),
+        keys=["k"],
+    )  # v5: matched update + fresh insert both stamp
+    c = _cvs(spark, t)
+    assert c[60] == 5 and c[900] == 5 and c[61] == 0
+    # the hidden column never leaks into the plain read
+    assert read_snapshot(spark, t).columns == ["k", "v"]
+    # combined surface: ids and versions together
+    cols = set(
+        read_snapshot(
+            spark, t, with_row_ids=True, with_commit_versions=True
+        ).columns
+    )
+    assert {"_row_id", "_commit_version"} <= cols
+
+
+def test_mor_dml_stamps_only_touched_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100).repartition(2), t, stats_cols=["k"])
+    delete_where(spark, t, F.col("k") == 70, strategy="dv")  # v1
+    c = _cvs(spark, t)
+    assert 70 not in c and c[71] == 0  # DV delete bumps nobody
+    update_where(
+        spark, t, F.col("k") == 80, {"v": F.lit(1)}, strategy="dv"
+    )  # v2: updated image rides the fresh segment
+    c = _cvs(spark, t)
+    assert c[80] == 2 and c[81] == 0
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(5, 1), (-1, 2)], "k long, v long"),
+        keys=["k"],
+        strategy="dv",
+    )  # v3: MoR MERGE — matched update + insert in one fresh segment
+    c = _cvs(spark, t)
+    assert c[5] == 3 and c[-1] == 3 and c[6] == 0
+
+
+def test_maintenance_family_never_bumps(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8000)], "k long, v string"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )
+    for off in (0, 1):
+        write_snapshot(
+            spark.createDataFrame(
+                [(10000 + i * 4 + off, "tail") for i in range(2000)]
+                + [(-1 - off, "tail")],  # stretch over the base range too
+                "k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    delete_where(spark, t, F.col("k") % 97 == 0, strategy="dv")
+    want = {
+        r.k: r._commit_version
+        for r in read_snapshot(
+            spark, t, with_commit_versions=True
+        ).collect()
+    }
+    assert recluster(spark, t) is not None
+    got = {
+        r.k: r._commit_version
+        for r in read_snapshot(
+            spark, t, with_commit_versions=True
+        ).collect()
+    }
+    assert got == want  # recluster carried every row's version
+    # the clustered base is still DV-shadowed: purge it and re-check
+    assert reorg_purge(spark, t) is not None
+    got = {
+        r.k: r._commit_version
+        for r in read_snapshot(
+            spark, t, with_commit_versions=True
+        ).collect()
+    }
+    assert got == want  # purge carried every row's version too
+    write_snapshot(
+        spark.createDataFrame([(99999, "x")], "k long, v string"),
+        t,
+        mode="append",
+    )
+    v_app = V._read_pointer(t)
+    compact_small_files(spark, t, small_bytes=1 << 20, target_bytes=1 << 30)
+    got = {
+        r.k: r._commit_version
+        for r in read_snapshot(
+            spark, t, with_commit_versions=True
+        ).collect()
+    }
+    assert got == {**want, 99999: v_app}
+
+
+def test_rollback_and_clone_carry_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), t, stats_cols=["k"])  # v0
+    update_where(spark, t, F.col("k") == 1, {"v": F.lit(0)})  # v1
+    assert _cvs(spark, t)[1] == 1
+    rollback(t, 0)  # v2 re-links v0 segments
+    c = _cvs(spark, t)
+    assert c[1] == 0  # restored rows report the commit that SET them
+    t2 = str(tmp_path / "clone")
+    clone_table(t, t2)
+    assert _cvs(spark, t2) == c
+
+
+def test_replace_where_stamps_the_slice(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import replace_where
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100), t, stats_cols=["k"])  # v0
+    repl = spark.createDataFrame(
+        [(i, -1) for i in range(10, 20)], "k long, v long"
+    )
+    replace_where(
+        spark, t, F.col("k").between(10, 19), repl, prune={"k": (10, 19)}
+    )  # v1
+    c = _cvs(spark, t)
+    assert all(c[k] == 1 for k in range(10, 20))
+    assert all(c[k] == 0 for k in list(range(10)) + list(range(20, 100)))
+
+
+def test_concurrent_append_rebase_keeps_both_versions(spark, tmp_path):
+    """A rewrite rebased over a racing append: the append's rows keep
+    the cv of THEIR commit, the rewrite's touched rows stamp the final
+    (shifted) version."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), t, stats_cols=["k"])  # v0
+    real = V._rewrite_segment
+    state = {"done": False}
+
+    def hooked(*a, **k):
+        if not state["done"]:
+            state["done"] = True
+            write_snapshot(_df(spark, 100, 110), t, mode="append")  # v1
+        return real(*a, **k)
+
+    try:
+        V._rewrite_segment = hooked
+        update_where(
+            spark, t, F.col("k") == 5, {"v": F.lit(0)}
+        )  # rebases onto v1, commits as v2
+    finally:
+        V._rewrite_segment = real
+    c = _cvs(spark, t)
+    assert c[5] == 2  # the update stamped its FINAL version
+    assert all(c[k] == 1 for k in range(100, 110))  # append kept its own
+    assert c[6] == 0
+
+
+def test_datasource_surface(spark, tmp_path):
+    """`read_versioned(with_commit_versions=True)` / the SQL view expose
+    `_commit_version` through the Arrow executors — per-file constant
+    coalesced with the materialized column, dv-filtered together."""
+    from wrtd_etl_spark.sources.versioned_table import (
+        read_versioned,
+        register_versioned_view,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100).repartition(3), t, stats_cols=["k"])
+    write_snapshot(_df(spark, 100, 150), t, mode="append")  # v1
+    update_where(spark, t, F.col("k") == 50, {"v": F.lit(9)})  # v2
+    delete_where(spark, t, F.col("k") == 120, strategy="dv")  # v3
+    c = {
+        r.k: r._commit_version
+        for r in read_versioned(spark, t, with_commit_versions=True).collect()
+    }
+    assert c[50] == 2 and c[49] == 0 and c[121] == 1 and 120 not in c
+    assert c == _cvs(spark, t)  # DataSource ≡ read_snapshot
+    both = read_versioned(
+        spark, t, with_row_ids=True, with_commit_versions=True
+    )
+    assert {"_row_id", "_commit_version"} <= set(both.columns)
+    register_versioned_view(spark, "cv_view", t, with_commit_versions=True)
+    n = spark.sql(
+        "SELECT COUNT(*) AS c FROM cv_view WHERE _commit_version = 2"
+    ).collect()[0].c
+    assert n == 1
+    # plain reads never see the surface
+    assert read_versioned(spark, t).columns == ["k", "v"]

@@ -194,6 +194,10 @@ def _resolve_seg(table: str, seg: dict) -> dict:
             full["row_base"] = seg["row_base"]
     if d.get("rid"):
         full["rid"] = d["rid"]
+    if "cv" in seg:
+        # commit version rides the HEAD (stamped in the commit loop,
+        # like row_base) — carried so resolved copies keep the lineage
+        full["cv"] = seg["cv"]
     drop = set(seg.get("drop", []))
     if drop:
         full["stats"] = {
@@ -298,6 +302,8 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
             head["row_base"] = seg["row_base"]
     elif seg.get("rid"):
         head["rows_minted"] = 0
+    if "cv" in seg:
+        head["cv"] = seg["cv"]
     return head
 
 
@@ -713,6 +719,16 @@ def _seg_dvs(seg: dict) -> dict[str, dict]:
 ROW_ID_COL = "__row_id"
 #: Public column name row-id-aware scans attach.
 ROW_ID_OUT = "_row_id"
+#: Physical column materialized into REWRITTEN files so CARRIED rows keep
+#: the version that last set their values. Fresh/modified rows leave it
+#: NULL and the read side coalesces to their segment's commit version
+#: (``cv`` on the head — pure metadata, stamped in the commit loop like
+#: ``row_base``). So ``_commit_version`` means: the commit that last
+#: INSERTED or UPDATED the row's values — maintenance rewrites
+#: (compact/recluster/purge) and deletes of OTHER rows never bump it.
+ROW_CV_COL = "__row_cv"
+#: Public column name commit-version-aware scans attach.
+ROW_CV_OUT = "_commit_version"
 
 
 def _collect_file_rows(table: str, files: list[str]) -> dict[str, int]:
@@ -1867,6 +1883,9 @@ def _commit_new_segment(
         # winner's mark — metadata only, nothing restages)
         row_high = base.get("row_high", 0) if prev is not None else 0
         new_segment["row_base"] = row_high
+        # the version that set these rows' values — per attempt, like
+        # row_base (a lost race re-stamps metadata, never data)
+        new_segment["cv"] = version
         manifest = {
             "version": version,
             "mode": mode,
@@ -1899,6 +1918,7 @@ def _commit_new_segment(
 def _read_segments(
     spark: SparkSession, table: str, manifest: dict,
     with_row_ids: bool = False,
+    with_commit_versions: bool = False,
 ) -> DataFrame:
     """Evolved-table read: per segment rename (alias map) → lossless cast
     to the table schema → unionByName with NULL fill for absent columns.
@@ -1909,7 +1929,14 @@ def _read_segments(
     directly; freshly-minted files derive ``row_base + offset +
     _metadata.row_index`` through one broadcast join on the (tiny)
     per-file base map. Raises ValueError when any file lacks lineage
-    (pre-tracking segment) — callers fall back to untracked reads."""
+    (pre-tracking segment) — callers fall back to untracked reads.
+
+    ``with_commit_versions=True`` attaches ``__row_cv`` (ROW_CV_COL) —
+    the version that last set each row's values: materialized on files
+    a rewrite carried, NULL on fresh/modified rows, coalesced to the
+    segment's head-stamped ``cv`` (a pure per-segment literal — no base
+    map, no row_index). Segments written before the feature have no
+    ``cv`` and surface NULL (honest unknown)."""
     from pyspark.sql.types import LongType, StructType
 
     target = StructType.fromJson(manifest["schema"])
@@ -1942,9 +1969,20 @@ def _read_segments(
             # materialized files carry the column; minted files
             # NULL-fill under schema-on-read and derive from the base
             schema = schema.add(ROW_ID_COL, LongType(), True)
+        if with_commit_versions and ROW_CV_COL not in schema.names:
+            schema = schema.add(ROW_CV_COL, LongType(), True)
         part = spark.read.schema(schema).parquet(
             *[os.path.join(table, f) for f in seg["files"]]
         )
+        if with_commit_versions:
+            # per-segment constant: NULL (fresh/modified row, or a
+            # pre-feature segment with no cv) coalesces to the head cv
+            part = part.withColumn(
+                ROW_CV_COL,
+                F.coalesce(
+                    F.col(ROW_CV_COL), F.lit(seg.get("cv")).cast("long")
+                ),
+            )
         if with_row_ids:
             # _metadata is only reachable on the raw file relation —
             # capture BEFORE the dv anti-join's projection
@@ -1976,11 +2014,12 @@ def _read_segments(
             part, allowMissingColumns=True
         )
     if out is None:
-        if not with_row_ids:
-            return spark.createDataFrame([], target)
-        return spark.createDataFrame([], target).withColumn(
-            ROW_ID_COL, F.lit(None).cast("long")
-        )
+        out = spark.createDataFrame([], target)
+        if with_row_ids:
+            out = out.withColumn(ROW_ID_COL, F.lit(None).cast("long"))
+        if with_commit_versions:
+            out = out.withColumn(ROW_CV_COL, F.lit(None).cast("long"))
+        return out
     for f in target.fields:
         # a column added by alter_add_column exists in the table schema
         # before ANY segment carries it — NULL-fill, same as an evolved
@@ -2013,10 +2052,10 @@ def _read_segments(
             ROW_ID_COL,
             F.coalesce(F.col(ROW_ID_COL), base_expr + F.col("__rt_ix")),
         )
-        return out.select(
-            *[f.name for f in target.fields], ROW_ID_COL
-        )
-    return out.select(*[f.name for f in target.fields])
+    extras = ([ROW_ID_COL] if with_row_ids else []) + (
+        [ROW_CV_COL] if with_commit_versions else []
+    )
+    return out.select(*[f.name for f in target.fields], *extras)
 
 
 def _head_may_match(
@@ -2195,6 +2234,7 @@ def read_snapshot(
     as_of: float | None = None,
     point_filter: dict[str, list] | None = None,
     with_row_ids: bool = False,
+    with_commit_versions: bool = False,
 ) -> DataFrame:
     """DataFrame pinned to one manifest (the latest unless ``version``
     or ``as_of`` — epoch seconds, resolved via :func:`version_as_of`).
@@ -2206,7 +2246,13 @@ def read_snapshot(
 
     ``with_row_ids=True`` attaches ``_row_id`` — the stable row id row
     tracking maintains across compaction/purge/CoW rewrites (Delta row
-    lineage). Raises ValueError on tables with pre-tracking segments."""
+    lineage). Raises ValueError on tables with pre-tracking segments.
+
+    ``with_commit_versions=True`` attaches ``_commit_version`` — the
+    version whose commit last INSERTED or UPDATED each row's values
+    (Delta row commit versions). Maintenance rewrites and deletes of
+    other rows never bump it; rows from segments written before the
+    feature surface NULL."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version or as_of, not both")
@@ -2233,14 +2279,19 @@ def read_snapshot(
                 ),
             }
         segs.append(seg)
-    if with_row_ids:
+    if with_row_ids or with_commit_versions:
         out = _read_segments(
             spark,
             table,
             {**manifest, "segments": segs},
-            with_row_ids=True,
+            with_row_ids=with_row_ids,
+            with_commit_versions=with_commit_versions,
         )
-        return out.withColumnRenamed(ROW_ID_COL, ROW_ID_OUT)
+        if with_row_ids:
+            out = out.withColumnRenamed(ROW_ID_COL, ROW_ID_OUT)
+        if with_commit_versions:
+            out = out.withColumnRenamed(ROW_CV_COL, ROW_CV_OUT)
+        return out
     if manifest.get("schema_evolved") and "segments" in manifest:
         return _read_segments(
             spark, table, {**manifest, "segments": segs}
@@ -2267,10 +2318,12 @@ def read_snapshot(
     }
     if dv_map:
         out = _dv_filter(spark, table, out, dv_map)
-    if ROW_ID_COL in out.columns:
-        # rewritten files materialize their row ids as a physical
-        # column; the schema-INFERRED fast path must never leak it
-        out = out.drop(ROW_ID_COL)
+    for hidden in (ROW_ID_COL, ROW_CV_COL):
+        if hidden in out.columns:
+            # rewritten files materialize row ids / commit versions as
+            # physical columns; the schema-INFERRED fast path must
+            # never leak them
+            out = out.drop(hidden)
     return out
 
 
@@ -2426,12 +2479,15 @@ def delete_where(
         # read uses, so the predicate sees CURRENT column names/types
         # (and, via the DV-aware read, never resurrects a row a prior
         # deletion vector already removed). Surviving rows carry their
-        # row ids into the replacement files (keyed CDC cancels them).
+        # row ids AND commit versions into the replacement files (keyed
+        # CDC cancels them; a delete never bumps survivors' cv).
+        tracked = all(_seg_row_tracked(s) for s in rewrite_segs)
         part = _read_segments(
             spark,
             table,
             {**manifest, "segments": rewrite_segs},
-            with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
+            with_row_ids=tracked,
+            with_commit_versions=tracked,
         )
         survivors = part.filter(~F.coalesce(predicate, F.lit(False)))
         new_segment = _rewrite_segment(
@@ -2782,6 +2838,7 @@ def replace_where(
             table,
             {**manifest, "segments": rewrite_segs},
             with_row_ids=tracked,
+            with_commit_versions=tracked,
         ).filter(~F.coalesce(predicate, F.lit(False)))
         if rewrite_segs
         else spark.createDataFrame([], target)
@@ -2798,6 +2855,7 @@ def replace_where(
         # survivors carry their ids; the replacement slice is NEW rows
         # (fresh identity — its files mint metadata bases)
         ins_cols.append(F.lit(None).cast("long").alias(ROW_ID_COL))
+        ins_cols.append(F.lit(None).cast("long").alias(ROW_CV_COL))
     new_rows = survivors.unionByName(df.select(*ins_cols))
     new_segment = _rewrite_segment(
         spark, table, manifest, rewrite_segs, new_rows, may_mint=tracked
@@ -3093,6 +3151,10 @@ def _rewrite_segment(
         out["rid"] = rid_files
     # non-materialized files mint metadata bases at commit time
     out = _attach_row_offsets(out, table)
+    # sentinel: a FRESH rewrite segment's commit version is stamped in
+    # the commit loop (the final version isn't known here — rebases
+    # shift it); carried pre-feature segments simply lack the key
+    out["cv"] = None
     return out
 
 
@@ -3267,6 +3329,13 @@ def _commit_rewrite(
         # (copies — a retried loop re-mints from the adopted mark, so a
         # lost race can never double-assign an id range)
         seg_final, row_high_new = _assign_row_bases(segments, row_high)
+        # stamp the fresh segments' commit version (the _rewrite_segment
+        # sentinel) with the version this attempt will take; carried
+        # segments keep the cv of the commit that wrote their rows
+        seg_final = [
+            {**s, "cv": prev + 1} if ("cv" in s and s["cv"] is None) else s
+            for s in seg_final
+        ]
         new_manifest = {
             "version": prev + 1,
             "mode": mode,
@@ -3373,6 +3442,7 @@ def update_where(
             table,
             {**manifest, "segments": rewrite_segs},
             with_row_ids=tracked,
+            with_commit_versions=tracked,
         )
         matched = F.coalesce(predicate, F.lit(False))
         cols = []
@@ -3389,8 +3459,15 @@ def update_where(
                 cols.append(F.col(f.name))
         if tracked:
             # updated rows are the SAME logical rows: they keep their
-            # ids (the keyed CDC diff reports them as value changes)
+            # ids (the keyed CDC diff reports them as value changes) —
+            # but a matched row's VALUES change, so its commit version
+            # resets (NULL → the fresh segment's cv at read)
             cols.append(F.col(ROW_ID_COL))
+            cols.append(
+                F.when(matched, F.lit(None).cast("long"))
+                .otherwise(F.col(ROW_CV_COL))
+                .alias(ROW_CV_COL)
+            )
         new_segment = _rewrite_segment(
             spark,
             table,
@@ -3930,6 +4007,7 @@ def merge_into(
             table,
             {**manifest, "segments": rewrite_segs},
             with_row_ids=tracked,
+            with_commit_versions=tracked,
         )
         if rewrite_segs
         else spark.createDataFrame([], target)
@@ -3968,8 +4046,20 @@ def merge_into(
         survives = survives & matched
     if tracked:
         # matched updates and unmatched carries are the same logical
-        # rows — both keep their ids through the rewrite
+        # rows — both keep their ids through the rewrite; commit
+        # version resets wherever the merge SET values (matched rows,
+        # plus every carried row when a by-source UPDATE dict applies)
         out_cols.append(F.col(ROW_ID_COL))
+        modified = (
+            F.lit(True)
+            if isinstance(when_not_matched_by_source, dict)
+            else matched
+        )
+        out_cols.append(
+            F.when(modified, F.lit(None).cast("long"))
+            .otherwise(F.col(ROW_CV_COL))
+            .alias(ROW_CV_COL)
+        )
     rewritten = joined.filter(survives).select(*out_cols)
 
     new_rows = rewritten
@@ -4011,6 +4101,7 @@ def merge_into(
             # not-matched inserts are NEW rows: NULL id here, the
             # rewrite splits them into metadata-minting files
             ins_cols.append(F.lit(None).cast("long").alias(ROW_ID_COL))
+            ins_cols.append(F.lit(None).cast("long").alias(ROW_CV_COL))
         new_rows = rewritten.unionByName(inserts.select(*ins_cols))
 
     new_segment = _rewrite_segment(
@@ -4048,6 +4139,7 @@ def merge_into(
             ]
             if tracked:
                 cols2.append(F.lit(None).cast("long").alias(ROW_ID_COL))
+                cols2.append(F.lit(None).cast("long").alias(ROW_CV_COL))
             seg2 = _rewrite_segment(
                 spark,
                 table,
@@ -5520,7 +5612,13 @@ def compact(
         _seg_row_tracked(s) for s in _segments(base_manifest)
     )
     df = (
-        _read_segments(spark, table, base_manifest, with_row_ids=True)
+        _read_segments(
+            spark,
+            table,
+            base_manifest,
+            with_row_ids=True,
+            with_commit_versions=True,
+        )
         if tracked
         else read_snapshot(spark, table, version=base)
     )
@@ -5561,7 +5659,7 @@ def compact(
         }
     )
     data_schema = (
-        df.drop(ROW_ID_COL).schema.jsonValue()
+        df.drop(ROW_ID_COL, ROW_CV_COL).schema.jsonValue()
         if tracked
         else df.schema.jsonValue()
     )
@@ -5707,13 +5805,16 @@ def _rewrite_victims(
             if seg.get("rid"):
                 sub["rid"] = [p for p in seg["rid"] if p in keep]
             out.append(sub)
+    tracked = all(_seg_row_tracked(s) for s in rewrite_segs)
     rows = _read_segments(
         spark,
         table,
         {**manifest, "segments": rewrite_segs},
         # rewritten rows are carries: they keep their ids so the keyed
-        # CDC diff cancels a compaction to an EMPTY delta
-        with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
+        # CDC diff cancels a compaction to an EMPTY delta — and their
+        # commit versions (maintenance never bumps a row's cv)
+        with_row_ids=tracked,
+        with_commit_versions=tracked,
     )
     victim_bytes = sum(
         os.path.getsize(os.path.join(table, f)) for f in victims
@@ -6014,11 +6115,13 @@ def reorg_purge(
         return None
     # survivors only: _read_segments applies the DV anti-join; they are
     # carries, so they keep their ids (keyed CDC cancels the purge)
+    purge_tracked = all(_seg_row_tracked(s) for s in rewrite_segs)
     rows = _read_segments(
         spark,
         table,
         {**manifest, "segments": rewrite_segs},
-        with_row_ids=all(_seg_row_tracked(s) for s in rewrite_segs),
+        with_row_ids=purge_tracked,
+        with_commit_versions=purge_tracked,
     )
     victim_bytes = 0
     for seg in rewrite_segs:

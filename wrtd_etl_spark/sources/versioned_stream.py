@@ -203,6 +203,7 @@ def _load_file_table(
     dv_take=None,
     rg_filter=None,
     row_ids: "tuple | None" = None,
+    row_cvs: "tuple | None" = None,
 ):
     """One data file as a pyarrow Table with deletion vectors applied —
     the shared loader for the Arrow and per-row read paths (stream +
@@ -220,9 +221,46 @@ def _load_file_table(
     — the file's materialized ``__row_id`` where present, else
     ``base + position`` — BEFORE any dv mask, so deletion vectors
     filter the ids together with the rows. Disables row-group pruning
-    (positions must stay absolute)."""
+    (positions must stay absolute).
+
+    ``row_cvs=(cv,)`` (r9 row commit versions): append a
+    ``_commit_version`` column — the file's materialized ``__row_cv``
+    where present, NULLs coalesced to the segment's head-stamped
+    ``cv`` (None → NULL, the pre-feature honest unknown). Appended
+    before any dv mask like the ids; position-independent, so
+    row-group pruning stays legal."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    def _append_cv(tbl):
+        import pyarrow.compute as pc
+
+        from .versioned import ROW_CV_COL, ROW_CV_OUT
+
+        (cv,) = row_cvs
+        const = (
+            pa.nulls(tbl.num_rows, pa.int64())
+            if cv is None
+            else pa.array([int(cv)] * tbl.num_rows, pa.int64())
+        )
+        if ROW_CV_COL in tbl.column_names:
+            vals = tbl.column(ROW_CV_COL).cast(pa.int64()).combine_chunks()
+            if cv is not None:
+                vals = pc.coalesce(vals, const)
+            tbl = tbl.drop_columns([ROW_CV_COL])
+        else:
+            vals = const
+        return tbl.append_column(ROW_CV_OUT, vals)
+
+    def _cv_read_cols(cols):
+        if cols is None or row_cvs is None:
+            return cols
+        from .versioned import ROW_CV_COL
+
+        pf = pq.ParquetFile(path)
+        if ROW_CV_COL in pf.schema_arrow.names:
+            return list(cols) + [ROW_CV_COL]
+        return cols
 
     if row_ids is not None:
         from .versioned import ROW_ID_COL, ROW_ID_OUT
@@ -230,9 +268,9 @@ def _load_file_table(
         (base,) = row_ids
         pf = pq.ParquetFile(path)
         has_col = ROW_ID_COL in pf.schema_arrow.names
-        read_cols = want
-        if want is not None and has_col:
-            read_cols = list(want) + [ROW_ID_COL]
+        read_cols = _cv_read_cols(want)
+        if read_cols is not None and has_col:
+            read_cols = list(read_cols) + [ROW_ID_COL]
         tbl = pq.read_table(path, columns=read_cols)
         import numpy as np
         import pyarrow.compute as pc
@@ -257,6 +295,8 @@ def _load_file_table(
         if has_col:
             tbl = tbl.drop_columns([ROW_ID_COL])
         tbl = tbl.append_column(ROW_ID_OUT, ids)
+        if row_cvs is not None:
+            tbl = _append_cv(tbl)
     else:
         keep = None
         if rg_filter is not None and dv_drop is None and dv_take is None:
@@ -264,10 +304,20 @@ def _load_file_table(
             keep = _rg_keep_groups(pf, rg_filter)
             if keep is not None:
                 if keep:
-                    return pf.read_row_groups(keep, columns=want)
-                empty = pf.schema_arrow.empty_table()
-                return empty.select(want) if want is not None else empty
-        tbl = pq.read_table(path, columns=want)
+                    tbl = pf.read_row_groups(
+                        keep, columns=_cv_read_cols(want)
+                    )
+                else:
+                    empty = pf.schema_arrow.empty_table()
+                    tbl = (
+                        empty.select(_cv_read_cols(want))
+                        if want is not None
+                        else empty
+                    )
+                return _append_cv(tbl) if row_cvs is not None else tbl
+        tbl = pq.read_table(path, columns=_cv_read_cols(want))
+        if row_cvs is not None:
+            tbl = _append_cv(tbl)
     if dv_take is not None:
         import numpy as np
 
@@ -309,7 +359,7 @@ def _to_file_rg_filter(col_map, rg_filter):
 
 def _file_arrays(
     path: str, col_map, arrow_schema, dv_drop=None, dv_take=None,
-    rg_filter=None, row_ids=None,
+    rg_filter=None, row_ids=None, row_cvs=None,
 ):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
@@ -332,6 +382,7 @@ def _file_arrays(
         dv_take,
         rg_filter=_to_file_rg_filter(col_map, rg_filter),
         row_ids=row_ids,
+        row_cvs=row_cvs,
     )
     n = tbl.num_rows
     arrays = []
@@ -346,6 +397,10 @@ def _file_arrays(
         from .versioned import ROW_ID_OUT
 
         arrays.append(tbl.column(ROW_ID_OUT).combine_chunks())
+    if row_cvs is not None:
+        from .versioned import ROW_CV_OUT
+
+        arrays.append(tbl.column(ROW_CV_OUT).combine_chunks())
     return arrays, n
 
 

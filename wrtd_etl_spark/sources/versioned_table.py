@@ -95,6 +95,7 @@ class TableFile(InputPartition):
         dv_drop=None,
         rg_filter=None,
         row_ids=None,
+        row_cvs=None,
     ):
         self.table = table
         self.file = file
@@ -115,6 +116,10 @@ class TableFile(InputPartition):
         # the executor appends coalesce(materialized __row_id,
         # base + position) before any dv mask. Disables rg pruning.
         self.row_ids = row_ids
+        # (cv,) when the read surfaces _commit_version (r9 row commit
+        # versions): the executor appends coalesce(materialized
+        # __row_cv, cv). Position-independent — rg pruning stays legal.
+        self.row_cvs = row_cvs
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -142,17 +147,39 @@ def _resolve(options) -> tuple[str, int, dict]:
     return table, v, _read_manifest_root(table, v)
 
 
-def _row_id_struct(manifest: dict):
+def _row_id_struct(manifest: dict, with_cvs: bool = False):
     """``_nullable_struct`` plus the row-tracking ``_row_id`` column —
-    the schema a ``with_row_ids`` read presents."""
+    the schema a ``with_row_ids`` read presents (+ ``_commit_version``
+    when ``with_cvs``)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     base = _nullable_struct(manifest)
-    from .versioned import ROW_ID_OUT
+    from .versioned import ROW_CV_OUT, ROW_ID_OUT
+
+    fields = list(base.fields) + [StructField(ROW_ID_OUT, LongType(), True)]
+    if with_cvs:
+        fields.append(StructField(ROW_CV_OUT, LongType(), True))
+    return StructType(fields)
+
+
+def _cv_struct(manifest: dict):
+    """``_nullable_struct`` plus only ``_commit_version``."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = _nullable_struct(manifest)
+    from .versioned import ROW_CV_OUT
 
     return StructType(
-        list(base.fields) + [StructField(ROW_ID_OUT, LongType(), True)]
+        list(base.fields) + [StructField(ROW_CV_OUT, LongType(), True)]
     )
+
+
+def _reader_struct(manifest: dict, with_row_ids: bool, with_cvs: bool):
+    if with_row_ids:
+        return _row_id_struct(manifest, with_cvs)
+    if with_cvs:
+        return _cv_struct(manifest)
+    return _nullable_struct(manifest)
 
 
 def _nullable_struct(manifest: dict):
@@ -185,11 +212,13 @@ class VersionedTableReader(DataSourceReader):
         self.with_row_ids = (
             str(options.get("with_row_ids", "false")).lower() == "true"
         )
+        self.with_cvs = (
+            str(options.get("with_commit_versions", "false")).lower()
+            == "true"
+        )
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
         self._arrow_schema = _to_arrow_schema(
-            _row_id_struct(manifest)
-            if self.with_row_ids
-            else _nullable_struct(manifest)
+            _reader_struct(manifest, self.with_row_ids, self.with_cvs)
         )
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -251,6 +280,7 @@ class VersionedTableReader(DataSourceReader):
                         row_base[f] = (int(rb) + int(rmap[f][0]),)
                     else:
                         row_base[f] = (None,)  # materialized column only
+            seg_cv = (seg.get("cv"),) if self.with_cvs else None
             parts.extend(
                 TableFile(
                     self.table,
@@ -263,6 +293,7 @@ class VersionedTableReader(DataSourceReader):
                     ),
                     rg_filter=None if f in dvs else rg,
                     row_ids=row_base.get(f),
+                    row_cvs=seg_cv,
                 )
                 for f in files
             )
@@ -280,12 +311,13 @@ class VersionedTableReader(DataSourceReader):
                 dv_drop=partition.dv_drop,
                 rg_filter=partition.rg_filter,
                 row_ids=partition.row_ids,
+                row_cvs=partition.row_cvs,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
             )
             return
-        from .versioned import ROW_ID_OUT
+        from .versioned import ROW_CV_OUT, ROW_ID_OUT
         from .versioned_stream import _load_file_table, _to_file_rg_filter
 
         want = [s for _, s in partition.col_map if s is not None]
@@ -297,6 +329,7 @@ class VersionedTableReader(DataSourceReader):
                 partition.col_map, partition.rg_filter
             ),
             row_ids=partition.row_ids,
+            row_cvs=partition.row_cvs,
         )
         n = tbl.num_rows
         cols = {
@@ -307,6 +340,9 @@ class VersionedTableReader(DataSourceReader):
         if partition.row_ids is not None:
             cols[ROW_ID_OUT] = tbl.column(ROW_ID_OUT).to_pylist()
             names = names + [ROW_ID_OUT]
+        if partition.row_cvs is not None:
+            cols[ROW_CV_OUT] = tbl.column(ROW_CV_OUT).to_pylist()
+            names = names + [ROW_CV_OUT]
         for i in range(n):
             yield tuple(cols[t][i] for t in names)
 
@@ -410,9 +446,15 @@ class VersionedTableDataSource(DataSource):
 
     def schema(self):
         _, _, manifest = _resolve(self.options)
-        if str(self.options.get("with_row_ids", "false")).lower() == "true":
-            return _row_id_struct(manifest)
-        return _nullable_struct(manifest)
+        return _reader_struct(
+            manifest,
+            str(self.options.get("with_row_ids", "false")).lower()
+            == "true",
+            str(
+                self.options.get("with_commit_versions", "false")
+            ).lower()
+            == "true",
+        )
 
     def reader(self, schema) -> VersionedTableReader:
         # keep the CaseInsensitiveDict (a dict() copy would lower-case
@@ -436,6 +478,7 @@ def read_versioned(
     skip_filter: dict[str, tuple] | None = None,
     point_filter: dict[str, list] | None = None,
     with_row_ids: bool = False,
+    with_commit_versions: bool = False,
 ) -> DataFrame:
     """DataFrame over the registered batch source — ``read_snapshot``
     semantics (time travel, stats pruning) through the DataSource API.
@@ -447,7 +490,12 @@ def read_versioned(
     ``with_row_ids=True`` appends ``_row_id`` — the stable row-tracking
     id (r9) — so pure-SQL consumers can do keyed incremental work over
     pinned views. Raises on tables with pre-tracking segments; disables
-    row-group pruning (ids are positional)."""
+    row-group pruning (ids are positional).
+
+    ``with_commit_versions=True`` appends ``_commit_version`` — the
+    version that last set each row's values (r9 row commit versions) —
+    so SQL consumers can filter "changed since v" from metadata.
+    Position-independent: row-group pruning stays on."""
     spark.dataSource.register(VersionedTableDataSource)
     r = spark.read.format("versioned_table").option("path", table)
     try:
@@ -478,6 +526,8 @@ def read_versioned(
         )
     if with_row_ids:
         r = r.option("with_row_ids", "true")
+    if with_commit_versions:
+        r = r.option("with_commit_versions", "true")
     return r.load()
 
 
@@ -488,16 +538,19 @@ def register_versioned_view(
     version: int | None = None,
     as_of: float | None = None,
     with_row_ids: bool = False,
+    with_commit_versions: bool = False,
 ) -> DataFrame:
     """Pin the (latest unless ``version``/``as_of``) snapshot as a temp
     view so plain ``spark.sql`` joins versioned tables like any other
     relation. The view stays pinned to the version resolved NOW — later
     commits don't move it (re-register to advance), which is exactly the
     reader-isolation contract of the manifest design.
-    ``with_row_ids=True`` exposes the stable ``_row_id`` to SQL."""
+    ``with_row_ids=True`` exposes the stable ``_row_id`` to SQL;
+    ``with_commit_versions=True`` exposes ``_commit_version``."""
     df = read_versioned(
         spark, table, version=version, as_of=as_of,
         with_row_ids=with_row_ids,
+        with_commit_versions=with_commit_versions,
     )
     df.createOrReplaceTempView(name)
     return df
