@@ -156,6 +156,9 @@ _DEMOTED = (
     # maintenance oracle) — both judge-oracles in the full battery
     "cdc_rewrite_fold",
     "recluster_maintenance",
+    # row commit versions: update/DV-delete/merge lineage, each row's
+    # _commit_version reproduced by the oracle's CASE arithmetic
+    "commit_version_audit",
 )
 
 

@@ -1,6 +1,10 @@
 """Model-based stateful test of the versioned-table layer: a random
 sequence of lake operations must always agree with a plain Python dict
-model, and every historical version must replay exactly.
+model, and every historical version must replay exactly. The model also
+tracks every row's COMMIT VERSION (r9): the engine's `_commit_version`
+must equal the last value-setting commit under every interleaving —
+maintenance (compact/recluster/purge), layout changes, and deletes of
+other rows must never perturb it, rollback must restore it.
 
 This is the property the whole layer sells — snapshot isolation with
 time travel — exercised across OPERATION INTERLEAVINGS rather than one
@@ -53,7 +57,9 @@ class VersionedModel(RuleBasedStateMachine):
 
         self.table = tempfile.mkdtemp(prefix="wrtd_stateful_") + "/t"
         self.model: dict[int, int] = {}
+        self.cv: dict[int, int] = {}  # k -> last value-setting version
         self.versions: list[dict[int, int]] = []
+        self.cv_versions: list[dict[int, int]] = []
 
     def _df(self, rows):
         return self.spark.createDataFrame(
@@ -62,11 +68,17 @@ class VersionedModel(RuleBasedStateMachine):
 
     def _commit(self):
         self.versions.append(dict(self.model))
+        self.cv_versions.append(dict(self.cv))
+
+    def _vnum(self):
+        # the version number the NEXT commit will take
+        return len(self.versions)
 
     @initialize(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=8))
     def init_table(self, rows):
         write_snapshot(self._df(rows.items()), self.table, stats_cols=["k"])
         self.model = dict(rows)
+        self.cv = {k: 0 for k in rows}
         self._commit()
 
     @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
@@ -77,10 +89,12 @@ class VersionedModel(RuleBasedStateMachine):
         fresh = {k: v for k, v in rows.items() if k not in self.model}
         if not fresh:
             return
+        vnum = self._vnum()
         write_snapshot(
             self._df(fresh.items()), self.table, mode="append"
         )
         self.model.update(fresh)
+        self.cv.update({k: vnum for k in fresh})
         self._commit()
 
     @rule(lo=KEYS, hi=KEYS)
@@ -93,6 +107,7 @@ class VersionedModel(RuleBasedStateMachine):
             prune={"k": (lo, hi)},
         )
         self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
+        self.cv = {k: c for k, c in self.cv.items() if k in self.model}
         self._commit()
 
     @rule(lo=KEYS, hi=KEYS, dv=VALS)
@@ -105,9 +120,11 @@ class VersionedModel(RuleBasedStateMachine):
             {"v": F.col("v") + dv},
             prune={"k": (lo, hi)},
         )
+        vnum = self._vnum()
         for k in self.model:
             if lo <= k <= hi:
                 self.model[k] += dv
+                self.cv[k] = vnum  # the update SET this row's values
         self._commit()
 
     @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
@@ -119,6 +136,7 @@ class VersionedModel(RuleBasedStateMachine):
             ["k"],
         )
         self.model.update(rows)
+        self.cv.update({k: len(self.versions) for k in rows})
         self._commit()
 
     @rule(lo=KEYS, hi=KEYS)
@@ -135,6 +153,7 @@ class VersionedModel(RuleBasedStateMachine):
             strategy="dv",
         )
         self.model = {k: v for k, v in self.model.items() if not lo <= k <= hi}
+        self.cv = {k: c for k, c in self.cv.items() if k in self.model}
         self._commit()
 
     @rule(lo=KEYS, hi=KEYS, dv=VALS)
@@ -148,9 +167,11 @@ class VersionedModel(RuleBasedStateMachine):
             prune={"k": (lo, hi)},
             strategy="dv",
         )
+        vnum = self._vnum()
         for k in self.model:
             if lo <= k <= hi:
                 self.model[k] += dv
+                self.cv[k] = vnum  # the update SET this row's values
         self._commit()
 
     @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=6))
@@ -166,6 +187,7 @@ class VersionedModel(RuleBasedStateMachine):
             strategy="dv",
         )
         self.model.update(rows)
+        self.cv.update({k: len(self.versions) for k in rows})
         self._commit()
 
     @rule()
@@ -220,16 +242,18 @@ class VersionedModel(RuleBasedStateMachine):
         )
         rollback(self.table, target)
         self.model = dict(self.versions[target])
+        self.cv = dict(self.cv_versions[target])
         self._commit()
 
     @invariant()
     def latest_matches_model(self):
         if not self.versions:
             return
-        got = {
-            r.k: r.v for r in read_snapshot(self.spark, self.table).collect()
-        }
-        assert got == self.model
+        rows = read_snapshot(
+            self.spark, self.table, with_commit_versions=True
+        ).collect()
+        assert {r.k: r.v for r in rows} == self.model
+        assert {r.k: r._commit_version for r in rows} == self.cv
         assert latest_version(self.table) == len(self.versions) - 1
 
     @invariant()

@@ -2508,3 +2508,67 @@ def recluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     recluster(spark, t)
     return read_snapshot(spark, t)
+
+
+@register(
+    "commit_version_audit",
+    """
+    SELECT k, price,
+           CASE WHEN k >= 5000000                THEN CAST(3 AS BIGINT)
+                WHEN k <= 100                    THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END       AS cv
+    FROM (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey <= 100 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 5000000 AS k, 1.0 AS price
+        FROM orders WHERE o_orderkey <= 50
+    )
+    """,
+)
+def commit_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row commit versions (r9 — sources/versioned.ROW_CV_COL): the
+    lineage snapshot(v0) → CoW UPDATE keys<=100 (v1) → DV DELETE
+    k%97=0 (v2) → MERGE insert 50 fresh keys (v3) must leave every row
+    reporting the version that last SET its values: updated rows 1,
+    inserts 3, everything else 0 — the DV delete and the merge's
+    untouched carries bump nobody. The oracle derives the same (k,
+    price, cv) triples from orders with CASE arithmetic — full
+    row-level equality, so a single mis-stamped carry fails the hash.
+    The maintenance half (compact/recluster/purge never bump) is
+    pinned in tests/test_commit_versions.py."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        delete_where,
+        merge_into,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_cv_"), "tbl")
+    write_snapshot(orders.repartition(8), t, stats_cols=["k"])
+    update_where(
+        spark,
+        t,
+        F.col("k") <= 100,
+        {"price": F.col("price") + 10.0},
+        prune={"k": (None, 100)},
+    )
+    delete_where(spark, t, F.col("k") % 97 == 0, strategy="dv")
+    ins = orders.filter(F.col("k") <= 50).select(
+        (F.col("k") + 5_000_000).alias("k"), F.lit(1.0).alias("price")
+    )
+    merge_into(spark, t, ins, keys=["k"])
+    return read_snapshot(spark, t, with_commit_versions=True).select(
+        "k", "price", F.col("_commit_version").alias("cv")
+    )
