@@ -818,3 +818,46 @@ def test_rewrite_keeps_layout_clustering(spark, tmp_path):
     )
     assert all(r.flag == "new" for r in rows.collect())
     assert read_snapshot(spark, t).filter(F.col("flag") == "new").count() == 10
+
+
+def test_long_string_stats_truncate_but_never_misprune(spark, tmp_path):
+    """Manifest min/max on a long-string column store at most
+    STAT_STRING_MAX+1 chars (lower bound truncates, upper bound
+    truncates-then-increments so it stays a strict upper bound) —
+    stats on a document-text column must not embed whole documents in
+    every manifest — and pruning stays an over-approximation."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.sources.versioned import (
+        files_for_read,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    docs = [(i, chr(ord("a") + i % 4) * 500 + f"tail{i}") for i in range(40)]
+    write_snapshot(
+        spark.createDataFrame(docs, "k long, text string").repartition(4),
+        t,
+        stats_cols=["text"],
+    )
+    m = V._read_manifest(t, 0)
+    bounds = [
+        b
+        for seg in V._segments(m)
+        for st in seg.get("stats", {}).values()
+        for b in st.get("text", [])
+    ]
+    assert bounds and all(len(b) <= V.STAT_STRING_MAX + 1 for b in bounds)
+    # equality-shaped range on a real prefix: the matching rows survive
+    kept, total = files_for_read(
+        t, skip_filter={"text": ("b" * 10, "b" * 10 + "￿")}
+    )
+    got = (
+        read_snapshot(spark, t)
+        .where("text LIKE 'bbbb%'")
+        .count()
+    )
+    assert got == 10  # nothing mispruned
+    # a range past every upper bound prunes all files
+    kept2, _ = files_for_read(t, skip_filter={"text": ("zzz", None)})
+    assert kept2 == []

@@ -501,10 +501,39 @@ def _collect_file_stats(
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
             if ok and lo is not None:
-                stats[c] = [_json_val(lo), _json_val(hi)]
+                stats[c] = _trunc_string_stat(_json_val(lo), _json_val(hi))
         if stats:
             out[rel] = stats
     return out
+
+
+#: Longest string stored verbatim in manifest min/max stats. Past it,
+#: the LOWER bound truncates (a prefix is always <= the full value) and
+#: the UPPER bound truncates-then-increments its last character so it
+#: stays a strict upper bound — Delta's dataSkippingStringPrefixLength
+#: idea. Pruning gets coarser, never wrong; without this, stats on a
+#: document-text column would embed whole documents in every manifest.
+STAT_STRING_MAX = 64
+
+
+def _trunc_string_stat(lo, hi) -> list:
+    if not (isinstance(lo, str) and isinstance(hi, str)):
+        return [lo, hi]
+    if len(lo) > STAT_STRING_MAX:
+        lo = lo[:STAT_STRING_MAX]
+    if len(hi) > STAT_STRING_MAX:
+        cut = hi[:STAT_STRING_MAX]
+        # increment the rightmost non-maximal character and drop the
+        # tail: the result compares STRICTLY greater than every string
+        # sharing the prefix. All-U+10FFFF prefixes (practically
+        # impossible) keep the full value — correct, just not short.
+        for i in range(len(cut) - 1, -1, -1):
+            if ord(cut[i]) < 0x10FFFF:
+                hi = cut[:i] + chr(ord(cut[i]) + 1)
+                break
+        else:
+            pass  # keep full hi: still a valid upper bound
+    return [lo, hi]
 
 
 def _collect_file_blooms(
