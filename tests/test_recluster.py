@@ -60,7 +60,10 @@ def test_recluster_rewrites_only_the_wide_tail(spark, tmp_path):
     want = _rows(spark, t)
     v = recluster(spark, t)
     assert v == latest_version(t)
-    assert manifest_info(t)["mode"] == "compact"
+    info = manifest_info(t)
+    assert info["mode"] == "compact"
+    m = info.get("metrics", {})
+    assert m.get("numRemovedFiles") == 2 and m.get("numAddedFiles") >= 1
     after, _ = files_for_read(t)
     for f in base_files:
         assert f in after  # clustered base carried BY REFERENCE

@@ -5866,6 +5866,14 @@ def _rewrite_victims(
         "compact",
         # a pure layout rewrite commutes with ANY concurrent append
         rebase=lambda seg: True,
+        # DESCRIBE HISTORY operationMetrics (Delta OPTIMIZE shape) —
+        # all numbers the rewrite already computed, never a new job
+        metrics={
+            "numRemovedFiles": len(victims),
+            "numAddedFiles": len(new_segment["files"]),
+            "numRemovedBytes": victim_bytes,
+            "numCarriedSegments": len(carried),
+        },
     )
 
 
