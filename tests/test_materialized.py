@@ -142,3 +142,118 @@ def test_incremental_refresh_never_rescans_history(spark, tmp_path):
     v, action = refresh_rollup_incremental(spark, view, src, keys, metrics)
     assert action == "incremental"
     assert _rollup_vals(spark, view) == {"a": (2, 10, 9), "b": (1, 3, 3)}
+
+
+def _mv(spark, view):
+    return {
+        (r.g,): (r.n, r.s)
+        for r in read_snapshot(spark, view).select("g", "n", "s").collect()
+    }
+
+
+def test_retractable_cdc_fold_across_rewrites(spark, tmp_path):
+    """retract=True: a range containing DV deletes, a CoW update, and a
+    compaction folds the CHANGE FEED into the rollup instead of
+    rebuilding — result identical to a from-scratch aggregate, dead
+    groups leave the view, and a maintenance-only range folds an empty
+    delta."""
+    from wrtd_etl_spark.operators.materialized import (
+        refresh_rollup_incremental,
+    )
+    from wrtd_etl_spark.sources.versioned import (
+        compact,
+        delete_where,
+        update_where,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 5), i) for i in range(500)],
+            "id long, g string, x long",
+        ),
+        src,
+    )
+    metrics = {"n": ("count", "id"), "s": ("sum", "x")}
+    v, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "rebuild"
+    assert "__rows" in read_snapshot(spark, view).columns
+
+    # append-only advance still takes the delta-files path
+    write_snapshot(
+        spark.createDataFrame([(1000, "g0", 7)], "id long, g string, x long"),
+        src,
+        mode="append",
+    )
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "incremental"
+
+    # rewrites: DV delete of ALL of g1 (group death), CoW update of g2,
+    # and a compaction — the fold must match a from-scratch aggregate
+    delete_where(spark, src, F.col("g") == "g1", strategy="dv")
+    update_where(spark, src, F.col("g") == "g2", {"x": F.col("x") + 100})
+    compact(spark, src)
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "cdc_fold"
+    want = {
+        (r.g,): (r.n, r.s)
+        for r in read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(F.count("id").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert _mv(spark, view) == want
+    assert ("g1",) not in _mv(spark, view)  # dead group left the view
+
+    # maintenance-only range: compaction folds an EMPTY delta
+    compact(spark, src)
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "cdc_fold"
+    assert _mv(spark, view) == want
+
+
+def test_non_retractable_metrics_keep_the_rebuild(spark, tmp_path):
+    from wrtd_etl_spark.operators.materialized import (
+        refresh_rollup_incremental,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i) for i in range(60)],
+            "id long, g string, x long",
+        ),
+        src,
+    )
+    metrics = {"n": ("count", "id"), "mx": ("max", "x")}
+    refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    delete_where(spark, src, F.col("x") >= 57)  # removes some maxes
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "rebuild"  # max is not retractable: honest rescan
+    want = {
+        (r.g,): (r.n, r.mx)
+        for r in read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(F.count("id").alias("n"), F.max("x").alias("mx"))
+        .collect()
+    }
+    got = {
+        (r.g,): (r.n, r.mx)
+        for r in read_snapshot(spark, view).select("g", "n", "mx").collect()
+    }
+    assert got == want

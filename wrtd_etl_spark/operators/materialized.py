@@ -21,6 +21,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.versioned import (
     delta_files,
@@ -75,10 +76,11 @@ def refresh_rollup_incremental(
     keys: list[str],
     metrics: dict[str, tuple[str, str]],
     prepare: Callable[[DataFrame], DataFrame] | None = None,
+    retract: bool = False,
 ) -> tuple[int, str]:
-    """(view version, action ∈ {fresh, incremental, rebuild}): maintain a
-    rollup_merge-style materialized aggregate by folding ONLY the
-    source's DELTA since the last build.
+    """(view version, action ∈ {fresh, incremental, cdc_fold, rebuild}):
+    maintain a rollup_merge-style materialized aggregate by folding ONLY
+    the source's DELTA since the last build.
 
     ``refresh_materialized`` fixed WHEN to rebuild; this fixes HOW MUCH:
     the source's versioned manifests record exactly which files each
@@ -93,7 +95,23 @@ def refresh_rollup_incremental(
 
     History is literally never re-read on the incremental path — the
     no-history-rescan test deletes the source's old data files and the
-    refresh still succeeds."""
+    refresh still succeeds.
+
+    ``retract=True`` (requires every metric kind retractable — count/
+    sum): a range containing REWRITES no longer forces the rebuild.
+    The view carries a hidden ``__rows`` liveness component, and the
+    refresh folds the row-tracking CHANGE FEED (sources/versioned.
+    table_changes — O(changed rows) across compact/DV/CoW since r9):
+    inserts merge in, deletes retract out, groups whose ``__rows``
+    reaches 0 leave the view. A maintenance compaction folds to an
+    EMPTY delta — zero work where the default path re-aggregated the
+    world. Float sums retract with float arithmetic (exact under the
+    integer-sum idiom); min/max/distinct metrics keep the honest
+    rebuild."""
+    from .rollup_merge import RETRACTABLE
+
+    if retract:
+        metrics = {**metrics, "__rows": ("rows", keys[0])}
     src_now = latest_version(source_table)
     if src_now is None:
         raise FileNotFoundError(f"no committed version in {source_table}")
@@ -104,6 +122,12 @@ def refresh_rollup_incremental(
         )
         if built_from == src_now:
             return latest_version(view_table), "fresh"
+        if retract and "__rows" not in read_snapshot(
+            spark, view_table
+        ).columns:
+            # a view built before retract=True lacks the liveness
+            # component: one rebuild migrates it, folds resume after
+            built_from = None
 
     from .rollup_merge import aggregate_batch, merge_rollup
 
@@ -112,6 +136,43 @@ def refresh_rollup_incremental(
         if built_from is not None
         else None
     )
+    if (
+        delta is None
+        and built_from is not None
+        and retract
+        and all(kind in RETRACTABLE for kind, _ in metrics.values())
+    ):
+        from ..sources.versioned import table_changes
+        from .rollup_merge import (
+            aggregate_batch,
+            merge_rollup,
+            retract_rollup,
+        )
+
+        changes = table_changes(spark, source_table, built_from, src_now)
+        ins = changes.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        dels = changes.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        if prepare is not None:
+            # applied identically to both signs, so fold ≡ rebuild by
+            # construction (same contract as the append path)
+            ins, dels = prepare(ins), prepare(dels)
+        rolled = merge_rollup(
+            read_snapshot(spark, view_table),
+            aggregate_batch(ins, keys, metrics),
+            keys,
+            metrics,
+        )
+        rolled = retract_rollup(
+            rolled, aggregate_batch(dels, keys, metrics), keys, metrics
+        )
+        v = write_snapshot(
+            rolled, view_table, extra={"rollup_source_version": src_now}
+        )
+        return v, "cdc_fold"
     if delta is None:
         base = read_snapshot(spark, source_table, version=src_now)
         if prepare is not None:

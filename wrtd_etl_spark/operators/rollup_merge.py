@@ -52,6 +52,14 @@ _MERGES = {
     # the one aggregate the count/sum/min/max component set can't
     # express. State per group is the ~KB sketch; read the estimate at
     # query time with estimate_distinct() (same read-time rule as avg).
+    # plain row count per group (count(*) semantics, NULL-key safe) —
+    # the liveness component retractable CDC folds need: a group whose
+    # __rows hits 0 after retraction is DEAD and leaves the rollup,
+    # which a count(col) can't prove (it skips NULLs)
+    "rows": (
+        lambda c: F.count(F.lit(1)),
+        lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    ),
     "distinct": (
         lambda c: F.hll_sketch_agg(c),
         lambda a, b: (
@@ -103,3 +111,45 @@ def merge_rollup(
             out, _MERGES[kind][1](F.col(f"__o_{out}"), F.col(f"__d_{out}"))
         )
     return merged.select(*keys, *metrics.keys())
+
+
+#: aggregate kinds whose partials can be SUBTRACTED exactly — the
+#: precondition for folding a change feed's deletes (min/max/distinct
+#: are not retractable: removing the current min says nothing about the
+#: next one without a rescan)
+RETRACTABLE = {"count", "sum", "rows"}
+
+
+def retract_rollup(
+    rollup: DataFrame,
+    deleted_rollup: DataFrame,
+    keys: list[str],
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Rollup minus the partial aggregates of DELETED rows — the
+    retraction half of CDC-fold maintenance. Every metric kind must be
+    in RETRACTABLE; groups whose ``rows``-kind component reaches 0 are
+    dropped (the group no longer exists — keeping a zeroed row would
+    diverge from a rebuild). Float sums retract with float arithmetic:
+    exactly inverse in the integer-sum idiom, subject to the usual
+    drift otherwise."""
+    bad = [k for k, (kind, _) in metrics.items() if kind not in RETRACTABLE]
+    if bad:
+        raise ValueError(f"non-retractable metric(s): {bad}")
+    dels = deleted_rollup.select(
+        *keys, *[F.col(m).alias(f"__d_{m}") for m in metrics]
+    )
+    out = rollup.join(dels, keys, "left")
+    rows_cols = [m for m, (kind, _) in metrics.items() if kind == "rows"]
+    for name, (kind, _) in metrics.items():
+        d = F.col(f"__d_{name}")
+        if kind in ("count", "rows"):
+            expr = F.col(name) - F.coalesce(d, F.lit(0))
+        else:  # sum: NULL-safe (an all-NULL deleted slice subtracts 0)
+            expr = F.when(d.isNull(), F.col(name)).otherwise(
+                F.col(name) - d
+            )
+        out = out.withColumn(name, expr)
+    for rc in rows_cols:
+        out = out.filter(F.col(rc) > 0)
+    return out.select(*keys, *metrics.keys())
