@@ -159,6 +159,9 @@ _DEMOTED = (
     # row commit versions: update/DV-delete/merge lineage, each row's
     # _commit_version reproduced by the oracle's CASE arithmetic
     "commit_version_audit",
+    # retractable CDC-fold rollup: DV delete + CoW update + compaction
+    # fold into the maintained count/sum view, oracle recomputes fresh
+    "rollup_cdc_fold",
 )
 
 

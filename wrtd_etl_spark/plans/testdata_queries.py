@@ -2572,3 +2572,76 @@ def commit_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, t, with_commit_versions=True).select(
         "k", "price", F.col("_commit_version").alias("cv")
     )
+
+
+@register(
+    "rollup_cdc_fold",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n,
+           CAST(FLOOR(SUM(FLOOR(o_totalprice * 100 + 0.5))) AS BIGINT)
+               AS cents
+    FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey <= 200 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 101 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def rollup_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable CDC-fold materialized rollup (r9 —
+    operators/materialized.refresh_rollup_incremental(retract=True) +
+    operators/rollup_merge.retract_rollup): a count/sum rollup over
+    orders is built once, then the source takes a DV DELETE (k%101=0),
+    a CoW UPDATE (+1.0 on keys <= 200), and a COMPACTION — a range no
+    delta-files fold can express. The refresh folds the row-tracking
+    change feed: deletes subtract exactly, updates retract the old
+    image and merge the new, the compaction folds to nothing. The
+    oracle recomputes the same rollup from scratch in DuckDB — the
+    integer-cents sum makes float retraction exact cross-engine. The
+    maintained view must equal it row for row."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..operators.materialized import refresh_rollup_incremental
+    from ..sources.versioned import (
+        compact,
+        delete_where,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = _os.path.join(_tf.mkdtemp(prefix="wrtd_mvf_"), "")
+    src, view = base + "src", base + "view"
+    write_snapshot(orders.repartition(8), src, stats_cols=["k"])
+    metrics = {"n": ("count", "k"), "cents": ("sum", "cents")}
+    refresh_rollup_incremental(
+        spark, view, src, ["status"], metrics, retract=True
+    )
+    delete_where(spark, src, F.col("k") % 101 == 0, strategy="dv")
+    update_where(
+        spark,
+        src,
+        F.col("k") <= 200,
+        {"cents": F.col("cents") + 100},
+        prune={"k": (None, 200)},
+    )
+    compact(spark, src)
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["status"], metrics, retract=True
+    )
+    assert action == "cdc_fold", action  # the fold path, not a rebuild
+    return read_snapshot(spark, view).select(
+        "status", "n", F.col("cents").cast("long").alias("cents")
+    )

@@ -157,8 +157,13 @@ def run_rollup_refresh_stream(
     keys: list[str],
     metrics: dict[str, tuple[str, str]],
     prepare=None,
+    retract: bool = False,
 ):
-    """Subscribe the incremental rollup maintainer to the source feed."""
+    """Subscribe the incremental rollup maintainer to the source feed.
+    ``retract=True`` (count/sum metrics): rewrite commits in the feed —
+    DV DML, CoW updates, the maintenance daemon's own compactions —
+    fold the change feed into the rollup instead of forcing a full
+    re-aggregate (operators/materialized.refresh_rollup_incremental)."""
     from ..operators.materialized import refresh_rollup_incremental
 
     return run_feed_driven(
@@ -166,7 +171,13 @@ def run_rollup_refresh_stream(
         source_table,
         checkpoint,
         lambda: refresh_rollup_incremental(
-            spark, view_table, source_table, keys, metrics, prepare
+            spark,
+            view_table,
+            source_table,
+            keys,
+            metrics,
+            prepare,
+            retract=retract,
         ),
         starting_version=-1,
     )
