@@ -331,3 +331,49 @@ def test_recluster_on_evolved_schema(spark, tmp_path):
     assert v is not None
     got = sorted((r.k, r.v, r.w) for r in read_snapshot(spark, t).collect())
     assert got == want
+
+
+def test_recluster_two_key_volume_rule(spark, tmp_path):
+    """Multi-key layouts use the stats-box VOLUME (product of
+    normalized spans): a z-clustered 2-key base file is wide-ish in
+    EACH dimension (~n^-1/2 per side) but small in volume, so it
+    carries; a full-range append is volume ~1 and rewrites."""
+    t = str(tmp_path / "tbl")
+    rows = [(i % 100, (i * 37) % 100, i) for i in range(20000)]
+    write_snapshot(
+        spark.createDataFrame(rows, "a long, b long, v long"),
+        t,
+        layout_by=["a", "b"],
+        layout_files=9,
+    )
+    base_files, _ = files_for_read(t)
+    assert recluster(spark, t) is None  # clustered base: no victims
+    for off in (0, 1):  # two full-plane appends
+        write_snapshot(
+            spark.createDataFrame(
+                [((i * 2 + off) % 100, (i * 53 + off) % 100, i)
+                 for i in range(5000)],
+                "a long, b long, v long",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    appended = [
+        f for f in files_for_read(t)[0] if f not in set(base_files)
+    ]
+    want = sorted(
+        (r.a, r.b, r.v) for r in read_snapshot(spark, t).collect()
+    )
+    v = recluster(spark, t)
+    assert v is not None
+    after, _ = files_for_read(t)
+    # both full-plane appends rewrote; MOST base files carried (a
+    # z-partition straddling a quadrant boundary legitimately has a
+    # wide box in both dims — the curve's honest jump — and may rewrite)
+    assert not (set(appended) & set(after))
+    carried = sum(f in after for f in base_files)
+    assert carried >= len(base_files) * 2 // 3, (carried, len(base_files))
+    assert (
+        sorted((r.a, r.b, r.v) for r in read_snapshot(spark, t).collect())
+        == want
+    )
