@@ -251,3 +251,44 @@ def test_datasource_surface(spark, tmp_path):
     assert n == 1
     # plain reads never see the surface
     assert read_versioned(spark, t).columns == ["k", "v"]
+
+
+def test_changed_rows_since_prunes_old_segments(spark, tmp_path, monkeypatch):
+    """`changed_rows_since` returns exactly the post-bound images AND
+    never resolves (or reads) a segment whose head cv is at or under
+    the bound — the metadata-priced incremental sync."""
+    from wrtd_etl_spark.sources.versioned import changed_rows_since
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 100), t, stats_cols=["k"])  # v0
+    write_snapshot(_df(spark, 100, 150), t, mode="append")  # v1
+    write_snapshot(_df(spark, 150, 180), t, mode="append")  # v2
+    update_where(
+        spark, t, F.col("k") == 5, {"v": F.lit(-1)}, prune={"k": (5, 5)}
+    )  # v3: rewrites v0's files (carried rows keep cv 0)
+    real = V._resolve_seg
+    opened = []
+
+    def counting(table, seg):
+        if V._is_seg_head(seg):
+            opened.append(seg.get("cv"))
+        return real(table, seg)
+
+    monkeypatch.setattr(V, "_resolve_seg", counting)
+    got = {
+        r.k: (r.v, r._commit_version)
+        for r in changed_rows_since(spark, t, 1).collect()
+    }
+    monkeypatch.setattr(V, "_resolve_seg", real)
+    # exactly the rows set after v1: the v2 append + the v3 update
+    want = {k: (k * 10, 2) for k in range(150, 180)}
+    want[5] = (-1, 3)
+    assert got == want
+    # the v1 append segment (cv 1) was pruned at the root — only
+    # post-bound heads resolved. (v0's segment was REWRITTEN at v3, so
+    # its replacement head carries cv 3 and is legitimately read; the
+    # carried rows inside fall out via their materialized cv.)
+    assert opened and all(cv is None or cv > 1 for cv in opened)
+    # sanity: full surface still returns everything
+    assert changed_rows_since(spark, t, -1).count() == 180
+    assert changed_rows_since(spark, t, 3).count() == 0

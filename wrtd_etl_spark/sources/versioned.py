@@ -4327,6 +4327,51 @@ def _table_changes_keyed(
     return inserts.unionByName(deletes)
 
 
+def changed_rows_since(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Rows whose VALUES were set by a commit after ``since_version`` —
+    the current images of inserts and updates, with ``_commit_version``
+    attached. Deletes are not represented (a snapshot filter cannot
+    show absence); consumers needing the full diff use
+    :func:`table_changes`.
+
+    The point is the SCAN SHAPE: a segment's head-stamped ``cv`` bounds
+    every row inside it (carried rows materialize their ORIGINAL, older
+    versions; fresh rows coalesce to the head cv), so segments with
+    ``cv <= since_version`` are pruned at the ROOT — their detail
+    sidecars never open and their files are never read. On an
+    append-mostly table, "what changed since yesterday's sync" reads
+    only the segments committed since then: metadata-priced incremental
+    consumption without a change-feed subscription. Pre-feature
+    segments (no ``cv``) are conservatively kept; their rows carry NULL
+    ``_commit_version`` and fall out of the ``> since_version`` filter
+    (honest: their change time is unknown)."""
+    if version is None:
+        version = _read_pointer(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+    root = _read_manifest_root(table, version)
+    segs = []
+    for seg in _segments(root):
+        cv = seg.get("cv")
+        if cv is not None and cv <= since_version:
+            continue  # every row inside was set at or before the bound
+        segs.append(_resolve_seg(table, seg) if _is_seg_head(seg) else seg)
+    out = _read_segments(
+        spark,
+        table,
+        {**root, "segments": segs},
+        with_commit_versions=True,
+    )
+    return out.filter(F.col(ROW_CV_COL) > since_version).withColumnRenamed(
+        ROW_CV_COL, ROW_CV_OUT
+    )
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
