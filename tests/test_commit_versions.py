@@ -292,3 +292,39 @@ def test_changed_rows_since_prunes_old_segments(spark, tmp_path, monkeypatch):
     # sanity: full surface still returns everything
     assert changed_rows_since(spark, t, -1).count() == 180
     assert changed_rows_since(spark, t, 3).count() == 0
+
+
+def test_datasource_cv_with_pruning(spark, tmp_path):
+    """with_commit_versions composes with stats pruning: skip_filter
+    drops files, surviving rows carry correct versions, and row-group
+    pruning stays legal (cv is position-independent)."""
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        _df(spark, 0, 2000).repartition(1).sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+    )
+    write_snapshot(
+        _df(spark, 2000, 4000).repartition(1).sortWithinPartitions("k"),
+        t,
+        mode="append",
+        stats_cols=["k"],
+    )
+    update_where(
+        spark,
+        t,
+        F.col("k") == 2500,
+        {"v": F.lit(0)},
+        prune={"k": (2500, 2500)},
+    )  # v2
+    df = read_versioned(
+        spark,
+        t,
+        skip_filter={"k": (2400, 2600)},
+        with_commit_versions=True,
+    ).filter(F.col("k").between(2400, 2600))
+    got = {r.k: r._commit_version for r in df.collect()}
+    assert len(got) == 201
+    assert got[2500] == 2 and got[2400] == 1 and got[2600] == 1
