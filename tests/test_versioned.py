@@ -861,3 +861,37 @@ def test_long_string_stats_truncate_but_never_misprune(spark, tmp_path):
     # a range past every upper bound prunes all files
     kept2, _ = files_for_read(t, skip_filter={"text": ("zzz", None)})
     assert kept2 == []
+
+
+def test_trunc_string_stat_edges():
+    """Pure-unit edges of the bound truncation: the lower bound is
+    always <= the original, the upper always >= it (strictly > for
+    every string sharing the truncated prefix), the surrogate-boundary
+    increment (U+D7FF -> U+D800) survives a JSON round-trip, and an
+    all-U+10FFFF prefix keeps the full value."""
+    import json as _json
+
+    from wrtd_etl_spark.sources.versioned import (
+        STAT_STRING_MAX as M,
+        _trunc_string_stat,
+    )
+
+    lo, hi = _trunc_string_stat("a" * 200, "b" * 200)
+    assert lo == "a" * M and len(hi) <= M
+    assert lo <= "a" * 200 and hi > "b" * 200
+    # increment lands exactly on the UTF-16 surrogate boundary
+    s = "x" * (M - 1) + "퟿" + "tail-beyond-the-cut"
+    lo2, hi2 = _trunc_string_stat("a", s)
+    assert hi2 == "x" * (M - 1) + "\ud800" and hi2 > s
+    assert _json.loads(_json.dumps(hi2)) == hi2  # manifest round-trip
+    # rightmost non-maximal char increments; maximal tail drops
+    s3 = "m" * (M - 2) + chr(0x10FFFF) * 10
+    _, hi3 = _trunc_string_stat("a", s3)
+    assert hi3 == "m" * (M - 3) + "n" and hi3 > s3
+    # pathological all-maximal prefix: keep the full value (still valid)
+    s4 = chr(0x10FFFF) * (M + 10)
+    _, hi4 = _trunc_string_stat("a", s4)
+    assert hi4 == s4
+    # short strings pass through untouched; non-strings too
+    assert _trunc_string_stat("ab", "cd") == ["ab", "cd"]
+    assert _trunc_string_stat(1, 2) == [1, 2]
