@@ -150,18 +150,16 @@ _DEMOTED = (
     # events_asof_status (the same AS-OF join idiom over the SCD2
     # history) and it remains in the full battery regardless.
     "asof_latest_order",
-    # round 9 additions park outside the window like every post-r3 one:
-    # row-tracking keyed CDC across a compaction (full row-level oracle)
-    # and the incremental re-clustering lifecycle (row-invisible
-    # maintenance oracle) — both judge-oracles in the full battery
-    "cdc_rewrite_fold",
-    "recluster_maintenance",
-    # row commit versions: update/DV-delete/merge lineage, each row's
-    # _commit_version reproduced by the oracle's CASE arithmetic
-    "commit_version_audit",
-    # retractable CDC-fold rollup: DV delete + CoW update + compaction
-    # fold into the maintained count/sum view, oracle recomputes fresh
-    "rollup_cdc_fold",
+    # round 10 rotation (VERDICT r9 ask #1): the four r9 flagships
+    # cdc_rewrite_fold / commit_version_audit / rollup_cdc_fold /
+    # recluster_maintenance rotate INTO the scored window; four
+    # long-stable siblings park here in exchange — each operator shape
+    # keeps a scored twin (the judge's own candidates), and all four
+    # remain judge-oracles in the full battery regardless:
+    "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
+    "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
+    "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)
+    "corpus_vocab",  # L11 token counting stays scored via doc_tfidf_topk + heavy-hitter siblings
 )
 
 
