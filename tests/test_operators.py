@@ -574,6 +574,51 @@ def test_rollup_merge_disjoint_and_empty_sides(spark):
     assert ident == {"x": (2, 4.0, 1.0, 3.0)}
 
 
+def test_rollup_merge_and_retract_null_group_keys(spark):
+    """SQL GROUP BY treats all NULL keys as ONE group, but a plain
+    equi-join never matches NULL = NULL — merge must combine the
+    NULL-key old and delta rows into one row (not two), and retract
+    must actually find and shrink the NULL-key group (the advisor's
+    silent-no-retract drift)."""
+    from wrtd_etl_spark.operators.rollup_merge import (
+        aggregate_batch,
+        merge_rollup,
+        retract_rollup,
+    )
+
+    schema = "k string, v long"
+    metrics = {"rows": ("rows", "v"), "s": ("sum", "v")}
+    old = aggregate_batch(
+        spark.createDataFrame([(None, 10), (None, 20), ("x", 1)], schema),
+        ["k"], metrics,
+    )
+    delta = aggregate_batch(
+        spark.createDataFrame([(None, 5), ("y", 7)], schema), ["k"], metrics
+    )
+    merged = {r.k: (r.rows, r.s)
+              for r in merge_rollup(old, delta, ["k"], metrics).collect()}
+    # one NULL-key row, components combined — a rebuild's answer
+    assert merged == {None: (3, 35), "x": (1, 1), "y": (1, 7)}
+
+    dels = aggregate_batch(
+        spark.createDataFrame([(None, 10), (None, 5)], schema),
+        ["k"], metrics,
+    )
+    rolled = merge_rollup(old, delta, ["k"], metrics)
+    after = {r.k: (r.rows, r.s)
+             for r in retract_rollup(rolled, dels, ["k"], metrics).collect()}
+    assert after == {None: (1, 20), "x": (1, 1), "y": (1, 7)}
+    # group death: retracting the last NULL-key rows drops the group
+    dead = aggregate_batch(
+        spark.createDataFrame([(None, 20)], schema), ["k"], metrics
+    )
+    gone = {r.k for r in retract_rollup(
+        spark.createDataFrame([(None, 1, 20), ("x", 1, 1)],
+                              "k string, rows long, s bigint"),
+        dead, ["k"], metrics).collect()}
+    assert gone == {"x"}
+
+
 def test_heavy_hitters_exact_vs_naive_on_skewed_data(spark):
     """Sketch+verify must equal the naive groupBy answer exactly — on a
     skewed distribution spread across many partitions, including an item

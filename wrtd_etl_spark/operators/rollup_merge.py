@@ -90,6 +90,25 @@ def aggregate_batch(
     return batch.groupBy(*keys).agg(*aggs)
 
 
+def _null_safe_key_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Join on the group keys with NULL-SAFE equality (``<=>``): a NULL
+    group key is a real group (SQL GROUP BY treats all NULLs as one
+    group), but a plain equi-join never matches NULL = NULL — so a
+    name-list join would land the NULL-key old and delta rows as two
+    separate rows (full_outer) or silently retract nothing (left).
+    Right-side keys are pre-renamed to ``__r_<k>``; callers coalesce
+    them back when the join is outer."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+    return left.join(r, cond, how)
+
+
 def merge_rollup(
     rollup: DataFrame,
     delta_rollup: DataFrame,
@@ -105,7 +124,13 @@ def merge_rollup(
     new = delta_rollup.select(
         *keys, *[F.col(m).alias(f"__d_{m}") for m in metrics]
     )
-    merged = old.join(new, keys, "full_outer")
+    merged = _null_safe_key_join(old, new, keys, "full_outer")
+    # unmatched sides hold NULL keys from the outer join; the matched
+    # side's value (NULL-safe equal, so identical) fills them back in
+    for k in keys:
+        merged = merged.withColumn(
+            k, F.coalesce(F.col(k), F.col(f"__r_{k}"))
+        )
     for out, (kind, _) in metrics.items():
         merged = merged.withColumn(
             out, _MERGES[kind][1](F.col(f"__o_{out}"), F.col(f"__d_{out}"))
@@ -139,7 +164,8 @@ def retract_rollup(
     dels = deleted_rollup.select(
         *keys, *[F.col(m).alias(f"__d_{m}") for m in metrics]
     )
-    out = rollup.join(dels, keys, "left")
+    # NULL-safe: deletions of the NULL-key group must find their row
+    out = _null_safe_key_join(rollup, dels, keys, "left")
     rows_cols = [m for m, (kind, _) in metrics.items() if kind == "rows"]
     for name, (kind, _) in metrics.items():
         d = F.col(f"__d_{name}")
