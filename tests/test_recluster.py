@@ -377,3 +377,72 @@ def test_recluster_two_key_volume_rule(spark, tmp_path):
         sorted((r.a, r.b, r.v) for r in read_snapshot(spark, t).collect())
         == want
     )
+
+
+def test_recluster_survives_degenerate_layout_dimension(spark, tmp_path):
+    """A table-wide CONSTANT layout key must not poison the volume
+    product: width detection keeps working on the other, live
+    dimension (the advisor's zero-multiply regression — every volume
+    collapsed to 0 and maintenance silently became a no-op)."""
+    t = str(tmp_path / "tbl")
+    rows = [(1, i, f"v{i}") for i in range(20000)]  # `a` constant
+    write_snapshot(
+        spark.createDataFrame(rows, "a long, k long, v string"),
+        t,
+        layout_by=["a", "k"],
+        layout_files=4,
+    )
+    base_files, _ = files_for_read(t)
+    assert recluster(spark, t) is None  # clustered in the live dim
+    for off in (0, 1):  # two full-range appends in the live dim
+        write_snapshot(
+            spark.createDataFrame(
+                [(1, i * 2 + off, "tail") for i in range(8000)],
+                "a long, k long, v string",
+            ).coalesce(1),
+            t,
+            mode="append",
+        )
+    want = sorted(
+        (r.a, r.k, r.v) for r in read_snapshot(spark, t).collect()
+    )
+    v = recluster(spark, t)
+    assert v is not None, "degenerate dim disabled wide detection"
+    info = manifest_info(t)
+    assert info.get("metrics", {}).get("numRemovedFiles") == 2
+    after, _ = files_for_read(t)
+    for f in base_files:
+        assert f in after  # clustered base still carries by reference
+    assert (
+        sorted((r.a, r.k, r.v) for r in read_snapshot(spark, t).collect())
+        == want
+    )
+
+
+def test_recluster_all_degenerate_still_folds_small_files(spark, tmp_path):
+    """When NO layout key discriminates (all constant), width screening
+    is meaningless — but small-file bin-packing must stay alive, since
+    maybe_compact routes clustered tables here."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(7, i) for i in range(5000)], "k long, v long"
+        ).coalesce(2),
+        t,
+        layout_by=["k"],
+    )
+    for i in range(3):  # three tiny constant-key appends
+        write_snapshot(
+            spark.createDataFrame([(7, 10000 + i)], "k long, v long"),
+            t,
+            mode="append",
+        )
+    files0, _ = files_for_read(t)
+    sizes = {f: os.path.getsize(os.path.join(t, f)) for f in files0}
+    tiny = sorted(sizes, key=sizes.get)[:3]
+    want = _rows(spark, t)
+    v = recluster(spark, t, small_bytes=max(sizes[f] for f in tiny) + 1)
+    assert v is not None, "small-file folding died with the volume rule"
+    after, _ = files_for_read(t)
+    assert not (set(tiny) & set(after))
+    assert _rows(spark, t) == want

@@ -421,3 +421,115 @@ def test_row_tracking_edge_cases(spark, tmp_path):
     assert ins == [100] and dels == []
     # ids still dense + stable through the ALTER lineage
     assert sorted(_ids(spark, t2).values()) == list(range(21))
+
+
+def _mdf(spark, lo, hi, tag="a"):
+    return spark.createDataFrame(
+        [(i, {"t": tag, "i": str(i)}, [{"n": str(i % 3)}]) for i in range(lo, hi)],
+        "k long, props map<string,string>, tags array<map<string,string>>",
+    )
+
+
+def test_keyed_diff_canonicalizes_map_columns(spark, tmp_path):
+    """Map-typed columns (the engine's own semi-structured `props`
+    idiom) no longer force the exceptAll fallback — which Spark cannot
+    even run over maps (set ops are undefined on MapType). The keyed
+    diff compares sorted entry arrays, recursively through nested
+    maps, so a compaction folds EMPTY and DML ranges emit exact
+    deltas carrying the ORIGINAL map values."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_mdf(spark, 0, 80).repartition(2), t, stats_cols=["k"])
+    write_snapshot(_mdf(spark, 80, 100), t, mode="append", stats_cols=["k"])
+    v_pre = V._read_pointer(t)
+    compact(spark, t)
+    ch = table_changes(spark, t, v_pre, v_pre + 1)
+    assert ch.count() == 0  # carried map rows cancel BY ID
+
+    # dv delete + CoW update: exact delta, original map values emitted
+    delete_where(spark, t, F.col("k") == 5, strategy="dv", prune={"k": (5, 5)})
+    update_where(
+        spark, t, F.col("k") == 7,
+        {"props": F.create_map(F.lit("t"), F.lit("B"))},
+        prune={"k": (7, 7)},
+    )
+    rows = [
+        (r.k, dict(r.props), r._change_type)
+        for r in table_changes(spark, t, v_pre + 1, V._read_pointer(t)).collect()
+    ]
+    assert sorted(rows, key=str) == sorted(
+        [
+            (5, {"t": "a", "i": "5"}, "delete"),
+            (7, {"t": "a", "i": "7"}, "delete"),
+            (7, {"t": "B"}, "insert"),
+        ],
+        key=str,
+    )
+
+
+def test_keyed_diff_map_key_order_is_canonical(spark, tmp_path):
+    """Two physically different key orders of the SAME map must cancel
+    as carried — entry order is unspecified in Spark, so only the
+    canonicalized comparison keeps a rewrite's churn out of the CDC."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, {"x": "1", "y": "2"}), (2, {"y": "2", "x": "1"})],
+        "k long, props map<string,string>",
+    )
+    write_snapshot(df.coalesce(1), t, stats_cols=["k"])
+    write_snapshot(
+        spark.createDataFrame([(3, {"z": "3"})], "k long, props map<string,string>"),
+        t, mode="append", stats_cols=["k"],
+    )
+    v_pre = V._read_pointer(t)
+    compact(spark, t)
+    assert table_changes(spark, t, v_pre, v_pre + 1).count() == 0
+
+
+def test_keyed_map_diff_folds_and_reads_only_touched_segments(
+    spark, tmp_path
+):
+    """Fold ≡ snapshot over an append→update→compact lineage on a
+    map-typed table, plus the input-files proof: a pruned CoW update's
+    diff never reads the untouched segment."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_mdf(spark, 0, 60).coalesce(1), t, stats_cols=["k"])
+    write_snapshot(
+        _mdf(spark, 1000, 1060).coalesce(1), t, mode="append",
+        stats_cols=["k"],
+    )
+    seg_b_files = {
+        f
+        for s in [
+            V._resolve_seg(t, V._segments(V._read_manifest_root(t, 1))[1])
+        ]
+        for f in s["files"]
+    }
+    v_pre = V._read_pointer(t)
+    update_where(
+        spark, t, F.col("k") == 5,
+        {"props": F.create_map(F.lit("t"), F.lit("upd"))},
+        prune={"k": (5, 5)},
+    )
+    ch = table_changes(spark, t, v_pre, v_pre + 1)
+    read = {f.split("/")[-1] for f in ch.inputFiles()}
+    assert not read & {f.split("/")[-1] for f in seg_b_files}
+    compact(spark, t)
+    to_v = V._read_pointer(t)
+    # fold the whole range's changes onto the v_pre snapshot
+    rows = [
+        (r.k, dict(r.props), r._change_type)
+        for r in table_changes(spark, t, v_pre, to_v).collect()
+    ]
+    base = {
+        r.k: dict(r.props)
+        for r in read_snapshot(spark, t, version=v_pre).collect()
+    }
+    for k, p, ct in sorted(rows, key=lambda x: x[2] == "insert"):
+        if ct == "delete":
+            assert base.pop(k) == p, (k, p)
+        else:
+            base[k] = p
+    assert base == {
+        r.k: dict(r.props)
+        for r in read_snapshot(spark, t, version=to_v).collect()
+    }

@@ -867,23 +867,35 @@ def test_trunc_string_stat_edges():
     """Pure-unit edges of the bound truncation: the lower bound is
     always <= the original, the upper always >= it (strictly > for
     every string sharing the truncated prefix), the surrogate-boundary
-    increment (U+D7FF -> U+D800) survives a JSON round-trip, and an
-    all-U+10FFFF prefix keeps the full value."""
+    increment (U+D7FF steps OVER the surrogate range to U+E000, never
+    minting an unencodable lone surrogate) survives a JSON round-trip
+    and UTF-8 encoding, and an all-U+10FFFF prefix keeps the full
+    value."""
     import json as _json
 
     from wrtd_etl_spark.sources.versioned import (
         STAT_STRING_MAX as M,
+        _stat_rank,
         _trunc_string_stat,
     )
 
     lo, hi = _trunc_string_stat("a" * 200, "b" * 200)
     assert lo == "a" * M and len(hi) <= M
     assert lo <= "a" * 200 and hi > "b" * 200
-    # increment lands exactly on the UTF-16 surrogate boundary
+    # increment lands exactly on the UTF-16 surrogate boundary: the
+    # successor of U+D7FF must skip the surrogates (unencodable as
+    # UTF-8) and land on U+E000 — still a strict upper bound
     s = "x" * (M - 1) + "퟿" + "tail-beyond-the-cut"
     lo2, hi2 = _trunc_string_stat("a", s)
-    assert hi2 == "x" * (M - 1) + "\ud800" and hi2 > s
+    assert hi2 == "x" * (M - 1) + "" and hi2 > s
     assert _json.loads(_json.dumps(hi2)) == hi2  # manifest round-trip
+    hi2.encode("utf-8")  # every consumer of the bound can encode it
+    assert _stat_rank(hi2) is not None
+    # a LEGACY bound minted by the pre-fix increment (lone U+D800, as
+    # old manifests may still store) must rank without crashing
+    legacy = "x" * (M - 1) + "\ud800"
+    assert _stat_rank(legacy) is not None
+    assert _stat_rank(legacy) >= _stat_rank("x" * M)
     # rightmost non-maximal char increments; maximal tail drops
     s3 = "m" * (M - 2) + chr(0x10FFFF) * 10
     _, hi3 = _trunc_string_stat("a", s3)

@@ -194,6 +194,8 @@ def _resolve_seg(table: str, seg: dict) -> dict:
             full["row_base"] = seg["row_base"]
     if d.get("rid"):
         full["rid"] = d["rid"]
+    if d.get("cvs"):
+        full["cvs"] = d["cvs"]
     if "cv" in seg:
         # commit version rides the HEAD (stamped in the commit loop,
         # like row_base) — carried so resolved copies keep the lineage
@@ -259,6 +261,10 @@ def _write_seg_detail(table: str, seg: dict) -> dict:
         detail["rows"] = seg["rows"]
     if seg.get("rid"):
         detail["rid"] = seg["rid"]
+    if seg.get("cvs"):
+        # per-file __row_cv ranges (sub-segment pruning for
+        # changed_rows_since) — immutable detail, like stats
+        detail["cvs"] = seg["cvs"]
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     tmp = _seg_detail_path(table, ref) + ".tmp"
     with open(tmp, "w") as f:
@@ -507,6 +513,50 @@ def _collect_file_stats(
     return out
 
 
+def _collect_file_cv_stats(
+    table: str, rel_files: list[str]
+) -> dict[str, dict]:
+    """relpath → {"lo", "hi", "nulls"} over the materialized
+    ``__row_cv`` column (footer-only, like :func:`_collect_file_stats`)
+    — the per-file commit-version range that lets
+    :func:`changed_rows_since` prune INSIDE a rewritten segment: a
+    compaction mixing years-old rows with one fresh batch carries head
+    ``cv`` = the rewrite's version, but each FILE's carried versions
+    bound what an incremental sync can find there. ``nulls`` counts
+    rows whose cv coalesces to the head cv at read (rows this rewrite
+    itself set) — any null forces the file to stay in scope. Files
+    whose footer can't prove the range are simply omitted (kept)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(table, rel)).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        if ROW_CV_COL not in idx:
+            continue
+        lo = hi = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            cmd = md.row_group(rg).column(idx[ROW_CV_COL])
+            s = cmd.statistics
+            if s is None or s.null_count is None:
+                ok = False
+                break
+            nulls += s.null_count
+            if s.has_min_max:
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            elif s.null_count != cmd.num_values:
+                ok = False  # non-null values with no bounds: unprovable
+                break
+        if ok:
+            out[rel] = {"lo": lo, "hi": hi, "nulls": nulls}
+    return out
+
+
 #: Longest string stored verbatim in manifest min/max stats. Past it,
 #: the LOWER bound truncates (a prefix is always <= the full value) and
 #: the UPPER bound truncates-then-increments its last character so it
@@ -529,7 +579,15 @@ def _trunc_string_stat(lo, hi) -> list:
         # impossible) keep the full value — correct, just not short.
         for i in range(len(cut) - 1, -1, -1):
             if ord(cut[i]) < 0x10FFFF:
-                hi = cut[:i] + chr(ord(cut[i]) + 1)
+                nxt = ord(cut[i]) + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    # never mint a lone surrogate (U+D7FF + 1): it is
+                    # unencodable as UTF-8 and would crash every later
+                    # encode of the stored bound (e.g. _stat_rank).
+                    # U+E000 is the next real codepoint — still a
+                    # strict upper bound for any prefix <= U+D7FF.
+                    nxt = 0xE000
+                hi = cut[:i] + chr(nxt)
                 break
         else:
             pass  # keep full hi: still a valid upper bound
@@ -758,6 +816,21 @@ ROW_ID_OUT = "_row_id"
 ROW_CV_COL = "__row_cv"
 #: Public column name commit-version-aware scans attach.
 ROW_CV_OUT = "_commit_version"
+#: Sentinel materialized for CARRIED rows whose source commit version is
+#: unknown (minted before the cv feature). A carried NULL would be
+#: indistinguishable from "this rewrite set my values" and the read-side
+#: coalesce would promote legacy rows to the maintenance commit's
+#: version; the sentinel keeps "unknown" distinct across any chain of
+#: rewrites and maps back to NULL at every public surface.
+ROW_CV_UNKNOWN = -1
+
+
+def _cv_public(col):
+    """Map the internal unknown-cv sentinel back to the documented NULL
+    at a public surface."""
+    return F.when(col == ROW_CV_UNKNOWN, F.lit(None).cast("long")).otherwise(
+        col
+    )
 
 
 def _collect_file_rows(table: str, files: list[str]) -> dict[str, int]:
@@ -1948,6 +2021,7 @@ def _read_segments(
     spark: SparkSession, table: str, manifest: dict,
     with_row_ids: bool = False,
     with_commit_versions: bool = False,
+    cv_after: "int | None" = None,
 ) -> DataFrame:
     """Evolved-table read: per segment rename (alias map) → lossless cast
     to the table schema → unionByName with NULL fill for absent columns.
@@ -2003,13 +2077,28 @@ def _read_segments(
         part = spark.read.schema(schema).parquet(
             *[os.path.join(table, f) for f in seg["files"]]
         )
+        if cv_after is not None and with_commit_versions:
+            # pushable PHYSICAL-column predicate, applied before the
+            # coalesce (which would block pushdown): parquet row-group
+            # stats on the materialized __row_cv prune inside rewritten
+            # files for free. NULL cv = set by this segment's commit
+            # (head cv), which outlives any root-surviving bound — keep.
+            part = part.filter(
+                F.col(ROW_CV_COL).isNull()
+                | (F.col(ROW_CV_COL) > F.lit(cv_after))
+            )
         if with_commit_versions:
-            # per-segment constant: NULL (fresh/modified row, or a
-            # pre-feature segment with no cv) coalesces to the head cv
+            # per-segment constant: NULL (fresh/modified row) coalesces
+            # to the head cv; a pre-feature segment (no cv) yields the
+            # UNKNOWN sentinel so a later rewrite materializes it
+            # instead of a NULL that would alias "modified here".
+            # Public surfaces map the sentinel back to NULL.
             part = part.withColumn(
                 ROW_CV_COL,
                 F.coalesce(
-                    F.col(ROW_CV_COL), F.lit(seg.get("cv")).cast("long")
+                    F.col(ROW_CV_COL),
+                    F.lit(seg.get("cv")).cast("long"),
+                    F.lit(ROW_CV_UNKNOWN).cast("long"),
                 ),
             )
         if with_row_ids:
@@ -2319,7 +2408,9 @@ def read_snapshot(
         if with_row_ids:
             out = out.withColumnRenamed(ROW_ID_COL, ROW_ID_OUT)
         if with_commit_versions:
-            out = out.withColumnRenamed(ROW_CV_COL, ROW_CV_OUT)
+            out = out.withColumn(
+                ROW_CV_COL, _cv_public(F.col(ROW_CV_COL))
+            ).withColumnRenamed(ROW_CV_COL, ROW_CV_OUT)
         return out
     if manifest.get("schema_evolved") and "segments" in manifest:
         return _read_segments(
@@ -2952,7 +3043,7 @@ def _split_for_rewrite(
                     if k in members
                 },
             }
-            for extra in ("blooms", "dvs", "rows"):
+            for extra in ("blooms", "dvs", "rows", "cvs"):
                 if side.get(extra):
                     sub = {
                         k: v for k, v in side[extra].items() if k in members
@@ -3178,6 +3269,12 @@ def _rewrite_segment(
             out["blooms"] = blooms
     if rid_files:
         out["rid"] = rid_files
+    if ROW_CV_COL in rows.columns:
+        # per-file commit-version ranges: sub-segment pruning for
+        # changed_rows_since across this rewrite (footer-only)
+        cvs = _collect_file_cv_stats(table, files_new)
+        if cvs:
+            out["cvs"] = cvs
     # non-materialized files mint metadata bases at commit time
     out = _attach_row_offsets(out, table)
     # sentinel: a FRESH rewrite segment's commit version is stamped in
@@ -4221,6 +4318,52 @@ _KEYED_CDC_MODES = frozenset(
 )
 
 
+def _contains_map(dtype) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _map_canon(col, dtype):
+    """Order-canonical, EQUALITY-COMPARABLE image of a possibly
+    map-typed column: Spark defines no equality on maps (key order is
+    unspecified), but ``array_sort(map_entries(m))`` is deterministic
+    and comparable — two maps are equal iff their sorted entry arrays
+    are (keys are unique and non-null by construction). Recurses
+    through arrays/structs so nested maps canonicalize too; non-map
+    types pass through untouched. Used ONLY inside the keyed diff's
+    value-equality predicate — emitted rows keep the original values."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        entries = F.map_entries(col)
+        if _contains_map(dtype.keyType) or _contains_map(dtype.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    _map_canon(e["key"], dtype.keyType).alias("key"),
+                    _map_canon(e["value"], dtype.valueType).alias("value"),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dtype, ArrayType) and _contains_map(dtype.elementType):
+        return F.transform(col, lambda x: _map_canon(x, dtype.elementType))
+    if isinstance(dtype, StructType) and _contains_map(dtype):
+        return F.struct(
+            *[
+                _map_canon(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    return col
+
+
 def _table_changes_keyed(
     spark: SparkSession, table: str, from_version: int, to_version: int
 ) -> "DataFrame | None":
@@ -4236,13 +4379,17 @@ def _table_changes_keyed(
     vanishes for the cost of joining only the REWRITTEN bytes; the old
     exceptAll fallback shuffled both full snapshots.
 
+    Map-typed columns (the engine's own semi-structured ``props``
+    idiom) compare through :func:`_map_canon` — sorted entry arrays,
+    recursively for nested maps — so they no longer force the
+    exceptAll fallback; emitted rows still carry the ORIGINAL map
+    values.
+
     Returns None whenever the proof doesn't hold — a mode outside
     ``_KEYED_CDC_MODES`` (overwrite/rollback re-mint identity), expired
-    history, pre-tracking segments, or map-typed columns (Spark defines
-    no equality on maps) — and the caller falls back to exceptAll."""
+    history, or pre-tracking segments — and the caller falls back to
+    exceptAll."""
     from functools import reduce
-
-    from pyspark.sql.types import StructType
 
     try:
         modes = commit_modes(table, from_version, to_version)
@@ -4269,12 +4416,6 @@ def _table_changes_keyed(
     cur_segs, prev_segs = _changed(to_root), _changed(from_root)
     if not all(_seg_row_tracked(s) for s in cur_segs + prev_segs):
         return None  # pre-tracking files in the diff scope: honest diff
-    if any(
-        "map<" in f.dataType.simpleString()
-        for root in (to_root, from_root)
-        for f in StructType.fromJson(root["schema"]).fields
-    ):
-        return None
     new = _read_segments(
         spark, table, {**to_root, "segments": cur_segs}, with_row_ids=True
     ).withColumnRenamed(ROW_ID_COL, "__n_rid")
@@ -4307,13 +4448,18 @@ def _table_changes_keyed(
         *[F.col(c).alias(f"__o_{c}") for c in data_cols], "__o_rid"
     )
     j = n2.join(o2, F.col("__n_rid") == F.col("__o_rid"), "full_outer")
+    types = {f.name: f.dataType for f in new.schema.fields}
+
+    def _cmp(c):
+        n, o = F.col(f"__n_{c}"), F.col(f"__o_{c}")
+        if _contains_map(types[c]):
+            return _map_canon(n, types[c]).eqNullSafe(
+                _map_canon(o, types[c])
+            )
+        return n.eqNullSafe(o)
+
     same = reduce(
-        lambda a, b: a & b,
-        [
-            F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}"))
-            for c in data_cols
-        ],
-        F.lit(True),
+        lambda a, b: a & b, [_cmp(c) for c in data_cols], F.lit(True)
     )
     changed = j.filter(
         F.col("__n_rid").isNull() | F.col("__o_rid").isNull() | ~same
@@ -4349,7 +4495,15 @@ def changed_rows_since(
     consumption without a change-feed subscription. Pre-feature
     segments (no ``cv``) are conservatively kept; their rows carry NULL
     ``_commit_version`` and fall out of the ``> since_version`` filter
-    (honest: their change time is unknown)."""
+    (honest: their change time is unknown).
+
+    Inside a REWRITTEN segment (head cv = the rewrite's version even
+    when most rows are old), pruning continues at two finer grains:
+    per-file ``__row_cv`` ranges recorded at rewrite time (``cvs`` in
+    the detail sidecar) skip whole files whose carried versions all
+    predate the bound, and a pushed-down physical predicate on the
+    materialized column lets parquet row-group stats skip inside the
+    files that remain."""
     if version is None:
         version = _read_pointer(table)
         if version is None:
@@ -4360,13 +4514,35 @@ def changed_rows_since(
         cv = seg.get("cv")
         if cv is not None and cv <= since_version:
             continue  # every row inside was set at or before the bound
-        segs.append(_resolve_seg(table, seg) if _is_seg_head(seg) else seg)
+        seg = _resolve_seg(table, seg) if _is_seg_head(seg) else seg
+        cvs = seg.get("cvs")
+        if cvs:
+            # sub-segment prune (r9 VERDICT ask #3): a REWRITTEN
+            # segment carries head cv = the rewrite's version, but each
+            # file's materialized __row_cv range bounds what the sync
+            # can find inside. A file is skippable iff its max carried
+            # cv <= the bound AND it holds no NULL-cv rows (those
+            # coalesce to the head cv, which survived the root prune).
+            # The all-unknown file (hi == sentinel -1) is skippable
+            # too: unknown rows never satisfy `> since_version`.
+            def _admits(f: str) -> bool:
+                st = cvs.get(f)
+                if st is None:
+                    return True  # no proof: stay in scope
+                if st["nulls"]:
+                    return True
+                hi = st["hi"]
+                return hi is not None and hi > since_version
+            seg = {**seg, "files": [f for f in seg["files"] if _admits(f)]}
+        segs.append(seg)
     out = _read_segments(
         spark,
         table,
         {**root, "segments": segs},
         with_commit_versions=True,
+        cv_after=since_version,
     )
+    out = out.withColumn(ROW_CV_COL, _cv_public(F.col(ROW_CV_COL)))
     return out.filter(F.col(ROW_CV_COL) > since_version).withColumnRenamed(
         ROW_CV_COL, ROW_CV_OUT
     )
@@ -4425,6 +4601,19 @@ def table_changes(
         )
     except FileNotFoundError:
         dv_only = False  # expired history below the range: honest diff
+    if dv_only:
+        from pyspark.sql.types import StructType as _ST
+
+        if any(
+            _contains_map(f.dataType)
+            for f in _ST.fromJson(
+                _read_manifest_root(table, to_version)["schema"]
+            ).fields
+        ):
+            # exceptAll (set op) is undefined over map columns; the
+            # keyed row-id diff below canonicalizes maps and every
+            # dv-only mode is keyed-eligible, so it takes over
+            dv_only = False
     if dv_only:
         phys = table_changes_physical(
             spark, table, from_version, to_version
@@ -5740,6 +5929,11 @@ def compact(
     seg_new = {"files": files, "schema": data_schema, "stats": stats}
     if tracked:
         seg_new["rid"] = files  # every file materialized its row ids
+        cvs = _collect_file_cv_stats(table, files)
+        if cvs:
+            # per-file carried-cv ranges: changed_rows_since prunes
+            # inside this compacted segment instead of rescanning it
+            seg_new["cvs"] = cvs
         seg_new = _attach_row_offsets(seg_new, table)
         seg_new.pop("rows_minted", None)
     if bloom_cols:
@@ -5871,7 +6065,7 @@ def _rewrite_victims(
                     p: v for p, v in seg.get("stats", {}).items() if p in keep
                 },
             }
-            for extra in ("blooms", "dvs", "rows"):
+            for extra in ("blooms", "dvs", "rows", "cvs"):
                 if seg.get(extra):
                     sub[extra] = {
                         p: v for p, v in seg[extra].items() if p in keep
@@ -5934,8 +6128,17 @@ def _stat_rank(v) -> float | None:
     if isinstance(v, (int, float)):
         return float(v)
     if isinstance(v, str):
+        # surrogatepass: bounds minted by a pre-fix _trunc_string_stat
+        # may end in a lone surrogate (U+D7FF incremented to U+D800);
+        # ranking must tolerate them — maintenance on an old manifest
+        # must never crash on a stat value it can still order.
         return float(
-            int.from_bytes(v.encode("utf-8")[:7].ljust(7, b"\x00"), "big")
+            int.from_bytes(
+                v.encode("utf-8", errors="surrogatepass")[:7].ljust(
+                    7, b"\x00"
+                ),
+                "big",
+            )
         )
     return None
 
@@ -6049,12 +6252,26 @@ def recluster(
         for c in keys
     }
 
+    # A table-wide constant (or fully stat-less) dimension carries no
+    # clustering information: EVERY file spans all of it, so it must not
+    # contribute a factor at all — multiplying 0.0 (or 1.0) in would
+    # either disable wide detection for every other dimension or claim
+    # spurious width.  The product over the LIVE dimensions alone is
+    # still a share-of-total-volume in [0, 1] (each live factor is the
+    # file's normalized span), so the width_factor / n_live threshold
+    # needs no rescaling: a perfectly packed file covers ~1/n_live of
+    # the live-dim volume regardless of how many dimensions are live.
+    live_dims = [c for c in keys if t_lo[c] is not None and t_hi[c] != t_lo[c]]
+
     def _volume(spans: dict) -> float:
+        if not live_dims:
+            # no discriminating dimension → width screening is
+            # meaningless; report 0 so no file is ever "wide" (small-
+            # file victims below keep bin-pack maintenance alive)
+            return 0.0
         v = 1.0
-        for c in keys:
-            if t_lo[c] is None or t_hi[c] == t_lo[c]:
-                v *= 0.0  # constant (or fully stat-less) dimension
-            elif spans[c] is None:
+        for c in live_dims:
+            if spans[c] is None:
                 v *= 1.0  # no stats: unprunable, claims everything
             else:
                 v *= (spans[c][1] - spans[c][0]) / (t_hi[c] - t_lo[c])
@@ -6066,7 +6283,7 @@ def recluster(
     candidates: list[dict] = []
     for seg, box, n_f, nbytes in seg_boxes:
         may_hold_victim = (
-            any(box[c] is None for c in keys)  # a file may be stat-less
+            any(box[c] is None for c in live_dims)  # a file may be stat-less
             or _volume(box) > threshold
             or (
                 small_bytes is not None
@@ -6174,7 +6391,7 @@ def reorg_purge(
                     if p in members
                 },
             }
-            for extra in ("blooms", "rows"):
+            for extra in ("blooms", "rows", "cvs"):
                 if seg.get(extra):
                     sub[extra] = {
                         p: v for p, v in seg[extra].items() if p in members

@@ -247,6 +247,15 @@ def _load_file_table(
             vals = tbl.column(ROW_CV_COL).cast(pa.int64()).combine_chunks()
             if cv is not None:
                 vals = pc.coalesce(vals, const)
+            # the materialized unknown-cv sentinel (carried rows minted
+            # before the feature) surfaces as the documented NULL
+            from .versioned import ROW_CV_UNKNOWN
+
+            unknown = pc.fill_null(
+                pc.equal(vals, pa.scalar(ROW_CV_UNKNOWN, pa.int64())),
+                False,
+            )
+            vals = pc.if_else(unknown, pa.nulls(tbl.num_rows, pa.int64()), vals)
             tbl = tbl.drop_columns([ROW_CV_COL])
         else:
             vals = const
