@@ -257,3 +257,58 @@ def test_non_retractable_metrics_keep_the_rebuild(spark, tmp_path):
         for r in read_snapshot(spark, view).select("g", "n", "mx").collect()
     }
     assert got == want
+
+
+def test_liveness_component_survives_mixed_retract_modes(spark, tmp_path):
+    """Once a view carries __rows, a retract=False refresh must keep
+    maintaining it (not silently drop the column): the view schema
+    stays stable across mixed-mode refreshes and a later retract=True
+    refresh resumes CDC-folding WITHOUT a migration rebuild."""
+    from wrtd_etl_spark.operators.materialized import (
+        refresh_rollup_incremental,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), i) for i in range(300)],
+            "id long, g string, x long",
+        ),
+        src,
+    )
+    metrics = {"n": ("count", "id"), "s": ("sum", "x")}
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "rebuild"
+    cols0 = set(read_snapshot(spark, view).columns)
+    assert "__rows" in cols0
+
+    # append + refresh WITHOUT retract: __rows must survive
+    write_snapshot(
+        spark.createDataFrame([(900, "g0", 4)], "id long, g string, x long"),
+        src,
+        mode="append",
+    )
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=False
+    )
+    assert action == "incremental"
+    assert set(read_snapshot(spark, view).columns) == cols0
+
+    # a rewrite + retract=True refresh folds (no migration rebuild)
+    delete_where(spark, src, F.col("g") == "g1", strategy="dv")
+    _, action = refresh_rollup_incremental(
+        spark, view, src, ["g"], metrics, retract=True
+    )
+    assert action == "cdc_fold"
+    want = {
+        (r.g,): (r.n, r.s)
+        for r in read_snapshot(spark, src)
+        .groupBy("g")
+        .agg(F.count("id").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    }
+    assert _mv(spark, view) == want

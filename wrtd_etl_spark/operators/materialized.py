@@ -99,7 +99,10 @@ def refresh_rollup_incremental(
 
     ``retract=True`` (requires every metric kind retractable — count/
     sum): a range containing REWRITES no longer forces the rebuild.
-    The view carries a hidden ``__rows`` liveness component, and the
+    The view carries a ``__rows`` liveness component (stored in the
+    view table; once present it is maintained by EVERY subsequent
+    refresh, retract or not, so the view schema never flip-flops and a
+    later retract=True resumes folding without a rebuild), and the
     refresh folds the row-tracking CHANGE FEED (sources/versioned.
     table_changes — O(changed rows) across compact/DV/CoW since r9):
     inserts merge in, deletes retract out, groups whose ``__rows``
@@ -110,21 +113,27 @@ def refresh_rollup_incremental(
     rebuild."""
     from .rollup_merge import RETRACTABLE
 
-    if retract:
-        metrics = {**metrics, "__rows": ("rows", keys[0])}
     src_now = latest_version(source_table)
     if src_now is None:
         raise FileNotFoundError(f"no committed version in {source_table}")
+    view_v = latest_version(view_table)
+    view_has_rows = view_v is not None and "__rows" in [
+        f["name"] for f in manifest_info(view_table)["schema"]["fields"]
+    ]
+    if retract or view_has_rows:
+        # once the stored view carries the liveness component, keep
+        # maintaining it on EVERY refresh — a retract=False refresh
+        # that dropped it would flip the view schema and force the
+        # next retract=True call into a full rebuild
+        metrics = {**metrics, "__rows": ("rows", keys[0])}
     built_from = None
-    if latest_version(view_table) is not None:
+    if view_v is not None:
         built_from = manifest_info(view_table)["extra"].get(
             "rollup_source_version"
         )
         if built_from == src_now:
-            return latest_version(view_table), "fresh"
-        if retract and "__rows" not in read_snapshot(
-            spark, view_table
-        ).columns:
+            return view_v, "fresh"
+        if retract and not view_has_rows:
             # a view built before retract=True lacks the liveness
             # component: one rebuild migrates it, folds resume after
             built_from = None
