@@ -100,12 +100,17 @@ def test_refresh_folds_append_only_delta(spark, tmp_path):
     assert _key(got.collect()) == _key(ref.collect())
 
 
-def test_refresh_rebuilds_on_delete(spark, tmp_path):
+def test_refresh_folds_deletes_as_retractions(spark, tmp_path, monkeypatch):
+    """r9 VERDICT ask #4: a corpus delete no longer rebuilds the index.
+    The keyed diff names the deleted docs; their postings merge-delete
+    out via deletion vectors (token files physically carried), n_docs
+    shrinks, and search equals a from-scratch index."""
+    import wrtd_etl_spark.operators.text_index as TI
     from wrtd_etl_spark.operators.text_index import (
         build_text_index_from,
         refresh_text_index,
     )
-    from wrtd_etl_spark.sources.versioned import delete_where
+    from wrtd_etl_spark.sources.versioned import delete_where, manifest_info
 
     docs = load_table(spark, SF_SMOKE, "documents")
     src = str(tmp_path / "docs")
@@ -114,15 +119,74 @@ def test_refresh_rebuilds_on_delete(spark, tmp_path):
 
     write_snapshot(docs, src)
     build_text_index_from(spark, src, idx)
+    files_before, _ = files_for_read(idx)
+
     delete_where(spark, src, F.col("doc_id") < 100)
+
+    def _no_rebuild(*a, **k):  # the fold must never fall back
+        raise AssertionError("delete range triggered a rebuild")
+
+    monkeypatch.setattr(TI, "build_text_index_from", _no_rebuild)
     refresh_text_index(spark, src, idx)
+    monkeypatch.undo()
+
+    files_after, _ = files_for_read(idx)
+    assert set(files_before) <= set(files_after)  # DV retraction carries files
 
     build_text_index_from(spark, src, rebuilt)
     got = search_text_index(spark, idx, _TERMS, k=10).collect()
     ref = search_text_index(spark, rebuilt, _TERMS, k=10).collect()
     assert _key(got) == _key(ref)
-    # no deleted doc may surface
+    # no deleted doc may surface, and the idf denominator matches a rebuild
     assert all(r.doc_id >= 100 for r in got)
+    assert (
+        manifest_info(idx)["extra"]["n_docs"]
+        == manifest_info(rebuilt)["extra"]["n_docs"]
+    )
+
+
+def test_refresh_folds_updates_as_retract_plus_append(
+    spark, tmp_path, monkeypatch
+):
+    """A CoW update (delete-old + insert-new in the keyed diff) folds as
+    retraction + re-append of just the touched docs; tf/df stay exact
+    vs a rebuild."""
+    import wrtd_etl_spark.operators.text_index as TI
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import manifest_info, update_where
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "idx2")
+
+    write_snapshot(docs, src)
+    build_text_index_from(spark, src, idx)
+
+    update_where(
+        spark, src, F.col("doc_id") < 50,
+        {"text": F.concat(F.col("text"), F.lit(" zzznewterm"))},
+    )
+
+    def _no_rebuild(*a, **k):
+        raise AssertionError("update range triggered a rebuild")
+
+    monkeypatch.setattr(TI, "build_text_index_from", _no_rebuild)
+    refresh_text_index(spark, src, idx)
+    monkeypatch.undo()
+
+    build_text_index_from(spark, src, rebuilt)
+    for terms in (_TERMS, ["zzznewterm"]):
+        got = search_text_index(spark, idx, terms, k=10).collect()
+        ref = search_text_index(spark, rebuilt, terms, k=10).collect()
+        assert _key(got) == _key(ref)
+    assert (
+        manifest_info(idx)["extra"]["n_docs"]
+        == manifest_info(rebuilt)["extra"]["n_docs"]
+    )
 
 
 def test_refresh_rebuilds_on_reingested_doc_id(spark, tmp_path):

@@ -132,13 +132,17 @@ def refresh_text_index(
     range → stamp bump (logical no-op, so later deltas keep composing);
     a range MIXING appends with compaction/purge → the r9 keyed row-id
     diff recovers exactly the appended docs (rewrite churn cancels by
-    row id), so routine maintenance no longer forces rebuilds; any
-    actual deletion/update, a re-ingested existing doc id, or a range
-    the keyed proof can't cover (overwrite/rollback, pre-tracking
-    segments) → full rebuild (removing a doc's postings would rewrite
-    arbitrary token files anyway, so the rebuild IS the honest cost).
-    Search results after refresh are identical to an index built from
-    scratch at the current version.
+    row id), so routine maintenance no longer forces rebuilds; value
+    DELETES and UPDATES in a keyed-coverable range fold as posting
+    RETRACTIONS (r10): the touched doc ids merge-delete out of the
+    index (per-(token, doc) rows are disjoint across docs, so the
+    subtraction is exact and token files stay in place), updates then
+    re-append their fresh postings, and ``n_docs`` shrinks by the docs
+    that actually left. Only a re-ingested existing doc id on the
+    positional append path or a range the keyed proof can't cover
+    (overwrite/rollback, pre-tracking segments) still pays the full
+    rebuild. Search results after refresh are identical to an index
+    built from scratch at the current version.
 
     The classification is MANIFEST-driven (``delta_files`` +
     ``commit_modes``): no data is read or diffed to decide — the
@@ -190,15 +194,58 @@ def refresh_text_index(
                 spark, docs_table, index_table, text_col, id_col, n_files
             )
         ch = ch.localCheckpoint(eager=False)
-        if ch.filter(F.col("_change_type") == "delete").take(1):
-            return build_text_index_from(
-                spark, docs_table, index_table, text_col, id_col, n_files
-            )
         new_docs = ch.filter(F.col("_change_type") == "insert").drop(
             "_change_type"
         )
         if not new_docs.take(1):
-            new_docs = None  # pure rewrite churn: logical no-op
+            new_docs = None  # no inserts in the diff
+        if ch.filter(F.col("_change_type") == "delete").take(1):
+            # retraction fold (r9 VERDICT ask #4): the keyed diff names
+            # the EXACT changed docs, and per-(token, doc) postings are
+            # disjoint across docs — so value deletes subtract as a
+            # keyed merge-delete of the touched doc ids (postings leave
+            # via deletion vectors / CoW on the index table, no token
+            # file reshuffle, no corpus re-scan) and updates fold as
+            # delete-old + append-new. This replaces the former honest
+            # rebuild on any delete (the retract_rollup idiom applied
+            # to posting lists). n_docs adjusts by the docs that
+            # actually LEFT the index (a deleted null-text doc was
+            # never indexed); the arithmetic is idempotent under a
+            # crash between the two commits — a re-run's merge-delete
+            # matches nothing and subtracts nothing.
+            from ..sources.versioned import merge_into
+
+            touched = (
+                ch.select(F.col(id_col).alias("doc_id"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n_gone = (
+                read_snapshot(spark, index_table)
+                .select("doc_id")
+                .join(touched, "doc_id", "semi")
+                .distinct()
+                .count()
+            )
+            info = {**info, "n_docs": info["n_docs"] - n_gone}
+            merge_into(
+                spark,
+                index_table,
+                touched,
+                ["doc_id"],
+                when_matched="keep",
+                delete_when=F.lit(True),
+                insert=False,
+                extra=info,
+                # merge-on-read: a doc's postings are scattered across
+                # every token-range file, so a CoW plan would rewrite
+                # the whole index — deletion vectors retract the rows
+                # and leave the token files physically in place
+                strategy="dv",
+            )
+            # fall through: new_docs (if any) re-index below — their
+            # old postings are gone, so the reingestion guard passes
+            # by construction and append-composition stays exact
     if delta is not None and not delta:
         new_docs = None  # empty appends
     if new_docs is None and not delta:
