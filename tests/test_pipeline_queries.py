@@ -1060,3 +1060,58 @@ def test_embedding_neardup_lsh_recall_vs_exact(spark):
     }
     assert exact, "clone corpus must contain exact pairs"
     assert exact <= approx or len(exact & approx) / len(exact) >= 0.99
+
+
+def test_decode_image_pixels_real_codec_via_spark(spark):
+    """decode_image_pixels: REAL raster decode through mapInPandas —
+    known pixels come back byte-exact, channel means match hand
+    arithmetic, and a non-image payload NULLs out on the tolerant path
+    but raises under strict=True."""
+    from wrtd_etl_spark.multimodal.binary_ops import decode_image_pixels
+    from wrtd_etl_spark.multimodal.png_codec import encode_png
+
+    px = bytes([10, 20, 30, 40])  # gray 2x2
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(2, 2, 1, px)), None),
+            (2, "image", bytearray(b"not a png"), None),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in decode_image_pixels(media).collect()}
+    assert bytes(rows[1].raster) == px
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (2, 2, 1)
+    assert rows[1].channel_means == [25.0]
+    assert rows[2].raster is None and rows[2].width is None
+    with pytest.raises(Exception):
+        decode_image_pixels(media, strict=True).collect()
+
+
+def test_attach_decode_resize_pipeline(spark, sf_dir=None):
+    """attach_png_payload → decode_image_pixels(strict) → resize_images:
+    every minted payload decodes (the query path's contract) and the
+    4x4 thumbnails re-decode to 4x4 with the same channel count."""
+    from wrtd_etl_spark.multimodal.binary_ops import (
+        attach_png_payload,
+        decode_image_pixels,
+        resize_images,
+    )
+    from wrtd_etl_spark.multimodal.png_codec import decode_png
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    media = attach_png_payload(docs, "text", "doc_id")
+    pixels = decode_image_pixels(media, strict=True)
+    rows = pixels.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.width == 8 + r.media_id % 9
+        assert r.height == 8 + r.media_id % 7
+        assert len(bytes(r.raster)) == r.width * r.height * r.n_channels
+    thumbs = resize_images(pixels, 4, 4).collect()
+    for t in thumbs:
+        w, h, ch, raster = decode_png(bytes(t.payload))
+        assert (w, h) == (4, 4) and len(raster) == 16 * ch

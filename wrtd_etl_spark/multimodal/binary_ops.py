@@ -205,3 +205,146 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select(
         "media_id", F.posexplode(frames).alias("frame_idx", "frame_payload")
     )
+
+
+PIXEL_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, "
+    "raster binary, channel_means array<double>"
+)
+
+
+def attach_png_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL, valid PNG bytes —
+    deterministic rasters minted from the row's text (sha256 stream)
+    with the stdlib encoder (png_codec.encode_png), so every
+    environment can exercise a genuine decode without an image library
+    or external fixtures. Dimensions/channels vary per row (8-16 px a
+    side, gray/RGB/RGBA) to cover the codec's layout paths."""
+    from .png_codec import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + mid % 7
+                ch = (1, 3, 4)[mid % 3]
+                need, out = w * h * ch, bytearray()
+                seed = (str(txt or "") + str(mid)).encode()
+                ctr = 0
+                while len(out) < need:
+                    out += hashlib.sha256(seed + ctr.to_bytes(4, "big")).digest()
+                    ctr += 1
+                payloads.append(encode_png(w, h, ch, bytes(out[:need])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "meta": [{"origin": "synthetic", "codec": "png"}]
+                    * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_image_pixels(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL raster decode to packed pixel bytes + per-channel means —
+    Pillow when importable, else the stdlib PNG codec
+    (multimodal/png_codec.py), the same real-codec treatment the WAV
+    path got in audio_ops. Tolerant scan by default: an undecodable
+    payload yields NULL columns (one bad object must not kill a 100 TB
+    pass); ``strict=True`` raises instead. Arrow-batched mapInPandas —
+    payload bytes never leave the executor; only the typed raster and
+    its summary come back."""
+    import numpy as np
+
+    from .png_codec import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError:
+            Image = None
+
+        def dec(b) -> tuple:
+            raw = bytes(b or b"")
+            if Image is not None:
+                import io
+
+                with Image.open(io.BytesIO(raw)) as im:
+                    a = np.asarray(im)
+                    if a.dtype != np.uint8:
+                        raise ValueError(f"unsupported pixel dtype {a.dtype}")
+                    ch = 1 if a.ndim == 2 else a.shape[2]
+                    return im.width, im.height, ch, a.tobytes()
+            return decode_png(raw)
+
+        for pdf in batches:
+            cols = {"w": [], "h": [], "ch": [], "raster": [], "means": []}
+            for b in pdf["payload"]:
+                try:
+                    w, h, ch, raster = dec(b)
+                except Exception:
+                    if strict:
+                        raise
+                    for c in cols.values():
+                        c.append(None)
+                    continue
+                a = np.frombuffer(raster, np.uint8).reshape(-1, ch)
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["ch"].append(ch)
+                cols["raster"].append(raster)
+                cols["means"].append(a.mean(axis=0).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(cols["w"], dtype="Int32"),
+                    "height": pd.array(cols["h"], dtype="Int32"),
+                    "n_channels": pd.array(cols["ch"], dtype="Int32"),
+                    "raster": cols["raster"],
+                    "channel_means": cols["means"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor thumbnail pass over PIXEL_SCHEMA-shaped rows
+    (the decode output), re-encoded as PNG payloads — decode →
+    transform → re-encode entirely executor-side. Every OTHER input
+    column passes through (width/height update to the target, the
+    raw ``raster`` is replaced by the thumbnail ``payload``), so a
+    decode→resize chain stays ONE linear pipeline — no join back to
+    the decode output, which would recompute it. NULL (undecoded)
+    rows pass through as NULL payloads."""
+    from .png_codec import encode_png, resize_nearest
+
+    in_fields = [f for f in df.schema.fields if f.name != "raster"]
+    schema = T.StructType(
+        in_fields + [T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for w, h, ch, raster in zip(
+                pdf["width"], pdf["height"], pdf["n_channels"], pdf["raster"]
+            ):
+                if raster is None or pd.isna(w):
+                    payloads.append(None)
+                    continue
+                small = resize_nearest(
+                    int(w), int(h), int(ch), bytes(raster), out_w, out_h
+                )
+                payloads.append(encode_png(out_w, out_h, int(ch), small))
+            out = pdf.drop(columns=["raster"]).copy()
+            out["width"] = out["width"].where(out["width"].isna(), out_w)
+            out["height"] = out["height"].where(out["height"].isna(), out_h)
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

@@ -554,14 +554,40 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@register("multimodal_decode", None)  # mapInPandas fake decoder → rows-only
+@register("multimodal_decode", None)  # binary raster decode → rows-only
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing with the deterministic fake codec."""
-    from ..multimodal.binary_ops import decode_image
+    """Arrow-batched REAL image decode (r10): deterministic PNG
+    payloads minted from the docs (stdlib encoder) run through the
+    stdlib raster codec — genuine pixels, per-channel means, and a
+    nearest-neighbor thumbnail pass, all executor-side
+    (multimodal/png_codec.py; Pillow remains the fast path where
+    installed)."""
+    from ..multimodal.binary_ops import (
+        attach_png_payload,
+        decode_image_pixels,
+        resize_images,
+    )
 
     docs = _docs(spark, sf_dir)
-    media = attach_binary_payload(docs, "text", "doc_id")
-    return decode_image(media, fake=True)
+    media = attach_png_payload(docs, "text", "doc_id")
+    pixels = decode_image_pixels(media, strict=True)
+    # resize passes the decode metadata through, so the whole mint →
+    # decode → thumbnail chain is ONE linear pipeline (no join back)
+    thumbs = resize_images(
+        pixels.withColumn("src_w", F.col("width")).withColumn(
+            "src_h", F.col("height")
+        ),
+        4,
+        4,
+    )
+    return thumbs.select(
+        "media_id",
+        F.col("src_w").alias("width"),
+        F.col("src_h").alias("height"),
+        "n_channels",
+        F.round(F.element_at("channel_means", 1), 4).alias("mean_c0"),
+        F.sha2(F.col("payload"), 256).alias("thumb_sha"),
+    ).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------
