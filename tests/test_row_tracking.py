@@ -533,3 +533,24 @@ def test_keyed_map_diff_folds_and_reads_only_touched_segments(
         r.k: dict(r.props)
         for r in read_snapshot(spark, t, version=to_v).collect()
     }
+
+
+def test_map_table_overwrite_range_diffs_via_canonical_exceptall(
+    spark, tmp_path
+):
+    """Ranges the keyed proof refuses (overwrite re-mints identity) used
+    to CRASH on map-typed tables — Spark defines no set ops over maps.
+    The fallback now diffs through the canonical sorted-entry image and
+    restores real map values on the way out."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_mdf(spark, 0, 20), t)
+    write_snapshot(_mdf(spark, 10, 25, tag="b"), t, mode="overwrite")
+    rows = [
+        (r.k, dict(r.props), r._change_type)
+        for r in table_changes(spark, t, 0, 1).collect()
+    ]
+    dels = {k for k, _, ct in rows if ct == "delete"}
+    ins = {k for k, _, ct in rows if ct == "insert"}
+    assert dels == set(range(0, 20)) and ins == set(range(10, 25))
+    got = next(p for k, p, ct in rows if ct == "insert" and k == 10)
+    assert got == {"t": "b", "i": "10"}

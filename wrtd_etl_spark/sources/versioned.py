@@ -4364,6 +4364,36 @@ def _map_canon(col, dtype):
     return col
 
 
+def _map_uncanon(col, dtype):
+    """Inverse of :func:`_map_canon`: rebuild the ORIGINAL map-typed
+    value from its canonical sorted-entry image (entry keys are unique,
+    so ``map_from_entries`` restores the map losslessly; entry ORDER is
+    unspecified in Spark maps, so no information was destroyed)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        entries = col
+        if _contains_map(dtype.keyType) or _contains_map(dtype.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    _map_uncanon(e["key"], dtype.keyType).alias("key"),
+                    _map_uncanon(e["value"], dtype.valueType).alias("value"),
+                ),
+            )
+        return F.map_from_entries(entries)
+    if isinstance(dtype, ArrayType) and _contains_map(dtype.elementType):
+        return F.transform(col, lambda x: _map_uncanon(x, dtype.elementType))
+    if isinstance(dtype, StructType) and _contains_map(dtype):
+        return F.struct(
+            *[
+                _map_uncanon(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    return col
+
+
 def _table_changes_keyed(
     spark: SparkSession, table: str, from_version: int, to_version: int
 ) -> "DataFrame | None":
@@ -4565,7 +4595,11 @@ def table_changes(
     versions, which IS the honest cost of diffing a rewrite; keyed
     consumers should prefer ``operators/diff.table_diff`` for
     cheaper keyed semantics. Schema evolution across the range is
-    handled by padding to the union schema (lossless casts only)."""
+    handled by padding to the union schema (lossless casts only).
+    Map-typed columns work on every path (r10): the keyed diff and
+    the exceptAll fallback both compare maps through their canonical
+    sorted-entry image (:func:`_map_canon`; set ops are undefined
+    over raw maps), and emitted rows carry real map values."""
     if to_version is None:
         to_version = _read_pointer(table)
         if to_version is None:
@@ -4656,11 +4690,25 @@ def table_changes(
     for c in [c for c in old.columns if c not in new_types]:
         new = new.withColumn(c, F.lit(None).cast(old_types[c]))
     old = old.select(*new.columns)
-    return new.exceptAll(old).withColumn(
+    # set ops are undefined over MapType: diff map columns through
+    # their canonical sorted-entry image and restore the original type
+    # on the way out (lossless — map keys are unique)
+    map_types = {
+        f.name: f.dataType
+        for f in new.schema.fields
+        if _contains_map(f.dataType)
+    }
+    for c, t in map_types.items():
+        new = new.withColumn(c, _map_canon(F.col(c), t))
+        old = old.withColumn(c, _map_canon(F.col(c), t))
+    out = new.exceptAll(old).withColumn(
         "_change_type", F.lit("insert")
     ).unionByName(
         old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     )
+    for c, t in map_types.items():
+        out = out.withColumn(c, _map_uncanon(F.col(c), t))
+    return out
 
 
 def table_changes_physical(
