@@ -156,6 +156,10 @@ _DEMOTED = (
     # long-stable siblings park here in exchange — each operator shape
     # keeps a scored twin (the judge's own candidates), and all four
     # remain judge-oracles in the full battery regardless:
+    # round 10 addition parks outside the window like every post-r3 one:
+    # sub-segment cv sync across a compaction (oracle recomputes the
+    # delta from orders; file/row-group pruning proofs live in pytest)
+    "incremental_sync_cv",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)
