@@ -433,3 +433,88 @@ def test_changed_rows_since_prunes_inside_rewritten_segment(
     ch2 = V.changed_rows_since(spark, t, since_version=1)
     assert ch2.count() == 0
     assert not ch2.inputFiles(), "all files should prune by cv range"
+
+
+def test_cv_rg_bound_prunes_row_groups(tmp_path):
+    """Unit: the (cv_after,) bound folds into the file rg_filter as a
+    half-open __row_cv range, and footer stats drop the groups whose
+    carried versions all predate it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wrtd_etl_spark.sources.versioned_stream import (
+        _load_file_table,
+        _merge_cv_rg,
+        _rg_keep_groups,
+    )
+
+    t = pa.table(
+        {"k": list(range(8)), "__row_cv": [0, 0, 0, 0, 1, 1, 2, 2]}
+    )
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p, row_group_size=2)
+    keep = _rg_keep_groups(pq.ParquetFile(p), _merge_cv_rg(None, (0,)))
+    assert keep == [2, 3]  # only groups holding cv >= 1
+    tbl = _load_file_table(p, ["k"], rg_filter=_merge_cv_rg(None, (1,)))
+    assert tbl.column("k").to_pylist() == [6, 7]
+
+
+def test_datasource_changed_after_prunes_every_grain(spark, tmp_path):
+    """read_versioned(changed_after=...) — the DataSource twin of
+    changed_rows_since: segment heads, carried-cv file ranges, and
+    null-free row groups all prune from metadata; the surviving rows
+    equal the appended delta."""
+    from wrtd_etl_spark.sources.versioned_table import (
+        VersionedTableReader,
+        read_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i) for i in range(4000)], "k long, v long"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )  # v0
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i) for i in range(10000, 10200)], "k long, v long"
+        ),
+        t,
+        mode="append",
+    )  # v1
+    compact(spark, t)  # v2: one segment, head cv = 2, mixed carried cvs
+
+    got = {
+        r.k: r._commit_version
+        for r in read_versioned(spark, t, changed_after=0).collect()
+    }
+    assert set(got) == set(range(10000, 10200))
+    assert all(cv == 1 for cv in got.values())
+
+    # planner proof: the old-only files never become partitions
+    seg = V._resolve_seg(t, V._segments(V._read_manifest_root(t, 2))[0])
+    cvs = seg["cvs"]
+    old_only = {
+        f for f in seg["files"] if cvs[f]["hi"] == 0 and not cvs[f]["nulls"]
+    }
+    assert old_only
+    rdr = VersionedTableReader(
+        {"path": t, "with_commit_versions": "true", "cv_after": "0"}
+    )
+    planned = {p.file for p in rdr.partitions()}
+    assert not (planned & old_only) and planned
+    # null-free survivors carry the row-group bound
+    assert all(p.cv_rg == (0,) for p in rdr.partitions())
+
+    # a bound at the head plans ZERO files
+    rdr2 = VersionedTableReader(
+        {"path": t, "with_commit_versions": "true", "cv_after": "1"}
+    )
+    assert rdr2.partitions() == []
+
+    # misuse guard: cv_after without the cv surface refuses
+    with pytest.raises(ValueError, match="with_commit_versions"):
+        VersionedTableReader({"path": t, "cv_after": "0"})

@@ -366,9 +366,25 @@ def _to_file_rg_filter(col_map, rg_filter):
     return out or None
 
 
+def _merge_cv_rg(file_rg, cv_rg):
+    """Fold a ``(cv_after,)`` bound into a FILE-resolved rg_filter as a
+    half-open range on the physical ``__row_cv`` column. Only legal for
+    files proven null-free on that column (the partition planner's
+    job); integer cvs make ``> after`` ≡ ``>= after + 1``."""
+    if cv_rg is None:
+        return file_rg
+    from .versioned import ROW_CV_COL
+
+    out = dict(file_rg or {})
+    rng = dict(out.get("rng") or {})
+    rng[ROW_CV_COL] = [cv_rg[0] + 1, None]
+    out["rng"] = rng
+    return out
+
+
 def _file_arrays(
     path: str, col_map, arrow_schema, dv_drop=None, dv_take=None,
-    rg_filter=None, row_ids=None, row_cvs=None,
+    rg_filter=None, row_ids=None, row_cvs=None, cv_rg=None,
 ):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
@@ -389,7 +405,9 @@ def _file_arrays(
         [s for _, s in col_map if s is not None],
         dv_drop,
         dv_take,
-        rg_filter=_to_file_rg_filter(col_map, rg_filter),
+        rg_filter=_merge_cv_rg(
+            _to_file_rg_filter(col_map, rg_filter), cv_rg
+        ),
         row_ids=row_ids,
         row_cvs=row_cvs,
     )

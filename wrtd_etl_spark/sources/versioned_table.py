@@ -96,6 +96,7 @@ class TableFile(InputPartition):
         rg_filter=None,
         row_ids=None,
         row_cvs=None,
+        cv_rg=None,
     ):
         self.table = table
         self.file = file
@@ -120,6 +121,13 @@ class TableFile(InputPartition):
         # versions): the executor appends coalesce(materialized
         # __row_cv, cv). Position-independent — rg pruning stays legal.
         self.row_cvs = row_cvs
+        # (cv_after,) when an incremental read proved this file's
+        # materialized __row_cv column is null-free (manifest `cvs`
+        # stats): row groups whose max carried cv <= the bound skip
+        # (r10 sub-segment sync pruning on the Arrow path). None when
+        # a dv rides the file — same absolute-position rule as
+        # rg_filter.
+        self.cv_rg = cv_rg
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -216,6 +224,14 @@ class VersionedTableReader(DataSourceReader):
             str(options.get("with_commit_versions", "false")).lower()
             == "true"
         )
+        cva = options.get("cv_after")
+        self.cv_after = int(cva) if cva is not None else None
+        if self.cv_after is not None and not self.with_cvs:
+            raise ValueError(
+                "cv_after requires with_commit_versions=true (the "
+                "pruned read surfaces _commit_version for the "
+                "consumer's own > filter)"
+            )
         self.fields = [f["name"] for f in manifest["schema"]["fields"]]
         self._arrow_schema = _to_arrow_schema(
             _reader_struct(manifest, self.with_row_ids, self.with_cvs)
@@ -233,6 +249,12 @@ class VersionedTableReader(DataSourceReader):
 
         parts: list[InputPartition] = []
         for seg in _segments(self.manifest):
+            if (
+                self.cv_after is not None
+                and seg.get("cv") is not None
+                and seg.get("cv") <= self.cv_after
+            ):
+                continue  # every row inside set at or before the bound
             if _is_seg_head(seg):
                 if (
                     self.skip_filter or self.point_filter
@@ -248,6 +270,18 @@ class VersionedTableReader(DataSourceReader):
                 if self.skip_filter or self.point_filter
                 else seg["files"]
             )
+            cvs = seg.get("cvs") or {}
+            if self.cv_after is not None and cvs:
+                # sub-segment prune (r10, JVM-path twin in
+                # changed_rows_since): skip files whose carried-cv
+                # range predates the bound; any NULL cv coalesces to
+                # the surviving head cv and keeps its file
+                def _admits(f: str) -> bool:
+                    st = cvs.get(f)
+                    if st is None or st["nulls"]:
+                        return True
+                    return st["hi"] is not None and st["hi"] > self.cv_after
+                files = [f for f in files if _admits(f)]
             cm = col_map(seg["schema"])
             dvs = seg.get("dvs", {})
             rg = None
@@ -281,6 +315,19 @@ class VersionedTableReader(DataSourceReader):
                     else:
                         row_base[f] = (None,)  # materialized column only
             seg_cv = (seg.get("cv"),) if self.with_cvs else None
+
+            def _cv_rg(f: str):
+                # row-group bound only when the file's materialized cv
+                # column is PROVEN null-free (manifest cvs stats) — a
+                # null row's effective cv is the head cv, which parquet
+                # group stats on the column cannot see
+                if self.cv_after is None or self.with_row_ids or f in dvs:
+                    return None
+                st = cvs.get(f)
+                if st is None or st["nulls"]:
+                    return None
+                return (self.cv_after,)
+
             parts.extend(
                 TableFile(
                     self.table,
@@ -294,6 +341,7 @@ class VersionedTableReader(DataSourceReader):
                     rg_filter=None if f in dvs else rg,
                     row_ids=row_base.get(f),
                     row_cvs=seg_cv,
+                    cv_rg=_cv_rg(f),
                 )
                 for f in files
             )
@@ -312,21 +360,27 @@ class VersionedTableReader(DataSourceReader):
                 rg_filter=partition.rg_filter,
                 row_ids=partition.row_ids,
                 row_cvs=partition.row_cvs,
+                cv_rg=partition.cv_rg,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
             )
             return
         from .versioned import ROW_CV_OUT, ROW_ID_OUT
-        from .versioned_stream import _load_file_table, _to_file_rg_filter
+        from .versioned_stream import (
+            _load_file_table,
+            _merge_cv_rg,
+            _to_file_rg_filter,
+        )
 
         want = [s for _, s in partition.col_map if s is not None]
         tbl = _load_file_table(
             path,
             want,
             dv_drop=partition.dv_drop,
-            rg_filter=_to_file_rg_filter(
-                partition.col_map, partition.rg_filter
+            rg_filter=_merge_cv_rg(
+                _to_file_rg_filter(partition.col_map, partition.rg_filter),
+                partition.cv_rg,
             ),
             row_ids=partition.row_ids,
             row_cvs=partition.row_cvs,
@@ -479,6 +533,7 @@ def read_versioned(
     point_filter: dict[str, list] | None = None,
     with_row_ids: bool = False,
     with_commit_versions: bool = False,
+    changed_after: int | None = None,
 ) -> DataFrame:
     """DataFrame over the registered batch source — ``read_snapshot``
     semantics (time travel, stats pruning) through the DataSource API.
@@ -495,7 +550,15 @@ def read_versioned(
     ``with_commit_versions=True`` appends ``_commit_version`` — the
     version that last set each row's values (r9 row commit versions) —
     so SQL consumers can filter "changed since v" from metadata.
-    Position-independent: row-group pruning stays on."""
+    Position-independent: row-group pruning stays on.
+
+    ``changed_after=v`` is the DataSource twin of
+    ``changed_rows_since`` (r10): implies ``with_commit_versions``,
+    prunes at every grain from metadata — segments whose head cv
+    predates the bound, files whose recorded carried-cv range does
+    (manifest ``cvs`` stats), and row groups inside null-free files
+    (footer stats on the materialized ``__row_cv``) — and applies the
+    ``_commit_version > v`` filter on the surviving rows."""
     spark.dataSource.register(VersionedTableDataSource)
     r = spark.read.format("versioned_table").option("path", table)
     try:
@@ -526,9 +589,18 @@ def read_versioned(
         )
     if with_row_ids:
         r = r.option("with_row_ids", "true")
-    if with_commit_versions:
+    if with_commit_versions or changed_after is not None:
         r = r.option("with_commit_versions", "true")
-    return r.load()
+    if changed_after is not None:
+        r = r.option("cv_after", str(int(changed_after)))
+    df = r.load()
+    if changed_after is not None:
+        from pyspark.sql import functions as F
+
+        from .versioned import ROW_CV_OUT
+
+        df = df.filter(F.col(ROW_CV_OUT) > int(changed_after))
+    return df
 
 
 def register_versioned_view(
