@@ -2577,20 +2577,23 @@ def commit_version_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_sync_cv",
     """
-    SELECT o_orderkey AS k, o_totalprice AS price, CAST(1 AS BIGINT) AS cv
-    FROM orders WHERE o_orderkey % 2 = 1
+    SELECT o_orderkey + 10000000 AS k, o_totalprice AS price,
+           CAST(1 AS BIGINT) AS cv
+    FROM orders WHERE o_orderkey <= 5000
     """,
 )
 def incremental_sync_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-segment incremental sync (r10 — sources/versioned.
-    changed_rows_since + per-file ``cvs`` stats): a clustered table
-    takes a base load (v0), an append (v1), and a COMPACTION (v2)
-    that merges everything into one segment whose head cv is the
-    rewrite's version — the exact shape that used to force a full
-    segment rescan. ``changed_rows_since(since=0)`` must recover
-    exactly the appended rows with their original commit version 1,
-    reading only the files whose carried-cv range admits the bound
-    (file prune + pushed ``__row_cv`` row-group predicate —
+    changed_rows_since + per-file ``cvs`` stats): a clustered base
+    load (v0) takes a late-arriving high-key batch (v1) and then a
+    COMPACTION (v2) that folds everything into ONE segment whose head
+    cv is the rewrite's version — the exact shape that used to force
+    a full segment rescan. ``changed_rows_since(since=0)`` must
+    recover exactly the appended rows with their original commit
+    version 1 — and because the re-clustering isolates the disjoint
+    high keys into their own file(s), the sync actually SKIPS the
+    old-row files via their recorded carried-cv ranges (plus the
+    pushed ``__row_cv`` row-group predicate inside survivors;
     inputFiles/plan proofs in tests/test_commit_versions.py). The
     oracle recomputes the expected delta straight from orders."""
     import os as _os
@@ -2607,15 +2610,11 @@ def incremental_sync_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     t = _os.path.join(_tf.mkdtemp(prefix="wrtd_sync_"), "tbl")
-    write_snapshot(
-        orders.filter(F.col("k") % 2 == 0),
-        t,
-        layout_by=["k"],
-        layout_files=4,
+    write_snapshot(orders, t, layout_by=["k"], layout_files=4)
+    late = orders.filter(F.col("k") <= 5000).select(
+        (F.col("k") + 10_000_000).alias("k"), "price"
     )
-    write_snapshot(
-        orders.filter(F.col("k") % 2 == 1).coalesce(1), t, mode="append"
-    )
+    write_snapshot(late.coalesce(1), t, mode="append")
     compact(spark, t)
     return changed_rows_since(spark, t, since_version=0).select(
         "k", "price", F.col("_commit_version").alias("cv")
