@@ -1115,3 +1115,35 @@ def test_attach_decode_resize_pipeline(spark, sf_dir=None):
     for t in thumbs:
         w, h, ch, raster = decode_png(bytes(t.payload))
         assert (w, h) == (4, 4) and len(raster) == 16 * ch
+
+
+def test_extract_image_features_real_pixels(spark):
+    """26-float real feature vector: histogram mass sums to 1, channel
+    means match hand arithmetic, aspect/channel markers land, and a
+    non-image payload NULLs (tolerant) or raises (strict)."""
+    from wrtd_etl_spark.multimodal.binary_ops import extract_image_features
+    from wrtd_etl_spark.multimodal.png_codec import encode_png
+
+    px = bytes([0, 0, 255, 255])  # gray 2x2: two black, two white
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_png(2, 2, 1, px)), None),
+            (2, "image", bytearray(b"nope"), None),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_image_features(media).collect()}
+    f = rows[1].feature
+    assert len(f) == 26
+    hist, means, stds, aspect, chn = f[:16], f[16:20], f[20:24], f[24], f[25]
+    assert abs(sum(hist) - 1.0) < 1e-6
+    assert abs(hist[0] - 0.5) < 1e-6 and abs(hist[15] - 0.5) < 1e-6
+    assert abs(means[0] - 0.5) < 1e-3 and means[1] == 0.0
+    assert abs(stds[0] - 0.5) < 1e-3
+    assert aspect == 1.0 and abs(chn - 0.25) < 1e-6
+    assert rows[2].feature is None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_image_features(media, strict=True).collect()

@@ -168,11 +168,61 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL fixed-size feature vector from decoded pixels (r10): 16-bin
+    normalized luminance histogram + per-channel mean/std (4 channels,
+    zero-padded) + aspect ratio + channel count = 26 floats. Decodes
+    via the stdlib PNG codec (Pillow fast path inside
+    ``decode_image_pixels``' helper), so the image→vector leg of an
+    embedding pipeline runs end-to-end in any environment; swap a
+    model runner in by replacing this function — the schema and batch
+    shape are identical. Undecodable payloads → NULL feature
+    (tolerant) or raise (``strict``)."""
+    import numpy as np
+
+    from .png_codec import decode_png
+
+    schema = "media_id long, feature array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                try:
+                    w, h, ch, raster = decode_png(bytes(b or b""))
+                except Exception:
+                    if strict:
+                        raise
+                    feats.append(None)
+                    continue
+                a = np.frombuffer(raster, np.uint8).reshape(-1, ch)
+                # luminance: mean across channels (alpha included as a
+                # plain channel — deterministic, not colorimetric)
+                lum = a.mean(axis=1)
+                hist = np.histogram(lum, bins=16, range=(0, 256))[0]
+                hist = hist / max(1, len(lum))
+                means = np.zeros(4)
+                stds = np.zeros(4)
+                means[:ch] = a.mean(axis=0) / 255.0
+                stds[:ch] = a.std(axis=0) / 255.0
+                vec = np.concatenate(
+                    [hist, means, stds, [w / h, ch / 4.0]]
+                )
+                feats.append([float(x) for x in vec])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats}
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Fixed-size float feature vector per payload (deterministic fake).
 
     Shape-compatible with a real embedding model runner: binary in,
-    array<float> out, Arrow-batched.
+    array<float> out, Arrow-batched. For PNG payloads prefer
+    :func:`extract_image_features`, which computes REAL pixel-derived
+    features; this stand-in accepts arbitrary bytes for plumbing tests.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
