@@ -284,6 +284,29 @@ class VersionedModel(RuleBasedStateMachine):
         assert folded == self.model, f"CDC fold v{v}→latest diverged"
 
     @invariant()
+    def changed_rows_since_prunes_exactly(self):
+        # r10 sub-segment cv sync: whatever lineage the steps built
+        # (DV/CoW DML, compaction, recluster, rollback), the pruned
+        # incremental read must surface exactly the live rows whose
+        # value-setting version passes the bound — segment, file, and
+        # row-group pruning may drop I/O but never rows.
+        if len(self.versions) < 2:
+            return
+        from wrtd_etl_spark.sources.versioned import changed_rows_since
+
+        v = len(self.versions) // 2
+        got = {
+            (r.k, r.v, r._commit_version)
+            for r in changed_rows_since(
+                self.spark, self.table, since_version=v
+            ).collect()
+        }
+        want = {
+            (k, self.model[k], cv) for k, cv in self.cv.items() if cv > v
+        }
+        assert got == want, f"changed_rows_since(v{v}) diverged"
+
+    @invariant()
     def a_past_version_replays(self):
         if len(self.versions) < 2:
             return
