@@ -2001,6 +2001,13 @@ def _commit_new_segment(
             "generated": generated,
             "unique": uniq,
             "identity": ident_new,
+            # defaults survive any commit whose schema keeps the column
+            # (an overwrite that drops it drops the default with it)
+            "defaults": {
+                c: dv
+                for c, dv in base.get("defaults", {}).items()
+                if c in _schema_fields(schema)
+            },
             "row_high": row_high + rows_minted,
             "committed_at": time.time(),
             "extra": extra or {},
@@ -2128,6 +2135,19 @@ def _read_segments(
                 col = F.col(c).cast(tf.dataType).alias(cur)
             cols.append(col)
         part = part.select(*cols)
+        defaults = manifest.get("defaults") or {}
+        if defaults:
+            # initial-default fill (r10): a segment whose schema lacks
+            # a defaulted column was written before the ALTER (or by an
+            # append that omitted it) — its rows read the default, not
+            # NULL. Per-SEGMENT, before the union: a segment that HAS
+            # the column keeps its explicit values, including NULLs.
+            have = set(part.columns)
+            for f in target.fields:
+                if f.name in defaults and f.name not in have:
+                    part = part.withColumn(
+                        f.name, F.lit(defaults[f.name]).cast(f.dataType)
+                    )
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )
@@ -2140,10 +2160,15 @@ def _read_segments(
         return out
     for f in target.fields:
         # a column added by alter_add_column exists in the table schema
-        # before ANY segment carries it — NULL-fill, same as an evolved
-        # append would
+        # before ANY segment carries it — fill its declared default
+        # (NULL when none), same as an evolved append would
         if f.name not in out.columns:
-            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+            out = out.withColumn(
+                f.name,
+                F.lit((manifest.get("defaults") or {}).get(f.name)).cast(
+                    f.dataType
+                ),
+            )
     if with_row_ids:
         # per-file base lookup: a literal map expression for the common
         # case (whole-stage codegen, no driver-side DataFrame — a tiny
@@ -3438,6 +3463,7 @@ def _commit_rewrite(
                 "constraints": latest_m.get("constraints", {}),
                 "generated": latest_m.get("generated", {}),
                 "unique": latest_m.get("unique", {}),
+                "defaults": latest_m.get("defaults", {}),
             }
             # adopt the appends' advanced high-water marks for columns
             # this rewrite did NOT mint (they minted ids we must never
@@ -3475,6 +3501,7 @@ def _commit_rewrite(
             "generated": manifest.get("generated", {}),
             "unique": manifest.get("unique", {}),
             "identity": ident_final,
+            "defaults": manifest.get("defaults", {}),
             "row_high": row_high_new,
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
@@ -4456,7 +4483,13 @@ def _table_changes_keyed(
         with_row_ids=True,
     ).withColumnRenamed(ROW_ID_COL, "__o_rid")
     # schema harmonization, exactly the exceptAll branch's rules: pad
-    # old to new's types, surface old-only columns on the new side
+    # old to new's types, surface old-only columns on the new side.
+    # A column ADDED in the range pads the old side with its declared
+    # DEFAULT (r10): the new side's carried rows read that default, so
+    # a NULL pad would flip every carried row into an insert+delete
+    # pair the moment someone ALTERs with a default (the r9 sharp
+    # edge, now real) — with the default pad they cancel.
+    to_defaults = to_root.get("defaults") or {}
     new_types = dict(
         (c, t) for c, t in new.dtypes if c != "__n_rid"
     )
@@ -4465,7 +4498,7 @@ def _table_changes_keyed(
     )
     for c, t in new_types.items():
         if c not in old_types:
-            old = old.withColumn(c, F.lit(None).cast(t))
+            old = old.withColumn(c, F.lit(to_defaults.get(c)).cast(t))
         elif old_types[c] != t:
             old = old.withColumn(c, F.col(c).cast(t))
     for c in [c for c in old_types if c not in new_types]:
@@ -4682,9 +4715,16 @@ def table_changes(
     old = read_snapshot(spark, table, version=from_version)
     new_types = dict(new.dtypes)
     old_types = dict(old.dtypes)
+    # columns added in the range pad the old side with their declared
+    # DEFAULT (r10) — the keyed path's rule, so carried rows cancel
+    to_defaults = (
+        _read_manifest_root(table, to_version).get("defaults") or {}
+    )
     for c in new.columns:
         if c not in old_types:
-            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+            old = old.withColumn(
+                c, F.lit(to_defaults.get(c)).cast(new_types[c])
+            )
         elif old_types[c] != new_types[c]:
             old = old.withColumn(c, F.col(c).cast(new_types[c]))
     for c in [c for c in old.columns if c not in new_types]:
@@ -4810,13 +4850,18 @@ def table_changes_physical(
                 .drop("__dv_base", "__dv_pos")
             )
         cur = {aliases.get(c, c): c for c in part.columns}
+        end_defaults = end_manifest.get("defaults") or {}
         cols = []
         for f in target.fields:
             src = cur.get(f.name)
             cols.append(
                 F.col(src).cast(f.dataType).alias(f.name)
                 if src is not None
-                else F.lit(None).cast(f.dataType).alias(f.name)
+                # a column added WITH a default after these files were
+                # written reads the declared constant, not NULL (r10)
+                else F.lit(end_defaults.get(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
             )
         return part.select(
             *cols,
@@ -5006,6 +5051,7 @@ def rollback(table: str, version: int) -> int:
             "generated": target.get("generated", {}),
             "unique": target.get("unique", {}),
             "identity": latest_ident,
+            "defaults": target.get("defaults", {}),
             "row_high": latest_root.get("row_high", 0),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
@@ -5363,13 +5409,25 @@ def alter_cluster_by(
 
 
 def alter_add_column(
-    spark: SparkSession, table: str, name: str, dtype: str
+    spark: SparkSession, table: str, name: str, dtype: str,
+    default=None,
 ) -> int:
     """Metadata-only ADD COLUMN (Delta's ALTER TABLE ADD COLUMNS): the
     schema widens by one nullable field, no data file is touched, and
     every existing row reads back NULL — exactly what an evolved append
     would have produced, for free. ``dtype`` is a Spark SQL type string
     (``"string"``, ``"decimal(12,2)"``, ``"array<double>"``).
+
+    ``default`` (r10, Iceberg v3's initial-default): a JSON-native
+    scalar every row in a segment that LACKS the physical column reads
+    back instead of NULL — existing rows immediately, and future
+    appends that omit the column. Pure metadata: the value lives in
+    the root manifest's ``defaults`` map and is filled at read; a
+    rewrite (compact/CoW DML) materializes it into real bytes as a
+    side effect of reading. Immutable once set (changing it would
+    retroactively rewrite history's values), and every diff surface
+    pads schema-crossing comparisons with it so carried rows cancel
+    instead of surfacing as insert+delete churn.
 
     A name that was renamed away earlier in the table's history cannot
     be reintroduced (the alias map would re-label it — the same reborn
@@ -5394,9 +5452,15 @@ def alter_add_column(
         **m["schema"],
         "fields": list(m["schema"]["fields"]) + [field],
     }
-    return _commit_props(
-        table, {"schema": schema, "schema_evolved": True}
-    )
+    updates: dict = {"schema": schema, "schema_evolved": True}
+    if default is not None:
+        if not isinstance(default, (bool, int, float, str)):
+            raise ValueError(
+                "default must be a JSON-native scalar "
+                f"(bool/int/float/str), got {type(default).__name__}"
+            )
+        updates["defaults"] = {**m.get("defaults", {}), name: default}
+    return _commit_props(table, updates)
 
 
 def alter_drop_column(table: str, name: str) -> int:
@@ -5537,6 +5601,13 @@ def alter_drop_column(table: str, name: str) -> int:
             "segments": segments,
             "aliases": aliases,
             "schema_evolved": True,
+            # the default dies with the column — a later re-add of the
+            # same name starts clean (NULLs unless a new default)
+            "defaults": {
+                c: v
+                for c, v in m.get("defaults", {}).items()
+                if c != name
+            },
         },
     )
 
@@ -5600,6 +5671,7 @@ def describe_table(table: str) -> dict:
         "constraints": m.get("constraints", {}),
         "unique": m.get("unique", {}),
         "generated": m.get("generated", {}),
+        "defaults": m.get("defaults", {}),
         "stats_columns": stats_cols,
         "bloom_columns": bloom_cols,
         "num_files": n_files,
@@ -5697,6 +5769,7 @@ def clone_table(
         "generated": m.get("generated", {}),
         "unique": m.get("unique", {}),
         "identity": m.get("identity", {}),
+        "defaults": m.get("defaults", {}),
         "row_high": m.get("row_high", 0),
         "committed_at": time.time(),
         "extra": {"cloned_from": src, "clone_source_version": version},
@@ -6010,6 +6083,7 @@ def compact(
         "generated": base_manifest.get("generated", {}),
         "unique": base_manifest.get("unique", {}),
         "identity": base_manifest.get("identity", {}),
+        "defaults": base_manifest.get("defaults", {}),
         # the mark carries: compaction mints nothing, but ids the
         # lineage already consumed must never be reissued
         "row_high": base_manifest.get("row_high", 0),

@@ -59,6 +59,7 @@ class ChangeFile(InputPartition):
         dv_drop=None,
         dv_take=None,
         rg_filter=None,
+        defaults=None,
     ):
         self.table = table
         self.file = file
@@ -75,6 +76,10 @@ class ChangeFile(InputPartition):
         # metadata-only delete_dv commit
         self.dv_drop = dv_drop
         self.dv_take = dv_take
+        # {target_name: value} for columns ADDED with a DEFAULT after
+        # this file was written (r10): the executor fills the constant
+        # instead of NULLs, matching the logical read/diff surfaces
+        self.defaults = defaults
         # row-group pushdown of the subscriber's skip_filter (r9):
         # only set when NO dv directive rides the file — dv positions
         # are absolute row indices, which skipped groups would shift
@@ -385,6 +390,7 @@ def _merge_cv_rg(file_rg, cv_rg):
 def _file_arrays(
     path: str, col_map, arrow_schema, dv_drop=None, dv_take=None,
     rg_filter=None, row_ids=None, row_cvs=None, cv_rg=None,
+    defaults=None,
 ):
     """Executor-side parquet read of one data file, projected/cast to the
     target Arrow schema through the driver-resolved ``col_map``
@@ -415,11 +421,14 @@ def _file_arrays(
     arrays = []
     for tgt, src in col_map:
         ftype = arrow_schema.field(tgt).type
-        arrays.append(
-            pa.nulls(n, type=ftype)
-            if src is None
-            else tbl.column(src).cast(ftype).combine_chunks()
-        )
+        if src is not None:
+            arrays.append(tbl.column(src).cast(ftype).combine_chunks())
+        elif defaults and tgt in defaults:
+            # column added WITH a default after this file was written:
+            # its rows read the declared constant, not NULL (r10)
+            arrays.append(pa.array([defaults[tgt]] * n).cast(ftype))
+        else:
+            arrays.append(pa.nulls(n, type=ftype))
     if row_ids is not None:
         from .versioned import ROW_ID_OUT
 
@@ -552,6 +561,24 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             }
             return [(t, by_current.get(t)) for t in self.fields]
 
+        end_defaults = end_manifest.get("defaults") or {}
+
+        def dmap(seg_schema: dict) -> "dict | None":
+            # defaulted columns this file's schema predates: the
+            # executor fills the declared constant, so a change-feed
+            # fold reproduces exactly what the logical diff (and any
+            # snapshot read) shows for those rows
+            if not end_defaults:
+                return None
+            have = {
+                aliases.get(f["name"], f["name"])
+                for f in seg_schema.get("fields", [])
+            }
+            d = {
+                t: v for t, v in end_defaults.items() if t not in have
+            }
+            return d or None
+
         def allowed(m: dict) -> set[str] | None:
             """Files of ``m`` surviving the subscriber's skip_filter
             (None = keep all). Manifest-stats only — no data I/O."""
@@ -637,6 +664,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                                             m_root["mode"],
                                             col_map(seg["schema"]),
                                             rg_filter=self._rg,
+                                            defaults=dmap(seg["schema"]),
                                         )
                                     )
                         continue
@@ -697,6 +725,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         ChangeFile(
                             self.table, f, "insert", v, m["mode"],
                             col_map(file_seg[f]["schema"]),
+                            defaults=dmap(file_seg[f]["schema"]),
                             # a file can arrive ALREADY carrying a
                             # vector (rollback to / clone of a DV'd
                             # version): its deleted rows never insert
@@ -725,6 +754,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         ChangeFile(
                             self.table, f, "delete", v, m["mode"],
                             col_map(file_seg[f]["schema"]),
+                            defaults=dmap(file_seg[f]["schema"]),
                             dv_take=(
                                 self.table,
                                 cur_dvs[f]["ref"],
@@ -751,6 +781,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                             ChangeFile(
                                 self.table, f, "delete", v, m["mode"],
                                 col_map(prev_file_seg[f]["schema"]),
+                                defaults=dmap(prev_file_seg[f]["schema"]),
                                 # rows the file's vector had ALREADY
                                 # deleted were reported when the vector
                                 # landed — a rewrite/compact removing
@@ -786,6 +817,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 dv_drop=partition.dv_drop,
                 dv_take=partition.dv_take,
                 rg_filter=partition.rg_filter,
+                defaults=partition.defaults,
             )
             arrays.append(pa.array([partition.change_type] * n, pa.string()))
             arrays.append(pa.array([partition.version] * n, pa.int64()))
@@ -804,11 +836,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             ),
         )
         n = tbl.num_rows
+        dflt = partition.defaults or {}
         cols = {}
         for tgt, src in partition.col_map:
-            cols[tgt] = (
-                tbl.column(src).to_pylist() if src is not None else [None] * n
-            )
+            if src is not None:
+                cols[tgt] = tbl.column(src).to_pylist()
+            else:
+                cols[tgt] = [dflt.get(tgt)] * n
         tail = (partition.change_type, partition.version, partition.mode)
         names = [t for t, _ in partition.col_map]
         for i in range(n):

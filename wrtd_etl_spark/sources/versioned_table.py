@@ -97,6 +97,7 @@ class TableFile(InputPartition):
         row_ids=None,
         row_cvs=None,
         cv_rg=None,
+        defaults=None,
     ):
         self.table = table
         self.file = file
@@ -128,6 +129,9 @@ class TableFile(InputPartition):
         # a dv rides the file — same absolute-position rule as
         # rg_filter.
         self.cv_rg = cv_rg
+        # {target_name: value} for columns ADDED with a DEFAULT after
+        # this file was written (r10): fill the constant, not NULLs
+        self.defaults = defaults
 
 
 def _resolve(options) -> tuple[str, int, dict]:
@@ -283,6 +287,13 @@ class VersionedTableReader(DataSourceReader):
                     return st["hi"] is not None and st["hi"] > self.cv_after
                 files = [f for f in files if _admits(f)]
             cm = col_map(seg["schema"])
+            tdef = self.manifest.get("defaults") or {}
+            dmap = (
+                {t: tdef[t] for t, sc in cm if sc is None and t in tdef}
+                or None
+                if tdef
+                else None
+            )
             dvs = seg.get("dvs", {})
             rg = None
             if (self.skip_filter or self.point_filter) and not (
@@ -342,6 +353,7 @@ class VersionedTableReader(DataSourceReader):
                     row_ids=row_base.get(f),
                     row_cvs=seg_cv,
                     cv_rg=_cv_rg(f),
+                    defaults=dmap,
                 )
                 for f in files
             )
@@ -361,6 +373,7 @@ class VersionedTableReader(DataSourceReader):
                 row_ids=partition.row_ids,
                 row_cvs=partition.row_cvs,
                 cv_rg=partition.cv_rg,
+                defaults=partition.defaults,
             )
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=self._arrow_schema
@@ -386,8 +399,13 @@ class VersionedTableReader(DataSourceReader):
             row_cvs=partition.row_cvs,
         )
         n = tbl.num_rows
+        dflt = partition.defaults or {}
         cols = {
-            tgt: (tbl.column(src).to_pylist() if src is not None else [None] * n)
+            tgt: (
+                tbl.column(src).to_pylist()
+                if src is not None
+                else [dflt.get(tgt)] * n
+            )
             for tgt, src in partition.col_map
         }
         names = [t for t, _ in partition.col_map]
