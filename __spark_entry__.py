@@ -160,6 +160,9 @@ _DEMOTED = (
     # sub-segment cv sync across a compaction (oracle recomputes the
     # delta from orders; file/row-group pruning proofs live in pytest)
     "incremental_sync_cv",
+    # column DEFAULTs lifecycle (metadata-only ALTER + CoW update);
+    # oracle recomputes from orders — parks like every post-r3 addition
+    "default_column_backfill",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)

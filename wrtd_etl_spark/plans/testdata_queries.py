@@ -2622,6 +2622,52 @@ def incremental_sync_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "default_column_backfill",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           CAST(CASE WHEN o_orderkey <= 2000 THEN 9.0 ELSE 0.5 END
+                AS DOUBLE) AS score
+    FROM orders
+    """,
+)
+def default_column_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULTs (r10 — sources/versioned.alter_add_column
+    ``default=``, Iceberg v3's initial-default): the base load (v0)
+    predates the column; a metadata-only ALTER (v1) declares it with
+    default 0.5 — zero bytes rewritten — and a CoW UPDATE (v2) sets an
+    explicit 9.0 on the low keys. Every surface must agree: pre-ALTER
+    rows read the default, updated rows their explicit value. The
+    oracle derives the same triples from orders with CASE arithmetic;
+    the CDC no-churn half (carried rows pad with the default, not
+    NULL) is pinned in tests/test_column_defaults.py."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        alter_add_column,
+        read_snapshot,
+        update_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_dflt_"), "tbl")
+    write_snapshot(orders.repartition(4), t, stats_cols=["k"])
+    alter_add_column(spark, t, "score", "double", default=0.5)
+    update_where(
+        spark,
+        t,
+        F.col("k") <= 2000,
+        {"score": F.lit(9.0)},
+        prune={"k": (None, 2000)},
+    )
+    return read_snapshot(spark, t)
+
+
+@register(
     "rollup_cdc_fold",
     """
     SELECT o_orderstatus AS status,
