@@ -191,3 +191,50 @@ def test_streaming_change_feed_fills_defaults(spark, tmp_path):
     )
     got = {r.k: r.score for r in spark.read.parquet(out).collect()}
     assert got[0] == 8.0 and got[100] == 1.0
+
+
+@pytest.mark.parametrize("strategy", ["cow", "dv"])
+def test_dml_paths_agree_on_defaults(spark, tmp_path, strategy):
+    """Every DML shape × both physical strategies: matched updates keep
+    the (filled) default, merge INSERTS omitting the column get the
+    write-default — not the NULL the rewrite files would otherwise
+    materialize — and CoW/MoR agree row for row."""
+    from wrtd_etl_spark.sources.versioned import update_where
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (4, 40)], "k long, v long"
+        ),
+        t,
+        stats_cols=["k"],
+    )
+    alter_add_column(spark, t, "d", "long", default=7)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2, 222), (3, 333)], "k long, v long"),
+        keys=["k"],
+        strategy=strategy,
+    )
+    update_where(spark, t, F.col("k") == 4, {"v": F.lit(44)}, strategy=strategy)
+    got = sorted(
+        (r.k, r.v, r.d) for r in read_snapshot(spark, t).collect()
+    )
+    assert got == [(1, 10, 7), (2, 222, 7), (3, 333, 7), (4, 44, 7)]
+
+
+def test_replace_where_fills_write_default(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import replace_where
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    alter_add_column(spark, t, "score", "double", default=1.25)
+    replace_where(
+        spark,
+        t,
+        F.col("k") == 2,
+        spark.createDataFrame([(2, "new2")], "k long, v string"),
+    )
+    got = {r.k: r.score for r in read_snapshot(spark, t).collect()}
+    assert got[2] == 1.25 and got[0] == 1.25

@@ -2706,9 +2706,15 @@ def _dv_candidate_scan(
                 .withColumnRenamed("__dv_pos", "__dvp")
             )
             p = p.join(dv_df, ["__dvb", "__dvp"], "left_anti")
+        _dflt = manifest.get("defaults", {})
         for f in target.fields:
             if f.name not in p.columns:
-                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
+                # per-SEGMENT fill, like _read_segments: a segment
+                # written before a defaulted ALTER reads the declared
+                # constant, so MoR matched images carry it forward
+                p = p.withColumn(
+                    f.name, F.lit(_dflt.get(f.name)).cast(f.dataType)
+                )
         out = p if out is None else out.unionByName(p)
     return out
 
@@ -2988,11 +2994,14 @@ def replace_where(
         if rewrite_segs
         else spark.createDataFrame([], target)
     )
+    _dflt = manifest.get("defaults", {})
     ins_cols = [
         (
             F.col(f.name).cast(f.dataType)
             if f.name in df.columns
-            else F.lit(None).cast(f.dataType)
+            # write-default: a NEW row omitting a defaulted column gets
+            # the declared constant, same as the append path reads back
+            else F.lit(_dflt.get(f.name)).cast(f.dataType)
         ).alias(f.name)
         for f in target.fields
     ]
@@ -3714,7 +3723,12 @@ def _merge_into_dv(
         scan = _dv_candidate_scan(spark, table, manifest, rewrite_segs)
         for f in target.fields:
             if f.name not in scan.columns:
-                scan = scan.withColumn(f.name, F.lit(None).cast(f.dataType))
+                scan = scan.withColumn(
+                    f.name,
+                    F.lit(manifest.get("defaults", {}).get(f.name)).cast(
+                        f.dataType
+                    ),
+                )
     else:
         scan = spark.createDataFrame(
             [],
@@ -3797,11 +3811,13 @@ def _merge_into_dv(
             inserts = inserts.localCheckpoint(eager=False)
             n_ins = inserts.count()
         if n_ins:
+            _dflt = manifest.get("defaults", {})
             ins_cols = [
                 (
                     F.col(f.name).cast(f.dataType)
                     if f.name in inserts.columns
-                    else F.lit(None).cast(f.dataType)
+                    # write-default for merge inserts (see replace_where)
+                    else F.lit(_dflt.get(f.name)).cast(f.dataType)
                 ).alias(f.name)
                 for f in target.fields
             ]
@@ -4242,11 +4258,13 @@ def merge_into(
                 )
             if all(e == n_ for e, n_ in identity_update.values()):
                 identity_update = None  # zero inserts: nothing minted
+        _dflt = manifest.get("defaults", {})
         ins_cols = [
             (
                 F.col(f.name).cast(f.dataType)
                 if f.name in inserts.columns
-                else F.lit(None).cast(f.dataType)
+                # write-default for merge inserts (see replace_where)
+                else F.lit(_dflt.get(f.name)).cast(f.dataType)
             ).alias(f.name)
             for f in target.fields
         ]
