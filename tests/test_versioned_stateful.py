@@ -60,6 +60,9 @@ class VersionedModel(RuleBasedStateMachine):
         self.cv: dict[int, int] = {}  # k -> last value-setting version
         self.versions: list[dict[int, int]] = []
         self.cv_versions: list[dict[int, int]] = []
+        # version at which the defaulted column `d` was declared (r10);
+        # every row reads 7 from then on, whatever path wrote it
+        self.default_since: "int | None" = None
 
     def _df(self, rows):
         return self.spark.createDataFrame(
@@ -243,6 +246,21 @@ class VersionedModel(RuleBasedStateMachine):
         rollback(self.table, target)
         self.model = dict(self.versions[target])
         self.cv = dict(self.cv_versions[target])
+        if self.default_since is not None and target < self.default_since:
+            self.default_since = None  # schema rolled back past the ALTER
+        self._commit()
+
+    @rule()
+    def declare_default_column(self):
+        # metadata-only ALTER with an initial default (r10): every row
+        # — existing, appended without the column, merge-inserted,
+        # CoW/MoR-rewritten — must read 7 from here on
+        if not self.versions or self.default_since is not None:
+            return
+        from wrtd_etl_spark.sources.versioned import alter_add_column
+
+        alter_add_column(self.spark, self.table, "d", "long", default=7)
+        self.default_since = self._vnum()
         self._commit()
 
     @invariant()
@@ -255,6 +273,13 @@ class VersionedModel(RuleBasedStateMachine):
         assert {r.k: r.v for r in rows} == self.model
         assert {r.k: r._commit_version for r in rows} == self.cv
         assert latest_version(self.table) == len(self.versions) - 1
+        if self.default_since is not None:
+            # no rule ever writes `d` explicitly, so EVERY row must
+            # surface the declared default through every DML/rewrite
+            # lineage the steps composed
+            assert all(r.d == 7 for r in rows), {
+                r.k: r.d for r in rows if r.d != 7
+            }
 
     @invariant()
     def cdc_fold_reaches_latest(self):
