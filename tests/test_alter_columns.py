@@ -277,3 +277,106 @@ def test_alter_cluster_by_metadata_only_then_compact_applies(
     assert V._read_manifest_root(t, V._read_pointer(t))["layout"] == {
         "by": ["s"]
     }
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """ALTER type widening (r10): int->long and float->double are pure
+    metadata; old files keep their narrow bytes, reads cast per
+    segment, skip_filter pruning and DML keep working, and time travel
+    shows the narrow type."""
+    import os
+
+    from wrtd_etl_spark.sources.versioned import (
+        alter_widen_column,
+        files_for_read,
+        update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1000)], "k int, x float"
+        ).repartition(1).sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+    )
+    files0 = {
+        f: os.path.getmtime(os.path.join(t, f))
+        for f in files_for_read(t)[0]
+    }
+    alter_widen_column(spark, t, "k", "long")
+    alter_widen_column(spark, t, "x", "double")
+    df = read_snapshot(spark, t)
+    assert dict(df.dtypes) == {"k": "bigint", "x": "double"}
+    assert df.count() == 1000
+    # zero data movement
+    assert {
+        f: os.path.getmtime(os.path.join(t, f))
+        for f in files_for_read(t)[0]
+    } == files0
+    # pruning still works against the narrow files' recorded stats
+    write_snapshot(
+        spark.createDataFrame(
+            [(10_000_000_000, 1.5)], "k long, x double"
+        ),
+        t,
+        mode="append",
+        stats_cols=["k"],
+    )  # a value only the WIDE type can hold
+    kept, total = files_for_read(t, skip_filter={"k": (100, 200)})
+    assert total == 2 and len(kept) == 1
+    got = {r.k: r.x for r in read_snapshot(spark, t).collect()}
+    assert got[10_000_000_000] == 1.5 and got[7] == 7.0
+    # DML across the mixed encodings
+    update_where(spark, t, F.col("k") == 7, {"x": F.lit(77.0)})
+    assert {
+        r.k: r.x for r in read_snapshot(spark, t).collect()
+    }[7] == 77.0
+    # time travel: the pre-widen version keeps the narrow type
+    assert dict(read_snapshot(spark, t, version=0).dtypes) == {
+        "k": "int", "x": "float"
+    }
+
+
+def test_widen_refuses_narrowing_and_noops(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import alter_widen_column
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 1.0)], "k long, x double"), t
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "k", "int")
+    with pytest.raises(ValueError, match="already has type"):
+        alter_widen_column(spark, t, "k", "long")
+    with pytest.raises(ValueError, match="no column"):
+        alter_widen_column(spark, t, "zz", "long")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "x", "string")
+
+
+def test_widen_then_datasource_and_cdc(spark, tmp_path):
+    """The widened table reads identically through the Arrow DataSource,
+    and a diff whose endpoints straddle the widening casts old rows to
+    the wide type — carried rows cancel."""
+    from wrtd_etl_spark.sources.versioned import (
+        alter_widen_column,
+        compact,
+        table_changes,
+    )
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "k int, v int"
+        ),
+        t,
+        stats_cols=["k"],
+    )
+    alter_widen_column(spark, t, "v", "long")  # v1
+    compact(spark, t)  # v2 re-types the bytes
+    assert table_changes(spark, t, 0, 2).count() == 0
+    jvm = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    ds = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert ds == jvm and len(ds) == 100

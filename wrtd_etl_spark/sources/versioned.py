@@ -5481,6 +5481,53 @@ def alter_add_column(
     return _commit_props(table, updates)
 
 
+def alter_widen_column(
+    spark: SparkSession, table: str, name: str, dtype: str
+) -> int:
+    """Metadata-only TYPE WIDENING (Delta's type-widening feature): the
+    column's declared type grows to ``dtype`` — byte→short→int→long,
+    float→double, int-family→double, the exact lossless set the append
+    path's schema merge already accepts — and no data file is touched:
+    every read path casts each segment's physical values to the TABLE
+    type (``_read_segments`` / the Arrow DataSource col_map), so old
+    files keep their narrow encoding until a rewrite naturally re-types
+    them. Manifest min/max stats and bloom tokens are value-canonical
+    (an int32 5 and an int64 5 hash and rank identically), so data
+    skipping keeps working across the change. Narrowing and
+    same-type no-ops are refused."""
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest_root(table, p)
+    fields = _schema_fields(m["schema"])
+    if name not in fields:
+        raise ValueError(f"no column {name!r} on {table}")
+    cur_t = fields[name]["type"]
+    new_t = spark.createDataFrame([], f"`{name}` {dtype}").schema.jsonValue()[
+        "fields"
+    ][0]["type"]
+    if new_t == cur_t:
+        raise ValueError(
+            f"column {name!r} already has type {cur_t!r}"
+        )
+    if _widened(new_t, cur_t) != new_t:
+        raise ValueError(
+            f"cannot widen {name!r}: {cur_t!r} -> {new_t!r} is not a "
+            "lossless widening (int-family upcasts, float->double, "
+            "int-family->double only)"
+        )
+    schema = {
+        **m["schema"],
+        "fields": [
+            {**f, "type": new_t} if f["name"] == name else f
+            for f in m["schema"]["fields"]
+        ],
+    }
+    return _commit_props(
+        table, {"schema": schema, "schema_evolved": True}
+    )
+
+
 def alter_drop_column(table: str, name: str) -> int:
     """Metadata-only DROP COLUMN: the field leaves the table schema AND
     every segment's recorded read schema, so no scan ever loads it again
