@@ -238,3 +238,35 @@ def test_replace_where_fills_write_default(spark, tmp_path):
     )
     got = {r.k: r.score for r in read_snapshot(spark, t).collect()}
     assert got[2] == 1.25 and got[0] == 1.25
+
+
+def test_widen_defaulted_column_keeps_the_default(spark, tmp_path):
+    """Feature interaction: widening a DEFAULTed column re-types the
+    fill — pre-ALTER rows still read the (now wide) default, explicit
+    values keep theirs, and a post-widen append omitting the column
+    still gets the default at the wide type."""
+    from wrtd_etl_spark.sources.versioned import alter_widen_column
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), t
+    )
+    alter_add_column(spark, t, "d", "int", default=7)
+    alter_widen_column(spark, t, "d", "long")
+    write_snapshot(
+        spark.createDataFrame([(3, 30)], "k long, v long"),
+        t,
+        mode="append",
+    )
+    df = read_snapshot(spark, t)
+    assert dict(df.dtypes)["d"] == "bigint"
+    assert {r.k: r.d for r in df.collect()} == {1: 7, 2: 7, 3: 7}
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2, 222, 9), (4, 44, None)],
+                              "k long, v long, d long"),
+        keys=["k"],
+    )
+    got = {r.k: r.d for r in read_snapshot(spark, t).collect()}
+    assert got == {1: 7, 2: 9, 3: 7, 4: None}
