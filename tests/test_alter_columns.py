@@ -380,3 +380,175 @@ def test_widen_then_datasource_and_cdc(spark, tmp_path):
     jvm = {r.k: r.v for r in read_snapshot(spark, t).collect()}
     ds = {r.k: r.v for r in read_versioned(spark, t).collect()}
     assert ds == jvm and len(ds) == 100
+
+
+def test_widen_refuses_long_to_double(spark, tmp_path):
+    """ADVICE r10 (medium): long->double is NOT lossless — float64's
+    53-bit mantissa rounds 9007199254740993 to ...992 — so both the
+    ALTER guard and the append path's schema merge refuse it, exactly
+    as Delta's type-widening feature does. The small ints still widen."""
+    from wrtd_etl_spark.sources.versioned import alter_widen_column
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(9007199254740993, 1)], "k long, j int"
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "k", "double")
+    # append-path twin: a double batch for a long column must refuse too
+    with pytest.raises(ValueError, match="incompatible type change"):
+        write_snapshot(
+            spark.createDataFrame([(1.5, 1)], "k double, j int"),
+            t,
+            mode="append",
+        )
+    # byte/short/int -> double remain lossless and allowed
+    alter_widen_column(spark, t, "j", "double")
+    got = read_snapshot(spark, t).head()
+    assert got.j == 1.0 and got.k == 9007199254740993
+
+
+def test_widen_decimal_precision_growth(spark, tmp_path):
+    """decimal(p,s) -> decimal(p+k,s) (Delta/Iceberg-v3 widening):
+    metadata-only (inodes stable), mixed-encoding appends read as the
+    wide type, stats pruning + bloom point pruning survive the change,
+    DML works across encodings, time travel keeps the narrow type."""
+    from decimal import Decimal
+
+    from wrtd_etl_spark.sources.versioned import (
+        alter_widen_column,
+        files_for_read,
+        update_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, Decimal(i) + Decimal("0.25")) for i in range(1000)],
+            "k int, amt decimal(10,2)",
+        ).repartition(1).sortWithinPartitions("k"),
+        t,
+        stats_cols=["amt"],
+        bloom_cols=["amt"],
+    )
+    inodes0 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    alter_widen_column(spark, t, "amt", "decimal(14,2)")
+    df = read_snapshot(spark, t)
+    assert dict(df.dtypes)["amt"] == "decimal(14,2)"
+    assert {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    } == inodes0  # zero data movement
+    # a value only the WIDE precision can hold, in a second encoding
+    write_snapshot(
+        spark.createDataFrame(
+            [(10**6, Decimal("999999999999.25"))],
+            "k int, amt decimal(14,2)",
+        ),
+        t,
+        mode="append",
+        stats_cols=["amt"],
+        bloom_cols=["amt"],
+    )
+    # range pruning against the NARROW files' recorded stats
+    kept, total = files_for_read(
+        t, skip_filter={"amt": (Decimal("2000.00"), Decimal("3000.00"))}
+    )
+    assert total == 2 and len(kept) == 0
+    kept, _ = files_for_read(
+        t, skip_filter={"amt": (Decimal("5.00"), Decimal("6.00"))}
+    )
+    assert len(kept) == 1
+    # bloom point pruning: tokens are value-canonical across the widen
+    kept, _ = files_for_read(t, point_filter={"amt": [Decimal("5.25")]})
+    assert len(kept) == 1
+    kept, _ = files_for_read(
+        t, point_filter={"amt": [Decimal("999999999999.25")]}
+    )
+    assert len(kept) == 1
+    got = {r.k: r.amt for r in read_snapshot(spark, t).collect()}
+    assert got[10**6] == Decimal("999999999999.25")
+    assert got[7] == Decimal("7.25")
+    # DML across the mixed encodings
+    update_where(
+        spark, t, F.col("k") == 7, {"amt": F.lit(Decimal("77.25"))}
+    )
+    assert {
+        r.k: r.amt for r in read_snapshot(spark, t).collect()
+    }[7] == Decimal("77.25")
+    # time travel: the pre-widen version keeps the narrow type
+    assert (
+        dict(read_snapshot(spark, t, version=0).dtypes)["amt"]
+        == "decimal(10,2)"
+    )
+
+
+def test_widen_decimal_refusals_and_datasource(spark, tmp_path):
+    """Scale changes and precision narrowing refuse; the Arrow
+    DataSource reads the widened table identically to the JVM path."""
+    from decimal import Decimal
+
+    from wrtd_etl_spark.sources.versioned import alter_widen_column
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, Decimal(i)) for i in range(50)], "k int, amt decimal(10,2)"
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "amt", "decimal(14,4)")  # scale change
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "amt", "decimal(8,2)")  # narrowing
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "amt", "double")  # family change
+    alter_widen_column(spark, t, "amt", "decimal(20,2)")
+    jvm = {r.k: r.amt for r in read_snapshot(spark, t).collect()}
+    ds = {r.k: r.amt for r in read_versioned(spark, t).collect()}
+    assert ds == jvm and len(ds) == 50
+    # append-path twin: narrow-encoded batches still merge after ALTER
+    write_snapshot(
+        spark.createDataFrame(
+            [(100, Decimal("1.50"))], "k int, amt decimal(10,2)"
+        ),
+        t,
+        mode="append",
+    )
+    assert read_snapshot(spark, t).count() == 51
+
+
+def test_add_column_default_validates_cast(spark, tmp_path):
+    """ADVICE r10 (low): a default that cannot cast to the declared
+    type is rejected AT ALTER TIME (it used to read back NULL on the
+    JVM path and raise ArrowInvalid on the DataSource path); valid
+    defaults are stored pre-coerced so both read surfaces agree."""
+    from decimal import Decimal
+
+    from wrtd_etl_spark.sources.versioned import alter_add_column
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    with pytest.raises(ValueError, match="does not cast"):
+        alter_add_column(spark, t, "score", "double", default="oops")
+    with pytest.raises(ValueError, match="does not cast"):
+        alter_add_column(spark, t, "d", "date", default="not-a-date")
+    # int default on a double column coerces to 5.0; decimal + date
+    # defaults store their exact JSON forms
+    alter_add_column(spark, t, "score", "double", default=5)
+    alter_add_column(spark, t, "amt", "decimal(12,2)", default="1.50")
+    alter_add_column(spark, t, "d", "date", default="2021-03-04")
+    jvm = read_snapshot(spark, t).select("score", "amt", "d").head()
+    ds = read_versioned(spark, t).select("score", "amt", "d").head()
+    import datetime
+
+    for row in (jvm, ds):
+        assert row.score == 5.0
+        assert row.amt == Decimal("1.50")
+        assert row.d == datetime.date(2021, 3, 4)

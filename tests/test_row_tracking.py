@@ -554,3 +554,46 @@ def test_map_table_overwrite_range_diffs_via_canonical_exceptall(
     assert dels == set(range(0, 20)) and ins == set(range(10, 25))
     got = next(p for k, p, ct in rows if ct == "insert" and k == 10)
     assert got == {"t": "b", "i": "10"}
+
+
+def test_keyed_diff_null_struct_stays_null(spark, tmp_path):
+    """ADVICE r10 (low): the canonical image of a struct-containing-map
+    column must keep NULL structs NULL — the bare F.struct rebuild
+    turned them into structs of NULL fields, so a NULL-struct ->
+    struct-of-NULLs update diffed as no-change and emitted rows were
+    distorted. Pinned: the update surfaces, and emitted values
+    round-trip exactly."""
+    schema = "k long, s struct<name:string, m:map<string,string>>"
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, None), (2, ("x", {"a": "1"}))], schema)
+        .coalesce(1),
+        t,
+        stats_cols=["k"],
+    )
+    v0 = V._read_pointer(t)
+    # carried rows (incl. the NULL struct) cancel across a compaction
+    write_snapshot(
+        spark.createDataFrame([(3, None)], schema), t, mode="append",
+        stats_cols=["k"],
+    )
+    compact(spark, t)
+    assert table_changes(spark, t, v0 + 1, V._read_pointer(t)).count() == 0
+    # NULL-struct -> struct-of-NULLs IS a change and must surface
+    v_pre = V._read_pointer(t)
+    update_where(
+        spark, t, F.col("k") == 1,
+        {"s": F.struct(
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("map<string,string>").alias("m"),
+        )},
+        prune={"k": (1, 1)},
+    )
+    rows = {
+        (r.k, None if r.s is None else tuple(r.s), r._change_type)
+        for r in table_changes(spark, t, v_pre, V._read_pointer(t)).collect()
+    }
+    assert rows == {
+        (1, None, "delete"),
+        (1, (None, None), "insert"),
+    }, rows

@@ -26,6 +26,7 @@ engine-agnostic like the min/max stats.
 from __future__ import annotations
 
 import base64
+import decimal
 import hashlib
 
 import numpy as np
@@ -42,6 +43,17 @@ def token(v) -> bytes | None:
     rule of never recording stats for them)."""
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        # decimals tokenize through the FLOAT encoding below: integral
+        # values hash as ints, the rest as float repr — so tokens stay
+        # value-canonical across a decimal(p,s) -> decimal(p+k,s)
+        # widening (the value is scale-invariant) AND across int/float
+        # typed lookups of a decimal column. Two decimals that collide
+        # on the same float64 share a token, which is only a bloom
+        # false POSITIVE — pruning stays safe.
+        if v.is_nan():
+            return None
+        v = float(v)
     if isinstance(v, bool) or isinstance(v, np.bool_):
         return b"b:" + (b"1" if v else b"0")
     if isinstance(v, (int, np.integer)):

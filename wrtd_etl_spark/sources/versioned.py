@@ -427,8 +427,29 @@ def _widened(a: object, b: object) -> object | None:
         return a if _INT_RANK[a] >= _INT_RANK[b] else b
     if a in _FLOAT_RANK and b in _FLOAT_RANK:
         return a if _FLOAT_RANK[a] >= _FLOAT_RANK[b] else b
-    if (a in _INT_RANK and b == "double") or (b in _INT_RANK and a == "double"):
+    # int-family -> double is lossless ONLY up to integer (int32 fits a
+    # float64's 53-bit mantissa exactly); long -> double silently rounds
+    # values above 2**53 (9007199254740993 reads back ...992), which is
+    # why Delta's type-widening feature excludes it too — refuse it here
+    # for both ALTER widening and the append path's schema merge.
+    small_int = {"byte", "short", "integer"}
+    if (a in small_int and b == "double") or (b in small_int and a == "double"):
         return "double"
+    d = _dec_params(a), _dec_params(b)
+    if d[0] and d[1] and d[0][1] == d[1][1]:
+        # decimal(p,s) -> decimal(p+k,s): same scale, precision growth
+        # only — every old value is exactly representable (Delta/Iceberg
+        # v3 both ship this widening). Scale changes shift the physical
+        # unscaled integers and are refused.
+        return a if d[0][0] >= d[1][0] else b
+    return None
+
+
+def _dec_params(t: object) -> "tuple[int, int] | None":
+    """(precision, scale) when ``t`` is a decimal type-json string."""
+    if isinstance(t, str) and t.startswith("decimal("):
+        p, s = t[len("decimal(") : -1].split(",")
+        return int(p), int(s)
     return None
 
 
@@ -467,13 +488,39 @@ def _merge_schemas(prev: dict, new: dict, where: str) -> tuple[dict, bool]:
 
 def _json_val(v):
     """Stats values as JSON-native, ORDER-PRESERVING encodings: dates/
-    timestamps via isoformat (lexicographic == chronological). Bytes have
+    timestamps via isoformat (lexicographic == chronological); decimals
+    as floats (float() is monotone over Decimal, so order survives —
+    EXACTNESS does not, which is why :func:`_collect_file_stats` widens
+    stored decimal bounds outward one ULP: recorded [min,max] is then a
+    superset of the true range and pruning stays conservative no matter
+    which way a user bound's own float conversion rounds). Bytes have
     no lossless order-preserving JSON form ('replace' decoding can
     reorder), so binary columns never get stats — callers compare bounds
     through this same mapping, keeping pruning type-safe."""
+    import decimal
+
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     return v
+
+
+def _widen_stat_bounds(lo, hi):
+    """Outward-widened JSON encodings of a file's [lo, hi] for types
+    whose JSON form is inexact (decimals -> floats): one ULP down on the
+    min, one ULP up on the max, so the recorded range is a SUPERSET of
+    the true one and data skipping never turns semantic."""
+    import decimal
+    import math
+
+    if isinstance(lo, decimal.Decimal):
+        f = float(lo)
+        lo = math.nextafter(f, -math.inf) if f != lo else f
+    if isinstance(hi, decimal.Decimal):
+        f = float(hi)
+        hi = math.nextafter(f, math.inf) if f != hi else f
+    return lo, hi
 
 
 def _collect_file_stats(
@@ -482,7 +529,28 @@ def _collect_file_stats(
     """relpath → {col: [min, max]} from parquet footers (driver-side,
     O(#files) metadata reads; values JSON-native so manifests stay
     engine-agnostic). Binary columns are skipped — see _json_val."""
+    import json as _json
+
     import pyarrow.parquet as pq
+
+    def _dec_scale(column_schema) -> int | None:
+        """Scale when the column's logical type is DECIMAL, else None.
+        Spark writes decimal(p<=18) as INT32/INT64 physical, which this
+        container's pyarrow cannot decode through ``statistics.min``
+        (ArrowNotImplementedError) — but ``min_raw``/``max_raw`` expose
+        the UNSCALED integer (bytes big-endian two's-complement for the
+        FLBA encoding), which rescales exactly."""
+        lt = column_schema.logical_type
+        if lt is None or lt.type != "DECIMAL":
+            return None
+        return int(_json.loads(lt.to_json())["scale"])
+
+    def _dec_val(raw, scale: int):
+        import decimal
+
+        if isinstance(raw, bytes):
+            raw = int.from_bytes(raw, "big", signed=True)
+        return decimal.Decimal(raw).scaleb(-scale)
 
     out: dict[str, dict[str, list]] = {}
     for rel in rel_files:
@@ -494,6 +562,7 @@ def _collect_file_stats(
         for c in cols:
             if c not in idx:
                 continue
+            scale = _dec_scale(md.schema.column(idx[c]))
             lo = hi = None
             ok = True
             for rg in range(md.num_row_groups):
@@ -501,12 +570,18 @@ def _collect_file_stats(
                 if s is None or not s.has_min_max:
                     ok = False
                     break
-                if isinstance(s.min, bytes) or isinstance(s.max, bytes):
+                if scale is not None:
+                    mn = _dec_val(s.min_raw, scale)
+                    mx = _dec_val(s.max_raw, scale)
+                else:
+                    mn, mx = s.min, s.max
+                if isinstance(mn, bytes) or isinstance(mx, bytes):
                     ok = False
                     break
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
             if ok and lo is not None:
+                lo, hi = _widen_stat_bounds(lo, hi)
                 stats[c] = _trunc_string_stat(_json_val(lo), _json_val(hi))
         if stats:
             out[rel] = stats
@@ -4400,11 +4475,19 @@ def _map_canon(col, dtype):
     if isinstance(dtype, ArrayType) and _contains_map(dtype.elementType):
         return F.transform(col, lambda x: _map_canon(x, dtype.elementType))
     if isinstance(dtype, StructType) and _contains_map(dtype):
-        return F.struct(
-            *[
-                _map_canon(col[f.name], f.dataType).alias(f.name)
-                for f in dtype.fields
-            ]
+        # NULL-struct guard: F.struct(...) alone would turn a NULL
+        # struct into a non-NULL struct of NULL fields, making the
+        # canonical image non-injective (a NULL-struct -> struct-of-
+        # NULLs update would diff as no-change, and exceptAll-path
+        # emissions would distort the value). The null literal adopts
+        # the otherwise-branch's struct type.
+        return F.when(col.isNull(), F.lit(None)).otherwise(
+            F.struct(
+                *[
+                    _map_canon(col[f.name], f.dataType).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
         )
     return col
 
@@ -4430,11 +4513,15 @@ def _map_uncanon(col, dtype):
     if isinstance(dtype, ArrayType) and _contains_map(dtype.elementType):
         return F.transform(col, lambda x: _map_uncanon(x, dtype.elementType))
     if isinstance(dtype, StructType) and _contains_map(dtype):
-        return F.struct(
-            *[
-                _map_uncanon(col[f.name], f.dataType).alias(f.name)
-                for f in dtype.fields
-            ]
+        # same NULL-struct guard as _map_canon: a NULL struct must
+        # round-trip to NULL, not to a struct of NULL fields
+        return F.when(col.isNull(), F.lit(None)).otherwise(
+            F.struct(
+                *[
+                    _map_uncanon(col[f.name], f.dataType).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
         )
     return col
 
@@ -5477,7 +5564,40 @@ def alter_add_column(
                 "default must be a JSON-native scalar "
                 f"(bool/int/float/str), got {type(default).__name__}"
             )
-        updates["defaults"] = {**m.get("defaults", {}), name: default}
+        # validate AND coerce at ALTER time: a default that doesn't
+        # cast to the declared type would otherwise diverge between
+        # read surfaces (Spark's cast silently NULLs, the Arrow
+        # DataSource raises at scan time) and the declared value would
+        # never be surfaced. Store the already-coerced JSON form so
+        # both fill paths agree byte-for-byte.
+        try:
+            coerced = (
+                spark.range(1)
+                .select(F.lit(default).cast(dtype).alias("v"))
+                .head()[0]
+            )
+        except Exception as e:
+            raise ValueError(
+                f"default {default!r} does not cast to {dtype}: {e}"
+            ) from None
+        if coerced is None:
+            raise ValueError(
+                f"default {default!r} does not cast to {dtype} "
+                "(Spark cast yields NULL)"
+            )
+        import decimal as _dec
+
+        if isinstance(coerced, _dec.Decimal):
+            stored = str(coerced)  # exact; casts back losslessly
+        elif isinstance(coerced, (bool, int, float, str)):
+            stored = coerced
+        else:
+            stored = _json_val(coerced)  # date/timestamp -> isoformat
+            if not isinstance(stored, (bool, int, float, str)):
+                # no JSON-native round-trip (e.g. binary): keep the
+                # validated original — both fill paths re-cast it
+                stored = default
+        updates["defaults"] = {**m.get("defaults", {}), name: stored}
     return _commit_props(table, updates)
 
 
@@ -5486,8 +5606,12 @@ def alter_widen_column(
 ) -> int:
     """Metadata-only TYPE WIDENING (Delta's type-widening feature): the
     column's declared type grows to ``dtype`` — byte→short→int→long,
-    float→double, int-family→double, the exact lossless set the append
-    path's schema merge already accepts — and no data file is touched:
+    float→double, byte/short/int→double, decimal(p,s)→decimal(p+k,s),
+    the exact lossless set the append path's schema merge already
+    accepts (long→double is REFUSED: float64's 53-bit mantissa rounds
+    longs above 2**53, and Delta excludes it for the same reason;
+    decimal scale changes are refused because they shift the physical
+    unscaled integers) — and no data file is touched:
     every read path casts each segment's physical values to the TABLE
     type (``_read_segments`` / the Arrow DataSource col_map), so old
     files keep their narrow encoding until a rewrite naturally re-types
@@ -5514,7 +5638,8 @@ def alter_widen_column(
         raise ValueError(
             f"cannot widen {name!r}: {cur_t!r} -> {new_t!r} is not a "
             "lossless widening (int-family upcasts, float->double, "
-            "int-family->double only)"
+            "byte/short/int->double, decimal precision growth at fixed "
+            "scale only; long->double loses precision above 2**53)"
         )
     schema = {
         **m["schema"],
