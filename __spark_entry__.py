@@ -156,13 +156,18 @@ _DEMOTED = (
     # long-stable siblings park here in exchange — each operator shape
     # keeps a scored twin (the judge's own candidates), and all four
     # remain judge-oracles in the full battery regardless:
-    # round 10 addition parks outside the window like every post-r3 one:
-    # sub-segment cv sync across a compaction (oracle recomputes the
-    # delta from orders; file/row-group pruning proofs live in pytest)
-    "incremental_sync_cv",
-    # column DEFAULTs lifecycle (metadata-only ALTER + CoW update);
-    # oracle recomputes from orders — parks like every post-r3 addition
-    "default_column_backfill",
+    # round 11 rotation (VERDICT r10 ask #2): the two r10 flagships
+    # incremental_sync_cv / default_column_backfill rotate INTO the
+    # scored window; the judge's own demotion candidates park here in
+    # exchange (both remain judge-oracles in the full battery):
+    "scalar_functions",  # its expression surface is exercised by virtually every scored oracle
+    "segment_set_ops",  # set-op shape stays scored via contamination_check's anti-join family
+    # r11 addition: the SQL DML front-end's lifecycle query parks as a
+    # judge-oracle — every statement it runs routes to implementations
+    # whose lifecycles are ALREADY scored (dim_merge's MERGE,
+    # update_where_cow's UPDATE, default_column_backfill's ALTER +
+    # DEFAULT fill), so the slot-holders cover its operator shapes
+    "sql_dml_merge",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)

@@ -1,0 +1,249 @@
+"""SQL DML/DDL front-end (sources/versioned_sql.py, VERDICT r10 ask #1):
+MERGE / UPDATE / DELETE / ALTER strings route to the existing Python
+implementations — parity with the Python API on every path, including
+refusals. The reference's own upsert surface is SQL DML
+(reference functions.py:178-183)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wrtd_etl_spark.sources.versioned import (
+    latest_version,
+    merge_into,
+    read_snapshot,
+    write_snapshot,
+)
+from wrtd_etl_spark.sources.versioned_sql import (
+    register_table,
+    versioned_sql,
+)
+
+
+def _seed(spark, t):
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(10)],
+            "k long, v string, x double",
+        ),
+        t,
+        stats_cols=["k"],
+    )
+
+
+def _state(spark, t):
+    return {
+        (r.k, r.v, r.x) for r in read_snapshot(spark, t).collect()
+    }
+
+
+def test_sql_merge_parity_with_python_api(spark, tmp_path):
+    """UPDATE SET + INSERT * MERGE through SQL ≡ merge_into on a twin."""
+    t_sql = str(tmp_path / "t_sql")
+    t_py = str(tmp_path / "t_py")
+    _seed(spark, t_sql)
+    _seed(spark, t_py)
+    src = spark.createDataFrame(
+        [(5, "UPD", 5.5), (100, "NEW", 1.0)], "k long, v string, x double"
+    )
+    src.createOrReplaceTempView("merge_src")
+    v = versioned_sql(
+        spark,
+        """MERGE INTO t AS t USING merge_src AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": t_sql},
+    )
+    merge_into(spark, t_py, src, ["k"], when_matched={"v": "v", "x": "x"})
+    assert v == latest_version(t_sql)
+    assert _state(spark, t_sql) == _state(spark, t_py)
+    assert (5, "UPD", 5.5) in _state(spark, t_sql)
+    assert (100, "NEW", 1.0) in _state(spark, t_sql)
+
+
+def test_sql_merge_set_star_delete_and_subquery_source(spark, tmp_path):
+    """SET * (replace), WHEN MATCHED AND op='D' THEN DELETE, and a
+    parenthesized USING subquery — the CDC-apply statement shape."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    spark.createDataFrame(
+        [(1, "one", 1.5, "U"), (2, None, None, "D"), (200, "two", 2.0, "U")],
+        "k long, v string, x double, op string",
+    ).createOrReplaceTempView("cdc_src")
+    versioned_sql(
+        spark,
+        """MERGE INTO tbl USING (
+             SELECT k, v, x, op FROM cdc_src
+           ) s ON tbl.k = s.k
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT (k, v, x, op) VALUES (k, v, x, op)""",
+        tables={"tbl": t},
+    )
+    got = _state(spark, t)
+    assert (1, "one", 1.5) in got
+    assert not any(r[0] == 2 for r in got)  # deleted
+    assert (200, "two", 2.0) in got
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    spark.createDataFrame(
+        [(3, "keep3", 3.0)], "k long, v string, x double"
+    ).createOrReplaceTempView("dim_snap")
+    versioned_sql(
+        spark,
+        """MERGE INTO tbl t USING dim_snap s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"tbl": t},
+    )
+    assert _state(spark, t) == {(3, "keep3", 3.0)}
+
+
+def test_sql_update_delete_where(spark, tmp_path):
+    """UPDATE with full-expression SET + WHERE; DELETE FROM; alias
+    stripping; registered-name resolution."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    register_table("sql_dml_t", t)
+    versioned_sql(spark, "UPDATE sql_dml_t SET x = x * 2 WHERE k < 3")
+    got = {r.k: r.x for r in read_snapshot(spark, t).collect()}
+    assert got[1] == 2.0 and got[2] == 4.0 and got[5] == 5.0
+    versioned_sql(
+        spark, "DELETE FROM sql_dml_t AS u WHERE u.k >= 8 OR u.v = 'v0'"
+    )
+    assert {r.k for r in read_snapshot(spark, t).collect()} == set(range(1, 8))
+
+
+def test_sql_alter_lifecycle(spark, tmp_path):
+    """ADD COLUMN w/ DEFAULT, type widening, CLUSTER BY, constraints,
+    DROP COLUMN — each a metadata commit through the SQL surface."""
+    from wrtd_etl_spark.sources.versioned import _read_manifest_root
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    versioned_sql(
+        spark,
+        "ALTER TABLE tbl ADD COLUMN score double DEFAULT 5",
+        tables={"tbl": t},
+    )
+    assert read_snapshot(spark, t).filter(F.col("score") == 5.0).count() == 10
+    versioned_sql(
+        spark,
+        "ALTER TABLE tbl ADD COLUMNS (amt decimal(10,2), tag string)",
+        tables={"tbl": t},
+    )
+    versioned_sql(
+        spark,
+        "ALTER TABLE tbl ALTER COLUMN amt TYPE decimal(14,2)",
+        tables={"tbl": t},
+    )
+    assert dict(read_snapshot(spark, t).dtypes)["amt"] == "decimal(14,2)"
+    versioned_sql(spark, "ALTER TABLE tbl CLUSTER BY (k)", tables={"tbl": t})
+    m = _read_manifest_root(t, latest_version(t))
+    assert m["layout"]["by"] == ["k"]
+    versioned_sql(
+        spark,
+        "ALTER TABLE tbl ADD CONSTRAINT pos_x CHECK (x >= 0)",
+        tables={"tbl": t},
+    )
+    with pytest.raises(Exception, match="pos_x|CHECK|quarantine|violat"):
+        versioned_sql(
+            spark, "UPDATE tbl SET x = -1 WHERE k = 5", tables={"tbl": t}
+        )
+    versioned_sql(
+        spark, "ALTER TABLE tbl DROP CONSTRAINT pos_x", tables={"tbl": t}
+    )
+    versioned_sql(
+        spark, "ALTER TABLE tbl DROP COLUMN tag", tables={"tbl": t}
+    )
+    assert "tag" not in read_snapshot(spark, t).columns
+
+
+def test_sql_unique_constraint_and_path_target(spark, tmp_path):
+    """ADD CONSTRAINT UNIQUE routes; backtick-quoted PATH targets work
+    without any registration."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    versioned_sql(
+        spark, f"ALTER TABLE `{t}` ADD CONSTRAINT uk UNIQUE (k)"
+    )
+    with pytest.raises(Exception, match="uk|unique|UNIQUE|duplicate"):
+        write_snapshot(
+            spark.createDataFrame([(5, "dup", 0.0)], "k long, v string, x double"),
+            t,
+            mode="append",
+        )
+    versioned_sql(spark, f"ALTER TABLE `{t}` DROP CONSTRAINT uk")
+
+
+def test_sql_dv_strategy_passthrough(spark, tmp_path):
+    """strategy='dv' routes to the merge-on-read plan: the DELETE
+    commits a deletion vector, no data rewrite."""
+    from wrtd_etl_spark.sources.versioned import _read_manifest_root
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    versioned_sql(
+        spark, "DELETE FROM tbl WHERE k = 4", tables={"tbl": t},
+        strategy="dv",
+    )
+    m = _read_manifest_root(t, latest_version(t))
+    assert m["mode"] in ("delete_dv", "dv", "delete")  # dv-flavored commit
+    assert not any(r.k == 4 for r in read_snapshot(spark, t).collect())
+
+
+def test_sql_refusals(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    spark.createDataFrame(
+        [(1, "a", 0.0)], "k long, v string, x double"
+    ).createOrReplaceTempView("r_src")
+    with pytest.raises(ValueError, match="unknown versioned table"):
+        versioned_sql(spark, "DELETE FROM nowhere WHERE k = 1")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        versioned_sql(
+            spark, "INSERT INTO tbl VALUES (1)", tables={"tbl": t}
+        )
+    with pytest.raises(ValueError, match="equi-join"):
+        versioned_sql(
+            spark,
+            """MERGE INTO tbl t USING r_src s ON t.k > s.k
+               WHEN MATCHED THEN UPDATE SET *""",
+            tables={"tbl": t},
+        )
+    with pytest.raises(ValueError, match="SOURCE COLUMNS only"):
+        versioned_sql(
+            spark,
+            """MERGE INTO tbl t USING r_src s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET v = upper(s.v)""",
+            tables={"tbl": t},
+        )
+    with pytest.raises(ValueError, match="conditional WHEN NOT MATCHED"):
+        versioned_sql(
+            spark,
+            """MERGE INTO tbl t USING r_src s ON t.k = s.k
+               WHEN NOT MATCHED AND s.x > 0 THEN INSERT *""",
+            tables={"tbl": t},
+        )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        versioned_sql(
+            spark,
+            "ALTER TABLE tbl ALTER COLUMN k TYPE int",
+            tables={"tbl": t},
+        )
+    # quoted string containing keywords must not confuse the clause
+    # splitter
+    versioned_sql(
+        spark,
+        "UPDATE tbl SET v = 'WHEN MATCHED THEN , WHERE' WHERE k = 1",
+        tables={"tbl": t},
+    )
+    assert (
+        read_snapshot(spark, t).filter(F.col("k") == 1).head().v
+        == "WHEN MATCHED THEN , WHERE"
+    )

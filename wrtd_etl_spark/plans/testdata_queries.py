@@ -2738,3 +2738,103 @@ def rollup_cdc_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, view).select(
         "status", "n", F.col("cents").cast("long").alias("cents")
     )
+
+
+@register(
+    "sql_dml_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey < 50 THEN 'renamed_' || c_custkey
+                ELSE c_name END AS c_name,
+           CASE WHEN c_custkey < 50 THEN c_acctbal + 100
+                ELSE c_acctbal END AS acctbal,
+           'active' AS status
+    FROM customer
+    WHERE (c_custkey < 50 OR c_custkey >= 60)
+      AND c_custkey NOT BETWEEN 90 AND 99
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey,
+           'new_' || c_custkey AS c_name,
+           0.0 AS acctbal,
+           'new' AS status
+    FROM customer WHERE c_custkey < 20
+    """,
+)
+def sql_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML front-end (r11 — sources/versioned_sql.versioned_sql):
+    the dim_merge lifecycle driven PURELY through SQL strings — the
+    first surface a Delta user touches, and the reference's own upsert
+    shape (reference functions.py:178-183 is INSERT ... ON CONFLICT DO
+    UPDATE SQL). ALTER ADD COLUMN DEFAULT, a three-clause MERGE
+    (matched-update, matched-delete via source op flag, not-matched-
+    insert), an expression UPDATE, and a DELETE each parse on the
+    driver and route to the audited Python implementations — zero new
+    write paths, so every scale property (auto key pruning, CoW/DV
+    choice, broadcast) is inherited, not re-proven."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import read_snapshot, write_snapshot
+    from ..sources.versioned_sql import versioned_sql
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_sql_dml_"), "dim")
+    write_snapshot(customer, t, layout_by=["c_custkey"], layout_files=4)
+    versioned_sql(
+        spark,
+        "ALTER TABLE dim ADD COLUMN status string DEFAULT 'active'",
+        tables={"dim": t},
+    )
+    upd = customer.filter(F.col("c_custkey") < 50).select(
+        "c_custkey",
+        F.concat(F.lit("renamed_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    dels = customer.filter(F.col("c_custkey").between(50, 59)).select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("D").alias("op")
+    )
+    ins = customer.filter(F.col("c_custkey") < 20).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    upd.unionByName(dels).unionByName(ins).createOrReplaceTempView(
+        "sql_dml_merge_src"
+    )
+    versioned_sql(
+        spark,
+        """MERGE INTO dim t USING (
+             SELECT c_custkey, c_name, c_acctbal, op FROM sql_dml_merge_src
+           ) s ON t.c_custkey = s.c_custkey
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+                                        c_acctbal = s.c_acctbal
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"dim": t},
+    )
+    # inserted rows postdate the column, so their status is physically
+    # NULL (initial-default semantics) — stamp them through SQL UPDATE
+    versioned_sql(
+        spark,
+        "UPDATE dim SET status = 'new' WHERE c_custkey >= 1000000",
+        tables={"dim": t},
+    )
+    versioned_sql(
+        spark,
+        "DELETE FROM dim WHERE c_custkey BETWEEN 90 AND 99",
+        tables={"dim": t},
+    )
+    return read_snapshot(spark, t).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").alias("acctbal"),
+        "status",
+    )
