@@ -405,3 +405,70 @@ def test_refresh_ann_index_folds_dv_deletes(spark, tmp_path):
     assert {
         r.vec_id for r in read_snapshot(spark, idx).collect()
     } == before - erased
+
+
+def test_refresh_ann_index_self_maintains(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 ask #3): repeated incremental folds accrue a
+    small-file tail (and, via DV-routed folds, position sets) on the
+    INDEX table; refresh_ann_index now calls maybe_compact on its own
+    path. Spied: the compaction fires past maintain_max_files, query
+    results are unchanged, and the version stamp survives (next
+    refresh is 'fresh')."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.similarity.index_store import (
+        refresh_ann_index,
+        sq8_query,
+        write_ann_index_from,
+    )
+    from wrtd_etl_spark.sources.versioned import history, write_snapshot
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    write_snapshot(emb.filter(F.col("vec_id") < 200), corpus)
+    write_ann_index_from(spark, corpus, idx, "sq8")
+
+    compacts = []
+    real_mc = V.maybe_compact
+
+    def spy_mc(_spark, table, **kw):
+        v = real_mc(_spark, table, **kw)
+        if v is not None:
+            compacts.append(table)
+        return v
+
+    monkeypatch.setattr(V, "maybe_compact", spy_mc)
+    import wrtd_etl_spark.similarity.index_store  # noqa: F401 (late import target)
+
+    for step in range(3):
+        write_snapshot(
+            emb.filter(
+                (F.col("vec_id") >= 200 + step * 100)
+                & (F.col("vec_id") < 300 + step * 100)
+            ),
+            corpus,
+            mode="append",
+        )
+        v, action = refresh_ann_index(
+            spark, corpus, idx,
+            maintain_max_files=2,
+            maintain_small_bytes=32 << 20,
+        )
+        assert action == "append"
+    monkeypatch.undo()
+    assert idx in compacts, "index-table compaction never fired"
+    # the fold composition survived maintenance: fresh, then results
+    # equal the on-the-fly search over the full corpus
+    _, action = refresh_ann_index(spark, corpus, idx)
+    assert action == "fresh"
+    full = emb.filter(F.col("vec_id") < 500)
+    probes = emb.filter(F.col("vec_id") < 10)
+    scales = manifest_info(idx)["extra"]["scales"]
+    want = quantized_top_k(full, probes, k=5, scales=scales)
+    assert _key(sq8_query(spark, idx, probes, k=5).collect()) == _key(
+        want.collect()
+    )
+    # maintenance commits are part of the index's own history
+    assert any(
+        h["mode"] in ("compact", "compact_small", "reorg_purge")
+        for h in history(idx)
+    )

@@ -261,3 +261,119 @@ def test_refresh_compact_only_range_is_stamp_bump(spark, tmp_path):
     got = search_text_index(spark, idx, _TERMS, k=10)
     ref = search_text_index(spark, rebuilt, _TERMS, k=10)
     assert _key(got.collect()) == _key(ref.collect())
+
+
+def test_refresh_maintains_index_dv_debt(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 ask #3): retraction folds accrue deletion
+    vectors on the POSTINGS table, and nothing used to purge them — a
+    year of GDPR erasures left every search paying an ever-larger
+    position anti-join. refresh_text_index now settles its own table's
+    debt: past maintain_dv_rows shadowed rows a REORG PURGE fires
+    (spied), search results stay identical to a from-scratch build,
+    token-range pruning keeps its planted bound (purge never merges
+    files), and the version stamp survives the maintenance commit."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where, manifest_info
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "idx2")
+    write_snapshot(docs, src)
+    build_text_index_from(spark, src, idx, n_files=8)
+
+    purges = []
+    real_purge = V.reorg_purge
+    monkeypatch.setattr(
+        V,
+        "reorg_purge",
+        lambda *a, **k: purges.append(a[1]) or real_purge(*a, **k),
+    )
+    for lo in (0, 40, 80):
+        delete_where(
+            spark, src,
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40),
+        )
+        refresh_text_index(spark, src, idx, maintain_dv_rows=10)
+    monkeypatch.undo()
+    assert idx in purges, "DV purge never fired on the index table"
+    # the purge actually settled the debt: no DV rows remain shadowed
+    root = V._read_manifest_root(idx, V._read_pointer(idx))
+    dv_rows = sum(
+        (
+            s.get("dv_rows", 0)
+            if V._is_seg_head(s)
+            else sum(int(v.get("n", 0)) for v in V._seg_dvs(s).values())
+        )
+        for s in V._segments(root)
+    )
+    assert dv_rows <= 10
+    # search ≡ from-scratch rebuild at the current corpus version
+    build_text_index_from(spark, src, rebuilt, n_files=8)
+    got = search_text_index(spark, idx, _TERMS, k=10).collect()
+    ref = search_text_index(spark, rebuilt, _TERMS, k=10).collect()
+    assert _key(got) == _key(ref)
+    assert all(r.doc_id >= 120 for r in got)
+    assert (
+        manifest_info(idx)["extra"]["n_docs"]
+        == manifest_info(rebuilt)["extra"]["n_docs"]
+    )
+    # token-range pruning bound survives the purge (files not merged)
+    kept, total = files_for_read(idx, skip_filter={"token": ("scan", "scan")})
+    assert len(kept) <= max(1, total // 3)
+    # the maintenance commit carried the stamp: the next refresh is a
+    # provable no-op
+    assert refresh_text_index(spark, src, idx) is None
+
+
+def test_maintenance_daemon_accepts_index_tables(spark, tmp_path):
+    """r11: run_table_maintenance_stream on an INDEX table path — every
+    maintenance rewrite carries the manifest extra (the refresher's
+    version stamp) forward, dv_rows_max routes DV debt to a surgical
+    purge, and small_bytes=None keeps token-range files unmerged."""
+    import wrtd_etl_spark.sources.versioned as V
+    from wrtd_etl_spark.operators.text_index import (
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from wrtd_etl_spark.sources.versioned import delete_where, manifest_info
+    from wrtd_etl_spark.streaming.feed_refresh import (
+        run_table_maintenance_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    write_snapshot(docs, src)
+    build_text_index_from(spark, src, idx, n_files=8)
+    # accrue DV debt WITHOUT self-maintenance
+    delete_where(spark, src, F.col("doc_id") < 120)
+    refresh_text_index(spark, src, idx, maintain=False)
+    stamp = manifest_info(idx)["extra"]["source_version"]
+    run_table_maintenance_stream(
+        spark,
+        idx,
+        str(tmp_path / "ckpt"),
+        compact_above=10_000,  # only the DV trigger should fire
+        small_bytes=None,
+        dv_rows_max=10,
+    )
+    root = V._read_manifest_root(idx, V._read_pointer(idx))
+    dv_rows = sum(
+        (
+            s.get("dv_rows", 0)
+            if V._is_seg_head(s)
+            else sum(int(v.get("n", 0)) for v in V._seg_dvs(s).values())
+        )
+        for s in V._segments(root)
+    )
+    assert dv_rows <= 10
+    # the stamp survived the daemon's rewrite: refresh is still a no-op
+    assert manifest_info(idx)["extra"]["source_version"] == stamp
+    assert refresh_text_index(spark, src, idx) is None
+    got = search_text_index(spark, idx, _TERMS, k=10).collect()
+    assert all(r.doc_id >= 120 for r in got) and len(got) == 10

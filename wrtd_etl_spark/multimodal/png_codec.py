@@ -13,14 +13,22 @@ Decoder contract (PNG spec, RFC 2083):
 * chunk walk with length/CRC framing — IHDR → IDAT* → IEND; ancillary
   chunks are skipped, CRCs are VERIFIED on critical chunks (a corrupt
   blob must fail loudly on the strict path);
-* bit depth 8, color types 0/2/3/4/6, interlace 0 (Adam7 is refused,
-  not mis-decoded);
+* bit depths 8 and 16 (16-bit reduces to the high byte — exact for the
+  v*257 widening producers mint), color types 0/2/3/4/6, interlace 0
+  and 1 (Adam7 de-interlaces as seven independently-filtered
+  sub-images scattered back by stepped numpy indexing);
 * inflate all IDAT data, then per-scanline unfilter (None/Sub/Up/
   Average/Paeth). Sub and Up vectorize with numpy (uint8 wraparound IS
   the spec's mod-256); Average/Paeth carry a true sequential
   dependency on the reconstructed left pixel, so those rows fall back
   to a per-pixel loop — the honest cost, paid only on rows that used
-  those filters.
+  those filters. (Why sequential stays, r11: the recurrence
+  out[x] = f(out[x-bpp]) is not an associative scan — Average's
+  floor-of-half and Paeth's 3-way predictor both break prefix
+  decomposition — and a numpy step per PIXEL trades a ~0.3 µs pure-
+  Python byte op for ~1 µs-per-call array ops on 1-8 element vectors:
+  slower for every real bpp. Executor parallelism across images in
+  the mapInPandas batch is the scaling axis that matters.)
 
 Encoder: filter-0 scanlines + one zlib stream — enough to round-trip
 any decoded raster and to mint deterministic fixtures/payloads without
@@ -89,40 +97,14 @@ def _avg_row(cur, prev, bpp):
     return bytes(out)
 
 
-def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, n_channels, raster) — raster is row-major packed
-    uint8 samples, palette images expanded to RGB. Raises ValueError on
-    anything that is not a decodable 8-bit non-interlaced PNG."""
+def _unfilter(raw: bytes, h: int, w: int, bpp: int) -> bytes:
+    """Reconstruct ``h`` scanlines of ``w`` filter units x ``bpp`` bytes
+    from a (1 + w*bpp)-stride filtered stream — the shared core for the
+    sequential image and each Adam7 pass (a pass IS a little image:
+    its rows filter against each other, never across passes)."""
     import numpy as np
 
-    ihdr = None
-    plte = None
-    idat = []
-    for ctype, data in _chunks(b):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    w, h, depth, ctyp, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    if ctyp not in _SAMPLES:
-        raise ValueError(f"unsupported PNG color type {ctyp}")
-    if comp != 0 or filt != 0:
-        raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
-    if w == 0 or h == 0:
-        raise ValueError("empty PNG raster")
-    bpp = _SAMPLES[ctyp]  # bytes per pixel pre-expansion (8-bit depth)
     stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * h:
         raise ValueError(
             f"PNG pixel data length {len(raw)} != expected {(stride + 1) * h}"
@@ -151,7 +133,92 @@ def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         rows.append(rec)
         prev = rec
-    raster = b"".join(rows)
+    return b"".join(rows)
+
+
+#: Adam7 pass origins/steps: (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def decode_png(b: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, n_channels, raster) — raster is row-major packed
+    uint8 samples, palette images expanded to RGB. Accepts bit depths 8
+    and 16 (16-bit samples downshift to their high byte — the exact
+    inverse of the v*257 widening a producer mints them with) and both
+    interlace methods (Adam7 passes de-interlace via a numpy scatter).
+    Raises ValueError on anything else."""
+    import numpy as np
+
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctyp, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth} (8/16 only)")
+    if ctyp not in _SAMPLES:
+        raise ValueError(f"unsupported PNG color type {ctyp}")
+    if depth == 16 and ctyp == 3:
+        # the spec itself forbids 16-bit palette images
+        raise ValueError("invalid PNG: 16-bit palette color type")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG raster")
+    nsamp = _SAMPLES[ctyp]
+    bpp = nsamp * (depth // 8)  # the filter unit (spec: bytes per pixel)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        raster = _unfilter(raw, h, w, bpp)
+    else:
+        # Adam7: seven sequential sub-images, each filtered
+        # independently, scattered onto the full raster by stepped
+        # numpy indexing (empty passes contribute zero bytes)
+        full = np.zeros((h, w * bpp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = (pw * bpp + 1) * ph
+            sub = _unfilter(raw[off : off + size], ph, pw, bpp)
+            off += size
+            a = np.frombuffer(sub, np.uint8).reshape(ph, pw, bpp)
+            # scatter: pass pixel (i, j) lands at (y0 + i*dy, x0 + j*dx)
+            cols = (x0 + np.arange(pw) * dx)[:, None] * bpp + np.arange(bpp)
+            full[y0::dy, cols.ravel()] = a.reshape(ph, pw * bpp)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} != expected {off}"
+            )
+        raster = full.tobytes()
+    if depth == 16:
+        # big-endian sample pairs -> high byte (floor(v / 257 + 0.5)
+        # differs only below the 8-bit quantization noise floor; the
+        # high byte is the spec's own recommended reduction and is
+        # EXACT for samples minted as v*257 = 0x0101 * v)
+        raster = np.frombuffer(raster, np.uint8)[::2].tobytes()
     if ctyp == 3:  # palette -> RGB expansion
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG without a valid PLTE chunk")

@@ -123,6 +123,51 @@ def refresh_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_files: int = 8,
+    maintain: bool = True,
+    maintain_dv_rows: int = 100_000,
+    maintain_max_files: int = 256,
+    maintain_small_bytes: "int | None" = None,
+) -> int | None:
+    """Self-maintaining refresh: run the incremental fold (below), then
+    — ``maintain=True`` (default) — settle the index table's OWN debt
+    via ``maybe_compact``: retraction folds delete postings through
+    deletion vectors (r10), so a year of GDPR erasures would otherwise
+    leave every search paying an ever-larger position anti-join; past
+    ``maintain_dv_rows`` shadowed rows a surgical REORG PURGE rewrites
+    only the DV-shadowed files (per-file token ranges — and with them
+    the planted pruning bound — survive, since purge never merges
+    files), and past ``maintain_max_files`` the small-file tail of
+    repeated append-refreshes bin-packs. Both checks are one root
+    manifest read when healthy; the maintenance commit carries the
+    index's version stamp forward, so fold composition is unaffected.
+    Returns the latest committed index version (the maintenance commit
+    when it fired, else the fold's).
+    """
+    v = _refresh_text_index_once(
+        spark, docs_table, index_table, text_col, id_col, n_files
+    )
+    if maintain and v is not None:
+        from ..sources.versioned import maybe_compact
+
+        mv = maybe_compact(
+            spark,
+            index_table,
+            max_files=maintain_max_files,
+            dv_rows_max=maintain_dv_rows,
+            small_bytes=maintain_small_bytes,
+        )
+        if mv is not None:
+            return mv
+    return v
+
+
+def _refresh_text_index_once(
+    spark: SparkSession,
+    docs_table: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_files: int = 8,
 ) -> int | None:
     """Fold the corpus's committed changes into the index: fresh → no-op
     (manifest reads only, returns None); insert-only delta of NEW

@@ -440,6 +440,42 @@ def write_ann_index_from(
 
 
 def refresh_ann_index(
+    spark: SparkSession,
+    corpus_table: str,
+    index_table: str,
+    maintain: bool = True,
+    maintain_dv_rows: int = 100_000,
+    maintain_max_files: int = 256,
+    maintain_small_bytes: "int | None" = None,
+) -> tuple[int | None, str]:
+    """Self-maintaining refresh: run the incremental fold (below), then
+    — ``maintain=True`` (default) — settle the index table's own debt
+    via ``maybe_compact``: surgical delete/upsert folds accrue rewrite
+    churn and (when routed through deletion vectors) DV position sets
+    on the index table itself, and nothing used to purge them. Past
+    ``maintain_dv_rows`` shadowed rows a REORG PURGE rewrites only the
+    shadowed files; past ``maintain_max_files`` the append-refresh tail
+    bin-packs (``maintain_small_bytes``). One root-manifest read when
+    healthy; the maintenance commit carries the version stamp forward.
+    The returned version is the latest committed one (the maintenance
+    commit when it fired)."""
+    v, action = _refresh_ann_index_once(spark, corpus_table, index_table)
+    if maintain and action not in ("fresh",):
+        from ..sources.versioned import maybe_compact
+
+        mv = maybe_compact(
+            spark,
+            index_table,
+            max_files=maintain_max_files,
+            dv_rows_max=maintain_dv_rows,
+            small_bytes=maintain_small_bytes,
+        )
+        if mv is not None:
+            return mv, action
+    return v, action
+
+
+def _refresh_ann_index_once(
     spark: SparkSession, corpus_table: str, index_table: str
 ) -> tuple[int | None, str]:
     """Fold the corpus's committed changes into a persisted ANN index;

