@@ -162,6 +162,12 @@ def test_sql_alter_lifecycle(spark, tmp_path):
         spark, "ALTER TABLE tbl DROP COLUMN tag", tables={"tbl": t}
     )
     assert "tag" not in read_snapshot(spark, t).columns
+    versioned_sql(
+        spark, "ALTER TABLE tbl RENAME COLUMN amt TO amount",
+        tables={"tbl": t},
+    )
+    assert "amount" in read_snapshot(spark, t).columns
+    assert "amt" not in read_snapshot(spark, t).columns
 
 
 def test_sql_unique_constraint_and_path_target(spark, tmp_path):
@@ -207,7 +213,7 @@ def test_sql_refusals(spark, tmp_path):
         versioned_sql(spark, "DELETE FROM nowhere WHERE k = 1")
     with pytest.raises(ValueError, match="unsupported statement"):
         versioned_sql(
-            spark, "INSERT INTO tbl VALUES (1)", tables={"tbl": t}
+            spark, "TRUNCATE TABLE tbl", tables={"tbl": t}
         )
     with pytest.raises(ValueError, match="equi-join"):
         versioned_sql(
@@ -247,3 +253,74 @@ def test_sql_refusals(spark, tmp_path):
         read_snapshot(spark, t).filter(F.col("k") == 1).head().v
         == "WHEN MATCHED THEN , WHERE"
     )
+
+
+def test_sql_insert_create_optimize_vacuum_history(spark, tmp_path):
+    """r11 batch 2: the rest of the Delta-user surface — CTAS, INSERT
+    INTO/OVERWRITE (SELECT and VALUES forms), OPTIMIZE, VACUUM,
+    DESCRIBE HISTORY — each routed to the audited implementation."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"s{i}") for i in range(20)], "k long, s string"
+    ).createOrReplaceTempView("ctas_src")
+    v = versioned_sql(
+        spark,
+        "CREATE TABLE t AS SELECT k, s FROM ctas_src WHERE k < 10",
+        tables={"t": t},
+    )
+    assert v == 0 and read_snapshot(spark, t).count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_sql(
+            spark, "CREATE TABLE t AS SELECT * FROM ctas_src",
+            tables={"t": t},
+        )
+    versioned_sql(
+        spark,
+        "INSERT INTO t SELECT k, s FROM ctas_src WHERE k >= 10",
+        tables={"t": t},
+    )
+    assert read_snapshot(spark, t).count() == 20
+    versioned_sql(
+        spark,
+        "INSERT INTO t (k, s) VALUES (100, 'x'), (101, CAST(NULL AS STRING))",
+        tables={"t": t},
+    )
+    got = {r.k: r.s for r in read_snapshot(spark, t).collect()}
+    assert got[100] == "x" and got[101] is None and len(got) == 22
+    # bare VALUES takes the table's column order
+    versioned_sql(
+        spark, "INSERT INTO t VALUES (200, 'y')", tables={"t": t}
+    )
+    assert read_snapshot(spark, t).count() == 23
+    # OPTIMIZE bin-packs the 4-commit small-file tail into fewer files
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    n_before = len(files_for_read(t)[0])
+    versioned_sql(spark, "OPTIMIZE t", tables={"t": t})
+    assert len(files_for_read(t)[0]) < n_before
+    assert read_snapshot(spark, t).count() == 23
+    # VACUUM reclaims the pre-compaction files
+    # the default age floor protects in-flight writers: fresh files stay
+    assert versioned_sql(spark, "VACUUM t RETAIN 1 VERSIONS", tables={"t": t}) == 0
+    reclaimed = versioned_sql(
+        spark, "VACUUM t RETAIN 1 VERSIONS RETAIN 0 HOURS", tables={"t": t}
+    )
+    assert isinstance(reclaimed, int) and reclaimed > 0
+    assert read_snapshot(spark, t).count() == 23
+    # DESCRIBE HISTORY returns the commit log as a DataFrame
+    hist = versioned_sql(spark, "DESCRIBE HISTORY t", tables={"t": t})
+    modes = [r.mode for r in hist.orderBy("version").collect()]
+    assert modes[0] == "overwrite" and "compact" in modes
+    assert hist.columns == [
+        "version", "mode", "parent", "n_files", "committed_at", "metrics",
+    ]
+    # INSERT OVERWRITE replaces the table contents atomically
+    versioned_sql(
+        spark,
+        "INSERT OVERWRITE t SELECT k, s FROM ctas_src WHERE k < 3",
+        tables={"t": t},
+    )
+    assert read_snapshot(spark, t).count() == 3
+    assert os.path.isdir(t)

@@ -20,9 +20,17 @@ parser plugin, zero new write paths:
 * ``ALTER TABLE t ADD COLUMN x type [DEFAULT v]`` → alter_add_column
 * ``ALTER TABLE t ALTER COLUMN x TYPE type`` → alter_widen_column
 * ``ALTER TABLE t DROP COLUMN x`` → alter_drop_column
+* ``ALTER TABLE t RENAME COLUMN a TO b`` → alter_rename_column
 * ``ALTER TABLE t CLUSTER BY (a, b) | CLUSTER BY NONE`` → alter_cluster_by
 * ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr) | UNIQUE (cols)`` /
   ``DROP CONSTRAINT n`` → add/drop_check/unique_constraint
+* ``INSERT INTO | OVERWRITE t [(cols)] SELECT ... | VALUES ...`` →
+  :func:`~.versioned.write_snapshot` (append / overwrite)
+* ``CREATE [OR REPLACE] TABLE t AS SELECT ...`` → write_snapshot
+  (plain CREATE refuses an existing table)
+* ``OPTIMIZE t [FULL]`` → compact_small_files (bin-pack) / compact
+* ``VACUUM t [RETAIN n VERSIONS]`` → vacuum
+* ``DESCRIBE HISTORY t`` → the commit log as a DataFrame
 
 Table names resolve through an explicit ``tables={name: path}`` mapping,
 the process-wide :func:`register_table` registry, or — when the
@@ -381,8 +389,6 @@ def _parse_merge(
                     f"unsupported NOT MATCHED BY SOURCE action: {action!r}"
                 )
 
-    # strip alias-qualifying prefixes from the source frame if the SQL
-    # aliased it (merge_into joins by bare column names)
     return V.merge_into(
         spark,
         table,
@@ -438,9 +444,7 @@ def _parse_delete(
 ) -> int:
     level = _scan_level(sql)
     i_where = _find_kw(sql, "WHERE", level=level)
-    tok = re.sub(r"^\s*DELETE\s+FROM\s+", "", sql, flags=re.I)
-    tok = tok[: i_where - (len(sql) - len(tok)) if False else None]
-    # recompute cleanly: relation text is between FROM and WHERE/end
+    # relation text is between FROM and WHERE/end
     i_from = _find_kw(sql, "FROM", level=level)
     rel_end = i_where if i_where >= 0 else len(sql)
     ident, alias = _parse_relation(sql[i_from + 4 : rel_end].rstrip("; \n"))
@@ -522,6 +526,17 @@ def _parse_alter(
     if md:
         return V.alter_drop_column(table, _strip_ident(md.group(1)))
 
+    mr = re.match(
+        r"^RENAME\s+COLUMN\s+(" + _IDENT + r"|`[^`]*`)\s+TO\s+"
+        r"(" + _IDENT + r"|`[^`]*`)\s*$",
+        act,
+        re.I,
+    )
+    if mr:
+        return V.alter_rename_column(
+            table, _strip_ident(mr.group(1)), _strip_ident(mr.group(2))
+        )
+
     mc = re.match(r"^CLUSTER\s+BY\s+(NONE|\(.*\))\s*$", act, re.I | re.S)
     if mc:
         spec = mc.group(1)
@@ -558,31 +573,169 @@ def _parse_alter(
     raise ValueError(f"unsupported ALTER TABLE action: {act!r}")
 
 
+def _parse_insert(
+    spark: SparkSession, sql: str, tables: "dict[str, str] | None"
+) -> int:
+    m = re.match(
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+(.*)$",
+        sql.rstrip("; \n"),
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"cannot parse INSERT statement: {sql!r}")
+    mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
+    table = _resolve_table(m.group(2), tables)
+    body = m.group(3).strip()
+    cols = None
+    mc = re.match(r"^\((.*?)\)\s*(.*)$", body, re.S)
+    if mc and re.match(r"^\s*(VALUES|SELECT)\b", mc.group(2), re.I):
+        cols = [_strip_ident(c) for c in _split_top(mc.group(1), ",")]
+        body = mc.group(2).strip()
+    if re.match(r"^VALUES\b", body, re.I):
+        if cols is None:
+            from . import versioned as _V
+            from pyspark.sql.types import StructType
+
+            p = _V._read_pointer(table)
+            if p is None:
+                raise FileNotFoundError(f"no committed version in {table}")
+            schema = StructType.fromJson(
+                _V._read_manifest_root(table, p)["schema"]
+            )
+            cols = [f.name for f in schema.fields]
+        tuples = body[len("VALUES") :].strip()
+        df = spark.sql(
+            f"SELECT * FROM VALUES {tuples} AS __v({', '.join(cols)})"
+        )
+    elif re.match(r"^(SELECT|WITH|TABLE)\b", body, re.I):
+        df = spark.sql(body)
+        if cols is not None:
+            df = df.toDF(*cols)
+    else:
+        raise ValueError(
+            f"INSERT body must be SELECT/VALUES, got: {body[:60]!r}"
+        )
+    return V.write_snapshot(df, table, mode=mode)
+
+
 def versioned_sql(
     spark: SparkSession,
     sql: str,
     tables: "dict[str, str] | None" = None,
     strategy: str = "cow",
-) -> int:
-    """Execute one DML/DDL statement against a versioned table and
-    return the committed version. ``strategy`` passes through to the
-    routed implementation ("cow" / "dv" / "auto") for MERGE / UPDATE /
-    DELETE — the physical-plan choice Delta exposes as a table
-    property."""
-    head = re.match(r"^\s*([A-Za-z]+)", sql)
+):
+    """Execute one statement against a versioned table.
+
+    DML/DDL (MERGE / UPDATE / DELETE / INSERT INTO / INSERT OVERWRITE /
+    CREATE [OR REPLACE] TABLE ... AS SELECT / ALTER TABLE / OPTIMIZE /
+    VACUUM) returns the committed version (``OPTIMIZE`` returns None
+    when there was nothing to pack; ``VACUUM`` returns the number of
+    reclaimed files). ``DESCRIBE HISTORY t`` returns a DataFrame
+    (version, mode, parent, n_files, committed_at, metrics-as-JSON) —
+    Delta's history() shape. ``strategy`` passes through ("cow" /
+    "dv" / "auto") for MERGE / UPDATE / DELETE."""
+    stmt = sql.rstrip("; \n")
+    head = re.match(r"^\s*([A-Za-z]+)", stmt)
     if not head:
         raise ValueError(f"empty SQL statement: {sql!r}")
     kw = head.group(1).upper()
     if kw == "MERGE":
-        return _parse_merge(spark, sql, tables, strategy)
+        return _parse_merge(spark, stmt, tables, strategy)
     if kw == "UPDATE":
-        return _parse_update(spark, sql, tables, strategy)
+        return _parse_update(spark, stmt, tables, strategy)
     if kw == "DELETE":
-        return _parse_delete(spark, sql, tables, strategy)
+        return _parse_delete(spark, stmt, tables, strategy)
     if kw == "ALTER":
-        return _parse_alter(spark, sql, tables)
+        return _parse_alter(spark, stmt, tables)
+    if kw == "INSERT":
+        return _parse_insert(spark, stmt, tables)
+    if kw == "CREATE":
+        m = re.match(
+            r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+AS\s+(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "only CREATE [OR REPLACE] TABLE ... AS SELECT is "
+                "supported (a versioned table IS its first snapshot; "
+                "schema-only CREATE has nothing to commit)"
+            )
+        table = _resolve_table(m.group(2), tables)
+        if m.group(1) is None and V._read_pointer(table) is not None:
+            raise ValueError(
+                f"table {table} already exists (use CREATE OR REPLACE)"
+            )
+        return V.write_snapshot(
+            spark.sql(m.group(3).strip()), table, mode="overwrite"
+        )
+    if kw == "OPTIMIZE":
+        m = re.match(
+            r"^\s*OPTIMIZE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
+            r"(\s+FULL)?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE statement: {sql!r}")
+        table = _resolve_table(m.group(1), tables)
+        if m.group(2):
+            return V.compact(spark, table)  # FULL: whole-table rewrite
+        return V.compact_small_files(spark, table)  # Delta's bin-pack
+    if kw == "VACUUM":
+        m = re.match(
+            r"^\s*VACUUM\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
+            r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+RETAIN\s+([\d.]+)\s+HOURS)?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse VACUUM statement: {sql!r}")
+        table = _resolve_table(m.group(1), tables)
+        keep = int(m.group(2)) if m.group(2) else 1
+        kw_args = {}
+        if m.group(3) is not None:
+            # Delta's RETAIN n HOURS: the age floor for unreferenced
+            # files (and staged tmp debris) — 0 reclaims immediately,
+            # racing in-flight writers like Delta's own 0-hour warning
+            kw_args["tmp_age_s"] = float(m.group(3)) * 3600.0
+        return len(V.vacuum(table, keep_last=keep, **kw_args))
+    if kw == "DESCRIBE":
+        m = re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "only DESCRIBE HISTORY <table> is supported"
+            )
+        import json as _json
+
+        table = _resolve_table(m.group(1), tables)
+        rows = [
+            (
+                h["version"],
+                h.get("mode"),
+                h.get("parent"),
+                h.get("n_files"),
+                float(h["committed_at"]) if h.get("committed_at") else None,
+                _json.dumps(h["metrics"]) if h.get("metrics") else None,
+            )
+            for h in V.history(table)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, mode string, parent long, n_files long, "
+            "committed_at double, metrics string",
+        )
     raise ValueError(
         f"unsupported statement {kw!r}: versioned_sql handles MERGE / "
-        "UPDATE / DELETE / ALTER TABLE (reads go through "
+        "UPDATE / DELETE / INSERT / CREATE TABLE AS / ALTER TABLE / "
+        "OPTIMIZE / VACUUM / DESCRIBE HISTORY (reads go through "
         "register_versioned_view / spark.read.format('versioned_table'))"
     )
