@@ -552,3 +552,165 @@ def test_add_column_default_validates_cast(spark, tmp_path):
         assert row.score == 5.0
         assert row.amt == Decimal("1.50")
         assert row.d == datetime.date(2021, 3, 4)
+
+
+def test_alter_rename_column_metadata_only(spark, tmp_path):
+    """r11: standalone metadata-only RENAME COLUMN — inode-stable,
+    older segments re-resolve through the alias map (reads, stats
+    pruning, blooms), the clustered layout and declared DEFAULT follow,
+    CDC across the rename folds carried rows, and the DataSource
+    surface agrees."""
+    from wrtd_etl_spark.sources.versioned import (
+        alter_add_column,
+        alter_rename_column,
+        compact,
+        files_for_read,
+        table_changes,
+        update_where,
+    )
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1000)], "k int, v int"
+        ).repartition(1).sortWithinPartitions("k"),
+        t,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+        layout_by=["k"],
+        layout_files=4,
+    )
+    alter_add_column(spark, t, "note", "string", default="n/a")
+    inodes0 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    v_pre = latest_version(t)
+    alter_rename_column(t, "k", "key")
+    df = read_snapshot(spark, t)
+    assert df.columns == ["key", "v", "note"]
+    assert {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    } == inodes0  # zero data movement
+    # stats + bloom pruning resolve the NEW name onto old physical stats
+    kept, total = files_for_read(t, skip_filter={"key": (10, 20)})
+    assert total >= 4 and len(kept) == 1
+    kept, _ = files_for_read(t, point_filter={"key": [500]})
+    assert len(kept) == 1
+    # default followed the rename (metadata column untouched)
+    assert df.filter(F.col("note") == "n/a").count() == 1000
+    # layout followed: maintenance re-clusters under the new name
+    from wrtd_etl_spark.sources.versioned import _read_manifest_root
+
+    assert _read_manifest_root(t, latest_version(t))["layout"]["by"] == ["key"]
+    # appends under the new name compose; the old name is reborn-guarded
+    write_snapshot(
+        spark.createDataFrame([(5000, 1, "x")], "key int, v int, note string"),
+        t,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="renamed away"):
+        write_snapshot(
+            spark.createDataFrame([(1, 2, "y", 3)], "key int, v int, note string, k int"),
+            t,
+            mode="append",
+        )
+    # DataSource parity + CDC across the rename cancels carried rows
+    jvm = {(r.key, r.v) for r in read_snapshot(spark, t).collect()}
+    ds = {(r.key, r.v) for r in read_versioned(spark, t).collect()}
+    assert ds == jvm and len(ds) == 1001
+    v_mid = latest_version(t)
+    compact(spark, t)
+    assert table_changes(spark, t, v_mid, latest_version(t)).count() == 0
+    # DML under the new name, pruned
+    update_where(
+        spark, t, F.col("key") == 7, {"v": F.lit(-1)}, prune={"key": (7, 7)}
+    )
+    assert {r.v for r in read_snapshot(spark, t).filter(F.col("key") == 7).collect()} == {-1}
+    # time travel shows the pre-rename name
+    assert read_snapshot(spark, t, version=v_pre).columns == ["k", "v", "note"]
+
+
+def test_alter_rename_refusals(spark, tmp_path):
+    from wrtd_etl_spark.sources.versioned import (
+        add_check_constraint,
+        add_identity_column,
+        add_unique_constraint,
+        alter_rename_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    with pytest.raises(ValueError, match="no column"):
+        alter_rename_column(t, "zz", "a")
+    with pytest.raises(ValueError, match="already exists"):
+        alter_rename_column(t, "k", "v")
+    with pytest.raises(ValueError, match="itself"):
+        alter_rename_column(t, "k", "k")
+    add_check_constraint(spark, t, "c1", "k >= 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        alter_rename_column(t, "k", "key")
+    from wrtd_etl_spark.sources.versioned import drop_check_constraint
+
+    drop_check_constraint(t, "c1")
+    add_unique_constraint(spark, t, "u1", ["v"])
+    with pytest.raises(ValueError, match="UNIQUE"):
+        alter_rename_column(t, "v", "val")
+    # rename back to a renamed-away name is refused
+    alter_rename_column(t, "k", "key")
+    from wrtd_etl_spark.sources.versioned import alter_add_column
+
+    alter_add_column(spark, t, "extra", "int")
+    with pytest.raises(ValueError, match="renamed away"):
+        alter_rename_column(t, "extra", "k")
+    # identity columns refuse (engine-assigned by name)
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark.createDataFrame([], "a long, b string"), t2
+    )
+    add_identity_column(t2, "rid")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        alter_rename_column(t2, "rid", "row_id")
+
+
+def test_append_rename_keeps_defaults_and_guards_generated(spark, tmp_path):
+    """r11 latent-bug fixes on the APPEND rename path: a renamed
+    defaulted column keeps its default under the new name (it used to
+    be silently dropped — pre-ALTER segments read NULL again), and
+    renaming a column referenced by a GENERATED expression refuses."""
+    from wrtd_etl_spark.sources.versioned import (
+        add_generated_column,
+        alter_add_column,
+    )
+
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    alter_add_column(spark, t, "score", "double", default=5)
+    write_snapshot(
+        spark.createDataFrame([(100, "x", 1.0)], "k long, v string, sc double"),
+        t,
+        mode="append",
+        renames={"score": "sc"},
+    )
+    df = read_snapshot(spark, t)
+    got = {r.k: r.sc for r in df.collect()}
+    assert got[0] == 5.0 and got[100] == 1.0  # default survived as `sc`
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 2) for i in range(6)],
+            "k long, v string, k2 long",
+        ),
+        t2,
+    )
+    add_generated_column(spark, t2, "k2", "k * 2")
+    # (the write_snapshot pre-gate surfaces it as the synthetic CHECK
+    # `generated_k2`; the commit-protocol guard says GENERATED — either
+    # way the rename refuses before anything stages)
+    with pytest.raises(ValueError, match="GENERATED|generated_k2"):
+        write_snapshot(
+            spark.createDataFrame([(1, "a", 2)], "kk long, v string, k2 long"),
+            t2,
+            mode="append",
+            renames={"k": "kk"},
+        )

@@ -63,6 +63,7 @@ class VersionedModel(RuleBasedStateMachine):
         # version at which the defaulted column `d` was declared (r10);
         # every row reads 7 from then on, whatever path wrote it
         self.default_since: "int | None" = None
+        self.rollback_at: list[int] = []  # versions of rollback commits
 
     def _df(self, rows):
         return self.spark.createDataFrame(
@@ -246,6 +247,7 @@ class VersionedModel(RuleBasedStateMachine):
         rollback(self.table, target)
         self.model = dict(self.versions[target])
         self.cv = dict(self.cv_versions[target])
+        self.rollback_at.append(self._vnum())
         if self.default_since is not None and target < self.default_since:
             self.default_since = None  # schema rolled back past the ALTER
         self._commit()
@@ -330,6 +332,40 @@ class VersionedModel(RuleBasedStateMachine):
             (k, self.model[k], cv) for k, cv in self.cv.items() if cv > v
         }
         assert got == want, f"changed_rows_since(v{v}) diverged"
+
+    @invariant()
+    def sync_changes_reproduces_latest(self):
+        # r11 one-call sync: (upserts merged by key) + (deleted keys
+        # removed) applied to the mid snapshot must equal the latest —
+        # under every interleaving of CoW/DV DML, maintenance churn,
+        # layout changes, and rollback. This is the consumer contract
+        # sync_changes sells; the deleted side must also never name a
+        # key that still lives.
+        if len(self.versions) < 2:
+            return
+        from wrtd_etl_spark.sources.versioned import sync_changes
+
+        v = len(self.versions) // 2
+        if any(rv > v for rv in self.rollback_at):
+            # a rollback inside the range can resurrect a row whose
+            # commit version predates the bound — sync_changes must
+            # REFUSE (and must never refuse otherwise: the else branch
+            # below proves every rollback-free range syncs)
+            with pytest.raises(ValueError, match="cannot cover"):
+                sync_changes(self.spark, self.table, v, keys=["k"])
+            return
+        upserts, deleted = sync_changes(
+            self.spark, self.table, v, keys=["k"]
+        )
+        folded = dict(self.versions[v])
+        for r in upserts.collect():
+            folded[r.k] = r.v
+        for r in deleted.collect():
+            folded.pop(r.k, None)
+            assert r.k not in self.model, (
+                f"sync_changes(v{v}) reported live key {r.k} as deleted"
+            )
+        assert folded == self.model, f"sync_changes fold v{v} diverged"
 
     @invariant()
     def a_past_version_replays(self):

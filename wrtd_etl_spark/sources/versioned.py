@@ -2002,6 +2002,35 @@ def _commit_new_segment(
                         f"cannot rename column(s) referenced by UNIQUE "
                         f"constraint(s) {uholders}; drop them first"
                     )
+                # GENERATED columns store raw SQL expressions too —
+                # renaming the generated column itself or any column
+                # its expression references would silently break the
+                # supplied-value gate (r11; same rule as CHECK)
+                grefs = sorted(
+                    {
+                        gname
+                        for old in renames
+                        for gname, gexpr in prev_manifest.get(
+                            "generated", {}
+                        ).items()
+                        if gname == old
+                        or _re.search(rf"\b{_re.escape(old)}\b", gexpr)
+                    }
+                )
+                if grefs:
+                    raise ValueError(
+                        f"cannot rename column(s) referenced by "
+                        f"GENERATED column(s) {grefs}; drop them first"
+                    )
+                irefs = sorted(
+                    set(renames) & set(prev_manifest.get("identity", {}))
+                )
+                if irefs:
+                    raise ValueError(
+                        f"cannot rename IDENTITY column(s) {irefs}: the "
+                        "engine assigns them by name across commit "
+                        "retries; drop the identity property first"
+                    )
             if renames:
                 prev_schema = {
                     **prev_schema,
@@ -2077,11 +2106,14 @@ def _commit_new_segment(
             "unique": uniq,
             "identity": ident_new,
             # defaults survive any commit whose schema keeps the column
-            # (an overwrite that drops it drops the default with it)
+            # (an overwrite that drops it drops the default with it);
+            # rename keys FOLLOW the rename (r11: a renamed defaulted
+            # column used to silently lose its default — pre-ALTER
+            # segments read NULL again)
             "defaults": {
-                c: dv
+                (renames or {}).get(c, c): dv
                 for c, dv in base.get("defaults", {}).items()
-                if c in _schema_fields(schema)
+                if (renames or {}).get(c, c) in _schema_fields(schema)
             },
             "row_high": row_high + rows_minted,
             "committed_at": time.time(),
@@ -4775,6 +4807,27 @@ def sync_changes(
             f"sync keys {mapped} are map-typed: set operations are "
             "undefined over maps — sync on a scalar key"
         )
+    # resurrect-capable commits break the contract honestly rather than
+    # silently: a rollback (or an overwrite, or a range whose history
+    # expired) can restore a row whose value-setting commit PREDATES the
+    # bound — it is new relative to the consumer's copy, but
+    # changed_rows_since correctly reports its old version and the
+    # upsert side would miss it. Those consumers need table_changes'
+    # full diff.
+    unsafe = sorted(
+        {
+            m
+            for m in commit_modes(table, since_version, to_version)
+            if m == "overwrite" or m.startswith("rollback")
+        }
+    )
+    if unsafe:
+        raise ValueError(
+            f"sync_changes cannot cover commit mode(s) {unsafe} in "
+            f"({since_version}, {to_version}]: a restored row's commit "
+            "version predates the bound, so the upsert side would miss "
+            "it — diff this range with table_changes instead"
+        )
     upserts = changed_rows_since(
         spark, table, since_version, version=to_version
     )
@@ -5727,6 +5780,102 @@ def alter_widen_column(
     return _commit_props(
         table, {"schema": schema, "schema_evolved": True}
     )
+
+
+def alter_rename_column(table: str, old: str, new: str) -> int:
+    """Metadata-only RENAME COLUMN (Delta's column-mapping rename,
+    which this engine's alias map has implemented since round 1 on the
+    append path — this lifts it to a standalone ALTER, no data batch
+    required): the ROOT schema field takes the new name and the
+    table-level alias map composes {old: new}, so every older segment's
+    physical label re-resolves at read/stat/bloom-pruning time. Zero
+    data files and zero detail sidecars are touched.
+
+    Refused while the column is referenced by a CHECK constraint, a
+    UNIQUE constraint, or a GENERATED column expression (raw SQL text
+    cannot be rewritten mechanically — drop those first), and for
+    IDENTITY columns (the engine assigns them by name across commit
+    retries). The clustered layout and any declared DEFAULT follow the
+    rename. A name renamed away earlier cannot be the target (the
+    alias map would re-label the reborn column into its successor —
+    the same rule every write path enforces)."""
+    import re as _re
+
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = _read_manifest_root(table, p)
+    fields = _schema_fields(m["schema"])
+    if old not in fields:
+        raise ValueError(f"no column {old!r} on {table}")
+    if old == new:
+        raise ValueError(f"rename of {old!r} to itself")
+    if new in fields:
+        raise ValueError(f"column {new!r} already exists on {table}")
+    aliases = m.get("aliases", {})
+    if new in aliases and aliases[new] != new:
+        raise ValueError(
+            f"column name {new!r} was renamed away earlier in this "
+            "table's history and cannot be reintroduced; pick a new name"
+        )
+    crefs = sorted(
+        cname
+        for cname, expr in m.get("constraints", {}).items()
+        if _re.search(rf"\b{_re.escape(old)}\b", expr)
+    )
+    if crefs:
+        raise ValueError(
+            f"cannot rename column(s) referenced by CHECK "
+            f"constraint(s) {crefs}; drop them first"
+        )
+    uholders = sorted(
+        cname
+        for cname, ucols in m.get("unique", {}).items()
+        if old in ucols
+    )
+    if uholders:
+        raise ValueError(
+            f"cannot rename column(s) referenced by UNIQUE "
+            f"constraint(s) {uholders}; drop them first"
+        )
+    grefs = sorted(
+        gname
+        for gname, gexpr in m.get("generated", {}).items()
+        if gname == old or _re.search(rf"\b{_re.escape(old)}\b", gexpr)
+    )
+    if grefs:
+        raise ValueError(
+            f"cannot rename column(s) referenced by GENERATED "
+            f"column(s) {grefs}; drop them first"
+        )
+    if old in m.get("identity", {}):
+        raise ValueError(
+            f"cannot rename IDENTITY column {old!r}: the engine assigns "
+            "it by name across commit retries; drop the identity "
+            "property first"
+        )
+    updates: dict = {
+        "schema": {
+            **m["schema"],
+            "fields": [
+                {**f, "name": new} if f["name"] == old else f
+                for f in m["schema"]["fields"]
+            ],
+        },
+        "aliases": _compose_aliases(aliases, {old: new}),
+        "schema_evolved": True,
+    }
+    layout = m.get("layout")
+    if layout and old in (layout.get("by") or []):
+        updates["layout"] = {
+            **layout,
+            "by": [new if c == old else c for c in layout["by"]],
+        }
+    if old in m.get("defaults", {}):
+        d = dict(m["defaults"])
+        d[new] = d.pop(old)
+        updates["defaults"] = d
+    return _commit_props(table, updates)
 
 
 def alter_drop_column(table: str, name: str) -> int:
