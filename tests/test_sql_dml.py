@@ -213,7 +213,7 @@ def test_sql_refusals(spark, tmp_path):
         versioned_sql(spark, "DELETE FROM nowhere WHERE k = 1")
     with pytest.raises(ValueError, match="unsupported statement"):
         versioned_sql(
-            spark, "TRUNCATE TABLE tbl", tables={"tbl": t}
+            spark, "GRANT SELECT ON tbl TO alice", tables={"tbl": t}
         )
     with pytest.raises(ValueError, match="equi-join"):
         versioned_sql(
@@ -324,3 +324,52 @@ def test_sql_insert_create_optimize_vacuum_history(spark, tmp_path):
     )
     assert read_snapshot(spark, t).count() == 3
     assert os.path.isdir(t)
+
+
+def test_sql_replace_where_restore_truncate(spark, tmp_path):
+    """r11 batch 3: INSERT ... REPLACE WHERE (atomic slice backfill),
+    RESTORE TABLE (version + timestamp forms), TRUNCATE TABLE."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)  # v0: k in 0..9
+    spark.createDataFrame(
+        [(k, f"bf{k}", 0.5) for k in range(3, 6)],
+        "k long, v string, x double",
+    ).createOrReplaceTempView("backfill_src")
+    versioned_sql(
+        spark,
+        "INSERT INTO tbl REPLACE WHERE k >= 3 AND k <= 5 "
+        "SELECT * FROM backfill_src",
+        tables={"tbl": t},
+    )
+    got = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[3] == "bf3" and got[4] == "bf4" and got[0] == "v0"
+    assert len(got) == 10
+    # nonconforming replacement rows refuse (Delta's replaceWhere check)
+    with pytest.raises(Exception, match="match|satisf|conform"):
+        versioned_sql(
+            spark,
+            "INSERT INTO tbl REPLACE WHERE k = 3 SELECT * FROM backfill_src",
+            tables={"tbl": t},
+        )
+    v_after_backfill = latest_version(t)
+    versioned_sql(spark, "TRUNCATE TABLE tbl", tables={"tbl": t})
+    assert read_snapshot(spark, t).count() == 0
+    assert read_snapshot(spark, t).columns == ["k", "v", "x"]
+    versioned_sql(
+        spark,
+        f"RESTORE TABLE tbl TO VERSION AS OF {v_after_backfill}",
+        tables={"tbl": t},
+    )
+    assert read_snapshot(spark, t).count() == 10
+    # timestamp restore: anything >= now resolves to the latest commit
+    import datetime
+
+    ts = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(
+        minutes=5
+    )
+    versioned_sql(
+        spark,
+        f"RESTORE TABLE tbl TO TIMESTAMP AS OF '{ts.isoformat()}'",
+        tables={"tbl": t},
+    )
+    assert read_snapshot(spark, t).count() == 10

@@ -29,8 +29,14 @@ parser plugin, zero new write paths:
 * ``CREATE [OR REPLACE] TABLE t AS SELECT ...`` → write_snapshot
   (plain CREATE refuses an existing table)
 * ``OPTIMIZE t [FULL]`` → compact_small_files (bin-pack) / compact
-* ``VACUUM t [RETAIN n VERSIONS]`` → vacuum
+* ``VACUUM t [RETAIN n VERSIONS] [RETAIN n HOURS]`` → vacuum
 * ``DESCRIBE HISTORY t`` → the commit log as a DataFrame
+* ``INSERT INTO t REPLACE WHERE cond SELECT ...`` → replace_where
+  (the atomic backfill idiom)
+* ``RESTORE TABLE t TO VERSION AS OF n | TIMESTAMP AS OF '...'`` →
+  rollback (timestamps resolve via version_as_of)
+* ``TRUNCATE TABLE t`` → delete_where(TRUE) — schema, properties and
+  time travel kept
 
 Table names resolve through an explicit ``tables={name: path}`` mapping,
 the process-wide :func:`register_table` registry, or — when the
@@ -587,6 +593,28 @@ def _parse_insert(
     mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
     table = _resolve_table(m.group(2), tables)
     body = m.group(3).strip()
+    replace_pred = None
+    mrw = re.match(r"^REPLACE\s+WHERE\s+(.*)$", body, re.I | re.S)
+    if mrw:
+        # Delta's replaceWhere: the predicate ends where the query
+        # body begins (first top-level SELECT/VALUES/WITH/TABLE)
+        rest = mrw.group(1)
+        lvl = _scan_level(rest)
+        starts = [
+            i
+            for kw2 in ("SELECT", "VALUES", "WITH", "TABLE")
+            for i in [_find_kw(rest, kw2, level=lvl)]
+            if i >= 0
+        ]
+        if not starts:
+            raise ValueError(
+                "INSERT ... REPLACE WHERE requires a SELECT/VALUES body"
+            )
+        cut = min(starts)
+        replace_pred = rest[:cut].strip()
+        if not replace_pred:
+            raise ValueError("empty REPLACE WHERE predicate")
+        body = rest[cut:].strip()
     cols = None
     mc = re.match(r"^\((.*?)\)\s*(.*)$", body, re.S)
     if mc and re.match(r"^\s*(VALUES|SELECT)\b", mc.group(2), re.I):
@@ -616,6 +644,8 @@ def _parse_insert(
         raise ValueError(
             f"INSERT body must be SELECT/VALUES, got: {body[:60]!r}"
         )
+    if replace_pred is not None:
+        return V.replace_where(spark, table, F.expr(replace_pred), df)
     return V.write_snapshot(df, table, mode=mode)
 
 
@@ -671,6 +701,43 @@ def versioned_sql(
         return V.write_snapshot(
             spark.sql(m.group(3).strip()), table, mode="overwrite"
         )
+    if kw == "RESTORE":
+        m = re.match(
+            r"^\s*RESTORE\s+(?:TABLE\s+)?(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
+            r"\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "RESTORE TABLE t TO VERSION AS OF n | TIMESTAMP AS OF "
+                f"'...' — cannot parse: {sql!r}"
+            )
+        table = _resolve_table(m.group(1), tables)
+        if m.group(2) is not None:
+            target = int(m.group(2))
+        else:
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(m.group(3))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            target = V.version_as_of(table, ts.timestamp())
+        return V.rollback(table, target)
+    if kw == "TRUNCATE":
+        m = re.match(
+            r"^\s*TRUNCATE\s+TABLE\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE statement: {sql!r}")
+        table = _resolve_table(m.group(1), tables)
+        # Delta TRUNCATE == DELETE with no predicate: one commit, schema
+        # and table properties kept, time travel intact
+        return V.delete_where(spark, table, F.lit(True), strategy=strategy)
     if kw == "OPTIMIZE":
         m = re.match(
             r"^\s*OPTIMIZE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
@@ -735,7 +802,8 @@ def versioned_sql(
         )
     raise ValueError(
         f"unsupported statement {kw!r}: versioned_sql handles MERGE / "
-        "UPDATE / DELETE / INSERT / CREATE TABLE AS / ALTER TABLE / "
-        "OPTIMIZE / VACUUM / DESCRIBE HISTORY (reads go through "
-        "register_versioned_view / spark.read.format('versioned_table'))"
+        "UPDATE / DELETE / INSERT [REPLACE WHERE] / CREATE TABLE AS / "
+        "ALTER TABLE / OPTIMIZE / VACUUM / RESTORE / TRUNCATE / "
+        "DESCRIBE HISTORY (reads go through register_versioned_view / "
+        "spark.read.format('versioned_table'))"
     )
