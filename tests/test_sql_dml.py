@@ -373,3 +373,74 @@ def test_sql_replace_where_restore_truncate(spark, tmp_path):
         tables={"tbl": t},
     )
     assert read_snapshot(spark, t).count() == 10
+
+
+def test_sql_where_bounds_prune_files(spark, tmp_path):
+    """r11: SQL UPDATE/DELETE derive prune/point bounds from WHERE
+    conjuncts (the data skipping Delta applies automatically), so the
+    SQL surface inherits the Python API's file pruning — proven by
+    inode stability of the untouched clustered files. OR predicates
+    and type-unsound literals drop the bounds (correctness first)."""
+    import os
+
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1000)], "k long, x double"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+        stats_cols=["k"],
+    )
+    files0 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    assert len(files0) >= 4
+    versioned_sql(
+        spark, "UPDATE tbl SET x = -1 WHERE k >= 10 AND k <= 20",
+        tables={"tbl": t},
+    )
+    files1 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    untouched = set(files0) & set(files1)
+    # the three files whose k-range can't intersect [10, 20] carried
+    assert len(untouched) >= 3
+    assert all(files1[f] == files0[f] for f in untouched)
+    got = {r.k: r.x for r in read_snapshot(spark, t).collect()}
+    assert got[15] == -1.0 and got[500] == 500.0
+    # BETWEEN + equality forms prune too
+    versioned_sql(
+        spark, "DELETE FROM tbl WHERE k BETWEEN 990 AND 999",
+        tables={"tbl": t},
+    )
+    assert read_snapshot(spark, t).count() == 990
+    files2 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    assert len(set(files1) & set(files2)) >= 3
+    # top-level OR: no pruning derived, results still exact
+    versioned_sql(
+        spark, "DELETE FROM tbl WHERE k = 0 OR k = 989", tables={"tbl": t}
+    )
+    assert read_snapshot(spark, t).count() == 988
+    # non-ISO string literal on a date column: bound DROPPED (not
+    # mis-applied) — every matching row still updates
+    t2 = str(tmp_path / "tbl2")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"2021-0{1 + i % 9}-15") for i in range(9)],
+            "k long, ds string",
+        ).selectExpr("k", "CAST(ds AS DATE) AS d"),
+        t2,
+        stats_cols=["d"],
+    )
+    versioned_sql(
+        spark,
+        "DELETE FROM t2 WHERE d >= '2021-5-1'",  # non-normalized literal
+        tables={"t2": t2},
+    )
+    assert read_snapshot(spark, t2).count() == 4  # months 1-4 remain

@@ -408,6 +408,202 @@ def _parse_merge(
     )
 
 
+_LIT = r"(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+
+
+def _lit_val(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _derive_prune(where: str) -> "tuple[dict | None, dict | None]":
+    """(prune, point) bounds extracted from a WHERE clause — the data
+    skipping Delta applies automatically, recovered here so the SQL
+    surface inherits the Python API's stats/bloom file pruning instead
+    of rewriting every candidate file at 100 TB.
+
+    Sound by construction: only TOP-LEVEL ``AND`` conjuncts contribute
+    (a top-level OR/NOT aborts — any row could match), and each bound
+    comes from one conjunct of the form ``col <op> literal`` /
+    ``literal <op> col`` / ``col BETWEEN a AND b`` / ``col IN (...)``
+    that must INDEPENDENTLY hold for a row to match — so files outside
+    the bound provably hold no matches, whatever the other conjuncts
+    say. Conjuncts that don't match a pattern simply contribute no
+    bound (prune is an over-approximation, never semantics)."""
+    level = _scan_level(where)
+    # a top-level OR or NOT disables pruning entirely
+    for kw2 in ("OR", "NOT"):
+        if _find_kw(where, kw2, level=level) >= 0:
+            return None, None
+    prune: dict = {}
+    point: dict = {}
+
+    def fold_range(col, lo, hi):
+        plo, phi = prune.get(col, (None, None))
+        if lo is not None:
+            plo = lo if plo is None else max(plo, lo)
+        if hi is not None:
+            phi = hi if phi is None else min(phi, hi)
+        prune[col] = (plo, phi)
+
+    # split on top-level AND — BETWEEN owns its own AND, so mask it
+    # first (the mask only ever matches outside quotes: a quoted span
+    # cannot satisfy the BETWEEN+literal shape)
+    masked = re.sub(
+        r"(\bBETWEEN\b\s+" + _LIT + r")\s+\bAND\b",
+        r"\1 __BAND__",
+        where,
+        flags=re.I,
+    )
+    mlevel = _scan_level(masked)
+    terms, last = [], 0
+    for m in re.compile(r"\bAND\b", re.I).finditer(masked):
+        if all(mlevel[i] == 0 for i in range(m.start(), m.end())):
+            terms.append(masked[last : m.start()])
+            last = m.end()
+    terms.append(masked[last:])
+    terms = [t.replace("__BAND__", "AND") for t in terms]
+    for term in terms:
+        t = term.strip()
+        while t.startswith("(") and t.endswith(")") and all(
+            lv >= 1 for lv in _scan_level(t)[1:-1] if lv != -1
+        ):
+            t = t[1:-1].strip()
+        m = re.match(
+            r"^(" + _IDENT + r")\s*(=|<=|>=|<|>)\s*(" + _LIT + r")$", t
+        )
+        if not m:
+            m2 = re.match(
+                r"^(" + _LIT + r")\s*(=|<=|>=|<|>)\s*(" + _IDENT + r")$", t
+            )
+            if m2:
+                flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+                m = (m2.group(3), flip.get(m2.group(2), "="), m2.group(1))
+            else:
+                m = None
+        else:
+            m = (m.group(1), m.group(2), m.group(3))
+        if m:
+            col, op, lit = m
+            v = _lit_val(lit)
+            if op == "=":
+                fold_range(col, v, v)
+                point.setdefault(col, []).append(v)
+            elif op in ("<", "<="):
+                fold_range(col, None, v)
+            else:
+                fold_range(col, v, None)
+            continue
+        mb = re.match(
+            r"^(" + _IDENT + r")\s+BETWEEN\s+(" + _LIT + r")\s+AND\s+("
+            + _LIT + r")$",
+            t,
+            re.I,
+        )
+        if mb:
+            fold_range(
+                mb.group(1), _lit_val(mb.group(2)), _lit_val(mb.group(3))
+            )
+            continue
+        mi = re.match(
+            r"^(" + _IDENT + r")\s+IN\s*\(\s*(" + _LIT
+            + r"(?:\s*,\s*" + _LIT + r")*)\s*\)$",
+            t,
+            re.I,
+        )
+        if mi:
+            vals = [_lit_val(x) for x in _split_top(mi.group(2), ",")]
+            fold_range(mi.group(1), min(vals), max(vals))
+            point.setdefault(mi.group(1), []).extend(vals)
+    return (prune or None), (point or None)
+
+
+def _typed_prune(
+    table: str, prune: "dict | None", point: "dict | None"
+) -> "tuple[dict | None, dict | None]":
+    """Keep only bounds whose literal form is SOUND against the stats
+    encoding of the column's actual type — pruning must be a provable
+    over-approximation, never a guess:
+
+    * numeric literal on a numeric (incl. decimal) column — safe;
+    * string literal on a string column — safe (both sides compare as
+      the parquet string stats do);
+    * string literal on a DATE column — only the strict ``YYYY-MM-DD``
+      form (byte-comparable with the isoformat stats); range only;
+    * string literal on a TIMESTAMP column — strict ISO forms,
+      normalized to the ``T`` separator, pure dates extended to
+      midnight (the value the SQL cast produces); range only — point
+      lookups are dropped because bloom tokens for temporal columns
+      hash the DATETIME value, not its string;
+    * anything else (unknown column, cross-type) — bound dropped.
+    Dropping a bound only costs I/O; keeping a wrong one would lose
+    rows."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    p = V._read_pointer(table)
+    if p is None:
+        return None, None
+    types = {
+        f.name: f.dataType
+        for f in StructType.fromJson(
+            V._read_manifest_root(table, p)["schema"]
+        ).fields
+    }
+
+    def rng(col, v):
+        """Sound range-bound form of v for col, or None."""
+        dt = types.get(col)
+        if dt is None or v is None:
+            return None if v is not None else v
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return v if isinstance(dt, NumericType) else None
+        if isinstance(v, str):
+            if isinstance(dt, StringType):
+                return v
+            if isinstance(dt, DateType):
+                return v if re.match(r"^\d{4}-\d{2}-\d{2}$", v) else None
+            if isinstance(dt, (TimestampType, TimestampNTZType)):
+                if re.match(r"^\d{4}-\d{2}-\d{2}$", v):
+                    return v + "T00:00:00"  # the SQL cast's midnight
+                if re.match(
+                    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$", v
+                ):
+                    return v.replace(" ", "T")
+        return None
+
+    out_prune = {}
+    for col, (lo, hi) in (prune or {}).items():
+        lo2 = rng(col, lo) if lo is not None else None
+        hi2 = rng(col, hi) if hi is not None else None
+        # a bound that failed the soundness check must VANISH (open
+        # side), never pass through unconverted
+        if lo2 is not None or hi2 is not None:
+            out_prune[col] = (lo2, hi2)
+    out_point = {}
+    for col, vals in (point or {}).items():
+        dt = types.get(col)
+        ok = isinstance(dt, NumericType) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        )
+        ok = ok or (
+            isinstance(dt, StringType)
+            and all(isinstance(v, str) for v in vals)
+        )
+        if ok:
+            out_point[col] = list(vals)
+    return (out_prune or None), (out_point or None)
+
+
 def _parse_update(
     spark: SparkSession,
     sql: str,
@@ -434,12 +630,16 @@ def _parse_update(
         set_exprs[mm.group(2)] = F.expr(
             _strip_alias_refs(mm.group(3).strip(), alias)
         )
-    pred = (
-        F.expr(_strip_alias_refs(sql[i_where + 5 :].rstrip("; \n"), alias))
-        if i_where >= 0
-        else F.lit(True)
+    if i_where >= 0:
+        where = _strip_alias_refs(sql[i_where + 5 :].rstrip("; \n"), alias)
+        pred = F.expr(where)
+        prune, point = _typed_prune(table, *_derive_prune(where))
+    else:
+        pred, prune, point = F.lit(True), None, None
+    return V.update_where(
+        spark, table, pred, set_exprs,
+        prune=prune, point=point, strategy=strategy,
     )
-    return V.update_where(spark, table, pred, set_exprs, strategy=strategy)
 
 
 def _parse_delete(
@@ -455,12 +655,15 @@ def _parse_delete(
     rel_end = i_where if i_where >= 0 else len(sql)
     ident, alias = _parse_relation(sql[i_from + 4 : rel_end].rstrip("; \n"))
     table = _resolve_table(ident, tables)
-    pred = (
-        F.expr(_strip_alias_refs(sql[i_where + 5 :].rstrip("; \n"), alias))
-        if i_where >= 0
-        else F.lit(True)
+    if i_where >= 0:
+        where = _strip_alias_refs(sql[i_where + 5 :].rstrip("; \n"), alias)
+        pred = F.expr(where)
+        prune, point = _typed_prune(table, *_derive_prune(where))
+    else:
+        pred, prune, point = F.lit(True), None, None
+    return V.delete_where(
+        spark, table, pred, prune=prune, point=point, strategy=strategy
     )
-    return V.delete_where(spark, table, pred, strategy=strategy)
 
 
 _SQL_LIT = re.compile(
