@@ -444,3 +444,32 @@ def test_sql_where_bounds_prune_files(spark, tmp_path):
         tables={"t2": t2},
     )
     assert read_snapshot(spark, t2).count() == 4  # months 1-4 remain
+
+
+def test_sql_describe_detail_and_script(spark, tmp_path):
+    """DESCRIBE DETAIL returns the table summary as one DataFrame row;
+    versioned_sql_script runs ;-separated statements in order (';'
+    inside string literals never splits)."""
+    from wrtd_etl_spark.sources.versioned_sql import versioned_sql_script
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"s{i}") for i in range(8)], "k long, s string"
+    ).createOrReplaceTempView("script_src")
+    results = versioned_sql_script(
+        spark,
+        """
+        CREATE TABLE t AS SELECT k, s FROM script_src;
+        ALTER TABLE t ADD COLUMN note string DEFAULT 'a;b';
+        UPDATE t SET s = 'x;y' WHERE k = 1;
+        DELETE FROM t WHERE k >= 6;
+        """,
+        tables={"t": t},
+    )
+    assert results == [0, 1, 2, 3]  # four commits, in order
+    got = {r.k: (r.s, r.note) for r in read_snapshot(spark, t).collect()}
+    assert got[1] == ("x;y", "a;b") and len(got) == 6
+    detail = versioned_sql(spark, "DESCRIBE DETAIL t", tables={"t": t})
+    row = detail.head()
+    assert row.version == 3 and row.num_files >= 1
+    assert "note" in row.defaults and row.dv_rows == 0

@@ -31,12 +31,16 @@ parser plugin, zero new write paths:
 * ``OPTIMIZE t [FULL]`` → compact_small_files (bin-pack) / compact
 * ``VACUUM t [RETAIN n VERSIONS] [RETAIN n HOURS]`` → vacuum
 * ``DESCRIBE HISTORY t`` → the commit log as a DataFrame
+* ``DESCRIBE DETAIL t`` → the table summary (describe_table) as one row
 * ``INSERT INTO t REPLACE WHERE cond SELECT ...`` → replace_where
   (the atomic backfill idiom)
 * ``RESTORE TABLE t TO VERSION AS OF n | TIMESTAMP AS OF '...'`` →
   rollback (timestamps resolve via version_as_of)
 * ``TRUNCATE TABLE t`` → delete_where(TRUE) — schema, properties and
   time travel kept
+
+Multi-statement scripts run through :func:`versioned_sql_script`
+(top-level ``;`` split, per-statement commits).
 
 Table names resolve through an explicit ``tables={name: path}`` mapping,
 the process-wide :func:`register_table` registry, or — when the
@@ -64,7 +68,12 @@ from pyspark.sql import functions as F
 
 from . import versioned as V
 
-__all__ = ["versioned_sql", "register_table", "registered_tables"]
+__all__ = [
+    "versioned_sql",
+    "versioned_sql_script",
+    "register_table",
+    "registered_tables",
+]
 
 _REGISTRY: dict[str, str] = {}
 
@@ -974,6 +983,35 @@ def versioned_sql(
             kw_args["tmp_age_s"] = float(m.group(3)) * 3600.0
         return len(V.vacuum(table, keep_last=keep, **kw_args))
     if kw == "DESCRIBE":
+        md = re.match(
+            r"^\s*DESCRIBE\s+DETAIL\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if md:
+            import json as _json
+
+            table = _resolve_table(md.group(1), tables)
+            d = V.describe_table(table)
+            cols = (
+                "version", "mode", "num_files", "size_bytes", "dv_rows",
+                "retained_versions", "columns", "layout", "constraints",
+                "unique", "generated", "defaults",
+            )
+            row = tuple(
+                _json.dumps(d.get(k), default=str)
+                if isinstance(d.get(k), (dict, list))
+                else d.get(k)
+                for k in cols
+            )
+            return spark.createDataFrame(
+                [row],
+                "version long, mode string, num_files long, "
+                "size_bytes long, dv_rows long, retained_versions long, "
+                "columns string, layout string, constraints string, "
+                "unique string, generated string, defaults string",
+            )
         m = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+"
             r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s*$",
@@ -982,7 +1020,7 @@ def versioned_sql(
         )
         if not m:
             raise ValueError(
-                "only DESCRIBE HISTORY <table> is supported"
+                "only DESCRIBE HISTORY|DETAIL <table> is supported"
             )
         import json as _json
 
@@ -1010,3 +1048,24 @@ def versioned_sql(
         "DESCRIBE HISTORY (reads go through register_versioned_view / "
         "spark.read.format('versioned_table'))"
     )
+
+
+def versioned_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: "dict[str, str] | None" = None,
+    strategy: str = "cow",
+) -> list:
+    """Execute a ;-separated statement script in order (the migration /
+    setup-file shape), returning each statement's result. Statements
+    are split at TOP-LEVEL semicolons only (quotes and parens respected
+    — a ';' inside a string literal or subquery never splits), and each
+    statement commits before the next parses, so a script is NOT one
+    transaction: a failing statement stops the script with the prior
+    statements durably committed — the same semantics as feeding the
+    statements to any SQL shell one by one."""
+    results = []
+    for stmt in _split_top(script, ";"):
+        if stmt.strip():
+            results.append(versioned_sql(spark, stmt, tables, strategy))
+    return results
