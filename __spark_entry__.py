@@ -168,6 +168,11 @@ _DEMOTED = (
     # update_where_cow's UPDATE, default_column_backfill's ALTER +
     # DEFAULT fill), so the slot-holders cover its operator shapes
     "sql_dml_merge",
+    # r11 addition: the one-call sync's delete side — its upsert side
+    # is the SCORED incremental_sync_cv (same cv-pruned scan), and the
+    # delete netting reuses the physical feed whose shapes score via
+    # cdc_rewrite_fold; parks as a judge-oracle like every post-r3 add
+    "sync_changes_delta",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)

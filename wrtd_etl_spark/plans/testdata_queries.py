@@ -2838,3 +2838,74 @@ def sql_dml_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         "status",
     )
+
+
+@register(
+    "sync_changes_delta",
+    """
+    SELECT o_orderkey AS k,
+           o_totalprice + 10.0 AS price,
+           'upsert' AS change
+    FROM orders WHERE o_orderkey <= 200 AND o_orderkey % 101 <> 0
+    UNION ALL
+    SELECT o_orderkey + 5000000 AS k, 1.0 AS price, 'upsert' AS change
+    FROM orders WHERE o_orderkey <= 50
+    UNION ALL
+    SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,
+           'delete' AS change
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def sync_changes_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call incremental sync WITH deletes (r11 —
+    sources/versioned.sync_changes, VERDICT r10 ask #5): an
+    update→DV-delete→merge-insert→compact lineage syncs from the base
+    version in one call returning (upserts, deleted keys) — upserts
+    via the three-grain cv-pruned scan, deletes netted from the
+    manifest-planned physical feed by one delta-sized key exceptAll
+    (the compaction's carry churn is invisible to both sides). The
+    oracle recomputes the exact delta straight from orders; a key both
+    updated and deleted (k=101·n ≤ 200) must surface ONLY as a
+    delete."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import (
+        delete_where,
+        merge_into,
+        sync_changes,
+        update_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_sync_delta_"), "tbl")
+    write_snapshot(orders.repartition(8), t, stats_cols=["k"])  # v0
+    update_where(
+        spark,
+        t,
+        F.col("k") <= 200,
+        {"price": F.col("price") + 10.0},
+        prune={"k": (None, 200)},
+    )  # v1
+    delete_where(spark, t, F.col("k") % 101 == 0, strategy="dv")  # v2
+    ins = orders.filter(F.col("k") <= 50).select(
+        (F.col("k") + 5_000_000).alias("k"), F.lit(1.0).alias("price")
+    )
+    merge_into(spark, t, ins, keys=["k"])  # v3
+    from ..sources.versioned import compact
+
+    compact(spark, t)  # v4: carry churn must stay invisible
+    upserts, deleted = sync_changes(spark, t, 0, keys=["k"])
+    return upserts.select(
+        "k", "price", F.lit("upsert").alias("change")
+    ).unionByName(
+        deleted.select(
+            "k",
+            F.lit(None).cast("double").alias("price"),
+            F.lit("delete").alias("change"),
+        )
+    )
