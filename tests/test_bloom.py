@@ -229,3 +229,33 @@ def test_point_filter_with_unstatted_column_keeps_all(spark, tmp_path):
     _scattered(spark, t)
     kept, total = files_for_read(t, point_filter={"v": [2]})
     assert len(kept) == total
+
+
+def test_bloom_decimal_exact_int_tokens():
+    """Integral decimals hash as EXACT ints (no float64 fold): a
+    decimal(18,0) snowflake ID >= 2**53 must match its int lookup
+    (regression: the float fold collapsed 2**53+1 -> 2**53, a bloom
+    false NEGATIVE breaking the 'pruning is never semantic' contract).
+    The double-image token keeps double-cast lookups matching too."""
+    import decimal
+
+    D = decimal.Decimal
+    bl = build([D(2**53 + 1), D(5), D("12345678901234567890")])
+    assert contains_any(bl, [2**53 + 1])  # exact int lookup
+    assert contains_any(bl, [D(2**53 + 1)])  # exact decimal lookup
+    assert contains_any(bl, [12345678901234567890])
+    assert not contains_any(bl, [2**53 + 2])  # neighbours still prune
+    # Spark `dec_col = <double literal>` casts the DECIMAL to double —
+    # the double-image token must keep the file
+    assert contains_any(bl, [float(2**53 + 1)])
+    # a double column storing an ambiguous integral float vs an int
+    # lookup sharing its double image (bigint = double-cast semantics)
+    blf = build([float(2**53)])
+    assert contains_any(blf, [2**53]) and contains_any(blf, [2**53 + 1])
+    # non-integral decimal whose double image is integral (rounds to
+    # 2**52): integer-typed lookups of that double still find the file
+    bl5 = build([D("4503599627370496.5")])
+    assert contains_any(bl5, [4503599627370496])
+    # scale-invariance across decimal(p,s) widening is preserved
+    assert contains_any(build([D("0.10")]), [D("0.1")])
+    assert not contains_any(build([D("0.10")]), [D("0.2")])
