@@ -38,6 +38,13 @@ parser plugin, zero new write paths:
   rollback (timestamps resolve via version_as_of)
 * ``TRUNCATE TABLE t`` → delete_where(TRUE) — schema, properties and
   time travel kept
+* ``SELECT / WITH ... [FROM t [VERSION|TIMESTAMP AS OF x]]`` → the
+  READ half (VERDICT r11 ask #1): versioned table references —
+  including Delta's time-travel pins — are rewritten to
+  snapshot-pinned temp views (``register_versioned_view``, zero new
+  read paths) and the statement runs through ``spark.sql``, returning
+  the DataFrame. INSERT/CTAS SELECT bodies go through the same
+  rewriter, so a migration script can mix DML with AS-OF reads.
 
 Multi-statement scripts run through :func:`versioned_sql_script`
 (top-level ``;`` split, per-statement commits).
@@ -182,13 +189,63 @@ def _resolve_table(tok: str, tables: "dict[str, str] | None") -> str:
 
 def _strip_alias_refs(expr: str, *aliases: "str | None") -> str:
     """Remove ``alias.`` prefixes from column references so the
-    expression evaluates over a single-relation row."""
+    expression evaluates over a single-relation row. Quoted spans are
+    left untouched — with alias ``d``, the literal in
+    ``note = 'd. foo'`` is data, not a column reference, and rewriting
+    it would silently change which rows match."""
     for a in aliases:
-        if a:
-            expr = re.sub(
-                r"\b" + re.escape(a) + r"\s*\.\s*", "", expr, flags=re.I
-            )
+        if not a:
+            continue
+        pat = re.compile(r"\b" + re.escape(a) + r"\s*\.\s*", re.I)
+        level = _scan_level(expr)
+        out, last = [], 0
+        for m in pat.finditer(expr):
+            if level[m.start()] < 0:
+                continue  # inside a string literal / quoted identifier
+            out.append(expr[last : m.start()])
+            last = m.end()
+        out.append(expr[last:])
+        expr = "".join(out)
     return expr
+
+
+_SQL_WORDS = frozenset(
+    """and or not in is null true false like rlike ilike between case
+    when then else end cast try_cast as distinct exists all any some
+    escape div interval current_date current_timestamp
+    int integer bigint long smallint short tinyint byte float real
+    double decimal numeric string varchar char boolean date timestamp
+    binary array map struct void
+    year years month months week weeks day days hour hours minute
+    minutes second seconds millisecond milliseconds microsecond
+    microseconds""".split()
+)
+
+
+def _unqualified_idents(expr: str):
+    """Bare (un-dotted, non-function-call, non-keyword) identifiers in
+    an expression, skipping quoted spans — the references whose binding
+    is positional rather than alias-explicit."""
+    level = _scan_level(expr)
+    n = len(expr)
+    for m in re.finditer(r"[A-Za-z_][A-Za-z_0-9]*", expr):
+        if level[m.start()] < 0:
+            continue
+        i = m.start() - 1
+        if i >= 0 and (expr[i].isalnum() or expr[i] == "_"):
+            continue  # tail of a longer token, e.g. the e5 in 1e5
+        j = m.end()
+        while j < n and expr[j] in " \t\r\n":
+            j += 1
+        if j < n and expr[j] in "(.":
+            continue  # function call, or the head of a qualified name
+        while i >= 0 and expr[i] in " \t\r\n":
+            i -= 1
+        if i >= 0 and expr[i] == ".":
+            continue  # qualified tail: alias handling covers it
+        if m.group(0).lower() in _SQL_WORDS:
+            continue
+        yield m.group(0)
 
 
 def _refs_alias(expr: str, alias: "str | None") -> bool:
@@ -309,6 +366,27 @@ def _parse_merge(
                         "WHEN MATCHED ... DELETE condition may reference "
                         "only SOURCE columns (merge_into's delete_when "
                         "evaluates over the source row)"
+                    )
+                # SQL MERGE lets the condition see target columns; this
+                # engine's delete_when sees only the source row. An
+                # unqualified name not on the source would silently
+                # bind to the source value (or fail late) — fail loudly
+                # here instead of diverging from SQL semantics.
+                src_low = {c.lower() for c in source.columns}
+                bad = sorted(
+                    {
+                        w
+                        for w in _unqualified_idents(dw)
+                        if w.lower() not in src_low
+                    }
+                )
+                if bad:
+                    raise ValueError(
+                        "WHEN MATCHED ... DELETE condition references "
+                        f"{bad} which are not SOURCE columns — the "
+                        "condition evaluates over the source row only; "
+                        "qualify source columns with the source alias "
+                        "or fold target-side conditions into the source"
                     )
                 delete_when = F.expr(_strip_alias_refs(dw, s_alias))
             elif re.match(r"^UPDATE\s+SET\b", action, re.I):
@@ -849,7 +927,10 @@ def _parse_insert(
             f"SELECT * FROM VALUES {tuples} AS __v({', '.join(cols)})"
         )
     elif re.match(r"^(SELECT|WITH|TABLE)\b", body, re.I):
-        df = spark.sql(body)
+        # the body reads like any SELECT: versioned names + AS OF pins
+        # resolve through the same rewriter as top-level SELECT, so
+        # `INSERT INTO t SELECT * FROM s VERSION AS OF 2` just works
+        df = spark.sql(_rewrite_reads(spark, body, tables))
         if cols is not None:
             df = df.toDF(*cols)
     else:
@@ -859,6 +940,299 @@ def _parse_insert(
     if replace_pred is not None:
         return V.replace_where(spark, table, F.expr(replace_pred), df)
     return V.write_snapshot(df, table, mode=mode)
+
+
+# Keywords that may legally follow a table reference WITHOUT an alias —
+# used to decide whether a rewritten `t VERSION AS OF n` span needs an
+# ` AS t` appended to keep `t.col` references resolving (Delta keeps the
+# original relation name visible after a time-travel pin).
+_POST_TABLE_KWS = frozenset(
+    """where group order limit union except intersect minus join inner
+    left right full cross natural on using having window qualify semi
+    anti lateral pivot unpivot tablesample distribute cluster sort
+    when then else end and or not""".split()
+)
+
+_PIN_RE = re.compile(
+    r"(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\s+"
+    r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']*')",
+    re.I,
+)
+
+_pin_counter = 0
+
+
+def _parse_as_of_ts(lit: str) -> float:
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(lit)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return ts.timestamp()
+
+
+def _rewrite_reads(
+    spark: SparkSession, stmt: str, tables: "dict[str, str] | None"
+) -> str:
+    """Make every versioned-table reference in a read statement
+    resolvable by plain ``spark.sql``:
+
+    * ``t VERSION AS OF n`` / ``t TIMESTAMP AS OF '...'`` spans are
+      replaced by a uniquely-named snapshot-pinned temp view
+      (``register_versioned_view`` — zero new read paths); when the
+      reference has no alias, `` AS t`` is appended so ``t.col``
+      references keep resolving, matching Delta's time-travel scoping.
+    * every known table name (``tables=`` mapping or the process
+      registry) that appears as a bare top-level identifier is
+      registered as a latest-snapshot temp view under its own name,
+      resolved NOW — so a script's later SELECT sees its earlier DML.
+
+    Rewriting is purely textual and quote-aware; everything else in the
+    statement (CTEs, joins, windows, subqueries) is Spark's own SQL.
+    Each pin registers one view per occurrence, so joining two versions
+    of the same table works. Driver cost is O(statement) + one manifest
+    read per referenced table."""
+    global _pin_counter
+    from .versioned_table import register_versioned_view
+
+    level = _scan_level(stmt)
+    out: list[str] = []
+    last = 0
+    for m in _PIN_RE.finditer(stmt):
+        # the AS OF keywords must sit outside string literals; the
+        # table token itself may be backtick-quoted (a direct path)
+        kw_at = m.start(2)
+        if level[kw_at] < 0:
+            continue
+        ident = m.group(1)
+        if level[m.start(1)] < 0 and not ident.startswith("`"):
+            continue
+        table = _resolve_table(ident, tables)
+        _pin_counter += 1
+        view = f"__vsql_asof_{_pin_counter}"
+        kind, lit = m.group(2).upper(), m.group(3)
+        if kind == "VERSION":
+            if not lit.isdigit():
+                raise ValueError(
+                    f"VERSION AS OF expects an integer, got {lit!r}"
+                )
+            register_versioned_view(spark, view, table, version=int(lit))
+        else:
+            if not lit.startswith("'"):
+                raise ValueError(
+                    "TIMESTAMP AS OF expects a quoted timestamp, got "
+                    f"{lit!r}"
+                )
+            register_versioned_view(
+                spark, view, table, as_of=_parse_as_of_ts(lit[1:-1])
+            )
+        repl = view
+        # alias handling: peek at the next token after the pin span
+        j = m.end()
+        while j < len(stmt) and stmt[j] in " \t\r\n":
+            j += 1
+        nxt = re.match(r"[A-Za-z_][A-Za-z0-9_]*", stmt[j:])
+        has_alias = bool(
+            j < len(stmt)
+            and (
+                stmt[j] == "`"
+                or (nxt and nxt.group(0).lower() not in _POST_TABLE_KWS)
+            )
+        )
+        bare = _strip_ident(ident)
+        if not has_alias and re.fullmatch(_IDENT, bare):
+            repl += f" AS {bare}"
+        out.append(stmt[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(stmt[last:])
+    stmt = "".join(out)
+
+    # latest-snapshot views for bare (unpinned) known names
+    known: dict[str, str] = dict(_REGISTRY)
+    if tables:
+        known.update({k.lower(): v for k, v in tables.items()})
+    if known:
+        level = _scan_level(stmt)
+        for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stmt):
+            name = m.group(0).lower()
+            if name not in known or level[m.start()] < 0:
+                continue
+            i, j = m.start() - 1, m.end()
+            if (i >= 0 and (stmt[i] in "._" or stmt[i].isdigit())) or (
+                j < len(stmt) and stmt[j] in "._("
+            ):
+                continue  # qualified ref, longer token, or function
+            # pin to the CURRENT version explicitly (Delta resolves the
+            # snapshot at analysis): the returned DataFrame must not
+            # drift when a later statement in the same script commits
+            register_versioned_view(
+                spark,
+                m.group(0),
+                known[name],
+                version=V.latest_version(known[name]),
+            )
+            known.pop(name)  # register once per statement
+    return stmt
+
+
+def _parse_select(
+    spark: SparkSession, stmt: str, tables: "dict[str, str] | None"
+) -> DataFrame:
+    """``SELECT`` / ``WITH`` over versioned tables, including Delta's
+    time-travel syntax — the read half of the SQL surface. References
+    are rewritten to snapshot-pinned temp views (see _rewrite_reads),
+    then the statement runs through ``spark.sql`` unchanged, so the
+    full SQL language (CTEs, windows, joins across pinned versions,
+    joins against ordinary Spark tables) is available."""
+    return spark.sql(_rewrite_reads(spark, stmt, tables))
+
+
+def _parse_create_schema(
+    spark: SparkSession, stmt: str, tables: "dict[str, str] | None"
+) -> int:
+    """Schema-only ``CREATE [OR REPLACE] TABLE t (col type [NOT NULL]
+    [DEFAULT lit] [GENERATED ALWAYS AS (expr)], ...,
+    [CONSTRAINT n CHECK (...) | UNIQUE (...)]) [CLUSTER BY (a, b)]``
+    (VERDICT r11 ask, missing #2): commits an EMPTY v0 carrying the
+    schema — Delta's migration-script opener — so IaC scripts run
+    top-to-bottom and the first append conforms/evolves per the
+    existing rules.
+
+    Routing stays on the audited metadata paths: the leading
+    non-DEFAULT columns commit as the typed-empty v0
+    (``write_snapshot``); every column from the first DEFAULT onward
+    enters via ``alter_add_column`` (each a metadata-only commit —
+    defaults only fill columns a segment physically lacks, so they
+    MUST enter through the defaults map); GENERATED / CLUSTER BY /
+    constraints / NOT NULL (a synthetic CHECK) use their own ALTER
+    APIs. One statement may therefore span several metadata commits;
+    the returned version is the final one, with the table unreadable
+    under the target path only before v0 — the same visibility any
+    multi-statement migration has."""
+    m = re.match(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+?)\s*\(",
+        stmt,
+        re.I,
+    )
+    if not m:
+        raise ValueError(
+            "only CREATE [OR REPLACE] TABLE t (col type, ...) and "
+            "CREATE [OR REPLACE] TABLE t AS SELECT are supported"
+        )
+    table = _resolve_table(m.group(2), tables)
+    if m.group(1) is None and V._read_pointer(table) is not None:
+        raise ValueError(
+            f"table {table} already exists (use CREATE OR REPLACE)"
+        )
+    open_at = m.end() - 1
+    level = _scan_level(stmt)
+    close_at = next(
+        (
+            i
+            for i in range(open_at + 1, len(stmt))
+            if stmt[i] == ")" and level[i] == level[open_at]
+        ),
+        -1,
+    )
+    if close_at < 0:
+        raise ValueError(f"unbalanced parens in CREATE TABLE: {stmt!r}")
+    body = stmt[open_at + 1 : close_at]
+    tail = stmt[close_at + 1 :].strip()
+    cluster_cols = None
+    if tail:
+        mc = re.match(r"^CLUSTER\s+BY\s*\((.*)\)\s*$", tail, re.I | re.S)
+        if not mc:
+            raise ValueError(
+                f"unsupported CREATE TABLE tail clause: {tail!r}"
+            )
+        cluster_cols = [
+            _strip_ident(c) for c in _split_top(mc.group(1), ",")
+        ]
+
+    cols: list = []  # (name, type, default_or_None)
+    generated: list = []  # (name, expr)
+    not_null: list = []
+    checks: list = []  # (name, expr)
+    uniques: list = []  # (name, [cols])
+    for item in _split_top(body, ","):
+        if not item:
+            continue
+        mk = re.match(
+            r"^CONSTRAINT\s+(" + _IDENT + r")\s+(CHECK|UNIQUE)\s*\((.*)\)\s*$",
+            item,
+            re.I | re.S,
+        )
+        if mk:
+            if mk.group(2).upper() == "CHECK":
+                checks.append((mk.group(1), mk.group(3)))
+            else:
+                uniques.append(
+                    (
+                        mk.group(1),
+                        [
+                            _strip_ident(c)
+                            for c in _split_top(mk.group(3), ",")
+                        ],
+                    )
+                )
+            continue
+        mm = re.match(
+            r"^(" + _IDENT + r"|`[^`]*`)\s+(.+)$", item, re.S
+        )
+        if not mm:
+            raise ValueError(f"cannot parse CREATE TABLE item {item!r}")
+        name, rest = _strip_ident(mm.group(1)), mm.group(2).strip()
+        default = None
+        g_at = _find_kw(rest, "GENERATED ALWAYS AS")
+        if g_at >= 0:
+            gexpr = rest[g_at:].split("(", 1)[1].rsplit(")", 1)[0]
+            generated.append((name, gexpr))
+            rest = rest[:g_at].strip()
+        d_at = _find_kw(rest, "DEFAULT")
+        if d_at >= 0:
+            default = _parse_default(rest[d_at + len("DEFAULT") :].strip())
+            rest = rest[:d_at].strip()
+        n_at = _find_kw(rest, "NOT NULL")
+        if n_at >= 0:
+            not_null.append(name)
+            rest = rest[:n_at].strip()
+        if not rest:
+            raise ValueError(f"column {name!r} is missing a type")
+        cols.append((name, rest, default))
+    if not cols:
+        raise ValueError("CREATE TABLE with no columns")
+
+    first_default = next(
+        (i for i, (_, _, d) in enumerate(cols) if d is not None), len(cols)
+    )
+    if first_default == 0:
+        raise ValueError(
+            "the first declared column cannot carry a DEFAULT (the "
+            "empty v0 needs at least one plain column so the declared "
+            "column order survives — lead with a non-DEFAULT column, "
+            "or ALTER TABLE ... ADD COLUMN ... DEFAULT after CREATE)"
+        )
+    ddl = ", ".join(f"`{n}` {t}" for n, t, _ in cols[:first_default])
+    ver = V.write_snapshot(
+        spark.createDataFrame([], ddl), table, mode="overwrite"
+    )
+    for n, t, d in cols[first_default:]:
+        ver = V.alter_add_column(spark, table, n, t, default=d)
+    for n, gexpr in generated:
+        ver = V.add_generated_column(spark, table, n, gexpr)
+    if cluster_cols:
+        ver = V.alter_cluster_by(table, cluster_cols)
+    for n in not_null:
+        ver = V.add_check_constraint(
+            spark, table, f"{n}_not_null", f"{n} IS NOT NULL"
+        )
+    for cname, expr in checks:
+        ver = V.add_check_constraint(spark, table, cname, expr)
+    for cname, ucols in uniques:
+        ver = V.add_unique_constraint(spark, table, cname, ucols)
+    return ver
 
 
 def versioned_sql(
@@ -875,13 +1249,20 @@ def versioned_sql(
     when there was nothing to pack; ``VACUUM`` returns the number of
     reclaimed files). ``DESCRIBE HISTORY t`` returns a DataFrame
     (version, mode, parent, n_files, committed_at, metrics-as-JSON) —
-    Delta's history() shape. ``strategy`` passes through ("cow" /
-    "dv" / "auto") for MERGE / UPDATE / DELETE."""
-    stmt = sql.rstrip("; \n")
+    Delta's history() shape. ``SELECT`` / ``WITH`` statements return
+    the result DataFrame, with ``t VERSION AS OF n`` /
+    ``t TIMESTAMP AS OF '...'`` time travel supported on every
+    versioned reference. ``strategy`` passes through ("cow" / "dv" /
+    "auto") for MERGE / UPDATE / DELETE."""
+    # lstrip once so positional handlers (UPDATE's relation slice) see
+    # the keyword at offset 0 — triple-quoted statements start with \n
+    stmt = sql.strip(" \t\r\n").rstrip("; \t\r\n")
     head = re.match(r"^\s*([A-Za-z]+)", stmt)
     if not head:
         raise ValueError(f"empty SQL statement: {sql!r}")
     kw = head.group(1).upper()
+    if kw in ("SELECT", "WITH"):
+        return _parse_select(spark, stmt, tables)
     if kw == "MERGE":
         return _parse_merge(spark, stmt, tables, strategy)
     if kw == "UPDATE":
@@ -900,18 +1281,18 @@ def versioned_sql(
             re.I | re.S,
         )
         if not m:
-            raise ValueError(
-                "only CREATE [OR REPLACE] TABLE ... AS SELECT is "
-                "supported (a versioned table IS its first snapshot; "
-                "schema-only CREATE has nothing to commit)"
-            )
+            # schema-only form: CREATE TABLE t (col type, ...) — commits
+            # an empty v0 (the migration-script opener)
+            return _parse_create_schema(spark, stmt, tables)
         table = _resolve_table(m.group(2), tables)
         if m.group(1) is None and V._read_pointer(table) is not None:
             raise ValueError(
                 f"table {table} already exists (use CREATE OR REPLACE)"
             )
         return V.write_snapshot(
-            spark.sql(m.group(3).strip()), table, mode="overwrite"
+            spark.sql(_rewrite_reads(spark, m.group(3).strip(), tables)),
+            table,
+            mode="overwrite",
         )
     if kw == "RESTORE":
         m = re.match(
@@ -1042,11 +1423,11 @@ def versioned_sql(
             "committed_at double, metrics string",
         )
     raise ValueError(
-        f"unsupported statement {kw!r}: versioned_sql handles MERGE / "
-        "UPDATE / DELETE / INSERT [REPLACE WHERE] / CREATE TABLE AS / "
-        "ALTER TABLE / OPTIMIZE / VACUUM / RESTORE / TRUNCATE / "
-        "DESCRIBE HISTORY (reads go through register_versioned_view / "
-        "spark.read.format('versioned_table'))"
+        f"unsupported statement {kw!r}: versioned_sql handles SELECT / "
+        "WITH [VERSION|TIMESTAMP AS OF] / MERGE / UPDATE / DELETE / "
+        "INSERT [REPLACE WHERE] / CREATE TABLE [AS] / ALTER TABLE / "
+        "OPTIMIZE / VACUUM / RESTORE / TRUNCATE / DESCRIBE "
+        "HISTORY|DETAIL"
     )
 
 

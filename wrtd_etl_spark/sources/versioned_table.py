@@ -360,6 +360,11 @@ class VersionedTableReader(DataSourceReader):
         return parts
 
     def read(self, partition: TableFile) -> Iterator:
+        if partition is None:
+            # zero input partitions (an empty table — e.g. schema-only
+            # CREATE's v0, or everything pruned): Spark still invokes
+            # read once with a None partition; yield no batches
+            return
         path = os.path.join(partition.table, partition.file)
         if self._arrow_schema is not None:
             import pyarrow as pa
