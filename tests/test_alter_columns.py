@@ -714,3 +714,173 @@ def test_append_rename_keeps_defaults_and_guards_generated(spark, tmp_path):
             mode="append",
             renames={"k": "kk"},
         )
+
+
+def test_widen_date_to_timestamp_ntz(spark, tmp_path):
+    """date -> timestamp_ntz (Delta's temporal widening, r12 VERDICT
+    ask #6): metadata-only (inodes stable), old files read back as
+    midnight wall-clock timestamps on BOTH read paths, mixed-encoding
+    appends merge, stats pruning stays exact across the date-shaped /
+    timestamp-shaped encoding boundary, bloom point pruning survives
+    (a DATE and its midnight TIMESTAMP hash identically), DML works,
+    time travel keeps the narrow type."""
+    import datetime as dt
+
+    from wrtd_etl_spark.sources.versioned import (
+        alter_widen_column,
+        files_for_read,
+        update_where,
+    )
+    from wrtd_etl_spark.sources.versioned_table import read_versioned
+
+    t = str(tmp_path / "tbl")
+    d0 = dt.date(2023, 5, 1)
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, d0 + dt.timedelta(days=i)) for i in range(30)],
+            "k int, d date",
+        ).repartition(1).sortWithinPartitions("k"),
+        t,
+        stats_cols=["d"],
+        bloom_cols=["d"],
+    )
+    inodes0 = {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    }
+    with pytest.raises(ValueError, match="timestamp_ntz instead"):
+        alter_widen_column(spark, t, "d", "timestamp")  # ltz: session-tz
+    alter_widen_column(spark, t, "d", "timestamp_ntz")
+    df = read_snapshot(spark, t)
+    assert dict(df.dtypes)["d"] == "timestamp_ntz"
+    assert {
+        f: os.path.getmtime(os.path.join(t, f)) for f in files_for_read(t)[0]
+    } == inodes0  # zero data movement
+    # old rows read as midnight wall time, identically on both paths
+    jvm = {r.k: r.d for r in df.collect()}
+    assert jvm[3] == dt.datetime(2023, 5, 4, 0, 0, 0)
+    ds = {r.k: r.d for r in read_versioned(spark, t).collect()}
+    assert ds == jvm
+    # second encoding: a non-midnight timestamp only the wide type holds
+    write_snapshot(
+        spark.createDataFrame(
+            [(100, dt.datetime(2024, 1, 1, 12, 30, 45))],
+            "k int, d timestamp_ntz",
+        ),
+        t,
+        mode="append",
+        stats_cols=["d"],
+        bloom_cols=["d"],
+    )
+    # range pruning across the encoding boundary — the old file's stats
+    # are date-shaped strings; midnight-extension keeps them exact:
+    # an upper bound of exactly the last date's midnight must KEEP the
+    # old file (its max row IS that midnight)...
+    # (without the extension, the old file's smax string '2023-05-30'
+    # sorts BELOW the bound string '2023-05-30T00:00:00' and the file
+    # holding the matching row would be skipped — a semantic prune)
+    kept, total = files_for_read(
+        t,
+        skip_filter={
+            "d": (dt.datetime(2023, 5, 30, 0, 0, 0), None)
+        },
+    )
+    assert total == 2 and len(kept) == 2
+    # ...one second past it must prune
+    kept, _ = files_for_read(
+        t,
+        skip_filter={
+            "d": (dt.datetime(2023, 5, 30, 0, 0, 1), None)
+        },
+    )
+    assert {f for f in kept} == {
+        f for f in files_for_read(
+            t, skip_filter={"d": (dt.datetime(2024, 1, 1), None)}
+        )[0]
+    } and len(kept) == 1
+    # a date-typed bound still prunes both encodings correctly
+    kept, _ = files_for_read(
+        t, skip_filter={"d": (dt.date(2024, 1, 1), None)}
+    )
+    assert len(kept) == 1
+    # bloom point pruning: DATE and midnight TIMESTAMP are one token
+    kept, _ = files_for_read(
+        t, point_filter={"d": [dt.datetime(2023, 5, 4, 0, 0, 0)]}
+    )
+    assert len(kept) == 1
+    kept, _ = files_for_read(t, point_filter={"d": [dt.date(2023, 5, 4)]})
+    assert len(kept) == 1
+    kept, _ = files_for_read(
+        t, point_filter={"d": [dt.datetime(2024, 1, 1, 12, 30, 45)]}
+    )
+    assert len(kept) == 1
+    # DML across the mixed encodings
+    update_where(
+        spark,
+        t,
+        F.col("k") == 3,
+        {"d": F.lit(dt.datetime(2025, 6, 1, 1, 2, 3))},
+    )
+    assert {r.k: r.d for r in read_snapshot(spark, t).collect()}[3] == (
+        dt.datetime(2025, 6, 1, 1, 2, 3)
+    )
+    # time travel: the pre-widen version keeps DATE
+    assert dict(read_snapshot(spark, t, version=0).dtypes)["d"] == "date"
+    # refusals: the reverse narrowing in both spellings
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t, "d", "date")
+    t2 = str(tmp_path / "ts")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "k int, d timestamp_ntz"
+        ),
+        t2,
+    )
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        alter_widen_column(spark, t2, "d", "date")
+
+
+def test_widen_date_append_path_schema_merge(spark, tmp_path):
+    """The append path's schema merge accepts the same temporal
+    widening: appending a timestamp_ntz batch onto a date column widens
+    the table, and a later date-encoded batch still merges (reads back
+    at midnight)."""
+    import datetime as dt
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, dt.date(2023, 1, 1))], "k int, d date"
+        ),
+        t,
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(2, dt.datetime(2023, 1, 2, 6, 0, 0))],
+            "k int, d timestamp_ntz",
+        ),
+        t,
+        mode="append",
+    )
+    assert dict(read_snapshot(spark, t).dtypes)["d"] == "timestamp_ntz"
+    write_snapshot(
+        spark.createDataFrame(
+            [(3, dt.date(2023, 1, 3))], "k int, d date"
+        ),
+        t,
+        mode="append",
+    )
+    got = {r.k: r.d for r in read_snapshot(spark, t).collect()}
+    assert got == {
+        1: dt.datetime(2023, 1, 1),
+        2: dt.datetime(2023, 1, 2, 6, 0, 0),
+        3: dt.datetime(2023, 1, 3),
+    }
+    # ltz timestamp batch on a date column refuses (session-tz hazard)
+    with pytest.raises(ValueError, match="incompatible type change"):
+        write_snapshot(
+            spark.createDataFrame(
+                [(4, dt.datetime(2023, 1, 4))], "k int, d timestamp"
+            ),
+            t,
+            mode="append",
+        )
