@@ -162,17 +162,22 @@ _DEMOTED = (
     # exchange (both remain judge-oracles in the full battery):
     "scalar_functions",  # its expression surface is exercised by virtually every scored oracle
     "segment_set_ops",  # set-op shape stays scored via contamination_check's anti-join family
-    # r11 addition: the SQL DML front-end's lifecycle query parks as a
-    # judge-oracle — every statement it runs routes to implementations
-    # whose lifecycles are ALREADY scored (dim_merge's MERGE,
-    # update_where_cow's UPDATE, default_column_backfill's ALTER +
-    # DEFAULT fill), so the slot-holders cover its operator shapes
-    "sql_dml_merge",
-    # r11 addition: the one-call sync's delete side — its upsert side
-    # is the SCORED incremental_sync_cv (same cv-pruned scan), and the
-    # delete netting reuses the physical feed whose shapes score via
-    # cdc_rewrite_fold; parks as a judge-oracle like every post-r3 add
-    "sync_changes_delta",
+    # round 12 rotation (VERDICT r11 ask #2): the two r11 flagships
+    # sql_dml_merge / sync_changes_delta rotate INTO the scored window;
+    # the judge's own demotion candidates park here in exchange (both
+    # remain judge-oracles in the full battery):
+    "price_outliers",  # exact-percentile shape stays judge-oracle via price_deciles + price_histogram
+    "range_join_sessions",  # interval-predicate shape stays scored via stream_interval_join; sessionization via scored event_sessions
+    # r12 addition: the SQL read surface's time-travel diff parks as a
+    # judge-oracle — its write lineage routes to scored sql_dml_merge's
+    # statements and its read half is register_versioned_view (the
+    # read path every scored lake oracle already exercises)
+    "sql_time_travel_read",
+    # r12 addition: the temporal-widening lifecycle parks as a
+    # judge-oracle — ALTER TYPE routes through the scored lake ALTER
+    # family and the mixed-encoding read is the same evolved-read path
+    # scored default_column_backfill exercises
+    "temporal_widen_read",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)
