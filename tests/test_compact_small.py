@@ -156,3 +156,43 @@ def test_sink_inline_incremental_compaction(spark, tmp_path):
     files, _ = files_for_read(t)
     assert len(files) <= 4
     assert read_snapshot(spark, t).count() == 8
+
+
+def test_sink_honors_table_maintenance_policy(spark, tmp_path):
+    """r12: a sink created with NO thresholds maintains a table that
+    declares its own maintain.* properties — one policy, every writer;
+    a table without properties stays untouched (the pre-r12 no-op)."""
+    from wrtd_etl_spark.sources.versioned import (
+        files_for_read,
+        read_snapshot,
+        set_table_properties,
+        write_snapshot,
+    )
+    from wrtd_etl_spark.streaming.versioned_sink import (
+        make_versioned_append_sink,
+    )
+
+    t = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(0, "seed")], "k long, v string"), t
+    )
+    set_table_properties(
+        t, {"maintain.max_files": "3", "maintain.target_files": "1"}
+    )
+    sink = make_versioned_append_sink(t)  # no thresholds passed
+    for i in range(1, 5):
+        sink(
+            spark.createDataFrame([(i, f"b{i}")], "k long, v string"), i
+        )
+    # policy fired: file count folded back under the threshold
+    assert len(files_for_read(t)[0]) <= 3
+    assert {r.k for r in read_snapshot(spark, t).collect()} == set(range(5))
+
+    # a property-less table is never touched by the no-threshold sink
+    t2 = str(tmp_path / "t2")
+    sink2 = make_versioned_append_sink(t2)
+    for i in range(8):
+        sink2(
+            spark.createDataFrame([(i, "x")], "k long, v string"), i
+        )
+    assert len(files_for_read(t2)[0]) == 8

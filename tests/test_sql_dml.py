@@ -639,3 +639,297 @@ def test_sql_create_migration_script_e2e(spark, tmp_path):
         (1, "a", 0.0),
         (2, "b", 9.5),
     }
+
+
+def test_sql_optimize_where_scopes_victims(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r12): only small files whose stats admit the
+    predicate rewrite; the out-of-scope small-file tail keeps its
+    inodes, and row content is maintenance-invisible."""
+    import os
+
+    from wrtd_etl_spark.sources.versioned import files_for_read
+
+    t = str(tmp_path / "t")
+    # 4 files, k-clustered: [0..249][250..499][500..749][750..999]
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "k long, v string"
+        ),
+        t,
+        layout_by=["k"],
+        layout_files=4,
+    )
+    before = {
+        f: os.stat(os.path.join(t, f)).st_ino for f in files_for_read(t)[0]
+    }
+    rows_before = {
+        (r.k, r.v) for r in read_snapshot(spark, t).collect()
+    }
+    v = versioned_sql(
+        spark, "OPTIMIZE t WHERE k BETWEEN 0 AND 499", tables={"t": t}
+    )
+    assert v is not None
+    after = {
+        f: os.stat(os.path.join(t, f)).st_ino for f in files_for_read(t)[0]
+    }
+    carried = {f for f in after if f in before and after[f] == before[f]}
+    assert len(carried) == 2  # the two out-of-scope files, untouched
+    assert {
+        (r.k, r.v) for r in read_snapshot(spark, t).collect()
+    } == rows_before
+    # an underivable predicate refuses with guidance, rewrites nothing
+    with pytest.raises(ValueError, match="no usable file bounds"):
+        versioned_sql(
+            spark, "OPTIMIZE t WHERE k < 10 OR v = 'x'", tables={"t": t}
+        )
+    with pytest.raises(ValueError, match="contradicts"):
+        versioned_sql(spark, "OPTIMIZE t FULL WHERE k < 10", tables={"t": t})
+
+
+def test_sql_vacuum_dry_run_and_shallow_clone(spark, tmp_path):
+    """VACUUM ... DRY RUN returns the reclaim list without deleting;
+    CREATE TABLE ... SHALLOW CLONE pins a version zero-copy and the
+    clone evolves independently; DEEP CLONE refuses with the reason."""
+    import os
+
+    t = str(tmp_path / "t")
+    c = str(tmp_path / "c")
+    _seed(spark, t)  # v0: k 0..9
+    versioned_sql(spark, "UPDATE t SET v = 'u' WHERE k < 3", tables={"t": t})
+
+    # clone the PRE-update version; verify content + independence
+    versioned_sql(
+        spark,
+        "CREATE TABLE c SHALLOW CLONE t VERSION AS OF 0",
+        tables={"t": t, "c": c},
+    )
+    assert _state(spark, c) == {
+        (i, f"v{i}", float(i)) for i in range(10)
+    }
+    versioned_sql(spark, "DELETE FROM c WHERE k >= 5", tables={"c": c})
+    assert len(_state(spark, c)) == 5 and len(_state(spark, t)) == 10
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_sql(
+            spark,
+            "CREATE TABLE c SHALLOW CLONE t",
+            tables={"t": t, "c": c},
+        )
+    with pytest.raises(ValueError, match="SHALLOW CLONE is supported"):
+        versioned_sql(
+            spark,
+            "CREATE TABLE c2 SHALLOW CLONE t",  # placeholder, replaced below
+            tables={"t": t, "c2": str(tmp_path / "never")},
+        ) if False else versioned_sql(
+            spark,
+            "CREATE TABLE c2 DEEP CLONE t",
+            tables={"t": t, "c2": str(tmp_path / "never")},
+        )
+
+    # dry run on the source: the CoW update orphaned v0's rewritten
+    # file below RETAIN 1 VERSIONS + 0 HOURS — report it, delete nothing
+    dry = versioned_sql(
+        spark,
+        "VACUUM t RETAIN 1 VERSIONS RETAIN 0 HOURS DRY RUN",
+        tables={"t": t},
+    )
+    paths = [r.path for r in dry.collect()]
+    assert paths and all(os.path.exists(os.path.join(t, p)) for p in paths)
+    # the real run reclaims exactly the reported set
+    n = versioned_sql(
+        spark,
+        "VACUUM t RETAIN 1 VERSIONS RETAIN 0 HOURS",
+        tables={"t": t},
+    )
+    assert n == len(paths)
+    assert not any(os.path.exists(os.path.join(t, p)) for p in paths)
+    # the clone's hardlinked bytes survived the source vacuum
+    assert len(_state(spark, c)) == 5
+
+
+def test_sql_tblproperties_policy(spark, tmp_path):
+    """TBLPROPERTIES (r12): SET/UNSET via SQL, carried by every commit
+    shape (append, overwrite, compact, clone; RESTORE keeps the CURRENT
+    policy — config is not data), and `maintain.*` keys become
+    maybe_compact's defaults so the table carries ONE maintenance
+    policy for every maintainer."""
+    from wrtd_etl_spark.sources.versioned import (
+        clone_table,
+        compact,
+        latest_version,
+        maybe_compact,
+        rollback,
+        table_properties,
+    )
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)
+    versioned_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ("
+        "'maintain.max_files' = '4', 'owner' = 'data-eng')",
+        tables={"t": t},
+    )
+    assert table_properties(t) == {
+        "maintain.max_files": "4",
+        "owner": "data-eng",
+    }
+    # carried across append / overwrite / compact / clone
+    write_snapshot(
+        spark.createDataFrame([(100, "x", 0.0)], "k long, v string, x double"),
+        t,
+        mode="append",
+    )
+    compact(spark, t)
+    write_snapshot(
+        spark.createDataFrame([(0, "o", 0.0)], "k long, v string, x double"),
+        t,
+        mode="overwrite",
+    )
+    assert table_properties(t)["owner"] == "data-eng"
+    c = str(tmp_path / "c")
+    clone_table(t, c)
+    assert table_properties(c)["owner"] == "data-eng"
+    # RESTORE rewinds rows, not configuration: policy set AFTER the
+    # target version survives the rollback
+    versioned_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('tier' = 'gold')",
+        tables={"t": t},
+    )
+    rollback(t, 0)
+    assert table_properties(t)["tier"] == "gold"
+    assert len(_state(spark, t)) == 10  # rows rewound to v0
+
+    # the policy drives maybe_compact with NO thresholds passed:
+    # 6 single-row appends exceed maintain.max_files=4
+    p = str(tmp_path / "p")
+    _seed(spark, p)
+    versioned_sql(
+        spark,
+        "ALTER TABLE p SET TBLPROPERTIES ('maintain.max_files' = '4')",
+        tables={"p": p},
+    )
+    for i in range(6):
+        write_snapshot(
+            spark.createDataFrame(
+                [(1000 + i, "a", 0.0)], "k long, v string, x double"
+            ),
+            p,
+            mode="append",
+        )
+    before = latest_version(p)
+    assert maybe_compact(spark, p) is not None  # fired off the property
+    # an explicit argument still wins over the property
+    assert maybe_compact(spark, p, max_files=10_000) is None
+    assert latest_version(p) == before + 1
+
+    # UNSET drops keys (missing keys ignored); bad policy values refuse
+    versioned_sql(
+        spark,
+        "ALTER TABLE t UNSET TBLPROPERTIES ('owner', 'nope')",
+        tables={"t": t},
+    )
+    assert "owner" not in table_properties(t)
+    with pytest.raises(ValueError, match="positive integer"):
+        versioned_sql(
+            spark,
+            "ALTER TABLE t SET TBLPROPERTIES ('maintain.max_files' = 'lots')",
+            tables={"t": t},
+        )
+    # DESCRIBE DETAIL surfaces the map
+    det = versioned_sql(spark, "DESCRIBE DETAIL t", tables={"t": t}).head()
+    assert "tier" in det.props
+
+
+def test_analyze_backfills_stats_and_blooms(spark, tmp_path):
+    """collect_statistics / ANALYZE TABLE (r12): a table written with
+    NO stats/blooms gains both metadata-only — files keep their inodes,
+    pruning starts working, re-runs are no-ops, a renamed column
+    backfills its old physical label, and the change feed sees an
+    empty advance (no row changed)."""
+    import os
+
+    from wrtd_etl_spark.sources.versioned import (
+        alter_rename_column,
+        collect_statistics,
+        files_for_read,
+        latest_version,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+    # two stat-less single-file segments with disjoint k ranges
+    for lo in (0, 1000):
+        write_snapshot(
+            spark.createDataFrame(
+                [(lo + i, f"v{i}", float(i)) for i in range(100)],
+                "k long, v string, x double",
+            ).coalesce(1),
+            t,
+            mode="append" if lo else "overwrite",
+        )
+    # no stats: nothing prunes
+    kept, total = files_for_read(t, skip_filter={"k": (0, 10)})
+    assert total == 2 and len(kept) == 2
+    inodes = {
+        f: os.stat(os.path.join(t, f)).st_ino for f in files_for_read(t)[0]
+    }
+    v = versioned_sql(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, x",
+        tables={"t": t},
+    )
+    assert v == latest_version(t)
+    # pruning works now; data untouched
+    kept, _ = files_for_read(t, skip_filter={"k": (0, 10)})
+    assert len(kept) == 1
+    assert {
+        f: os.stat(os.path.join(t, f)).st_ino for f in files_for_read(t)[0]
+    } == inodes
+    # idempotent re-run: no commit
+    assert collect_statistics(spark, t, stats_cols=["k", "x"]) is None
+    # bloom backfill enables point pruning on the unclustered v column
+    versioned_sql(
+        spark, "ANALYZE TABLE t COMPUTE BLOOM FOR COLUMNS v",
+        tables={"t": t},
+    )
+    kept, _ = files_for_read(t, point_filter={"v": ["nope"]})
+    assert len(kept) == 0
+    # the analyze commits are row-invisible to the change feed
+    assert table_changes(spark, t, 1, latest_version(t)).count() == 0
+    # a renamed column backfills the OLD segments' physical label
+    alter_rename_column(t, "x", "score")
+    write_snapshot(
+        spark.createDataFrame(
+            [(5000, "w", 9.0)], "k long, v string, score double"
+        ),
+        t,
+        mode="append",
+    )
+    assert collect_statistics(spark, t, stats_cols=["score"]) is not None
+    kept, total = files_for_read(t, skip_filter={"score": (500.0, None)})
+    assert total == 3 and len(kept) == 0  # all files' score/x < 500
+    # unknown columns contribute nothing (and alone, back off to no-op)
+    assert collect_statistics(spark, t, stats_cols=["ghost"]) is None
+
+
+def test_sql_show_tblproperties_and_tables(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _seed(spark, t)
+    versioned_sql(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'me', 'tier' = 'b')",
+        tables={"t": t},
+    )
+    rows = versioned_sql(
+        spark, "SHOW TBLPROPERTIES t", tables={"t": t}
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [
+        ("owner", "me"),
+        ("tier", "b"),
+    ]
+    names = versioned_sql(
+        spark, "SHOW TABLES", tables={"t": t}
+    ).collect()
+    assert ("t", t) in {(r.name, r.path) for r in names}
+    with pytest.raises(ValueError, match="SHOW TBLPROPERTIES"):
+        versioned_sql(spark, "SHOW COLUMNS IN t", tables={"t": t})

@@ -2127,6 +2127,10 @@ def _commit_new_segment(
                 if (renames or {}).get(c, c) in _schema_fields(schema)
             },
             "row_high": row_high + rows_minted,
+            # table properties are table-level config (maintenance
+            # policy etc.) — they survive every commit incl. overwrite,
+            # like Delta TBLPROPERTIES
+            "props": base.get("props", {}),
             "committed_at": time.time(),
             "extra": extra or {},
         }
@@ -3669,6 +3673,7 @@ def _commit_rewrite(
             "identity": ident_final,
             "defaults": manifest.get("defaults", {}),
             "row_high": row_high_new,
+            "props": manifest.get("props", {}),
             "committed_at": time.time(),
             "extra": extra if extra is not None else manifest.get("extra", {}),
         }
@@ -5408,12 +5413,76 @@ def rollback(table: str, version: int) -> int:
             "identity": latest_ident,
             "defaults": target.get("defaults", {}),
             "row_high": latest_root.get("row_high", 0),
+            # like the identity mark: properties are CONFIG, not data —
+            # a restore rewinds rows, not the current maintenance policy
+            "props": latest_root.get("props", {}),
             "committed_at": time.time(),
             "extra": target.get("extra", {}),
         }
         if _try_commit(table, prev + 1, manifest):
             return prev + 1
     raise CommitConflict(f"rollback of {table} kept losing the commit race")
+
+
+# table-property keys maybe_compact consults when the caller leaves the
+# corresponding argument unset — the table carries its own maintenance
+# policy (Delta TBLPROPERTIES style), so every maintainer (streaming
+# sink, feed daemon, index refreshers, SQL OPTIMIZE-when-needed) applies
+# ONE policy without each caller re-plumbing thresholds
+MAINTENANCE_PROPS = (
+    "maintain.max_files",
+    "maintain.target_files",
+    "maintain.small_bytes",
+    "maintain.target_bytes",
+    "maintain.dv_rows_max",
+)
+
+
+def table_properties(table: str) -> dict[str, str]:
+    """The latest version's table properties ({} when none/missing)."""
+    p = _read_pointer(table)
+    if p is None:
+        return {}
+    return dict(_read_manifest_root(table, p).get("props") or {})
+
+
+def set_table_properties(table: str, props: "dict[str, str]") -> int:
+    """Delta's ALTER TABLE SET TBLPROPERTIES: merge string key/values
+    into the table's property map in one metadata commit. Properties
+    are table-level CONFIG — they survive every commit including
+    overwrite/compact/clone, and RESTORE keeps the CURRENT policy (a
+    restore rewinds rows, not configuration). ``maintain.*`` keys feed
+    :func:`maybe_compact`'s defaults (see MAINTENANCE_PROPS); numeric
+    maintenance values are validated here so a typo fails at SET time,
+    not inside a 3 a.m. maintenance pass."""
+    p = _read_pointer(table)
+    if p is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    clean: dict[str, str] = {}
+    for k, v in props.items():
+        if not isinstance(k, str) or not k:
+            raise ValueError(f"property key must be a non-empty string: {k!r}")
+        sv = str(v)
+        if k in MAINTENANCE_PROPS:
+            try:
+                if int(sv) <= 0:
+                    raise ValueError
+            except ValueError:
+                raise ValueError(
+                    f"property {k!r} must be a positive integer, got {sv!r}"
+                ) from None
+        clean[k] = sv
+    cur = table_properties(table)
+    return _commit_props(table, {"props": {**cur, **clean}})
+
+
+def unset_table_properties(table: str, keys: "list[str]") -> int:
+    """ALTER TABLE UNSET TBLPROPERTIES: remove keys (missing keys are
+    ignored, Delta's IF EXISTS behavior) in one metadata commit."""
+    cur = table_properties(table)
+    return _commit_props(
+        table, {"props": {k: v for k, v in cur.items() if k not in keys}}
+    )
 
 
 def check_constraints(table: str) -> dict[str, str]:
@@ -6218,8 +6287,131 @@ def describe_table(table: str) -> dict:
         "bloom_bytes": bloom_bytes,
         "dv_rows": dv_rows,
         "retained_versions": len(history(table)),
+        "props": m.get("props", {}),
         "extra": m.get("extra", {}),
     }
+
+
+def collect_statistics(
+    spark: SparkSession,
+    table: str,
+    stats_cols: "list[str] | None" = None,
+    bloom_cols: "list[str] | None" = None,
+) -> "int | None":
+    """ANALYZE-style stats/bloom BACKFILL (r12): record min/max stats
+    and/or bloom sketches for existing files that lack them — the
+    adoption path for a table written before anyone passed
+    ``stats_cols=``/``bloom_cols=``, whose reads can start pruning
+    WITHOUT rewriting a byte of data.
+
+    Cost shape: stats come from parquet FOOTERS (driver-side, O(missing
+    files) metadata reads — no data I/O); blooms scan only the missing
+    files' requested columns executor-side (the write path's own
+    ``_collect_file_blooms``, one file per task, ~1 KiB/file/column back
+    to the driver, budget-enforced like every bloom). The commit swaps
+    segment detail sidecars for enriched twins — file lists, rows, row
+    ids, cvs, DVs all byte-identical — under mode ``append`` with an
+    unchanged segment count, so change-feed consumers see an EMPTY
+    advance (no row changed, and ``delta_files``' positional-tail rule
+    reads it as such). Returns the new version, or None when nothing
+    was missing (idempotent re-run). Columns resolve through the alias
+    map, so a renamed column backfills its old segments' physical
+    label; unknown columns and binary columns (no stable stat encoding)
+    simply contribute nothing."""
+    want_stats = list(stats_cols or [])
+    want_blooms = list(bloom_cols or [])
+    if not want_stats and not want_blooms:
+        raise ValueError("pass stats_cols and/or bloom_cols to backfill")
+    for _ in range(20):
+        p = _read_pointer(table)
+        if p is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        root = _read_manifest_root(table, p)
+        aliases = root.get("aliases", {})
+        existing_bloom_bytes = sum(
+            s.get("bloom_bytes", 0) if _is_seg_head(s) else 0
+            for s in _segments(root)
+        )
+        new_segs: list = []
+        changed = False
+        for seg in _segments(root):
+            full = _resolve_seg(table, seg)
+            fields = set(_schema_fields(full["schema"]))
+
+            def phys(cur: str):
+                for f in fields:
+                    if aliases.get(f, f) == cur:
+                        return f
+                return None
+
+            stats = {k: dict(v) for k, v in full.get("stats", {}).items()}
+            blooms = {k: dict(v) for k, v in full.get("blooms", {}).items()}
+            seg_changed = False
+            todo = [c for c in (phys(c) for c in want_stats) if c]
+            missing = sorted(
+                {
+                    f
+                    for f in full["files"]
+                    for c in todo
+                    if c not in stats.get(f, {})
+                }
+            )
+            if todo and missing:
+                got = _collect_file_stats(table, missing, todo)
+                for f, st in got.items():
+                    for c, b in st.items():
+                        if c not in stats.setdefault(f, {}):
+                            stats[f][c] = b
+                            seg_changed = True
+            todo_b = [c for c in (phys(c) for c in want_blooms) if c]
+            missing_b = sorted(
+                {
+                    f
+                    for f in full["files"]
+                    for c in todo_b
+                    if c not in blooms.get(f, {})
+                }
+            )
+            if todo_b and missing_b:
+                got_b = _collect_file_blooms(spark, table, missing_b, todo_b)
+                got_b = _enforce_bloom_budget(
+                    table, got_b, existing_bloom_bytes
+                )
+                for f, fb in got_b.items():
+                    for c, b in fb.items():
+                        if c not in blooms.setdefault(f, {}):
+                            blooms[f][c] = b
+                            seg_changed = True
+                existing_bloom_bytes += sum(
+                    int(b["m"]) // 8
+                    for fb in got_b.values()
+                    for b in fb.values()
+                )
+            if not seg_changed:
+                new_segs.append(seg)  # head carries byte-for-byte
+                continue
+            changed = True
+            full2 = {**full, "stats": stats}
+            if blooms:
+                full2["blooms"] = blooms
+            new_segs.append(_write_seg_detail(table, full2))
+        if not changed:
+            return None
+        manifest = {
+            **root,
+            "version": p + 1,
+            "mode": "append",
+            "parent": p,
+            "segments": new_segs,
+            "committed_at": time.time(),
+        }
+        manifest.pop("metrics", None)
+        manifest.pop("files", None)
+        if _try_commit(table, p + 1, manifest):
+            return p + 1
+    raise CommitConflict(
+        f"statistics backfill on {table} kept losing the commit race"
+    )
 
 
 def clone_table(
@@ -6310,6 +6502,7 @@ def clone_table(
         "identity": m.get("identity", {}),
         "defaults": m.get("defaults", {}),
         "row_high": m.get("row_high", 0),
+        "props": m.get("props", {}),
         "committed_at": time.time(),
         "extra": {"cloned_from": src, "clone_source_version": version},
     }
@@ -6374,7 +6567,10 @@ def expire_history(
 
 
 def vacuum(
-    table: str, keep_last: int = 1, tmp_age_s: float = 3600.0
+    table: str,
+    keep_last: int = 1,
+    tmp_age_s: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files referenced by NO retained manifest (the newest
     ``keep_last`` versions are retained; older manifests stay as history
@@ -6385,12 +6581,18 @@ def vacuum(
     The SAME age threshold guards unreferenced data files: a concurrent
     commit writes data first and links its manifest later, so only
     unreferenced files at least ``tmp_age_s`` old are reclaimed
-    (mirroring Delta's retention check). Returns the deleted paths."""
+    (mirroring Delta's retention check). Returns the deleted paths.
+
+    ``dry_run=True`` (Delta's VACUUM DRY RUN): report the data files a
+    real run would reclaim — same retention walk, same age guard — and
+    delete NOTHING (tmp/sidecar debris is not swept either)."""
     latest = _read_pointer(table)
     if latest is None:
         return []
 
     def _sweep(path: str) -> None:
+        if dry_run:
+            return
         try:
             if time.time() - os.path.getmtime(path) >= tmp_age_s:
                 os.remove(path)
@@ -6485,10 +6687,13 @@ def vacuum(
                         os.path.join(table, rel)
                     ) < tmp_age_s:
                         continue
-                    os.remove(os.path.join(table, rel))
+                    if not dry_run:
+                        os.remove(os.path.join(table, rel))
                 except FileNotFoundError:
                     continue
                 deleted.append(rel)
+        if dry_run:
+            continue
         try:
             remaining = os.listdir(snap_dir)
         except FileNotFoundError:
@@ -6626,6 +6831,7 @@ def compact(
         # the mark carries: compaction mints nothing, but ids the
         # lineage already consumed must never be reissued
         "row_high": base_manifest.get("row_high", 0),
+        "props": base_manifest.get("props", {}),
         "committed_at": time.time(),
         # extra carries forward: it is the exactly-once batch-id ledger
         # for streaming sinks (versioned_sink.py, cdc.py) and the
@@ -6657,6 +6863,7 @@ def compact_small_files(
     table: str,
     small_bytes: int = 32 << 20,
     target_bytes: int = 128 << 20,
+    among: "set[str] | None" = None,
 ) -> int | None:
     """Incremental OPTIMIZE (bin-packing): rewrite ONLY the data files
     smaller than ``small_bytes`` into ~``target_bytes`` files; everything
@@ -6672,7 +6879,13 @@ def compact_small_files(
     the rewrite protocol — same stats/bloom re-collection, same CHECK
     gate, same optimistic rebase over concurrent appends (row content is
     unchanged, so any append commutes). Returns the new version, or None
-    when fewer than two victims exist (nothing to pack)."""
+    when fewer than two victims exist (nothing to pack).
+
+    ``among`` (Delta's ``OPTIMIZE ... WHERE`` scope) restricts victims
+    to the given relpaths — callers derive the set from stats pruning
+    so a predicate-scoped pack touches only the matching slice of a
+    100-TB table; a superset scope only adds candidates, never changes
+    row content, so the rewrite stays maintenance-invisible."""
     base = _read_pointer(table)
     if base is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -6681,6 +6894,8 @@ def compact_small_files(
         f: os.path.getsize(os.path.join(table, f)) for f in manifest["files"]
     }
     victims = {f for f, s in sizes.items() if s < small_bytes}
+    if among is not None:
+        victims &= set(among)
     if len(victims) < 2:
         return None
     return _rewrite_victims(spark, table, base, manifest, victims, target_bytes)
@@ -7111,15 +7326,22 @@ def reorg_purge(
     )
 
 
+# distinct "not passed" marker for maybe_compact's small_bytes: None is
+# itself meaningful there (= full-table compact mode / bin-pack
+# disabled — the index daemons rely on it), so it cannot double as
+# "resolve from table properties"
+_UNSET = object()
+
+
 def maybe_compact(
     spark: SparkSession,
     table: str,
-    max_files: int = 64,
-    target_files: int = 8,
+    max_files: "int | None" = None,
+    target_files: "int | None" = None,
     stats_cols: list[str] | None = None,
-    small_bytes: int | None = None,
-    target_bytes: int = 128 << 20,
-    dv_rows_max: int = 1_000_000,
+    small_bytes=_UNSET,
+    target_bytes: "int | None" = None,
+    dv_rows_max: "int | None" = None,
 ) -> int | None:
     """OPTIMIZE-when-needed: compact iff the latest version references
     more than ``max_files`` data files, OR deletion vectors shadow more
@@ -7145,11 +7367,33 @@ def maybe_compact(
     rewrite — the right setting for a sink on a large table.
 
     The ``dv_rows_max`` trigger routes to :func:`reorg_purge`, which
-    rewrites ONLY the DV-shadowed files — never the whole table."""
+    rewrites ONLY the DV-shadowed files — never the whole table.
+
+    Arguments left ``None`` resolve from the table's OWN ``maintain.*``
+    properties (:func:`set_table_properties`) and then the built-in
+    defaults — the table carries one maintenance policy and every
+    maintainer (sink, feed daemon, index refreshers) honors it without
+    re-plumbing thresholds; an explicit argument still wins."""
     p = _read_pointer(table)
     if p is None:
         return None
     root = _read_manifest_root(table, p)
+    pol = root.get("props") or {}
+
+    def _resolve(val, key, dflt):
+        if val is not None:
+            return val
+        s = pol.get(key)
+        return int(s) if s is not None else dflt
+
+    max_files = _resolve(max_files, "maintain.max_files", 64)
+    target_files = _resolve(target_files, "maintain.target_files", 8)
+    target_bytes = _resolve(target_bytes, "maintain.target_bytes", 128 << 20)
+    dv_rows_max = _resolve(dv_rows_max, "maintain.dv_rows_max", 1_000_000)
+    if small_bytes is _UNSET:
+        # None stays "bin-pack disabled" for explicit callers; only a
+        # genuinely-unset argument consults the table policy
+        small_bytes = _resolve(None, "maintain.small_bytes", None)
     n_files = sum(
         s["n_files"] if _is_seg_head(s) else len(s["files"])
         for s in _segments(root)

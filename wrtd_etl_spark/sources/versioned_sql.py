@@ -24,12 +24,27 @@ parser plugin, zero new write paths:
 * ``ALTER TABLE t CLUSTER BY (a, b) | CLUSTER BY NONE`` → alter_cluster_by
 * ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr) | UNIQUE (cols)`` /
   ``DROP CONSTRAINT n`` → add/drop_check/unique_constraint
+* ``ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)`` /
+  ``UNSET TBLPROPERTIES ('k', ...)`` → set/unset_table_properties
+  (``maintain.*`` keys drive maybe_compact's defaults — the table
+  carries its own maintenance policy)
 * ``INSERT INTO | OVERWRITE t [(cols)] SELECT ... | VALUES ...`` →
   :func:`~.versioned.write_snapshot` (append / overwrite)
 * ``CREATE [OR REPLACE] TABLE t AS SELECT ...`` → write_snapshot
   (plain CREATE refuses an existing table)
-* ``OPTIMIZE t [FULL]`` → compact_small_files (bin-pack) / compact
-* ``VACUUM t [RETAIN n VERSIONS] [RETAIN n HOURS]`` → vacuum
+* ``OPTIMIZE t [FULL] [WHERE cond]`` → compact_small_files (bin-pack;
+  WHERE scopes victims to stats-admitted files) / compact
+* ``VACUUM t [RETAIN n VERSIONS] [RETAIN n HOURS] [DRY RUN]`` → vacuum
+  (DRY RUN returns the reclaim list as a DataFrame, deletes nothing)
+* ``CREATE TABLE dst SHALLOW CLONE src [VERSION|TIMESTAMP AS OF x]`` →
+  clone_table (zero-copy hardlink clone; DEEP refused with the reason)
+* ``COPY INTO t FROM '<path>' [FILEFORMAT = ...] [PATTERN = '<glob>']``
+  → sources/copy_into.py (idempotent name-ledgered bulk file ingest)
+* ``ANALYZE TABLE t COMPUTE STATISTICS|BLOOM FOR COLUMNS a, b`` →
+  collect_statistics (metadata-only stats/bloom backfill for existing
+  files — pruning adoption without rewriting data)
+* ``SHOW TBLPROPERTIES t`` / ``SHOW TABLES`` → DataFrames over the
+  property map / the name→path registry
 * ``DESCRIBE HISTORY t`` → the commit log as a DataFrame
 * ``DESCRIBE DETAIL t`` → the table summary (describe_table) as one row
 * ``INSERT INTO t REPLACE WHERE cond SELECT ...`` → replace_where
@@ -858,6 +873,28 @@ def _parse_alter(
         cols = [_strip_ident(c) for c in _split_top(mu.group(2), ",")]
         return V.add_unique_constraint(spark, table, mu.group(1), cols)
 
+    mp = re.match(
+        r"^(UN)?SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", act, re.I | re.S
+    )
+    if mp:
+        items = _split_top(mp.group(2), ",")
+        if mp.group(1):
+            # UNSET: bare (possibly quoted) keys
+            return V.unset_table_properties(
+                table, [_strip_ident(k) for k in items if k]
+            )
+        props: dict = {}
+        for item in items:
+            if not item:
+                continue
+            kv = _split_top(item, "=")
+            if len(kv) != 2:
+                raise ValueError(
+                    f"SET TBLPROPERTIES expects 'key' = 'value', got {item!r}"
+                )
+            props[_strip_ident(kv[0])] = _strip_ident(kv[1])
+        return V.set_table_properties(table, props)
+
     mdc = re.match(r"^DROP\s+CONSTRAINT\s+(" + _IDENT + r")\s*$", act, re.I)
     if mdc:
         name = mdc.group(1)
@@ -1274,6 +1311,31 @@ def versioned_sql(
     if kw == "INSERT":
         return _parse_insert(spark, stmt, tables)
     if kw == "CREATE":
+        mc = re.match(
+            r"^\s*CREATE\s+TABLE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+"
+            r"(SHALLOW|DEEP)\s+CLONE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+            r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
+            stmt,
+            re.I,
+        )
+        if mc:
+            if mc.group(2).upper() == "DEEP":
+                raise ValueError(
+                    "only SHALLOW CLONE is supported (the clone "
+                    "hardlinks immutable data files, which is already "
+                    "vacuum-safe on both sides — a DEEP copy buys "
+                    "nothing on one filesystem; cross-filesystem links "
+                    "fall back to real copies automatically)"
+                )
+            dst = _resolve_table(mc.group(1), tables)
+            src = _resolve_table(mc.group(3), tables)
+            kw_clone: dict = {}
+            if mc.group(4) is not None:
+                kw_clone["version"] = int(mc.group(4))
+            elif mc.group(5) is not None:
+                kw_clone["as_of"] = _parse_as_of_ts(mc.group(5))
+            return V.clone_table(src, dst, **kw_clone)
         m = re.match(
             r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
             r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+AS\s+(.*)$",
@@ -1293,6 +1355,68 @@ def versioned_sql(
             spark.sql(_rewrite_reads(spark, m.group(3).strip(), tables)),
             table,
             mode="overwrite",
+        )
+    if kw == "SHOW":
+        mp = re.match(
+            r"^\s*SHOW\s+TBLPROPERTIES\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s*$",
+            stmt,
+            re.I,
+        )
+        if mp:
+            props = V.table_properties(_resolve_table(mp.group(1), tables))
+            return spark.createDataFrame(
+                sorted(props.items()) or [], "key string, value string"
+            )
+        if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.I):
+            names = dict(_REGISTRY)
+            if tables:
+                names.update({k.lower(): v for k, v in tables.items()})
+            return spark.createDataFrame(
+                sorted(names.items()) or [], "name string, path string"
+            )
+        raise ValueError(
+            "only SHOW TBLPROPERTIES <t> and SHOW TABLES are supported"
+        )
+    if kw == "ANALYZE":
+        m = re.match(
+            r"^\s*ANALYZE\s+TABLE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+"
+            r"COMPUTE\s+(STATISTICS|BLOOM)\s+FOR\s+COLUMNS\s+(.+?)\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "ANALYZE TABLE t COMPUTE STATISTICS|BLOOM FOR COLUMNS "
+                f"a, b — cannot parse: {sql!r}"
+            )
+        table = _resolve_table(m.group(1), tables)
+        cols = [_strip_ident(c) for c in _split_top(m.group(3), ",")]
+        if m.group(2).upper() == "STATISTICS":
+            return V.collect_statistics(spark, table, stats_cols=cols)
+        return V.collect_statistics(spark, table, bloom_cols=cols)
+    if kw == "COPY":
+        m = re.match(
+            r"^\s*COPY\s+INTO\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)\s+"
+            r"FROM\s+'([^']+)'"
+            r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?"
+            r"(?:\s+PATTERN\s*=\s*'([^']+)')?\s*$",
+            stmt,
+            re.I,
+        )
+        if not m:
+            raise ValueError(
+                "COPY INTO t FROM '<path>' [FILEFORMAT = PARQUET|JSON|"
+                f"CSV|TEXT] [PATTERN = '<glob>'] — cannot parse: {sql!r}"
+            )
+        from .copy_into import copy_into
+
+        return copy_into(
+            spark,
+            _resolve_table(m.group(1), tables),
+            m.group(2),
+            file_format=(m.group(3) or "parquet").lower(),
+            pattern=m.group(4),
         )
     if kw == "RESTORE":
         m = re.match(
@@ -1334,21 +1458,46 @@ def versioned_sql(
     if kw == "OPTIMIZE":
         m = re.match(
             r"^\s*OPTIMIZE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
-            r"(\s+FULL)?\s*$",
+            r"(\s+FULL)?(?:\s+WHERE\s+(.+))?\s*$",
             stmt,
-            re.I,
+            re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE statement: {sql!r}")
         table = _resolve_table(m.group(1), tables)
         if m.group(2):
+            if m.group(3):
+                raise ValueError(
+                    "OPTIMIZE FULL rewrites the whole table — a WHERE "
+                    "scope contradicts it; drop one of the two"
+                )
             return V.compact(spark, table)  # FULL: whole-table rewrite
-        return V.compact_small_files(spark, table)  # Delta's bin-pack
+        among = None
+        if m.group(3):
+            # Delta's OPTIMIZE ... WHERE: bin-pack only the files whose
+            # stats admit the predicate — the pack is content-invisible,
+            # so a stats over-approximation only widens the candidate
+            # set, never changes rows (same soundness rule as DML)
+            prune, point = _typed_prune(table, *_derive_prune(m.group(3)))
+            if prune is None and point is None:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE derived no usable file bounds "
+                    f"from {m.group(3)!r} (top-level OR/NOT, or no "
+                    "col-vs-literal conjunct) — run OPTIMIZE without "
+                    "WHERE to pack the whole small-file tail"
+                )
+            among = set(
+                V.files_for_read(
+                    table, skip_filter=prune, point_filter=point
+                )[0]
+            )
+        return V.compact_small_files(spark, table, among=among)
     if kw == "VACUUM":
         m = re.match(
             r"^\s*VACUUM\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
             r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
-            r"(?:\s+RETAIN\s+([\d.]+)\s+HOURS)?\s*$",
+            r"(?:\s+RETAIN\s+([\d.]+)\s+HOURS)?"
+            r"(\s+DRY\s+RUN)?\s*$",
             stmt,
             re.I,
         )
@@ -1362,6 +1511,13 @@ def versioned_sql(
             # files (and staged tmp debris) — 0 reclaims immediately,
             # racing in-flight writers like Delta's own 0-hour warning
             kw_args["tmp_age_s"] = float(m.group(3)) * 3600.0
+        if m.group(4):
+            # Delta's DRY RUN: the reclaim list as a result set,
+            # nothing deleted
+            paths = V.vacuum(table, keep_last=keep, dry_run=True, **kw_args)
+            return spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
         return len(V.vacuum(table, keep_last=keep, **kw_args))
     if kw == "DESCRIBE":
         md = re.match(
@@ -1378,7 +1534,7 @@ def versioned_sql(
             cols = (
                 "version", "mode", "num_files", "size_bytes", "dv_rows",
                 "retained_versions", "columns", "layout", "constraints",
-                "unique", "generated", "defaults",
+                "unique", "generated", "defaults", "props",
             )
             row = tuple(
                 _json.dumps(d.get(k), default=str)
@@ -1391,7 +1547,8 @@ def versioned_sql(
                 "version long, mode string, num_files long, "
                 "size_bytes long, dv_rows long, retained_versions long, "
                 "columns string, layout string, constraints string, "
-                "unique string, generated string, defaults string",
+                "unique string, generated string, defaults string, "
+                "props string",
             )
         m = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+"

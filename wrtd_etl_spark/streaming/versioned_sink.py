@@ -42,7 +42,14 @@ def make_versioned_append_sink(
     INCREMENTAL bin-packer (compact_small_files): only the
     sub-threshold tail is rewritten, well-sized files carry by
     reference — the setting a sink on a LARGE table must use, since a
-    full-table rewrite per trigger does not survive scale."""
+    full-table rewrite per trigger does not survive scale.
+
+    With NO thresholds passed, the sink honors the table's OWN
+    ``maintain.*`` properties (sources/versioned.set_table_properties):
+    a table that declares its maintenance policy gets maintained by
+    every sink writing to it, without each pipeline re-plumbing
+    thresholds. No properties, no thresholds → no maintenance, as
+    before."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -73,6 +80,25 @@ def make_versioned_append_sink(
                 stats_cols=stats_cols,
                 small_bytes=compact_small_bytes,
             )
+        else:
+            from ..sources.versioned import maybe_compact, table_properties
+
+            # policy-driven maintenance: a table that declares its own
+            # maintain.* properties is kept healthy by ANY sink writing
+            # to it (maybe_compact resolves the thresholds from props;
+            # the check costs one root read, which maybe_compact pays
+            # anyway). No props → no-op, the pre-r12 behavior.
+            if any(
+                k.startswith("maintain.") for k in table_properties(table)
+            ):
+                kw = (
+                    {"small_bytes": compact_small_bytes}
+                    if compact_small_bytes is not None
+                    else {}
+                )
+                maybe_compact(
+                    batch.sparkSession, table, stats_cols=stats_cols, **kw
+                )
 
     return sink
 
