@@ -178,6 +178,10 @@ _DEMOTED = (
     # family and the mixed-encoding read is the same evolved-read path
     # scored default_column_backfill exercises
     "temporal_widen_read",
+    # r12 addition: idempotent COPY INTO ingest — its write is the
+    # scored append path (write_snapshot) and its read the SQL router;
+    # the hash itself proves retry-no-double-ingest
+    "copy_into_ingest",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)

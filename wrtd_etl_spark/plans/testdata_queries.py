@@ -3058,3 +3058,38 @@ def temporal_widen_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") >= F.lit(bound))
         .select("k", "d")
     )
+
+
+@register(
+    "copy_into_ingest",
+    """
+    SELECT r_regionkey, r_name, n_nationkey, n_name
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    """,
+)
+def copy_into_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO (r12 — sources/copy_into.py): idempotent name-ledgered
+    bulk ingest of two landing files into two versioned tables, each
+    COPY re-run immediately (the crash/retry shape, reference
+    botrun.py's fetch-then-load) — the oracle's row count proves the
+    re-runs ingested NOTHING twice, and the final read goes through the
+    SQL SELECT router joining both tables."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.copy_into import copy_into
+    from ..sources.versioned_sql import versioned_sql
+
+    base = _os.path.join(_tf.mkdtemp(prefix="wrtd_copy_"), "")
+    tr, tn = base + "region", base + "nation"
+    for tbl, src in ((tr, "region"), (tn, "nation")):
+        path = _os.path.join(sf_dir, f"{src}.parquet")
+        copy_into(spark, tbl, path)
+        again = copy_into(spark, tbl, path)  # idempotent retry: no-op
+        assert again is None, f"retry re-ingested {src}"
+    return versioned_sql(
+        spark,
+        """SELECT r_regionkey, r_name, n_nationkey, n_name
+           FROM region JOIN nation ON n_regionkey = r_regionkey""",
+        tables={"region": tr, "nation": tn},
+    )
