@@ -182,6 +182,13 @@ _DEMOTED = (
     # scored append path (write_snapshot) and its read the SQL router;
     # the hash itself proves retry-no-double-ingest
     "copy_into_ingest",
+    # r12 addition: the CDF TVF read — its diff engine is the same
+    # keyed row-id diff the SCORED cdc_rewrite_fold hashes, surfaced
+    # through SQL; parks as a judge-oracle like every post-r3 add
+    "sql_cdf_read",
+    # r12 addition: zero-copy parquet adoption — its read half is the
+    # scored evolved-read path; the hash proves byte-faithful adoption
+    "convert_adopt_read",
     "stratified_sample",  # L17 hash-stratified sampling stays scored via training_corpus (same split hash) + quality_weighted_sample
     "per_source_cap",  # L19 per-group row quota stays scored via corpus_mixture (token-budget superset of the cap idiom)
     "doc_chunks",  # L13 chunking expressions stay scored via context_packing (which consumes the same chunker)

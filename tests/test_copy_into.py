@@ -104,3 +104,84 @@ def test_copy_into_changed_file_reported_not_reingested(spark, tmp_path):
     st = copy_status(t, land)
     assert st["changed"] == [f] and st["pending"] == []
     assert copy_into(spark, t, land) is None  # never silently re-ingested
+
+
+def test_convert_to_versioned_zero_copy_adoption(spark, tmp_path):
+    """CONVERT (r12): an existing plain-parquet directory becomes
+    versioned v0 in place — inodes untouched, schema drift across files
+    reads through the evolved-union path, optional stats arrive with
+    the conversion, and the adopted table immediately supports the full
+    surface (SQL SELECT, DML, time travel, ANALYZE)."""
+    import os
+
+    from wrtd_etl_spark.sources.versioned import (
+        convert_to_versioned,
+        files_for_read,
+        read_snapshot,
+        update_where,
+    )
+
+    d = str(tmp_path / "plain")
+    # two schema generations, written as ordinary parquet
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, v string"
+    ).coalesce(1).write.parquet(os.path.join(d, "gen1"))
+    spark.createDataFrame(
+        [(10, "w", 1.5)], "k long, v string, score double"
+    ).coalesce(1).write.parquet(os.path.join(d, "gen2"))
+    inodes = {}
+    for dp, dn, fn in os.walk(d):
+        for f in fn:
+            if f.endswith(".parquet"):
+                p = os.path.join(dp, f)
+                inodes[p] = os.stat(p).st_ino
+
+    v = convert_to_versioned(spark, d, stats_cols=["k"])
+    assert v == 0
+    df = read_snapshot(spark, d)
+    assert set(df.columns) == {"k", "v", "score"}
+    got = {(r.k, r.v, r.score) for r in df.collect()}
+    assert (10, "w", 1.5) in got and (0, "v0", None) in got
+    assert len(got) == 6
+    # zero-copy: every adopted file kept its inode
+    for p, ino in inodes.items():
+        assert os.stat(p).st_ino == ino
+    # stats arrived with the conversion: k-range pruning works
+    kept, total = files_for_read(d, skip_filter={"k": (100, None)})
+    assert total == 2 and len(kept) == 0
+    # the adopted table is a first-class citizen: SQL + DML + travel
+    versioned_sql(
+        spark, "UPDATE t SET v = 'adopted' WHERE k = 10", tables={"t": d}
+    )
+    row = versioned_sql(
+        spark, "SELECT v FROM t WHERE k = 10", tables={"t": d}
+    ).head()
+    assert row.v == "adopted"
+    assert read_snapshot(spark, d, version=0).filter(
+        "k = 10"
+    ).head().v == "w"
+    with pytest.raises(ValueError, match="already a versioned table"):
+        convert_to_versioned(spark, d)
+
+
+def test_convert_sql_and_refusals(spark, tmp_path):
+    import os
+
+    from wrtd_etl_spark.sources.versioned import read_snapshot
+
+    d = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        os.path.join(d, "b")
+    )
+    v = versioned_sql(
+        spark,
+        f"CONVERT TO VERSIONED `{d}` STATISTICS FOR COLUMNS k",
+        tables={},
+    )
+    assert v == 0 and read_snapshot(spark, d).count() == 1
+    with pytest.raises(FileNotFoundError, match="no parquet"):
+        from wrtd_etl_spark.sources.versioned import convert_to_versioned
+
+        e = str(tmp_path / "empty")
+        os.makedirs(e)
+        convert_to_versioned(spark, e)

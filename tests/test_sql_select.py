@@ -203,3 +203,61 @@ def test_bad_version_literal_raises(spark, tmp_path):
         versioned_sql(
             spark, "SELECT * FROM t TIMESTAMP AS OF 5", tables={"t": t}
         )
+
+
+def test_table_changes_tvf_in_select(spark, tmp_path):
+    """Delta's CDF TVF shape: table_changes('t', from [, to]) is a
+    relation — filterable, joinable, usable in CTEs; range is the
+    engine's (from, to] contract; the TVF text inside a string literal
+    stays data."""
+    from wrtd_etl_spark.sources.versioned import table_changes
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)  # v0: k 0..7
+    update_where(spark, t, F.col("k") < 2, {"v": F.lit("upd")})  # v1
+    write_snapshot(
+        spark.createDataFrame([(50, "new", 0.0)], "k long, v string, x double"),
+        t,
+        mode="append",
+    )  # v2
+
+    got = versioned_sql(
+        spark,
+        """SELECT k, v, _change_type AS ct
+           FROM table_changes('t', 0) ORDER BY k, ct""",
+        tables={"t": t},
+    )
+    want = (
+        table_changes(spark, t, 0)
+        .select("k", "v", F.col("_change_type").alias("ct"))
+        .orderBy("k", "ct")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # bounded range (0, 1]: only the update's delete+insert pair
+    got1 = versioned_sql(
+        spark,
+        """SELECT _change_type AS ct, count(*) AS n
+           FROM table_changes('t', 0, 1) GROUP BY _change_type""",
+        tables={"t": t},
+    )
+    assert {(r.ct, r.n) for r in got1.collect()} == {
+        ("insert", 2),
+        ("delete", 2),
+    }
+    # joinable with a pinned snapshot in the same statement
+    got2 = versioned_sql(
+        spark,
+        """SELECT c.k FROM table_changes('t', 1, 2) c
+           JOIN t VERSION AS OF 0 AS o ON c.k = o.k""",
+        tables={"t": t},
+    )
+    assert got2.count() == 0  # v2 appended k=50, absent from v0
+    # TVF text inside a literal is data
+    n = versioned_sql(
+        spark,
+        "SELECT count(*) AS n FROM t WHERE v = \"table_changes('t', 0)\"",
+        tables={"t": t},
+    ).head().n
+    assert n == 0

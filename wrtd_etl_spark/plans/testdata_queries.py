@@ -3093,3 +3093,81 @@ def copy_into_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM region JOIN nation ON n_regionkey = r_regionkey""",
         tables={"region": tr, "nation": tn},
     )
+
+
+@register(
+    "sql_cdf_read",
+    """
+    SELECT c_custkey AS k, c_acctbal AS bal, 'delete' AS ct
+    FROM customer
+    WHERE c_custkey BETWEEN 20 AND 29 OR c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey AS k, c_acctbal + 10.0 AS bal, 'insert' AS ct
+    FROM customer
+    WHERE c_custkey % 5 = 0 AND c_custkey NOT BETWEEN 20 AND 29
+    """,
+)
+def sql_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed through SQL (r12): Delta's ``table_changes`` TVF —
+    one UPDATE + one DELETE lineage, then a single SQL statement reads
+    the net row-level diff of the whole range. The oracle reconstructs
+    the exact delete/insert pairs from the raw table, so a mis-folded
+    carry, a resurrected delete, or a wrong-side value breaks the hash.
+    The TVF rewrites to a temp view over the audited
+    :func:`~.versioned.table_changes` (keyed row-id diff over only the
+    endpoint-changed segments — O(changed rows) at 100 TB)."""
+    import os as _os
+    import tempfile as _tf
+
+    from ..sources.versioned import delete_where, update_where, write_snapshot
+    from ..sources.versioned_sql import versioned_sql
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    t = _os.path.join(_tf.mkdtemp(prefix="wrtd_cdf_"), "t")
+    write_snapshot(customer, t, stats_cols=["k"])
+    update_where(
+        spark, t, F.col("k") % 5 == 0, {"bal": F.col("bal") + 10.0}
+    )
+    delete_where(spark, t, F.col("k").between(20, 29))
+    return versioned_sql(
+        spark,
+        "SELECT k, bal, _change_type AS ct FROM table_changes('t', 0)",
+        tables={"t": t},
+    )
+
+
+@register(
+    "convert_adopt_read",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def convert_adopt_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO VERSIONED (r12): zero-copy adoption of an existing
+    parquet directory — the onboarding path for a corpus that already
+    exists. The nation file HARDLINKS into a fresh directory (no data
+    copied), converts in place with stats, and one SQL SELECT reads it
+    back — the hash proves adoption is byte-faithful."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..sources.versioned import convert_to_versioned
+    from ..sources.versioned_sql import versioned_sql
+
+    d = _os.path.join(_tf.mkdtemp(prefix="wrtd_convert_"), "t")
+    _os.makedirs(d)
+    src = _os.path.join(sf_dir, "nation.parquet")
+    dst = _os.path.join(d, "nation.parquet")
+    try:
+        _os.link(src, dst)
+    except OSError:
+        _sh.copy2(src, dst)  # cross-device fallback
+    convert_to_versioned(spark, d, stats_cols=["n_nationkey"])
+    return versioned_sql(
+        spark,
+        "SELECT n_nationkey, n_name, n_regionkey FROM t",
+        tables={"t": d},
+    )

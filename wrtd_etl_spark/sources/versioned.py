@@ -6292,6 +6292,118 @@ def describe_table(table: str) -> dict:
     }
 
 
+def convert_to_versioned(
+    spark: SparkSession,
+    table: str,
+    stats_cols: "list[str] | None" = None,
+    bloom_cols: "list[str] | None" = None,
+) -> int:
+    """CONVERT TO DELTA's shape (r12): adopt an existing plain-parquet
+    directory as versioned-table v0 WITHOUT moving or rewriting a byte
+    — the onboarding path for the 100-TB corpus that already exists.
+
+    Every ``*.parquet`` under ``table`` (recursively, ``_manifests``
+    excluded) is referenced IN PLACE by relative path. Files group by
+    their FOOTER schema into one segment per distinct schema — the
+    evolved-read machinery (per-segment cast to the merged table
+    schema, nullable union) makes a directory that accumulated schema
+    drift read correctly on day one; incompatible drift (type
+    narrowing) refuses with the same message as any append. Optional
+    ``stats_cols``/``bloom_cols`` backfill pruning metadata during the
+    conversion (footer reads / executor scans — the
+    :func:`collect_statistics` machinery).
+
+    Adopted rows predate row tracking and commit versions — they read
+    back honestly NULL-cv / raise on ``with_row_ids`` like any
+    pre-tracking segment, and the first rewrite (compact / CoW DML)
+    mints lineage as it materializes. One caveat, documented rather
+    than hidden: ``vacuum`` reclaims only files under ``data/`` (the
+    engine's own staging layout), so adopted ORIGINALS superseded by a
+    later rewrite stay on disk until removed by hand — the price of a
+    zero-copy adoption that never takes ownership of foreign paths."""
+    if _read_pointer(table) is not None:
+        raise ValueError(
+            f"{table} is already a versioned table (v{_read_pointer(table)})"
+        )
+    rels: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(table):
+        dirnames[:] = [d for d in dirnames if d != _MANIFESTS]
+        for f in filenames:
+            if f.endswith(".parquet"):
+                rels.append(
+                    os.path.relpath(os.path.join(dirpath, f), table)
+                )
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {table}")
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    groups: dict[str, dict] = {}
+    for rel in sorted(rels):
+        sch = from_arrow_schema(pq.read_schema(os.path.join(table, rel)))
+        key = json.dumps(sch.jsonValue(), sort_keys=True)
+        groups.setdefault(
+            key, {"schema": sch.jsonValue(), "files": []}
+        )["files"].append(rel)
+    schema_json = None
+    evolved = False
+    for g in groups.values():
+        if schema_json is None:
+            schema_json = g["schema"]
+        else:
+            schema_json, ev = _merge_schemas(
+                schema_json, g["schema"], f"convert {table}"
+            )
+            evolved = True
+    segments = []
+    for g in groups.values():
+        seg: dict = {"files": g["files"], "schema": g["schema"], "stats": {}}
+        if stats_cols:
+            cols = [
+                c
+                for c in stats_cols
+                if c in _schema_fields(g["schema"])
+            ]
+            if cols:
+                seg["stats"] = _collect_file_stats(table, g["files"], cols)
+        if bloom_cols:
+            cols = [
+                c
+                for c in bloom_cols
+                if c in _schema_fields(g["schema"])
+            ]
+            if cols:
+                seg["blooms"] = _collect_file_blooms(
+                    spark, table, g["files"], cols
+                )
+        segments.append(seg)
+    manifest = {
+        "version": 0,
+        "mode": "overwrite",
+        "parent": None,
+        "segments": segments,
+        "schema": schema_json,
+        "schema_evolved": evolved or len(groups) > 1,
+        "aliases": {},
+        "layout": None,
+        "constraints": {},
+        "generated": {},
+        "unique": {},
+        "identity": {},
+        "defaults": {},
+        "row_high": 0,
+        "props": {},
+        "committed_at": time.time(),
+        "extra": {
+            "converted_from": "parquet",
+            "adopted_files": len(rels),
+        },
+    }
+    if not _try_commit(table, 0, manifest):
+        raise CommitConflict(f"{table} was converted/created concurrently")
+    return 0
+
+
 def collect_statistics(
     spark: SparkSession,
     table: str,

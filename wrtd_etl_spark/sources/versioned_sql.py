@@ -40,6 +40,9 @@ parser plugin, zero new write paths:
   clone_table (zero-copy hardlink clone; DEEP refused with the reason)
 * ``COPY INTO t FROM '<path>' [FILEFORMAT = ...] [PATTERN = '<glob>']``
   → sources/copy_into.py (idempotent name-ledgered bulk file ingest)
+* ``CONVERT TO VERSIONED <dir> [STATISTICS FOR COLUMNS a, b]`` →
+  convert_to_versioned (zero-copy adoption of an existing parquet
+  directory as v0, one segment per footer schema)
 * ``ANALYZE TABLE t COMPUTE STATISTICS|BLOOM FOR COLUMNS a, b`` →
   collect_statistics (metadata-only stats/bloom backfill for existing
   files — pruning adoption without rewriting data)
@@ -60,6 +63,11 @@ parser plugin, zero new write paths:
   read paths) and the statement runs through ``spark.sql``, returning
   the DataFrame. INSERT/CTAS SELECT bodies go through the same
   rewriter, so a migration script can mix DML with AS-OF reads.
+* ``SELECT ... FROM table_changes('t', from [, to])`` — Delta's CDF
+  TVF over :func:`~.versioned.table_changes`; rows carry
+  ``_change_type``. NOTE the range is the engine's own contract,
+  ``(from, to]`` (changes committed AFTER ``from``), not Delta's
+  from-inclusive ``startingVersion``.
 
 Multi-statement scripts run through :func:`versioned_sql_script`
 (top-level ``;`` split, per-statement commits).
@@ -1024,6 +1032,11 @@ def _rewrite_reads(
       registered as a latest-snapshot temp view under its own name,
       resolved NOW — so a script's later SELECT sees its earlier DML.
 
+    * ``table_changes('t', from [, to])`` — Delta's CDF table-valued
+      function: the span is replaced by a temp view over
+      :func:`~.versioned.table_changes` (rows carry ``_change_type``),
+      so change feeds are SQL-queryable/joinable like any relation.
+
     Rewriting is purely textual and quote-aware; everything else in the
     statement (CTEs, joins, windows, subqueries) is Spark's own SQL.
     Each pin registers one view per occurrence, so joining two versions
@@ -1032,7 +1045,31 @@ def _rewrite_reads(
     global _pin_counter
     from .versioned_table import register_versioned_view
 
+    cdf = re.compile(
+        r"table_changes\s*\(\s*('[^']+'|`[^`]+`|" + _IDENT + r")\s*,\s*"
+        r"(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        re.I,
+    )
     level = _scan_level(stmt)
+    out0: list[str] = []
+    last0 = 0
+    for m in cdf.finditer(stmt):
+        if level[m.start()] < 0:
+            continue  # inside a string literal
+        table = _resolve_table(m.group(1), tables)
+        _pin_counter += 1
+        view = f"__vsql_cdf_{_pin_counter}"
+        to = int(m.group(3)) if m.group(3) is not None else None
+        V.table_changes(
+            spark, table, int(m.group(2)), to
+        ).createOrReplaceTempView(view)
+        out0.append(stmt[last0 : m.start()])
+        out0.append(view)
+        last0 = m.end()
+    if out0:
+        out0.append(stmt[last0:])
+        stmt = "".join(out0)
+        level = _scan_level(stmt)
     out: list[str] = []
     last = 0
     for m in _PIN_RE.finditer(stmt):
@@ -1377,6 +1414,27 @@ def versioned_sql(
             )
         raise ValueError(
             "only SHOW TBLPROPERTIES <t> and SHOW TABLES are supported"
+        )
+    if kw == "CONVERT":
+        m = re.match(
+            r"^\s*CONVERT\s+TO\s+VERSIONED\s+"
+            r"(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
+            r"(?:\s+STATISTICS\s+FOR\s+COLUMNS\s+(.+?))?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "CONVERT TO VERSIONED <dir> [STATISTICS FOR COLUMNS "
+                f"a, b] — cannot parse: {sql!r}"
+            )
+        cols = (
+            [_strip_ident(c) for c in _split_top(m.group(2), ",")]
+            if m.group(2)
+            else None
+        )
+        return V.convert_to_versioned(
+            spark, _resolve_table(m.group(1), tables), stats_cols=cols
         )
     if kw == "ANALYZE":
         m = re.match(
