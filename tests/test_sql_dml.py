@@ -933,3 +933,62 @@ def test_sql_show_tblproperties_and_tables(spark, tmp_path):
     assert ("t", t) in {(r.name, r.path) for r in names}
     with pytest.raises(ValueError, match="SHOW TBLPROPERTIES"):
         versioned_sql(spark, "SHOW COLUMNS IN t", tables={"t": t})
+
+
+def test_sql_merge_with_schema_evolution_and_zorder(spark, tmp_path):
+    """r12: MERGE WITH SCHEMA EVOLUTION widens the table with
+    source-only columns (plain MERGE still refuses them); OPTIMIZE
+    ZORDER BY records the layout and re-clusters so range pruning
+    works."""
+    from wrtd_etl_spark.sources.versioned import (
+        describe_table,
+        files_for_read,
+    )
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)
+    spark.createDataFrame(
+        [(1, "one", 1.0, "extra")], "k long, v string, x double, note string"
+    ).createOrReplaceTempView("ev_src")
+    # plain MERGE projects to the target schema: no widening
+    versioned_sql(
+        spark,
+        """MERGE INTO t USING ev_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": t},
+    )
+    assert "note" not in read_snapshot(spark, t).columns
+    versioned_sql(
+        spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO t USING ev_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tables={"t": t},
+    )
+    df = read_snapshot(spark, t)
+    assert "note" in df.columns
+    got = {r.k: r.note for r in df.collect()}
+    assert got[1] == "extra" and got[2] is None
+
+    # ZORDER BY: layout recorded + one clustered rewrite -> pruning
+    z = str(tmp_path / "z")
+    write_snapshot(
+        spark.createDataFrame(
+            [((i * 37) % 1000, f"v{i}") for i in range(1000)],
+            "k long, v string",
+        ).repartition(4),  # scattered: no per-file k locality
+        z,
+        stats_cols=["k"],
+    )
+    kept0, total0 = files_for_read(z, skip_filter={"k": (0, 99)})
+    assert total0 == 4 and len(kept0) == 4  # scattered: nothing prunes
+    versioned_sql(spark, "OPTIMIZE z ZORDER BY (k)", tables={"z": z})
+    assert describe_table(z)["layout"] == {"by": ["k"]}
+    kept1, total1 = files_for_read(z, skip_filter={"k": (0, 99)})
+    assert len(kept1) < total1  # clustered: the range prunes files
+    assert read_snapshot(spark, z).count() == 1000
+    with pytest.raises(ValueError, match="contradicts"):
+        versioned_sql(
+            spark, "OPTIMIZE z WHERE k < 10 ZORDER BY (k)", tables={"z": z}
+        )

@@ -11,10 +11,12 @@ to the existing, already-verified implementations in
 ``sources.versioned`` — string parsing on the driver, no Catalyst
 parser plugin, zero new write paths:
 
-* ``MERGE INTO t USING src ON t.k = src.k WHEN MATCHED [AND c] THEN
-  UPDATE SET ... | DELETE  WHEN NOT MATCHED THEN INSERT ...
+* ``MERGE [WITH SCHEMA EVOLUTION] INTO t USING src ON t.k = src.k
+  WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE
+  WHEN NOT MATCHED THEN INSERT ...
   [WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET ...]``
-  → :func:`~.versioned.merge_into`
+  → :func:`~.versioned.merge_into` (WITH SCHEMA EVOLUTION passes
+  ``evolve_schema=True`` — source-only columns widen the table)
 * ``UPDATE t SET a = expr, ... [WHERE c]`` → :func:`~.versioned.update_where`
 * ``DELETE FROM t [WHERE c]`` → :func:`~.versioned.delete_where`
 * ``ALTER TABLE t ADD COLUMN x type [DEFAULT v]`` → alter_add_column
@@ -32,8 +34,10 @@ parser plugin, zero new write paths:
   :func:`~.versioned.write_snapshot` (append / overwrite)
 * ``CREATE [OR REPLACE] TABLE t AS SELECT ...`` → write_snapshot
   (plain CREATE refuses an existing table)
-* ``OPTIMIZE t [FULL] [WHERE cond]`` → compact_small_files (bin-pack;
-  WHERE scopes victims to stats-admitted files) / compact
+* ``OPTIMIZE t [FULL] [WHERE cond] [ZORDER BY (a, b)]`` →
+  compact_small_files (bin-pack; WHERE scopes victims to
+  stats-admitted files) / compact; ZORDER BY records the layout as a
+  table property then runs one full clustered rewrite
 * ``VACUUM t [RETAIN n VERSIONS] [RETAIN n HOURS] [DRY RUN]`` → vacuum
   (DRY RUN returns the reclaim list as a DataFrame, deletes nothing)
 * ``CREATE TABLE dst SHALLOW CLONE src [VERSION|TIMESTAMP AS OF x]`` →
@@ -304,6 +308,13 @@ def _parse_merge(
     tables: "dict[str, str] | None",
     strategy: str,
 ) -> int:
+    # Delta 3.2's `MERGE WITH SCHEMA EVOLUTION INTO`: source-only
+    # columns widen the table instead of being rejected
+    evolve = False
+    m_ev = re.match(r"^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+", sql, re.I)
+    if m_ev:
+        evolve = True
+        sql = "MERGE " + sql[m_ev.end() :]
     level = _scan_level(sql)
     i_using = _find_kw(sql, "USING", level=level)
     i_on = _find_kw(sql, "ON", i_using, level=level)
@@ -515,6 +526,7 @@ def _parse_merge(
         insert=insert,
         when_not_matched_by_source=by_source,
         strategy=strategy,
+        evolve_schema=evolve,
     )
 
 
@@ -1516,13 +1528,42 @@ def versioned_sql(
     if kw == "OPTIMIZE":
         m = re.match(
             r"^\s*OPTIMIZE\s+(`[^`]*`|'[^']*'|\"[^\"]*\"|\S+)"
-            r"(\s+FULL)?(?:\s+WHERE\s+(.+))?\s*$",
+            r"(\s+FULL)?(?:\s+WHERE\s+(.+?))?"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
             stmt,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE statement: {sql!r}")
         table = _resolve_table(m.group(1), tables)
+        if m.group(4) is not None:
+            # Delta's OPTIMIZE ZORDER BY — here the layout is a TABLE
+            # property (liquid-clustering style), so the statement
+            # records it and runs one full clustered rewrite; future
+            # appends + maybe_compact keep maintaining it incrementally
+            if m.group(3):
+                raise ValueError(
+                    "ZORDER BY re-clusters the whole table — a WHERE "
+                    "scope contradicts it (incremental repair of an "
+                    "already-declared layout is recluster/maybe_compact)"
+                )
+            cols = [
+                _strip_ident(c) for c in _split_top(m.group(4), ",")
+            ]
+            V.alter_cluster_by(table, cols)
+            # keep the file granularity: clustering into ONE file would
+            # leave nothing for per-file range stats to prune — rewrite
+            # into as many files as the table has now (at scale the
+            # count already reflects target byte sizing)
+            p = V._read_pointer(table)
+            n = sum(
+                s["n_files"] if "ref" in s and "files" not in s
+                else len(s["files"])
+                for s in V._read_manifest_root(table, p).get(
+                    "segments", []
+                )
+            )
+            return V.compact(spark, table, target_files=max(1, n))
         if m.group(2):
             if m.group(3):
                 raise ValueError(
