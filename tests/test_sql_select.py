@@ -261,3 +261,35 @@ def test_table_changes_tvf_in_select(spark, tmp_path):
         tables={"t": t},
     ).head().n
     assert n == 0
+
+
+def test_changed_rows_since_tvf(spark, tmp_path):
+    """The cv-pruned incremental read as a TVF: SQL result ≡ the
+    Python API, joins with the live table, bounded ranges work."""
+    from wrtd_etl_spark.sources.versioned import changed_rows_since
+
+    t = str(tmp_path / "t")
+    _seed(spark, t)  # v0
+    update_where(spark, t, F.col("k") < 2, {"v": F.lit("u1")})  # v1
+    update_where(spark, t, F.col("k") == 5, {"v": F.lit("u2")})  # v2
+
+    got = versioned_sql(
+        spark,
+        """SELECT k, v, _commit_version AS cv
+           FROM changed_rows_since('t', 0)""",
+        tables={"t": t},
+    )
+    want = changed_rows_since(spark, t, 0).select(
+        "k", "v", F.col("_commit_version").alias("cv")
+    )
+    assert _rows(got) == _rows(want)
+    assert {(r.k, r.cv) for r in got.collect()} == {
+        (0, 1), (1, 1), (5, 2),
+    }
+    # bounded (0, 1]: only the first update's rows
+    got1 = versioned_sql(
+        spark,
+        "SELECT k FROM changed_rows_since('t', 0, 1)",
+        tables={"t": t},
+    )
+    assert {r.k for r in got1.collect()} == {0, 1}

@@ -64,6 +64,7 @@ class VersionedModel(RuleBasedStateMachine):
         # every row reads 7 from then on, whatever path wrote it
         self.default_since: "int | None" = None
         self.rollback_at: list[int] = []  # versions of rollback commits
+        self.props: dict[str, str] = {}  # expected table properties
 
     def _df(self, rows):
         return self.spark.createDataFrame(
@@ -265,6 +266,44 @@ class VersionedModel(RuleBasedStateMachine):
         self.default_since = self._vnum()
         self._commit()
 
+    @rule(n=st.integers(1, 3))
+    def set_properties(self, n):
+        # r12 TBLPROPERTIES: a metadata commit every other commit shape
+        # must carry — rollback keeps the CURRENT policy (config is not
+        # data), which the invariant below checks across every lineage
+        if not self.versions:
+            return
+        from wrtd_etl_spark.sources.versioned import set_table_properties
+
+        props = {f"p{n}": str(n), "maintain.max_files": str(500 + n)}
+        set_table_properties(self.table, props)
+        self.props.update(props)
+        self._commit()
+
+    @rule()
+    def analyze_backfill(self):
+        # r12 ANALYZE: stats/bloom backfill is row-invisible — it may
+        # commit (when some file lacked v-stats or k-blooms) or no-op,
+        # and every other invariant (CDC fold, sync, time travel, cv)
+        # must hold straight through the sidecar swap
+        if not self.versions:
+            return
+        from wrtd_etl_spark.sources.versioned import collect_statistics
+
+        v = collect_statistics(
+            self.spark, self.table, stats_cols=["v"], bloom_cols=["k"]
+        )
+        if v is not None:
+            self._commit()
+
+    @invariant()
+    def properties_match_model(self):
+        if not self.versions:
+            return
+        from wrtd_etl_spark.sources.versioned import table_properties
+
+        assert table_properties(self.table) == self.props
+
     @invariant()
     def latest_matches_model(self):
         if not self.versions:
@@ -350,9 +389,25 @@ class VersionedModel(RuleBasedStateMachine):
             # a rollback inside the range can resurrect a row whose
             # commit version predates the bound — sync_changes must
             # REFUSE (and must never refuse otherwise: the else branch
-            # below proves every rollback-free range syncs)
+            # below proves every rollback-free range syncs), and the
+            # r12 full_diff fallback must make the SAME fold contract
+            # total across the resurrect
             with pytest.raises(ValueError, match="cannot cover"):
                 sync_changes(self.spark, self.table, v, keys=["k"])
+            upserts, deleted = sync_changes(
+                self.spark, self.table, v, keys=["k"], full_diff=True
+            )
+            folded = dict(self.versions[v])
+            for r in upserts.collect():
+                folded[r.k] = r.v
+            for r in deleted.collect():
+                folded.pop(r.k, None)
+                assert r.k not in self.model, (
+                    f"full_diff sync(v{v}) reported live key {r.k}"
+                )
+            assert folded == self.model, (
+                f"full_diff sync fold v{v} diverged"
+            )
             return
         upserts, deleted = sync_changes(
             self.spark, self.table, v, keys=["k"]

@@ -72,6 +72,9 @@ parser plugin, zero new write paths:
   ``_change_type``. NOTE the range is the engine's own contract,
   ``(from, to]`` (changes committed AFTER ``from``), not Delta's
   from-inclusive ``startingVersion``.
+* ``SELECT ... FROM changed_rows_since('t', v [, to])`` — the
+  cv-pruned incremental read (current images + ``_commit_version``,
+  old segments never open) as a TVF, same ``(v, to]`` range.
 
 Multi-statement scripts run through :func:`versioned_sql_script`
 (top-level ``;`` split, per-statement commits).
@@ -1057,24 +1060,31 @@ def _rewrite_reads(
     global _pin_counter
     from .versioned_table import register_versioned_view
 
-    cdf = re.compile(
-        r"table_changes\s*\(\s*('[^']+'|`[^`]+`|" + _IDENT + r")\s*,\s*"
+    tvf = re.compile(
+        r"(table_changes|changed_rows_since)\s*\(\s*"
+        r"('[^']+'|`[^`]+`|" + _IDENT + r")\s*,\s*"
         r"(\d+)\s*(?:,\s*(\d+)\s*)?\)",
         re.I,
     )
     level = _scan_level(stmt)
     out0: list[str] = []
     last0 = 0
-    for m in cdf.finditer(stmt):
+    for m in tvf.finditer(stmt):
         if level[m.start()] < 0:
             continue  # inside a string literal
-        table = _resolve_table(m.group(1), tables)
+        table = _resolve_table(m.group(2), tables)
         _pin_counter += 1
         view = f"__vsql_cdf_{_pin_counter}"
-        to = int(m.group(3)) if m.group(3) is not None else None
-        V.table_changes(
-            spark, table, int(m.group(2)), to
-        ).createOrReplaceTempView(view)
+        to = int(m.group(4)) if m.group(4) is not None else None
+        if m.group(1).lower() == "table_changes":
+            df = V.table_changes(spark, table, int(m.group(3)), to)
+        else:
+            # changed_rows_since('t', v [, to]): the cv-pruned current
+            # images with _commit_version — the cheap incremental read
+            df = V.changed_rows_since(
+                spark, table, int(m.group(3)), version=to
+            )
+        df.createOrReplaceTempView(view)
         out0.append(stmt[last0 : m.start()])
         out0.append(view)
         last0 = m.end()
