@@ -994,8 +994,24 @@ def _dv_positions_df(spark: SparkSession, table: str, dv_map) -> DataFrame:
     refs = sorted(
         {(v["ref"], os.path.basename(rel)) for rel, v in dv_map.items()}
     )
-    src = spark.createDataFrame(refs, "ref string, base string").repartition(
-        min(len(refs), 32)
+    # literal-array range plan instead of createDataFrame + repartition:
+    # a tiny spark.createDataFrame costs ~300 ms of session round-trips
+    # in Spark 4 and the repartition added a shuffle stage; range() with
+    # explicit numSlices spreads one ref per task with neither.
+    refs_arr = F.array(
+        *[
+            F.struct(F.lit(r).alias("ref"), F.lit(b).alias("base"))
+            for r, b in refs
+        ]
+    )
+    src = (
+        spark.range(0, len(refs), 1, min(len(refs), 32))
+        .select(
+            F.element_at(
+                refs_arr, (F.col("id") + 1).cast("int")
+            ).alias("__x")
+        )
+        .select("__x.*")
     )
     tbl = table
 
@@ -2192,7 +2208,22 @@ def _read_segments(
                             int(seg["row_base"]) + int(off),
                         )
                     )
-    out = None
+    # FUSE same-schema segments into ONE parquet relation (r13 perf):
+    # a lifecycle table accrues one segment per commit, and reading
+    # them as N separate relations cost N read.parquet plans, N DV
+    # anti-joins and an N-way union — all driver latency and extra
+    # stages. Segments sharing a schema are read together; per-segment
+    # head cvs become a per-FILE literal map keyed on the file
+    # basename, and every group's deletion vectors anti-join once.
+    import json as _json
+
+    groups: dict[str, dict] = {}
+    # past a few thousand files a fused per-file cv literal map would
+    # bloat the analyzed plan — key the groups on (schema, cv) instead,
+    # which keeps each group's cv a plain literal (same plan family the
+    # bases map uses for row ids, see below)
+    n_total_files = sum(len(s["files"]) for s in _segments(manifest))
+    cv_in_key = with_commit_versions and n_total_files > 2048
     for seg in _segments(manifest):
         if not seg["files"]:
             continue
@@ -2203,8 +2234,24 @@ def _read_segments(
             schema = schema.add(ROW_ID_COL, LongType(), True)
         if with_commit_versions and ROW_CV_COL not in schema.names:
             schema = schema.add(ROW_CV_COL, LongType(), True)
-        part = spark.read.schema(schema).parquet(
-            *[os.path.join(table, f) for f in seg["files"]]
+        key = _json.dumps(schema.jsonValue(), sort_keys=True)
+        if cv_in_key:
+            key += f"|cv={seg.get('cv')}"
+        g = groups.setdefault(
+            key, {"schema": schema, "files": [], "cvs": {}, "dvs": {}}
+        )
+        g["files"] += list(seg["files"])
+        if with_commit_versions:
+            for f in seg["files"]:
+                g["cvs"][os.path.basename(f)] = seg.get("cv")
+        fset = set(seg["files"])
+        g["dvs"].update(
+            {rel: v for rel, v in _seg_dvs(seg).items() if rel in fset}
+        )
+    out = None
+    for g in groups.values():
+        part = spark.read.schema(g["schema"]).parquet(
+            *[os.path.join(table, f) for f in g["files"]]
         )
         if cv_after is not None and with_commit_versions:
             # pushable PHYSICAL-column predicate, applied before the
@@ -2216,21 +2263,11 @@ def _read_segments(
                 F.col(ROW_CV_COL).isNull()
                 | (F.col(ROW_CV_COL) > F.lit(cv_after))
             )
-        if with_commit_versions:
-            # per-segment constant: NULL (fresh/modified row) coalesces
-            # to the head cv; a pre-feature segment (no cv) yields the
-            # UNKNOWN sentinel so a later rewrite materializes it
-            # instead of a NULL that would alias "modified here".
-            # Public surfaces map the sentinel back to NULL.
-            part = part.withColumn(
-                ROW_CV_COL,
-                F.coalesce(
-                    F.col(ROW_CV_COL),
-                    F.lit(seg.get("cv")).cast("long"),
-                    F.lit(ROW_CV_UNKNOWN).cast("long"),
-                ),
-            )
-        if with_row_ids:
+        need_base = with_row_ids or (
+            with_commit_versions
+            and len({v for v in g["cvs"].values()}) > 1
+        )
+        if need_base:
             # _metadata is only reachable on the raw file relation —
             # capture BEFORE the dv anti-join's projection
             part = part.withColumn(
@@ -2238,16 +2275,44 @@ def _read_segments(
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
                 ),
-            ).withColumn("__rt_ix", F.col("_metadata.row_index"))
-        dvs = {
-            rel: v
-            for rel, v in _seg_dvs(seg).items()
-            if rel in set(seg["files"])
-        }
-        if dvs:
+            )
+        if with_row_ids:
+            part = part.withColumn("__rt_ix", F.col("_metadata.row_index"))
+        if with_commit_versions:
+            # per-segment head cv: NULL (fresh/modified row) coalesces
+            # to the cv of the commit that wrote the row's file; a
+            # pre-feature segment (no cv) yields the UNKNOWN sentinel
+            # so a later rewrite materializes it instead of a NULL that
+            # would alias "modified here". Public surfaces map the
+            # sentinel back to NULL. One segment per group → a plain
+            # literal; mixed cvs → a per-file basename map.
+            cvs = {b: v for b, v in g["cvs"].items() if v is not None}
+            distinct = {v for v in g["cvs"].values()}
+            if len(distinct) == 1:
+                cv_expr = F.lit(next(iter(distinct))).cast("long")
+            else:
+                entries: list = []
+                for b in sorted(cvs):
+                    entries += [F.lit(b), F.lit(cvs[b])]
+                cv_expr = (
+                    F.element_at(
+                        F.create_map(*entries), F.col("__rt_f")
+                    ).cast("long")
+                    if entries
+                    else F.lit(None).cast("long")
+                )
+            part = part.withColumn(
+                ROW_CV_COL,
+                F.coalesce(
+                    F.col(ROW_CV_COL),
+                    cv_expr,
+                    F.lit(ROW_CV_UNKNOWN).cast("long"),
+                ),
+            )
+        if g["dvs"]:
             # merge-on-read: drop DV-deleted rows while _metadata is
             # still reachable (before the rename/cast projection)
-            part = _dv_filter(spark, table, part, dvs)
+            part = _dv_filter(spark, table, part, g["dvs"])
         cols = []
         for c in part.columns:
             cur = aliases.get(c, c)
@@ -4244,25 +4309,30 @@ def merge_into(
             )
         prune = None  # the clause quantifies over absent keys — see docstring
 
-    # a many-to-one merge is ambiguous — refuse, like Delta's
-    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET error
-    dup = (
-        source.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    # ONE probe job over the grouped keys answers all three source
+    # questions (r13 perf — was three separate jobs/scans): the
+    # many-to-one ambiguity check (max group size — refuse like Delta's
+    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET), the auto-prune key
+    # range, and the distinct-key count that gates membership pruning.
+    g = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    probe_aggs = [
+        F.max("__n").alias("__maxn"),
+        F.count(F.lit(1)).alias("__nk"),
+    ]
+    if prune == "auto":
+        for k in keys:
+            probe_aggs += [
+                F.min(k).alias(f"__lo_{k}"),
+                F.max(k).alias(f"__hi_{k}"),
+            ]
+    row = g.agg(*probe_aggs).collect()[0]
+    if (row["__maxn"] or 0) > 1:
+        dup = g.filter(F.col("__n") > 1).limit(1).collect()
         kv = {k: dup[0][k] for k in keys}
         raise ValueError(f"source has multiple rows for merge key {kv}")
 
     point = None
     if prune == "auto":
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-        row = source.agg(*aggs).collect()[0]
         prune = {
             k: (row[f"__lo_{k}"], row[f"__hi_{k}"])
             for k in keys
@@ -4274,14 +4344,10 @@ def merge_into(
         # rule out every file not holding one of the actual keys —
         # the difference between rewriting the table and rewriting a
         # handful of files at 100 TB. Backfill-sized sources skip the
-        # collect and keep the range prune.
-        krows = (
-            source.select(*keys)
-            .distinct()
-            .limit(_POINT_PRUNE_MAX_KEYS + 1)
-            .collect()
-        )
-        if 0 < len(krows) <= _POINT_PRUNE_MAX_KEYS:
+        # collect and keep the range prune (the probe already counted
+        # the distinct keys, so the oversized case pays no extra job).
+        if 0 < row["__nk"] <= _POINT_PRUNE_MAX_KEYS:
+            krows = g.select(*keys).collect()
             point = {k: [r[k] for r in krows] for k in keys}
 
     carried, rewrite_segs = _split_for_rewrite(
