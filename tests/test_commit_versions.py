@@ -707,3 +707,40 @@ def test_sync_changes_full_diff_overwrite_pads_added_defaults(
     )
     assert {r.k for r in upserts.collect()} == {2, 9}
     assert sorted(r.k for r in deleted.collect()) == [5]
+
+
+def test_sync_changes_full_diff_null_keys_match_null_safe(spark, tmp_path):
+    """ADVICE r12: the full_diff keyed two-snapshot diff joins the
+    endpoints NULL-SAFELY on the keys — an unchanged null-keyed row must
+    cancel (not surface as a delete+upsert pair a MERGE-applying
+    consumer would then drop), and a null-keyed row whose VALUE changed
+    is one upsert."""
+    from wrtd_etl_spark.sources.versioned import rollback, sync_changes
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(None, 100), (1, 1), (2, 2)], "k long, v long"
+        ),
+        t,
+    )  # v0
+    write_snapshot(
+        spark.createDataFrame([(3, 3)], "k long, v long"), t, mode="append"
+    )  # v1
+    rollback(t, 0)  # v2 — forces the full_diff route
+    upserts, deleted = sync_changes(
+        spark, t, 1, keys=["k"], full_diff=True
+    )
+    # unchanged null-keyed row cancels; only k=3 left the table
+    assert upserts.count() == 0
+    assert [r.k for r in deleted.collect()] == [3]
+
+    # a null-keyed VALUE change surfaces exactly once, as an upsert
+    update_where(spark, t, F.col("k").isNull(), {"v": F.lit(-1)})  # v3
+    rollback(t, 3)  # v4 (no-op state change; keeps full_diff required)
+    upserts, deleted = sync_changes(
+        spark, t, 2, keys=["k"], full_diff=True
+    )
+    rows = [(r.k, r.v) for r in upserts.collect()]
+    assert rows == [(None, -1)]
+    assert deleted.count() == 0

@@ -992,3 +992,35 @@ def test_sql_merge_with_schema_evolution_and_zorder(spark, tmp_path):
         versioned_sql(
             spark, "OPTIMIZE z WHERE k < 10 ZORDER BY (k)", tables={"z": z}
         )
+
+
+def test_sql_date_bound_hits_file_whose_min_equals_bound(spark, tmp_path):
+    """ADVICE r12 (high): a DATE-typed prune bound from a SQL string
+    literal must compare in the midnight-extended stat space that
+    _stat_ext uses for date-typed segment stats — an unextended
+    'YYYY-MM-DD' sorts BELOW the extended 'YYYY-MM-DDT00:00:00' min and
+    falsely pruned the file whose min equals the bound, silently
+    skipping rows the DML should modify."""
+    t = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, ds string, x double"
+    ).selectExpr("k", "CAST(ds AS DATE) AS d", "x")
+    # file 1: min d == the DML bound exactly
+    write_snapshot(
+        mk([(1, "2024-01-02", 1.0), (2, "2024-01-05", 2.0)]).coalesce(1),
+        t,
+        stats_cols=["d"],
+    )
+    # file 2: strictly later dates (prunable for real)
+    write_snapshot(
+        mk([(3, "2024-02-01", 3.0)]).coalesce(1), t, mode="append"
+    )
+    versioned_sql(
+        spark, "UPDATE t SET x = -1 WHERE d = '2024-01-02'", tables={"t": t}
+    )
+    got = {r.k: r.x for r in read_snapshot(spark, t).collect()}
+    assert got == {1: -1.0, 2: 2.0, 3: 3.0}
+    versioned_sql(
+        spark, "DELETE FROM t WHERE d <= '2024-01-05'", tables={"t": t}
+    )
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {3}

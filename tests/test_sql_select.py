@@ -293,3 +293,33 @@ def test_changed_rows_since_tvf(spark, tmp_path):
         tables={"t": t},
     )
     assert {r.k for r in got1.collect()} == {0, 1}
+
+
+def test_select_restores_session_view_namespace(spark, tmp_path):
+    """ADVICE r12: the read rewriter must not leak its temp views — a
+    user temp view sharing a versioned table's name is restored after
+    the statement (the rewrite pins the VERSIONED snapshot while it
+    runs), and the per-pin __vsql_* views are dropped."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    # user's own temp view under the same bare name
+    spark.range(3).selectExpr("id AS z").createOrReplaceTempView("vst")
+    try:
+        df = versioned_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM vst VERSION AS OF 0, vst",
+            tables={"vst": t},
+        )
+        # the statement itself resolved the VERSIONED table (8x8 rows)
+        assert df.collect()[0].n == 64
+        # ... and the user's view survives the statement untouched
+        assert {r.z for r in spark.table("vst").collect()} == {0, 1, 2}
+        # no __vsql_* pin/CDF views left behind
+        leaked = [
+            v.name
+            for v in spark.catalog.listTables()
+            if v.name.startswith("__vsql_")
+        ]
+        assert leaked == []
+    finally:
+        spark.catalog.dropTempView("vst")

@@ -85,12 +85,16 @@ def copy_into(
         if reset_ledger and p is not None:
             V._commit_props(table, {"extra": {**extra, _LEDGER_KEY: ledger}})
         return None
+    # pin sizes at LISTING time, before the lazy read materializes:
+    # a file appended-to between listing and job execution must commit
+    # the PRE-read size so copy_status's 'changed' (immutability
+    # violation) check flags it instead of matching the mutated bytes
+    for f in new_files:
+        ledger[f] = os.path.getsize(f)
     reader = spark.read.format(file_format)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(new_files)
-    for f in new_files:
-        ledger[f] = os.path.getsize(f)
     return V.write_snapshot(
         df,
         table,

@@ -701,9 +701,13 @@ def _collect_file_blooms(
         return {}
     tbl = table
     want = list(cols)
-    src = spark.createDataFrame(
-        [(r,) for r in rel_files], "rel string"
-    ).repartition(min(len(rel_files), 64))
+    # literal-array range plan instead of createDataFrame + repartition
+    # (same rationale as _dv_positions_df: a tiny createDataFrame costs
+    # ~300 ms of session round-trips and the repartition a shuffle)
+    rels_arr = F.array(*[F.lit(r) for r in rel_files])
+    src = spark.range(0, len(rel_files), 1, min(len(rel_files), 64)).select(
+        F.element_at(rels_arr, (F.col("id") + 1).cast("int")).alias("rel")
+    )
 
     def per_files(it):
         import pandas as pd
@@ -1365,6 +1369,52 @@ def _uniq_overlap_exists(
     )
 
 
+def _uniq_probe(
+    table: str, rel_files: list[str], cols: list[str]
+) -> "tuple[bool, dict[str, list] | None]":
+    """Fused batch probe (r13 perf): ``(dup_within_batch,
+    point_filter)`` — ONE grouped-aggregation job answers both the
+    within-batch duplicate check and the distinct-key count that gates
+    membership pruning (was two separate jobs re-reading the staged
+    files); the distinct keys collect in a second small job only when
+    few enough to carry driver-side. Point filter is None when a dup
+    was found (the commit refuses anyway) or the batch is too
+    distinct."""
+    keys, con = _uniq_read(table, rel_files, cols)
+    if con is None:
+        g = keys.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        row = g.agg(
+            F.max("__n").alias("__m"), F.count(F.lit(1)).alias("__nk")
+        ).collect()[0]
+        if (row["__m"] or 0) > 1:
+            return True, None
+        if row["__nk"] == 0:
+            return False, {}
+        if row["__nk"] <= _UNIQ_POINT_CAP:
+            rows = g.select(*cols).collect()
+            return False, {
+                c: sorted({r[i] for r in rows}) for i, c in enumerate(cols)
+            }
+        return False, None
+    quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
+    if con.sql(
+        f"SELECT 1 FROM ({keys.sql_query()}) GROUP BY {quoted} "
+        f"HAVING count(*) > 1 LIMIT 1"
+    ).fetchone():
+        return True, None
+    rows = con.sql(
+        f"SELECT DISTINCT * FROM ({keys.sql_query()}) "
+        f"LIMIT {_UNIQ_POINT_CAP + 1}"
+    ).fetchall()
+    if len(rows) > _UNIQ_POINT_CAP:
+        return False, None
+    if not rows:
+        return False, {}
+    return False, {
+        c: sorted({r[i] for r in rows}) for i, c in enumerate(cols)
+    }
+
+
 def _uniq_point_filter(
     table: str, rel_files: list[str], cols: list[str]
 ) -> dict[str, list] | None:
@@ -1410,11 +1460,19 @@ def _enforce_unique_on_commit(
     if not new_files:
         return  # an empty batch stages no files and can conflict with nothing
     fields = set(_schema_fields(df_schema))
+    pf_cache: dict[str, "dict | None"] = {}
     for name, cols in sorted(uniq.items()):
         if not set(cols) <= fields:
             continue
         if name not in checked_internal:
-            if _uniq_dup_in_files(table, new_files, cols):
+            # fuse the dup check with the point-filter collect when the
+            # existence probe below will need it anyway (one fewer pass
+            # over the staged files)
+            if prev is not None and probed.get(name) is None:
+                dup, pf_cache[name] = _uniq_probe(table, new_files, cols)
+            else:
+                dup = _uniq_dup_in_files(table, new_files, cols)
+            if dup:
                 raise UniqueConstraintViolation(
                     f"commit to {table} refused — UNIQUE {name} "
                     f"({cols}): duplicate keys within the batch"
@@ -1444,7 +1502,11 @@ def _enforce_unique_on_commit(
                 # alias map rides through read_snapshot's per-file
                 # stat/bloom pruning, so a renamed key column keeps the
                 # candidate-files-only probe — no compact required
-                pf = _uniq_point_filter(table, new_files, cols)
+                pf = (
+                    pf_cache[name]
+                    if name in pf_cache
+                    else _uniq_point_filter(table, new_files, cols)
+                )
                 old = (
                     read_snapshot(
                         active, table, version=prev, point_filter=pf
@@ -1459,7 +1521,11 @@ def _enforce_unique_on_commit(
                     )
                 probed[name] = prev
                 continue
-            pf = _uniq_point_filter(table, new_files, cols)
+            pf = (
+                pf_cache[name]
+                if name in pf_cache
+                else _uniq_point_filter(table, new_files, cols)
+            )
             existing, _total = files_for_read(
                 table, version=prev, point_filter=pf
             )
@@ -1827,18 +1893,21 @@ def write_snapshot(
                             for fb in seg.get("blooms", {}).values()
                             for c in fb
                         }
-        blooms = (
-            _collect_file_blooms(
-                df.sparkSession, table, new_files, sorted(bloom_set)
+        _spark, _files, _mode = df.sparkSession, new_files, mode
+
+        def _bloom_thunk(bloom_set=frozenset(bloom_set)):
+            # evaluated by _commit_new_segment AFTER the UNIQUE pre-gate
+            # (r13 perf): a refused commit skips the bloom jobs entirely
+            return _enforce_bloom_budget(
+                table,
+                _collect_file_blooms(
+                    _spark, table, _files, sorted(bloom_set)
+                )
+                if bloom_set
+                else {},
+                _table_bloom_bytes(table) if _mode == "append" else 0,
             )
-            if bloom_set
-            else {}
-        )
-        blooms = _enforce_bloom_budget(
-            table,
-            blooms,
-            _table_bloom_bytes(table) if mode == "append" else 0,
-        )
+
         try:
             return _commit_new_segment(
                 table,
@@ -1849,7 +1918,7 @@ def write_snapshot(
                 stats_cols,
                 renames,
                 declared_layout,
-                blooms,
+                _bloom_thunk,
                 constraints_checked=True,
                 identity_update=identity_update,
             )
@@ -1871,7 +1940,7 @@ def _commit_new_segment(
     stats_cols: list[str] | None,
     renames: dict[str, str] | None,
     declared_layout: dict | None,
-    blooms: dict[str, dict] | None = None,
+    blooms: "dict[str, dict] | Callable | None" = None,
     constraints_checked: bool = False,
     identity_update: "dict[str, tuple[int, int]] | None" = None,
 ) -> int:
@@ -1899,6 +1968,31 @@ def _commit_new_segment(
         if stats_cols
         else {}
     )
+    uniq_checked_internal: set = set()
+    uniq_probed: dict = {}
+    if callable(blooms):
+        # blooms arrive as a THUNK from write_snapshot (r13 perf): a
+        # UNIQUE-refused commit must not pay the bloom-collection jobs,
+        # so pre-gate against the current base first — the probe results
+        # seed checked_internal/probed, making the loop's re-gate a
+        # no-op when the base didn't move.
+        prev0 = _read_pointer(table)
+        uniq0 = (
+            _read_manifest_root(table, prev0).get("unique", {})
+            if prev0 is not None
+            else {}
+        )
+        if uniq0:
+            _enforce_unique_on_commit(
+                table,
+                new_files,
+                df_schema,
+                prev0 if mode == "append" else None,
+                uniq0,
+                uniq_checked_internal,
+                uniq_probed,
+            )
+        blooms = blooms()
     new_segment = {"files": new_files, "schema": df_schema, "stats": stats}
     if blooms:
         new_segment["blooms"] = blooms
@@ -1915,8 +2009,6 @@ def _commit_new_segment(
     # never O(table files) (the pre-sharding single-manifest rewrite)
     new_segment = _write_seg_detail(table, new_segment)
 
-    uniq_checked_internal: set = set()
-    uniq_probed: dict = {}
     gated = {**constraints, **_generated_as_constraints(generated)}
     for _ in range(20):
         prev = _read_pointer(table)
@@ -3398,19 +3490,28 @@ def _rewrite_segment(
         aliases_u = manifest.get("aliases", {})
         for name, cols in sorted(uniq.items()):
             keys = rows.select(*cols).na.drop("any")
-            if keys.groupBy(*cols).count().filter(F.col("count") > 1).take(1):
+            # fused probe (r13 perf): one grouped agg answers the dup
+            # check AND the distinct-key count (was two executions of
+            # the full replacement plan for the check alone)
+            g = keys.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+            r0 = g.agg(
+                F.max("__n").alias("__m"), F.count(F.lit(1)).alias("__nk")
+            ).collect()[0]
+            if (r0["__m"] or 0) > 1:
                 raise UniqueConstraintViolation(
                     f"rewrite of {table} refused — UNIQUE {name} ({cols}):"
                     " duplicate keys among the replacement rows"
                 )
-            vals = keys.distinct().limit(_UNIQ_POINT_CAP + 1).collect()
-            if not vals:
+            if r0["__nk"] == 0:
                 continue  # no non-NULL replacement keys: nothing to hit
-            pf = (
-                {c: sorted({r[i] for r in vals}) for i, c in enumerate(cols)}
-                if len(vals) <= _UNIQ_POINT_CAP
-                else None
-            )
+            if r0["__nk"] <= _UNIQ_POINT_CAP:
+                vals = g.select(*cols).collect()
+                pf = {
+                    c: sorted({r[i] for r in vals})
+                    for i, c in enumerate(cols)
+                }
+            else:
+                pf = None
             carried_segs = []
             for seg in _segments(manifest):
                 if _is_seg_head(seg):
@@ -3972,12 +4073,14 @@ def _merge_into_dv(
         c = scan[k] == src[f"__s_{k}"]
         cond = c if cond is None else cond & c
     joined = scan.join(src, cond, "inner").localCheckpoint(eager=False)
-    n_matched = joined.count()
-    n_del = (
-        joined.filter(F.col("__s_del")).count()
-        if delete_when is not None
-        else 0
-    )
+    # one agg job answers both counts (r13 perf — was a count() plus a
+    # filtered count(), each its own job over the checkpointed join)
+    cnt_row = joined.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.when(F.col("__s_del"), 1).otherwise(0)).alias("__d"),
+    ).collect()[0]
+    n_matched = cnt_row["__m"]
+    n_del = int(cnt_row["__d"] or 0) if delete_when is not None else 0
     n_vic = n_matched if mapping else n_del
     if n_vic > DV_MAX_POSITIONS:
         return bail(
@@ -4996,8 +5099,13 @@ def sync_changes(
         vals = [c for c in data_cols if c not in keys]
 
         def _img(df, side):
+            # keys renamed per side: the join below must be NULL-SAFE on
+            # the key columns (a plain name equi-join never matches a
+            # null-keyed row against its counterpart, reporting an
+            # unchanged null-keyed row as delete+upsert — and the
+            # consumer's MERGE wouldn't match it either)
             return df.select(
-                *keys,
+                *[F.col(k).alias(f"__{side}_k_{k}") for k in keys],
                 F.lit(True).alias(f"__in_{side}"),
                 *[
                     _map_canon(F.col(c), types[c]).alias(f"__{side}_{c}")
@@ -5005,7 +5113,14 @@ def sync_changes(
                 ],
             )
 
-        j = _img(new, "n").join(_img(old, "o"), keys, "full_outer")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__n_k_{k}").eqNullSafe(F.col(f"__o_k_{k}"))
+                for k in keys
+            ],
+        )
+        j = _img(new, "n").join(_img(old, "o"), cond, "full_outer")
         same = reduce(
             lambda a, b: a & b,
             [F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}")) for c in vals],
@@ -5014,10 +5129,22 @@ def sync_changes(
         up_keys = j.filter(
             F.col("__in_n").isNotNull()
             & (F.col("__in_o").isNull() | ~same)
-        ).select(*keys)
-        upserts = new.join(up_keys, keys, "left_semi")
+        ).select(*[F.col(f"__n_k_{k}").alias(k) for k in keys])
+        semi_cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+                for k in keys
+            ],
+        )
+        upserts = (
+            new.alias("t")
+            .join(up_keys.alias("u"), semi_cond, "left_semi")
+        )
         deleted = (
-            j.filter(F.col("__in_n").isNull()).select(*keys).distinct()
+            j.filter(F.col("__in_n").isNull())
+            .select(*[F.col(f"__o_k_{k}").alias(k) for k in keys])
+            .distinct()
         )
         return upserts, deleted
     upserts = changed_rows_since(
@@ -6507,7 +6634,16 @@ def collect_statistics(
         root = _read_manifest_root(table, p)
         aliases = root.get("aliases", {})
         existing_bloom_bytes = sum(
-            s.get("bloom_bytes", 0) if _is_seg_head(s) else 0
+            s.get("bloom_bytes", 0)
+            if _is_seg_head(s)
+            # inline (non-sharded) segments carry their blooms in the
+            # root — counting them as 0 would let the budget admit new
+            # blooms past the table-wide cap on mixed tables
+            else sum(
+                int(b["m"]) // 8
+                for fb in s.get("blooms", {}).values()
+                for b in fb.values()
+            )
             for s in _segments(root)
         )
         new_segs: list = []

@@ -695,7 +695,17 @@ def _typed_prune(
             if isinstance(dt, StringType):
                 return v
             if isinstance(dt, DateType):
-                return v if re.match(r"^\d{4}-\d{2}-\d{2}$", v) else None
+                # extend to midnight, mirroring the TimestampType branch:
+                # _stat_ext extends date-typed segment stats to their
+                # midnight image ('...T00:00:00'), and a bare
+                # 'YYYY-MM-DD' compares LESS than that extension
+                # lexicographically — an unextended bound would falsely
+                # prune a file whose min equals the bound date
+                return (
+                    v + "T00:00:00"
+                    if re.match(r"^\d{4}-\d{2}-\d{2}$", v)
+                    else None
+                )
             if isinstance(dt, (TimestampType, TimestampNTZType)):
                 if re.match(r"^\d{4}-\d{2}-\d{2}$", v):
                     return v + "T00:00:00"  # the SQL cast's midnight
@@ -990,7 +1000,7 @@ def _parse_insert(
         # the body reads like any SELECT: versioned names + AS OF pins
         # resolve through the same rewriter as top-level SELECT, so
         # `INSERT INTO t SELECT * FROM s VERSION AS OF 2` just works
-        df = spark.sql(_rewrite_reads(spark, body, tables))
+        df = _sql_with_views(spark, body, tables)
         if cols is not None:
             df = df.toDF(*cols)
     else:
@@ -1031,8 +1041,31 @@ def _parse_as_of_ts(lit: str) -> float:
     return ts.timestamp()
 
 
-def _rewrite_reads(
+def _sql_with_views(
     spark: SparkSession, stmt: str, tables: "dict[str, str] | None"
+) -> DataFrame:
+    """Run a read statement through :func:`_rewrite_reads` + ``spark.sql``
+    and then UNDO the temp-view registrations the rewrite made: drop the
+    ``__vsql_*`` pin/CDF views and re-register any same-named user view a
+    bare table name displaced. ``spark.sql`` analyzes eagerly, so the
+    returned DataFrame keeps the pinned snapshots it resolved — the
+    session's view namespace just no longer leaks rewrite internals."""
+    created: list = []
+    try:
+        return spark.sql(_rewrite_reads(spark, stmt, tables, created))
+    finally:
+        for name, prev in reversed(created):
+            if prev is not None:
+                prev.createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
+
+
+def _rewrite_reads(
+    spark: SparkSession,
+    stmt: str,
+    tables: "dict[str, str] | None",
+    created: "list | None" = None,
 ) -> str:
     """Make every versioned-table reference in a read statement
     resolvable by plain ``spark.sql``:
@@ -1060,6 +1093,23 @@ def _rewrite_reads(
     global _pin_counter
     from .versioned_table import register_versioned_view
 
+    def _track(name: str) -> None:
+        # record (name, displaced-view-or-None) so _sql_with_views can
+        # restore the session namespace after the statement runs
+        if created is None:
+            return
+        prev = None
+        try:
+            t = spark.catalog.getTable(name)
+            # only a displaced TEMP view is re-registered; a permanent
+            # table merely shadowed by our temp view reappears when the
+            # temp view is dropped
+            if getattr(t, "isTemporary", False):
+                prev = spark.table(name)
+        except Exception:
+            prev = None
+        created.append((name, prev))
+
     tvf = re.compile(
         r"(table_changes|changed_rows_since)\s*\(\s*"
         r"('[^']+'|`[^`]+`|" + _IDENT + r")\s*,\s*"
@@ -1084,6 +1134,7 @@ def _rewrite_reads(
             df = V.changed_rows_since(
                 spark, table, int(m.group(3)), version=to
             )
+        _track(view)
         df.createOrReplaceTempView(view)
         out0.append(stmt[last0 : m.start()])
         out0.append(view)
@@ -1107,6 +1158,7 @@ def _rewrite_reads(
         _pin_counter += 1
         view = f"__vsql_asof_{_pin_counter}"
         kind, lit = m.group(2).upper(), m.group(3)
+        _track(view)
         if kind == "VERSION":
             if not lit.isdigit():
                 raise ValueError(
@@ -1162,6 +1214,7 @@ def _rewrite_reads(
             # pin to the CURRENT version explicitly (Delta resolves the
             # snapshot at analysis): the returned DataFrame must not
             # drift when a later statement in the same script commits
+            _track(m.group(0))
             register_versioned_view(
                 spark,
                 m.group(0),
@@ -1181,7 +1234,7 @@ def _parse_select(
     then the statement runs through ``spark.sql`` unchanged, so the
     full SQL language (CTEs, windows, joins across pinned versions,
     joins against ordinary Spark tables) is available."""
-    return spark.sql(_rewrite_reads(spark, stmt, tables))
+    return _sql_with_views(spark, stmt, tables)
 
 
 def _parse_create_schema(
@@ -1411,7 +1464,7 @@ def versioned_sql(
                 f"table {table} already exists (use CREATE OR REPLACE)"
             )
         return V.write_snapshot(
-            spark.sql(_rewrite_reads(spark, m.group(3).strip(), tables)),
+            _sql_with_views(spark, m.group(3).strip(), tables),
             table,
             mode="overwrite",
         )
