@@ -108,3 +108,27 @@ def test_minshingle_recall_on_sf_documents(spark):
     }
     assert brute, "sf0.001 must contain at least one fuzzy-dup pair"
     assert got == brute
+
+
+def test_candidate_cap_plans_one_exchange_before_grouping(spark):
+    """r13 perf: the hot-bucket cap is a WINDOW count over (band, key),
+    so the shingling+md5 projection executes ONCE and the collect_list
+    groupBy reuses the window's hash partitioning — the candidate plan
+    must contain exactly one Exchange between the documents scan and
+    the bucket aggregation (the former count-agg + anti-join idiom
+    planned two and computed the projection twice)."""
+    rows = [(i, f"alpha beta gamma delta w{i} epsilon zeta") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta w3 epsilon zeta")]  # dup of 3
+    pairs = minshingle_candidate_pairs(_df(spark, rows), "text", "doc_id")
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    # window present, and between Window and the ObjectHashAggregate
+    # pair there is no further Exchange (partitioning reuse)
+    assert "Window" in plan
+    win_pos = plan.index("Window (")
+    agg_pos = plan.index("ObjectHashAggregate")
+    assert agg_pos < win_pos  # formatted tree prints consumers first
+    assert "Exchange" not in plan[agg_pos:win_pos]
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (3, 100) in got

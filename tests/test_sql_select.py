@@ -304,6 +304,11 @@ def test_select_restores_session_view_namespace(spark, tmp_path):
     _seed(spark, t)
     # user's own temp view under the same bare name
     spark.range(3).selectExpr("id AS z").createOrReplaceTempView("vst")
+    pre = {
+        v.name
+        for v in spark.catalog.listTables()
+        if v.name.startswith("__vsql_")
+    }  # other suites' fixtures may legitimately own __vsql_* views
     try:
         df = versioned_sql(
             spark,
@@ -314,11 +319,11 @@ def test_select_restores_session_view_namespace(spark, tmp_path):
         assert df.collect()[0].n == 64
         # ... and the user's view survives the statement untouched
         assert {r.z for r in spark.table("vst").collect()} == {0, 1, 2}
-        # no __vsql_* pin/CDF views left behind
+        # no NEW __vsql_* pin/CDF views left behind by the statement
         leaked = [
             v.name
             for v in spark.catalog.listTables()
-            if v.name.startswith("__vsql_")
+            if v.name.startswith("__vsql_") and v.name not in pre
         ]
         assert leaked == []
     finally:

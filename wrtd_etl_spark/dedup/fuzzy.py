@@ -102,13 +102,23 @@ def minshingle_candidate_pairs(
     cap with a windowed count. Dropped buckets only lose pairs that other
     bands almost certainly still catch."""
     posts = minshingle_keys(df, text_col, id_col, bands, shingle_k)
-    hot = (
-        posts.groupBy("band", "key")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-        .select("band", "key")
+    # Hot-bucket cap as a WINDOW count over the bucket key (r13 perf,
+    # guide §2.4): the former count-aggregate + broadcast anti-join
+    # executed the shingling+md5 projection TWICE (posts feeds both the
+    # size probe and the join) and planned two exchanges; the window
+    # hash-partitions by (band, key) once, the groupBy below reuses that
+    # partitioning (ReusedExchange — the kmeans cap idiom), and the
+    # filter still runs BEFORE any member list materializes, so a
+    # degenerate bucket spills in the window sort instead of OOMing a
+    # collect_list buffer. Same cap semantics as the oracle's QUALIFY.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "key")
+    cold = (
+        posts.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
     )
-    cold = posts.join(F.broadcast(hot), ["band", "key"], "left_anti")
     grouped = (
         cold.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

@@ -182,34 +182,84 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     past every real row's close point, every real error resolves
     (matched or provably unmatched), and the batch LEFT JOIN becomes the
     exact oracle. The sentinel rows themselves are dropped from the
-    result (negative user_id)."""
+    result (negative user_id).
+
+    r13 perf: the flush instant comes from the events parquet FOOTER
+    (driver-side metadata, guide §1/§5 — was a Spark max() job), and the
+    2-row sentinel file is written with pyarrow on the driver (was a
+    createDataFrame + Spark write job). Any instant ≥ the true max
+    flushes correctly — the +30d margin dwarfs footer/micro rounding —
+    and the sentinel rows never reach the result, so the query's output
+    is bit-identical."""
     import datetime
     import os as _os
     import tempfile as _tf
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from ..streaming.dedup import read_events_stream, run_available_now
     from ..streaming.stream_join import interval_join_stream_outer
 
     stream = read_events_stream(spark, sf_dir)
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    mx = None
+    try:
+        md = pq.ParquetFile(_os.path.join(sf_dir, "events.parquet")).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx["ts"]).statistics
+            if s is None or not s.has_min_max:
+                hi = None
+                break
+            hi = s.max if hi is None else max(hi, s.max)
+        if isinstance(hi, int):  # TIMESTAMP(NANOS) shipped as raw int64
+            hi = datetime.datetime.utcfromtimestamp(0) + datetime.timedelta(
+                microseconds=hi // 1000
+            )
+        mx = hi
+    except (OSError, KeyError, pa.ArrowInvalid):
+        pass
     if mx is None:
-        # empty (or all-NULL-ts) input: any fixed instant flushes a
-        # stream that has no real rows to resolve
-        mx = datetime.datetime(2020, 1, 1)
+        # stat-less footer (or empty/all-NULL ts): fall back to the agg,
+        # then to a fixed instant — any value ≥ the true max flushes
+        mx = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        ) or datetime.datetime(2020, 1, 1)
+    if isinstance(mx, datetime.datetime) and mx.tzinfo is not None:
+        mx = mx.replace(tzinfo=None)  # session TZ is pinned UTC
     far = mx + datetime.timedelta(days=30)
     sent_dir = _os.path.join(_tf.mkdtemp(prefix="wrtd_outer_sent_"), "s")
-    sentinel = spark.createDataFrame(
-        [(-1, far, "error"), (-1, far, "click")],
-        "user_id long, ts timestamp, event_type string",
-    )
+    _os.makedirs(sent_dir, exist_ok=True)
     empty = stream.filter(F.lit(False))
-    pad = [
-        F.lit(None).cast(dict(stream.dtypes)[c]).alias(c)
-        for c in stream.columns
-        if c not in sentinel.columns
-    ]
-    sentinel.select(*sentinel.columns, *pad).select(*stream.columns).write.parquet(
-        sent_dir
+    # driver-side 2-row write in the stream's exact post-conversion
+    # schema: ts is TIMESTAMP (ltz) → arrow timestamp[us, UTC]; every
+    # other column NULL-pads. readStream applies empty.schema explicitly,
+    # so only name/type compatibility of the file matters.
+    _arrow_t = {
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    dtypes = dict(stream.dtypes)
+    cols = {}
+    for c in stream.columns:
+        t = _arrow_t[dtypes[c]]
+        if c == "user_id":
+            cols[c] = pa.array([-1, -1], type=t)
+        elif c == "ts":
+            cols[c] = pa.array([far, far], type=t)
+        elif c == "event_type":
+            cols[c] = pa.array(["error", "click"], type=t)
+        else:
+            cols[c] = pa.array([None, None], type=t)
+    pq.write_table(
+        pa.table([cols[c] for c in stream.columns], names=stream.columns),
+        _os.path.join(sent_dir, "sentinel.parquet"),
     )
     s2 = spark.readStream.schema(empty.schema).parquet(sent_dir)
     joined = interval_join_stream_outer(
