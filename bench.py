@@ -187,22 +187,58 @@ def main() -> None:
     # pushes the headline total past the capture window (BENCH_r02-r04 all
     # recorded "parsed": null). Emit a trailing COMPACT summary line, with
     # no per-query dict, so tail-capture always retains a parseable record.
+    compact = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "repeat": repeat,
+            "canary_s": canary_s,
+            "canary_ref_s": canary_ref,
+            "canary_ratio": round(canary_s / canary_ref, 3),
+            "loadavg_end": [round(x, 2) for x in load_end],
+        }
+    )
+    print(compact)
+    # The driver retains only the LAST ~2000 bytes of stdout, so the full
+    # per-query line above is truncated past ~50 queries (PERF_r13 lost its
+    # whole per-query table). Re-emit the per-query dict as SMALL chunk
+    # lines (each well under 1 KB, parseable standalone) plus a slowest-20
+    # line, then repeat the compact summary as the very last line so tail
+    # parsing keeps working no matter where the window cuts. Additions
+    # only: the two legacy lines above are byte-identical to r13's.
+    chunk_items = sorted(timings.items())
+    chunks: list[dict] = []
+    cur: dict[str, float] = {}
+    for k, v in chunk_items:
+        cur[k] = round(v, 3)
+        if len(json.dumps(cur, separators=(",", ":"))) > 700:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {"queries_part": i + 1, "of": len(chunks), "queries": c},
+                separators=(",", ":"),
+            )
+        )
+    slowest = dict(
+        sorted(
+            ((k, round(v, 3)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
     print(
         json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "repeat": repeat,
-                "canary_s": canary_s,
-                "canary_ref_s": canary_ref,
-                "canary_ratio": round(canary_s / canary_ref, 3),
-                "loadavg_end": [round(x, 2) for x in load_end],
-            }
+            {"metric": "slowest_queries", "slowest": slowest},
+            separators=(",", ":"),
         )
     )
+    print(compact)
     spark.stop()
 
 
