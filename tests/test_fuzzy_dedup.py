@@ -89,12 +89,23 @@ def test_minshingle_recall_on_sf_documents(spark):
         "doc_id", F.lower(F.trim("text")).alias("t")
     )
     a, b = d.alias("a"), d.alias("b")
+    # same predicate as the slow form `levenshtein * 4 <= greatest(len)`,
+    # computed fast: distances bound below by the length gap (prunes most
+    # pairs without an edit-distance call), and the threshold form of
+    # levenshtein (returns -1 past the bound) is O(n*k) per pair instead
+    # of O(n^2). Neither step can change the matched set.
+    gl = F.greatest(F.length("a.t"), F.length("b.t"))
+    thr = F.floor(gl / 4).cast("int")
     brute = {
         (r.id1, r.id2)
         for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.abs(F.length("a.t") - F.length("b.t")) <= thr)
         .filter(
-            F.expr("levenshtein(a.t, b.t) * 4")
-            <= F.greatest(F.length("a.t"), F.length("b.t"))
+            F.expr(
+                "levenshtein(a.t, b.t, cast(floor(greatest(length(a.t),"
+                " length(b.t)) / 4) as int))"
+            )
+            >= 0
         )
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")

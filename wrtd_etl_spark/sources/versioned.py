@@ -1382,16 +1382,20 @@ def _uniq_probe(
     distinct."""
     keys, con = _uniq_read(table, rel_files, cols)
     if con is None:
-        g = keys.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
-        row = g.agg(
-            F.max("__n").alias("__m"), F.count(F.lit(1)).alias("__nk")
+        # single global aggregate (r14; was groupBy + agg = two
+        # exchanges): duplicates exist iff total row count exceeds the
+        # distinct-key count. Keys are non-NULL by _uniq_read's
+        # contract, so struct-distinct counts every key tuple.
+        row = keys.agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.count_distinct(F.struct(*cols)).alias("__nk"),
         ).collect()[0]
-        if (row["__m"] or 0) > 1:
+        if (row["__c"] or 0) > row["__nk"]:
             return True, None
         if row["__nk"] == 0:
             return False, {}
         if row["__nk"] <= _UNIQ_POINT_CAP:
-            rows = g.select(*cols).collect()
+            rows = keys.distinct().collect()
             return False, {
                 c: sorted({r[i] for r in rows}) for i, c in enumerate(cols)
             }
@@ -1790,37 +1794,64 @@ def write_snapshot(
             )
     if persisted:
         checks = list(checks or []) + _constraint_checks(persisted)
+    gate_obs = None
+    gate_cols: "list[str] | None" = None
     if checks:
         # Write-time constraint gate (operators/quality.py suite): a
-        # dirty batch is refused BEFORE any data file is staged, and its
+        # dirty batch is refused with NO version committed, and its
         # violating rows land in a Spark-readable quarantine table (the
         # DLQ idea applied to commits) so the producer can inspect and
-        # replay. The check scan is an extra pass over df — the price of
-        # refusing garbage at the door instead of vacuuming it later.
+        # replay.
         from ..operators.quality import run_checks, violating_rows
 
-        # the gate evaluates df three times (check scan, quarantine
-        # write, the commit itself) — pin one evaluation so a
-        # non-deterministic df (rand(), re-read of a moving source)
-        # cannot pass the gate yet commit different rows
-        df = df.localCheckpoint(eager=False)
-        report = run_checks(df, checks).collect()
-        failed = [r for r in report if not r.passed]
-        if failed:
-            qt = quarantine or table.rstrip("/") + "__quarantine"
-            bad = violating_rows(df, checks)
-            write_snapshot(
-                bad,
-                qt,
-                mode="append" if _read_pointer(qt) is not None else "overwrite",
+        if all(c["kind"] == "row" for c in checks):
+            # r14 (guide §1.2): row checks are conditional sums — they
+            # ride the WRITE job via observe() instead of paying a
+            # separate full scan of df. The staged files ARE the single
+            # pinned evaluation (stronger than the old localCheckpoint:
+            # the gate verdict covers exactly the rows that were
+            # written), a refused batch's files orphan for vacuum, and
+            # the quarantine payload re-reads the staged parquet so a
+            # non-deterministic df cannot quarantine different rows
+            # than it staged. Verdict is checked right after
+            # _write_data, before any gate/bloom/commit work.
+            from pyspark.sql import Observation
+
+            gate_obs = Observation()
+            gate_cols = list(df.columns)
+            df = df.observe(
+                gate_obs,
+                F.count(F.lit(1)).alias("__t"),
+                *[
+                    F.sum(F.when(c["bad"], 1).otherwise(0)).alias(f"__v{i}")
+                    for i, c in enumerate(checks)
+                ],
             )
-            detail = "; ".join(
-                f"{r.check}: {r.violations}/{r.total}" for r in failed
-            )
-            raise QualityGateViolation(
-                f"commit to {table} refused — {detail}; violating rows "
-                f"quarantined in {qt}"
-            )
+        else:
+            # unique/fk checks need their own shuffle/join jobs — keep
+            # the pre-write gate (pin one evaluation so a
+            # non-deterministic df cannot pass the gate yet commit
+            # different rows)
+            df = df.localCheckpoint(eager=False)
+            report = run_checks(df, checks).collect()
+            failed = [r for r in report if not r.passed]
+            if failed:
+                qt = quarantine or table.rstrip("/") + "__quarantine"
+                bad = violating_rows(df, checks)
+                write_snapshot(
+                    bad,
+                    qt,
+                    mode="append"
+                    if _read_pointer(qt) is not None
+                    else "overwrite",
+                )
+                detail = "; ".join(
+                    f"{r.check}: {r.violations}/{r.total}" for r in failed
+                )
+                raise QualityGateViolation(
+                    f"commit to {table} refused — {detail}; violating rows "
+                    f"quarantined in {qt}"
+                )
     os.makedirs(os.path.join(table, _MANIFESTS), exist_ok=True)
     declared_layout = (
         {"by": list(layout_by), "files": layout_files} if layout_by else None
@@ -1877,6 +1908,43 @@ def write_snapshot(
                     set(stats_cols or []) | set(inherited["by"])
                 )
         new_files = _write_data(df, table)
+        if gate_obs is not None:
+            # observed row-check verdict from the write job (r14): a
+            # violation quarantines the STAGED rows (exactly what the
+            # gate measured) and refuses before any commit work; the
+            # staged files orphan for vacuum. Spent after one read —
+            # an identity-restage retry re-writes the same rows and
+            # must not re-await the observation.
+            got = gate_obs.get
+            gate_obs = None
+            total = int(got["__t"] or 0)
+            failed = [
+                (c, int(got[f"__v{i}"] or 0))
+                for i, c in enumerate(checks)
+                if int(got[f"__v{i}"] or 0) > 0
+            ]
+            if failed:
+                from ..operators.quality import violating_rows
+
+                qt = quarantine or table.rstrip("/") + "__quarantine"
+                staged = df.sparkSession.read.parquet(
+                    *[os.path.join(table, f) for f in new_files]
+                ).select(*gate_cols)
+                bad = violating_rows(staged, checks)
+                write_snapshot(
+                    bad,
+                    qt,
+                    mode="append"
+                    if _read_pointer(qt) is not None
+                    else "overwrite",
+                )
+                detail = "; ".join(
+                    f"{c['name']}: {v}/{total}" for c, v in failed
+                )
+                raise QualityGateViolation(
+                    f"commit to {table} refused — {detail}; violating "
+                    f"rows quarantined in {qt}"
+                )
         bloom_set = set(bloom_cols or [])
         if mode == "append":
             # bloomed columns are a table property like the layout: an
@@ -3080,15 +3148,26 @@ def _delete_where_dv(
     hits = hits.filter(F.coalesce(predicate, F.lit(False))).select(
         "__dvb", "__dvp"
     )
-    hits = hits.localCheckpoint(eager=False)
-    n = hits.count()
+    # ONE pass (r14 perf): the position pull IS the count — the old
+    # count()-then-toPandas shape scanned the candidate files twice (and
+    # needed a localCheckpoint pin to do it consistently). The size cap
+    # is enforced on the collected frame; a transfer so large it trips
+    # spark.driver.maxResultSize bails to CoW exactly like an over-cap
+    # count did.
+    pdf = _dv_positions_pdf(hits)
+    if pdf is None:
+        return bail(
+            "matching positions exceed spark.driver.maxResultSize; a "
+            "copy-on-write rewrite is the better plan"
+        )
+    n = len(pdf)
     if n > DV_MAX_POSITIONS:
         return bail(
             f"{n} matching rows exceed DV_MAX_POSITIONS "
             f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
             "better plan"
         )
-    segments = list(carried) + _dv_mark_deleted(table, rewrite_segs, hits)
+    segments = list(carried) + _dv_mark_deleted(table, rewrite_segs, pdf)
     return _commit_rewrite(
         table,
         base,
@@ -3100,22 +3179,36 @@ def _delete_where_dv(
     )
 
 
+def _dv_positions_pdf(hits: DataFrame):
+    """Arrow-collect (__dvb, __dvp, ...) hit positions into a pandas
+    frame — ONE job, no checkpoint, no pre-count (r14: the count used to
+    be a second pass over the candidate scan). Returns None when the
+    transfer trips ``spark.driver.maxResultSize`` so DV callers can bail
+    to copy-on-write the way an over-cap count did."""
+    try:
+        return hits.toPandas()
+    except Exception as e:  # noqa: BLE001 — py4j surfaces SparkException
+        msg = str(e)
+        if "maxResultSize" in msg or "bigger than" in msg:
+            return None
+        raise
+
+
 def _dv_mark_deleted(
-    table: str, rewrite_segs: list[dict], hits: DataFrame
+    table: str, rewrite_segs: list[dict], pdf
 ) -> list[dict]:
-    """Collect the (__dvb, __dvp) hit positions, union them into each
-    file's cumulative vector, persist ONE new sidecar, and return the
-    candidate segments with updated ``dvs`` entries — same files, new
-    metadata. The shared tail of merge-on-read DELETE and UPDATE."""
+    """Union the collected (__dvb, __dvp) hit positions (a pandas frame
+    — Arrow transfer, not Row collect: at DV_MAX_POSITIONS (5M) the
+    Row-object form is GBs of driver heap; the pandas frame is two flat
+    columns, ~80 MB) into each file's cumulative vector, persist ONE new
+    sidecar, and return the candidate segments with updated ``dvs``
+    entries — same files, new metadata. The shared tail of merge-on-read
+    DELETE and UPDATE."""
     base_to_rel = {
         os.path.basename(f): f
         for seg in rewrite_segs
         for f in seg["files"]
     }
-    # Arrow transfer, not Row collect: at DV_MAX_POSITIONS (5M) the
-    # Row-object form is GBs of driver heap; the pandas frame is two
-    # flat columns (~80 MB) and the groupby yields numpy int64 blocks.
-    pdf = hits.select("__dvb", "__dvp").toPandas()
     new_pos: dict[str, list] = {
         base_to_rel[b]: grp["__dvp"].astype("int64").tolist()
         for b, grp in pdf.groupby("__dvb", sort=False)
@@ -3187,16 +3280,24 @@ def _update_where_dv(
     matched = scan.filter(
         F.coalesce(predicate, F.lit(False))
     ).localCheckpoint(eager=False)
-    n = matched.count()
+    # the checkpoint pin stays (the updated-rows write below re-reads
+    # `matched`), but the position pull now doubles as the count — one
+    # job materializes the checkpoint AND collects positions (r14; was a
+    # count job plus a separate toPandas job)
+    pdf = _dv_positions_pdf(matched.select("__dvb", "__dvp"))
+    if pdf is None:
+        return bail(
+            "matching positions exceed spark.driver.maxResultSize; a "
+            "copy-on-write rewrite is the better plan"
+        )
+    n = len(pdf)
     if n > DV_MAX_POSITIONS:
         return bail(
             f"{n} matching rows exceed DV_MAX_POSITIONS "
             f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
             "better plan"
         )
-    segments = list(carried) + _dv_mark_deleted(
-        table, rewrite_segs, matched
-    )
+    segments = list(carried) + _dv_mark_deleted(table, rewrite_segs, pdf)
     if n:
         cols = []
         for f in target.fields:
@@ -3456,26 +3557,28 @@ def _rewrite_segment(
         **manifest.get("constraints", {}),
         **_generated_as_constraints(manifest.get("generated", {})),
     }
+    rw_obs = None
+    rw_checks: list[dict] = []
     if constraints:
-        # Delta enforces CHECK on UPDATE/MERGE output too: one agg pass
-        # over the replacement rows, refused before any file is staged
-        from ..operators.quality import run_checks
+        # Delta enforces CHECK on UPDATE/MERGE output too. r14 (guide
+        # §1.2): persisted constraints are row checks by construction,
+        # so the gate rides the WRITE job via observe() instead of a
+        # separate FULL execution of the replacement plan (on clustered
+        # tables that plan already runs for bounds + range sampling —
+        # the gate was a fourth execution). A violating rewrite stages
+        # files that orphan for vacuum; no version ever references them.
+        from pyspark.sql import Observation
 
-        failed = [
-            r
-            for r in run_checks(
-                rows, _constraint_checks(constraints)
-            ).collect()
-            if not r.passed
-        ]
-        if failed:
-            detail = "; ".join(
-                f"{r.check}: {r.violations}/{r.total}" for r in failed
-            )
-            raise QualityGateViolation(
-                f"rewrite of {table} refused — persisted constraint(s) "
-                f"violated by replacement rows: {detail}"
-            )
+        rw_checks = _constraint_checks(constraints)
+        rw_obs = Observation()
+        rows = rows.observe(
+            rw_obs,
+            F.count(F.lit(1)).alias("__t"),
+            *[
+                F.sum(F.when(c["bad"], 1).otherwise(0)).alias(f"__v{i}")
+                for i, c in enumerate(rw_checks)
+            ],
+        )
     # UNIQUE enforcement on rewrites: only constraints whose key columns
     # this rewrite can actually alter (``changed_cols``; None = assume
     # all, e.g. MERGE inserts) need checking — a delete or an update of
@@ -3490,14 +3593,15 @@ def _rewrite_segment(
         aliases_u = manifest.get("aliases", {})
         for name, cols in sorted(uniq.items()):
             keys = rows.select(*cols).na.drop("any")
-            # fused probe (r13 perf): one grouped agg answers the dup
-            # check AND the distinct-key count (was two executions of
-            # the full replacement plan for the check alone)
-            g = keys.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
-            r0 = g.agg(
-                F.max("__n").alias("__m"), F.count(F.lit(1)).alias("__nk")
+            # fused probe (r13: one grouped agg answered the dup check
+            # AND the distinct-key count; r14: single GLOBAL aggregate —
+            # duplicates exist iff count exceeds distinct-key count —
+            # one exchange instead of two over the replacement plan)
+            r0 = keys.agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.count_distinct(F.struct(*cols)).alias("__nk"),
             ).collect()[0]
-            if (r0["__m"] or 0) > 1:
+            if (r0["__c"] or 0) > r0["__nk"]:
                 raise UniqueConstraintViolation(
                     f"rewrite of {table} refused — UNIQUE {name} ({cols}):"
                     " duplicate keys among the replacement rows"
@@ -3505,7 +3609,7 @@ def _rewrite_segment(
             if r0["__nk"] == 0:
                 continue  # no non-NULL replacement keys: nothing to hit
             if r0["__nk"] <= _UNIQ_POINT_CAP:
-                vals = g.select(*cols).collect()
+                vals = keys.distinct().collect()
                 pf = {
                     c: sorted({r[i] for r in vals})
                     for i, c in enumerate(cols)
@@ -3582,6 +3686,25 @@ def _rewrite_segment(
             rid_files = files_new
     else:
         files_new = _write_data(rows, table)
+    if rw_obs is not None:
+        # observed CHECK verdict (metrics fire on the plan's FIRST
+        # execution — the layout bounds agg when clustered, else the
+        # write itself; counts are identical either way)
+        got = rw_obs.get
+        total = int(got["__t"] or 0)
+        failed = [
+            (c, int(got[f"__v{i}"] or 0))
+            for i, c in enumerate(rw_checks)
+            if int(got[f"__v{i}"] or 0) > 0
+        ]
+        if failed:
+            detail = "; ".join(
+                f"{c['name']}: {v}/{total}" for c, v in failed
+            )
+            raise QualityGateViolation(
+                f"rewrite of {table} refused — persisted constraint(s) "
+                f"violated by replacement rows: {detail}"
+            )
     # stat columns come from the WHOLE version, not just the rewritten
     # files — an insert-only merge whose pruning carried every old file
     # must still record stats on its fresh files, or skipping degrades.
@@ -3998,6 +4121,7 @@ def _merge_into_dv(
     when_not_matched_by_source,
     extra: dict | None,
     required: bool,
+    nk_bound: int = 0,
 ) -> "int | None":
     """Merge-on-read MERGE — the deletion-vector decomposition of
     :func:`merge_into` in ONE atomic commit: matched rows' positions
@@ -4073,14 +4197,31 @@ def _merge_into_dv(
         c = scan[k] == src[f"__s_{k}"]
         cond = c if cond is None else cond & c
     joined = scan.join(src, cond, "inner").localCheckpoint(eager=False)
-    # one agg job answers both counts (r13 perf — was a count() plus a
-    # filtered count(), each its own job over the checkpointed join)
-    cnt_row = joined.agg(
+    # ONE job (r14 perf): the victim-position pull materializes the
+    # checkpoint, and observe() rides the matched/deleted counts on that
+    # same job — r13's fused count agg was still a separate job before
+    # the positions toPandas. The observed metrics are exact (same
+    # aggregate expressions), and the victim filter sits ABOVE the
+    # observe node so the counts cover every matched row while only
+    # victim positions transfer.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = joined.observe(
+        obs,
         F.count(F.lit(1)).alias("__m"),
         F.sum(F.when(F.col("__s_del"), 1).otherwise(0)).alias("__d"),
-    ).collect()[0]
-    n_matched = cnt_row["__m"]
-    n_del = int(cnt_row["__d"] or 0) if delete_when is not None else 0
+    )
+    victims = observed if mapping else observed.filter(F.col("__s_del"))
+    pdf = _dv_positions_pdf(victims.select("__dvb", "__dvp"))
+    if pdf is None:
+        return bail(
+            "matched positions exceed spark.driver.maxResultSize; a "
+            "copy-on-write rewrite is the better plan"
+        )
+    got = obs.get
+    n_matched = got["__m"]
+    n_del = int(got["__d"] or 0) if delete_when is not None else 0
     n_vic = n_matched if mapping else n_del
     if n_vic > DV_MAX_POSITIONS:
         return bail(
@@ -4088,11 +4229,8 @@ def _merge_into_dv(
             f"({DV_MAX_POSITIONS}); a copy-on-write rewrite is the "
             "better plan"
         )
-    victims = joined if mapping else joined.filter(F.col("__s_del"))
     segments = list(carried) + (
-        _dv_mark_deleted(
-            table, rewrite_segs, victims.select("__dvb", "__dvp")
-        )
+        _dv_mark_deleted(table, rewrite_segs, pdf)
         if n_vic
         else list(rewrite_segs)
     )
@@ -4127,6 +4265,7 @@ def _merge_into_dv(
         inserts = inserts.join(scan.select(*keys), keys, "left_anti")
         inserts_raw = inserts  # pre-identity lineage (restage re-mints)
         n_ins = 0
+        ins_obs = None
         if ident:
             identity_update = {}
             for iname, spec in sorted(ident.items()):
@@ -4138,9 +4277,15 @@ def _merge_into_dv(
             if all(e == n_ for e, n_ in identity_update.values()):
                 identity_update = None  # zero inserts: nothing minted
         else:
-            inserts = inserts.localCheckpoint(eager=False)
-            n_ins = inserts.count()
-        if n_ins:
+            # r14: no pre-count job — the insert count rides the WRITE
+            # job via observe() (exact; count pre-dates any layout
+            # repartition, so the metric is the row count regardless of
+            # file packing). A zero-insert merge writes an empty staging
+            # dir (dropped file-by-file) instead of paying a count job
+            # to find out, and the fresh-segment file sizing uses the
+            # probe's distinct-key count as the inserts upper bound.
+            ins_obs = Observation()
+        if n_ins or ins_obs is not None:
             _dflt = manifest.get("defaults", {})
             ins_cols = [
                 (
@@ -4152,23 +4297,31 @@ def _merge_into_dv(
                 for f in target.fields
             ]
             ins_rows = inserts.select(*ins_cols)
+            if ins_obs is not None:
+                ins_rows = ins_rows.observe(
+                    ins_obs, F.count(F.lit(1)).alias("__i")
+                )
             new_rows = (
                 ins_rows if new_rows is None else new_rows.unionByName(ins_rows)
             )
             n_new += n_ins
-    if new_rows is not None and n_new:
-        fresh_files = max(1, min(n_new // 500_000 + 1, 8))
-        segments.append(
-            _rewrite_segment(
-                spark,
-                table,
-                manifest,
-                rewrite_segs,
-                new_rows,
-                schema=schema_json,
-                target_files=fresh_files,
-            )
+    if new_rows is not None and (n_new or ins_obs is not None):
+        bound = n_new + (nk_bound if ins_obs is not None else 0)
+        fresh_files = max(1, min(bound // 500_000 + 1, 8))
+        seg_new = _rewrite_segment(
+            spark,
+            table,
+            manifest,
+            rewrite_segs,
+            new_rows,
+            schema=schema_json,
+            target_files=fresh_files,
         )
+        if ins_obs is not None:
+            n_ins = int(ins_obs.get["__i"] or 0)
+            n_new += n_ins
+        if seg_new["files"]:
+            segments.append(seg_new)
         if identity_update is not None:
             segs_base = segments[:-1]
 
@@ -4412,15 +4565,18 @@ def merge_into(
             )
         prune = None  # the clause quantifies over absent keys — see docstring
 
-    # ONE probe job over the grouped keys answers all three source
-    # questions (r13 perf — was three separate jobs/scans): the
-    # many-to-one ambiguity check (max group size — refuse like Delta's
-    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET), the auto-prune key
+    # ONE probe job over the source answers all three questions (r13
+    # fused three jobs into a grouped agg; r14 drops the groupBy: a
+    # single global aggregate — count vs distinct-key count detects
+    # many-to-one, like Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET
+    # — plans one exchange instead of two and ships partial-agg rows,
+    # never (key, count) pairs): the ambiguity check, the auto-prune key
     # range, and the distinct-key count that gates membership pruning.
-    g = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    # struct() is never NULL, so NULL-keyed rows count as a distinct key
+    # exactly like the groupBy treated them.
     probe_aggs = [
-        F.max("__n").alias("__maxn"),
-        F.count(F.lit(1)).alias("__nk"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count_distinct(F.struct(*keys)).alias("__nk"),
     ]
     if prune == "auto":
         for k in keys:
@@ -4428,9 +4584,15 @@ def merge_into(
                 F.min(k).alias(f"__lo_{k}"),
                 F.max(k).alias(f"__hi_{k}"),
             ]
-    row = g.agg(*probe_aggs).collect()[0]
-    if (row["__maxn"] or 0) > 1:
-        dup = g.filter(F.col("__n") > 1).limit(1).collect()
+    row = source.agg(*probe_aggs).collect()[0]
+    if (row["__cnt"] or 0) > row["__nk"]:
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
         kv = {k: dup[0][k] for k in keys}
         raise ValueError(f"source has multiple rows for merge key {kv}")
 
@@ -4450,7 +4612,7 @@ def merge_into(
         # collect and keep the range prune (the probe already counted
         # the distinct keys, so the oversized case pays no extra job).
         if 0 < row["__nk"] <= _POINT_PRUNE_MAX_KEYS:
-            krows = g.select(*keys).collect()
+            krows = source.select(*keys).distinct().collect()
             point = {k: [r[k] for r in krows] for k in keys}
 
     carried, rewrite_segs = _split_for_rewrite(
@@ -4494,6 +4656,7 @@ def merge_into(
             when_not_matched_by_source,
             extra,
             required=strategy == "dv",
+            nk_bound=int(row["__nk"] or 0),
         )
         if v is not None:
             return v  # DV commit landed (auto fell through otherwise)
