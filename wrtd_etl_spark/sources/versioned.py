@@ -67,7 +67,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
@@ -1369,6 +1369,44 @@ def _uniq_overlap_exists(
     )
 
 
+def _collect_one_round(df: DataFrame) -> list:
+    """``collect()`` a LIMITed plan in ONE job: executeTake's incremental
+    partition scheme (1, 4, 16, ... partitions per round) fires a job per
+    round whenever the limit is NOT reached early — for a capped
+    distinct-key probe that is the common case, so force every partition
+    into the first round. The session conf is restored immediately (the
+    commit paths are single-threaded)."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset conf
+        prev = None
+    spark.conf.set(key, "2147483647")
+    try:
+        return df.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _obs_get(obs: Observation, df: DataFrame, *aggs: Column) -> dict:
+    """Observed metrics of the action that just ran, with a fallback for
+    plans Spark executes WITHOUT firing CollectMetrics: a LocalRelation
+    source (tests, tiny in-memory batches) can fold the whole probe into
+    a driver-side ``executeCollect`` that runs no job, so the Scala
+    Observation publishes ``Row.empty`` and ``toPyRow`` raises. Recompute
+    the same aggregates over ``df`` (the observe input) with one plain
+    agg job then — values identical by definition. Parquet-backed paths
+    always run a real job and never pay this."""
+    try:
+        return obs.get
+    except Exception:  # noqa: BLE001 — empty metrics row, see docstring
+        return df.agg(*aggs).collect()[0].asDict()
+
+
 def _uniq_probe(
     table: str, rel_files: list[str], cols: list[str]
 ) -> "tuple[bool, dict[str, list] | None]":
@@ -1382,23 +1420,34 @@ def _uniq_probe(
     distinct."""
     keys, con = _uniq_read(table, rel_files, cols)
     if con is None:
-        # single global aggregate (r14; was groupBy + agg = two
-        # exchanges): duplicates exist iff total row count exceeds the
-        # distinct-key count. Keys are non-NULL by _uniq_read's
-        # contract, so struct-distinct counts every key tuple.
-        row = keys.agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.count_distinct(F.struct(*cols)).alias("__nk"),
-        ).collect()[0]
-        if (row["__c"] or 0) > row["__nk"]:
-            return True, None
-        if row["__nk"] == 0:
-            return False, {}
-        if row["__nk"] <= _UNIQ_POINT_CAP:
-            rows = keys.distinct().collect()
+        # ONE action for the common (point-prunable) case (r14): the
+        # total row count rides the capped distinct-key collect via
+        # observe() — duplicates exist iff it exceeds the number of
+        # distinct keys, and the collected keys ARE the point filter.
+        # Only an over-cap batch pays a second (exact distinct count)
+        # aggregate for the dup gate alone.
+        obs = Observation()
+        rows = _collect_one_round(
+            keys.observe(obs, F.count(F.lit(1)).alias("__c"))
+            .distinct()
+            .limit(_UNIQ_POINT_CAP + 1)
+        )
+        total = int(
+            _obs_get(obs, keys, F.count(F.lit(1)).alias("__c"))["__c"] or 0
+        )
+        if len(rows) <= _UNIQ_POINT_CAP:
+            if total > len(rows):
+                return True, None
+            if not rows:
+                return False, {}
             return False, {
                 c: sorted({r[i] for r in rows}) for i, c in enumerate(cols)
             }
+        nk = keys.agg(
+            F.count_distinct(F.struct(*cols)).alias("__nk")
+        ).collect()[0]["__nk"]
+        if total > nk:
+            return True, None
         return False, None
     quoted = ", ".join('"' + c.replace('"', '""') + '"' for c in cols)
     if con.sql(
@@ -3567,8 +3616,6 @@ def _rewrite_segment(
         # tables that plan already runs for bounds + range sampling —
         # the gate was a fourth execution). A violating rewrite stages
         # files that orphan for vacuum; no version ever references them.
-        from pyspark.sql import Observation
-
         rw_checks = _constraint_checks(constraints)
         rw_obs = Observation()
         rows = rows.observe(
@@ -3594,28 +3641,41 @@ def _rewrite_segment(
         for name, cols in sorted(uniq.items()):
             keys = rows.select(*cols).na.drop("any")
             # fused probe (r13: one grouped agg answered the dup check
-            # AND the distinct-key count; r14: single GLOBAL aggregate —
-            # duplicates exist iff count exceeds distinct-key count —
-            # one exchange instead of two over the replacement plan)
-            r0 = keys.agg(
-                F.count(F.lit(1)).alias("__c"),
-                F.count_distinct(F.struct(*cols)).alias("__nk"),
-            ).collect()[0]
-            if (r0["__c"] or 0) > r0["__nk"]:
-                raise UniqueConstraintViolation(
-                    f"rewrite of {table} refused — UNIQUE {name} ({cols}):"
-                    " duplicate keys among the replacement rows"
-                )
-            if r0["__nk"] == 0:
-                continue  # no non-NULL replacement keys: nothing to hit
-            if r0["__nk"] <= _UNIQ_POINT_CAP:
-                vals = keys.distinct().collect()
+            # AND the distinct-key count; r14: ONE action for the common
+            # point-prunable case — the row count rides the capped
+            # distinct-key collect via observe(), duplicates exist iff
+            # it exceeds the number of distinct keys, and the collected
+            # keys ARE the point filter)
+            u_obs = Observation()
+            vals = _collect_one_round(
+                keys.observe(u_obs, F.count(F.lit(1)).alias("__c"))
+                .distinct()
+                .limit(_UNIQ_POINT_CAP + 1)
+            )
+            total = int(
+                _obs_get(u_obs, keys, F.count(F.lit(1)).alias("__c"))["__c"]
+                or 0
+            )
+            if len(vals) <= _UNIQ_POINT_CAP:
+                nk = len(vals)
                 pf = {
                     c: sorted({r[i] for r in vals})
                     for i, c in enumerate(cols)
                 }
             else:
+                nk = int(
+                    keys.agg(
+                        F.count_distinct(F.struct(*cols)).alias("__nk")
+                    ).collect()[0]["__nk"]
+                )
                 pf = None
+            if total > nk:
+                raise UniqueConstraintViolation(
+                    f"rewrite of {table} refused — UNIQUE {name} ({cols}):"
+                    " duplicate keys among the replacement rows"
+                )
+            if nk == 0:
+                continue  # no non-NULL replacement keys: nothing to hit
             carried_segs = []
             for seg in _segments(manifest):
                 if _is_seg_head(seg):
@@ -4565,27 +4625,19 @@ def merge_into(
             )
         prune = None  # the clause quantifies over absent keys — see docstring
 
-    # ONE probe job over the source answers all three questions (r13
-    # fused three jobs into a grouped agg; r14 drops the groupBy: a
-    # single global aggregate — count vs distinct-key count detects
-    # many-to-one, like Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET
-    # — plans one exchange instead of two and ships partial-agg rows,
-    # never (key, count) pairs): the ambiguity check, the auto-prune key
-    # range, and the distinct-key count that gates membership pruning.
-    # struct() is never NULL, so NULL-keyed rows count as a distinct key
-    # exactly like the groupBy treated them.
-    probe_aggs = [
-        F.count(F.lit(1)).alias("__cnt"),
-        F.count_distinct(F.struct(*keys)).alias("__nk"),
-    ]
-    if prune == "auto":
-        for k in keys:
-            probe_aggs += [
-                F.min(k).alias(f"__lo_{k}"),
-                F.max(k).alias(f"__hi_{k}"),
-            ]
-    row = source.agg(*probe_aggs).collect()[0]
-    if (row["__cnt"] or 0) > row["__nk"]:
+    # Source probe: the many-to-one ambiguity check (like Delta's
+    # DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET), the auto-prune key
+    # range, and the point-membership key list. r13 fused three jobs
+    # into a grouped agg; r14 makes the CDC-sized case ONE action: the
+    # row count and per-key ranges ride the capped distinct-key collect
+    # via observe(), the collected keys ARE the membership filter (the
+    # difference between rewriting the table and rewriting a handful of
+    # files at 100 TB), and duplicates exist iff the observed row count
+    # exceeds the distinct-key count. Only an over-cap (backfill-sized)
+    # source pays a second exact-distinct aggregate, for the ambiguity
+    # gate alone — it keeps the range prune and skips membership
+    # pruning as before.
+    def _dup_raise():
         dup = (
             source.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -4597,23 +4649,54 @@ def merge_into(
         raise ValueError(f"source has multiple rows for merge key {kv}")
 
     point = None
+    nk = 0
     if prune == "auto":
+        p_obs = Observation()
+        p_aggs = [F.count(F.lit(1)).alias("__cnt")]
+        for k in keys:
+            p_aggs += [
+                F.min(k).alias(f"__lo_{k}"),
+                F.max(k).alias(f"__hi_{k}"),
+            ]
+        krows = _collect_one_round(
+            source.observe(p_obs, *p_aggs)
+            .select(*keys)
+            .distinct()
+            .limit(_POINT_PRUNE_MAX_KEYS + 1)
+        )
+        got = _obs_get(p_obs, source, *p_aggs)
+        cnt = int(got["__cnt"] or 0)
         prune = {
-            k: (row[f"__lo_{k}"], row[f"__hi_{k}"])
+            k: (got[f"__lo_{k}"], got[f"__hi_{k}"])
             for k in keys
-            if row[f"__lo_{k}"] is not None
+            if got[f"__lo_{k}"] is not None
         } or None
-        # CDC-sized sources additionally prune by key MEMBERSHIP: the
-        # global [min,max] of a scattered key batch spans the whole
-        # table, but per-file stats + bloom sketches (bloom_cols) can
-        # rule out every file not holding one of the actual keys —
-        # the difference between rewriting the table and rewriting a
-        # handful of files at 100 TB. Backfill-sized sources skip the
-        # collect and keep the range prune (the probe already counted
-        # the distinct keys, so the oversized case pays no extra job).
-        if 0 < row["__nk"] <= _POINT_PRUNE_MAX_KEYS:
-            krows = source.select(*keys).distinct().collect()
-            point = {k: [r[k] for r in krows] for k in keys}
+        if len(krows) <= _POINT_PRUNE_MAX_KEYS:
+            nk = len(krows)
+            if cnt > nk:
+                _dup_raise()
+            if nk:
+                point = {k: [r[k] for r in krows] for k in keys}
+        else:
+            nk = int(
+                source.agg(
+                    F.count_distinct(F.struct(*keys)).alias("__nk")
+                ).collect()[0]["__nk"]
+            )
+            if cnt > nk:
+                _dup_raise()
+    else:
+        # no range probe wanted (prune=None or an explicit dict): a
+        # single global aggregate still gates ambiguity — struct() is
+        # never NULL, so NULL-keyed rows count as distinct keys exactly
+        # like a groupBy would treat them.
+        row = source.agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.count_distinct(F.struct(*keys)).alias("__nk"),
+        ).collect()[0]
+        nk = int(row["__nk"] or 0)
+        if (row["__cnt"] or 0) > nk:
+            _dup_raise()
 
     carried, rewrite_segs = _split_for_rewrite(
         manifest, aliases, prune, point, table=table
@@ -4656,7 +4739,7 @@ def merge_into(
             when_not_matched_by_source,
             extra,
             required=strategy == "dv",
-            nk_bound=int(row["__nk"] or 0),
+            nk_bound=nk,
         )
         if v is not None:
             return v  # DV commit landed (auto fell through otherwise)
