@@ -116,7 +116,13 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (append would withhold windows inside the lateness horizon when the
     stream ends); at production scale the same query runs append-mode with
     the watermark bounding state."""
-    from ..streaming.dedup import read_events_stream, run_available_now
+    import os as _os
+
+    from ..streaming.dedup import (
+        read_events_stream,
+        run_available_now,
+        state_partitions_for,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     windowed = (
@@ -129,7 +135,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return run_available_now(windowed, spark, "complete").orderBy(
+    nparts = state_partitions_for(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return run_available_now(windowed, spark, "complete", nparts).orderBy(
         "w_start", "event_type"
     )
 
@@ -150,12 +159,21 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-state contract; see streaming/stream_join.py). availableNow
     over the single-file source emits every inner match in one micro-batch,
     so the batch inequality join is an exact oracle."""
-    from ..streaming.dedup import read_events_stream, run_available_now
+    import os as _os
+
+    from ..streaming.dedup import (
+        read_events_stream,
+        run_available_now,
+        state_partitions_for,
+    )
     from ..streaming.stream_join import interval_join_stream
 
     stream = read_events_stream(spark, sf_dir)
     joined = interval_join_stream(stream, minutes=60)
-    return run_available_now(joined, spark, "append")
+    nparts = state_partitions_for(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    return run_available_now(joined, spark, "append", nparts)
 
 
 @register(
@@ -198,7 +216,11 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..streaming.dedup import read_events_stream, run_available_now
+    from ..streaming.dedup import (
+        read_events_stream,
+        run_available_now,
+        state_partitions_for,
+    )
     from ..streaming.stream_join import interval_join_stream_outer
 
     stream = read_events_stream(spark, sf_dir)
@@ -265,7 +287,12 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_stream_outer(
         stream.unionByName(s2), minutes=60, lateness="2 hours"
     )
-    out = run_available_now(joined, spark, "append")
+    out = run_available_now(
+        joined,
+        spark,
+        "append",
+        state_partitions_for(spark, _os.path.join(sf_dir, "events.parquet")),
+    )
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -327,7 +354,13 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     [first_ts, last_ts + gap), exactly the island formulation the DuckDB
     oracle uses — so the comparison pins the built-in operator's gap
     semantics against the hand-rolled one."""
-    from ..streaming.dedup import read_events_stream, run_available_now
+    import os as _os
+
+    from ..streaming.dedup import (
+        read_events_stream,
+        run_available_now,
+        state_partitions_for,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     sessions = (
@@ -344,7 +377,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_available_now(sessions, spark, "complete")
+    return run_available_now(
+        sessions,
+        spark,
+        "complete",
+        state_partitions_for(spark, _os.path.join(sf_dir, "events.parquet")),
+    )
 
 
 @register(
@@ -376,9 +414,15 @@ def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (bounded state), and the tiny per-window top-k ranks the
     emitted aggregate batch-side (|windows|x|types| rows, a partitioned
     window over an aggregate — never over raw events)."""
+    import os as _os
+
     from pyspark.sql import Window
 
-    from ..streaming.dedup import read_events_stream, run_available_now
+    from ..streaming.dedup import (
+        read_events_stream,
+        run_available_now,
+        state_partitions_for,
+    )
 
     stream = read_events_stream(spark, sf_dir)
     windowed = (
@@ -391,7 +435,12 @@ def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    emitted = run_available_now(windowed, spark, "complete")
+    emitted = run_available_now(
+        windowed,
+        spark,
+        "complete",
+        state_partitions_for(spark, _os.path.join(sf_dir, "events.parquet")),
+    )
     rank_w = Window.partitionBy("w_start").orderBy(
         F.desc("cnt"), F.asc("event_type")
     )
