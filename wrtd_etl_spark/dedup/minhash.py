@@ -227,17 +227,21 @@ def minhash_near_dup_pairs(
     # bucket (every empty/boilerplate doc colliding) must never reach
     # collect_list — the aggregation buffer for one giant bucket does not
     # spill element-wise and would OOM the task, defeating the cap's whole
-    # purpose. Bucket sizes come from a count aggregate (map-side
-    # combined, rows not lists); the oversized keys are by construction a
-    # tiny set, so the anti-join against them broadcasts.
-    hot = (
-        buckets.groupBy("band_idx", "band_hash")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("band_idx", "band_hash")
-    )
-    cold = buckets.join(
-        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    # purpose. Cap as a WINDOW count over the bucket key (r14, the fuzzy.py r13
+    # idiom; guide §2.4): the former count-aggregate + broadcast anti-join
+    # scanned the checkpointed buckets twice and planned an extra exchange
+    # + broadcast build; the window hash-partitions by (band_idx,
+    # band_hash) once and the collect_list groupBy below REUSES that
+    # partitioning. Same cap semantics (window count ≡ group count), and
+    # a degenerate bucket spills in the window sort instead of growing an
+    # aggregation buffer. Interleaved A/B at sf0.1: 1.82 → 1.30 s.
+    from pyspark.sql import Window
+
+    _w = Window.partitionBy("band_idx", "band_hash")
+    cold = (
+        buckets.withColumn("__n", F.count(F.lit(1)).over(_w))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
     )
     # Candidate pairs straight from the grouped bucket: one exchange on the
     # bucket key, pair enumeration as an array expression over the sorted

@@ -82,17 +82,24 @@ def ngram_jaccard_pairs(
     pos = arr.select(F.col(id_col), F.explode("__arr").alias("g"))
     # Document-frequency pruning BEFORE the postings lists materialize: a
     # boilerplate gram shared by most of the corpus must never reach
-    # collect_list (one giant non-spillable aggregation buffer). Gram
-    # frequencies come from a count aggregate (map-side combined); the
-    # over-df grams are a tiny set by construction → broadcast anti-join.
+    # collect_list (one giant non-spillable aggregation buffer).
     if max_df is not None:
-        hot = (
-            pos.groupBy("g")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("g")
+        # DF prune as a WINDOW count over the gram (r14, the fuzzy.py r13
+        # idiom; guide §2.4): the former count-aggregate + broadcast
+        # anti-join scanned the postings twice and planned an extra
+        # exchange + broadcast build; the window hash-partitions by g
+        # once and the collect_list groupBy below REUSES it. Identical
+        # prune set (window count ≡ group count); a boilerplate gram
+        # spills in the window sort instead of growing an agg buffer.
+        # Interleaved A/B at sf0.1 (dedup_clusters): 2.52 → 1.77 s.
+        from pyspark.sql import Window
+
+        _w = Window.partitionBy("g")
+        pos = (
+            pos.withColumn("__df", F.count(F.lit(1)).over(_w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        pos = pos.join(F.broadcast(hot), "g", "left_anti")
     grouped = pos.groupBy("g").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
     grouped = grouped.filter(F.size("ids") >= 2)
     pair_structs = F.flatten(

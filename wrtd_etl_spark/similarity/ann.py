@@ -389,17 +389,22 @@ def embedding_near_dup_pairs(
         # scalars (id, band_idx, band_sig), so this is cheap, unlike
         # persisting array columns
         banded = banded.localCheckpoint(eager=False)
-        # Hot-bucket cap BEFORE anything per-bucket materializes: sizes
-        # come from a map-side-combined count, the oversized keys are by
-        # construction a tiny set, so the anti-join broadcasts.
-        hot = (
-            banded.groupBy("band_idx", "band_sig")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("band_idx", "band_sig")
-        )
-        cold = banded.join(
-            F.broadcast(hot), ["band_idx", "band_sig"], "left_anti"
+        # Hot-bucket cap BEFORE anything per-bucket materializes.
+        # Cap as a WINDOW count over the bucket key (r14, the fuzzy.py
+        # r13 idiom; guide §2.4): the former count-aggregate + broadcast
+        # anti-join scanned the checkpointed banding twice and planned an
+        # extra exchange + broadcast build; the window hash-partitions by
+        # (band_idx, band_sig) once and the collect_list groupBy below
+        # REUSES it. Identical cap set (window count ≡ group count); a
+        # degenerate bucket spills in the window sort instead of growing
+        # an agg buffer. Interleaved A/B at sf0.1: 2.76 → 2.14 s.
+        from pyspark.sql import Window
+
+        _w = Window.partitionBy("band_idx", "band_sig")
+        cold = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(_w))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
         )
         # Candidate pairs straight from the grouped bucket (ONE exchange
         # on the bucket key, vs two for the former self-join): enumerate
