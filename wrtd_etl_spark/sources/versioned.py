@@ -1654,11 +1654,58 @@ def _layout_num_expr(dt, col: str):
     )
 
 
+def _layout_bounds_from_segstats(
+    df: DataFrame, segs: list[dict], layout_by: list[str]
+) -> "list[tuple[float, float]] | None":
+    """Quantization bounds for :func:`_apply_layout` read off the victim
+    segments' MANIFEST stats — driver-side metadata, ZERO Spark jobs —
+    instead of a min/max aggregate that re-executes the full replacement
+    plan (r14, guide §1.2/§5: the clustered-rewrite plan already runs for
+    range sampling and the write; the bounds agg was a third execution).
+
+    Sound because zorder_key's contract is 'values are CLAMPED into the
+    bounds, so stale stats degrade clustering but never correctness': a
+    rewrite whose replacement rows stay inside the replaced files' stats
+    (callers guarantee the DML does not touch the layout columns) gets
+    exact bounds; parquet-level widening only loosens them outward.
+
+    Returns None (caller falls back to the aggregate) unless every layout
+    column is NUMERIC/BOOLEAN in ``df`` — those convert to the double
+    quantization domain by plain float(), with no driver-side twin of the
+    string/date/timestamp expression mappings to drift — and every victim
+    file carries stats for every layout column."""
+    from pyspark.sql.types import BooleanType, NumericType
+
+    try:
+        for c in layout_by:
+            if not isinstance(df.schema[c].dataType, (NumericType, BooleanType)):
+                return None
+    except KeyError:
+        return None
+    bounds: list[tuple[float, float]] = []
+    for c in layout_by:
+        lo = hi = None
+        for seg in segs:
+            stats = seg.get("stats", {})
+            for f in seg.get("files", []):
+                st = stats.get(f, {}).get(c)
+                if not st or st[0] is None or st[1] is None:
+                    return None
+                v0, v1 = float(st[0]), float(st[1])
+                lo = v0 if lo is None else min(lo, v0)
+                hi = v1 if hi is None else max(hi, v1)
+        if lo is None:
+            return None  # no victim files: nothing to derive from
+        bounds.append((lo, hi))
+    return bounds
+
+
 def _apply_layout(
     df: DataFrame,
     layout_by: list[str],
     layout_files: int | None,
     strict: bool = True,
+    bounds: "list[tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Z-cluster ``df`` along ``layout_by`` (operators/zorder.py key +
     repartitionByRange + sortWithinPartitions) so each output file covers
@@ -1685,7 +1732,13 @@ def _apply_layout(
     warning instead of raising, so DML and maintenance on a legacy
     table keep working (its files simply stay unclustered, which is
     what they already were). Fresh ``layout_by`` declarations keep the
-    hard raise."""
+    hard raise.
+
+    ``bounds`` (aligned to ``layout_by``, quantization-domain floats)
+    skips the min/max aggregate entirely — rewrite/compact callers pass
+    :func:`_layout_bounds_from_segstats` so the replacement plan
+    executes one time fewer (r14); zorder_key clamps, so approximate
+    bounds can only coarsen the curve, never break it."""
     from ..operators.zorder import zorder_key
 
     if not layout_by or any(c not in df.columns for c in layout_by):
@@ -1706,19 +1759,20 @@ def _apply_layout(
             stacklevel=2,
         )
         return df
-    aggs = []
-    for c in layout_by:
-        aggs += [
-            F.min(nums[c]).alias(f"__lo_{c}"),
-            F.max(nums[c]).alias(f"__hi_{c}"),
+    if bounds is None:
+        aggs = []
+        for c in layout_by:
+            aggs += [
+                F.min(nums[c]).alias(f"__lo_{c}"),
+                F.max(nums[c]).alias(f"__hi_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        if any(row[f"__lo_{c}"] is None for c in layout_by):
+            return df
+        bounds = [
+            (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+            for c in layout_by
         ]
-    row = df.agg(*aggs).collect()[0]
-    if any(row[f"__lo_{c}"] is None for c in layout_by):
-        return df
-    bounds = [
-        (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
-        for c in layout_by
-    ]
     z = zorder_key([nums[c] for c in layout_by], bounds)
     df = df.withColumn("__z", z)
     df = (
@@ -3722,8 +3776,22 @@ def _rewrite_segment(
             sum(len(s["files"]) for s in rewrite_segs) or 1
         )
         cap = layout.get("files") or replaced
+        # when the DML provably leaves the layout columns untouched
+        # (delete / update of other columns / maintenance), quantization
+        # bounds come off the victim files' manifest stats — one fewer
+        # full execution of the replacement plan (r14, guide §1.2)
+        lb = (
+            _layout_bounds_from_segstats(rows, rewrite_segs, layout["by"])
+            if changed_cols is not None
+            and not (set(layout["by"]) & changed_cols)
+            else None
+        )
         rows = _apply_layout(
-            rows, layout["by"], max(1, min(replaced, cap)), strict=False
+            rows,
+            layout["by"],
+            max(1, min(replaced, cap)),
+            strict=False,
+            bounds=lb,
         )
     elif target_files is not None:
         rows = rows.coalesce(max(1, target_files))
@@ -3748,7 +3816,7 @@ def _rewrite_segment(
         files_new = _write_data(rows, table)
     if rw_obs is not None:
         # observed CHECK verdict (metrics fire on the plan's FIRST
-        # execution — the layout bounds agg when clustered, else the
+        # execution — the bounds agg / range sampling when clustered, else the
         # write itself; counts are identical either way)
         got = rw_obs.get
         total = int(got["__t"] or 0)
@@ -7312,11 +7380,17 @@ def compact(
     )
     layout = base_manifest.get("layout")
     if layout and all(c in df.columns for c in layout["by"]):
+        # compaction rewrites the snapshot's own rows unmodified, so the
+        # quantization bounds are exactly the base segments' stats — no
+        # min/max job over the full snapshot (r14, guide §1.2)
         clustered = _apply_layout(
             df,
             layout["by"],
             layout.get("files") or target_files,
             strict=False,
+            bounds=_layout_bounds_from_segstats(
+                df, _segments(base_manifest), layout["by"]
+            ),
         )
     else:
         clustered = df.coalesce(target_files)
