@@ -236,9 +236,9 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             hi = s.max if hi is None else max(hi, s.max)
         if isinstance(hi, int):  # TIMESTAMP(NANOS) shipped as raw int64
-            hi = datetime.datetime.utcfromtimestamp(0) + datetime.timedelta(
-                microseconds=hi // 1000
-            )
+            hi = datetime.datetime.fromtimestamp(
+                0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None) + datetime.timedelta(microseconds=hi // 1000)
         mx = hi
     except (OSError, KeyError, pa.ArrowInvalid):
         pass
