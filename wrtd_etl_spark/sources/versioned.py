@@ -4389,8 +4389,14 @@ def _merge_into_dv(
             inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
         # carried files provably hold no source key (prune contract), so
         # the candidate scan IS the full key universe for the anti-join;
-        # vectored rows are rightly absent (their keys are deleted)
-        inserts = inserts.join(scan.select(*keys), keys, "left_anti")
+        # vectored rows are rightly absent (their keys are deleted).
+        # With NO candidate files the merge is pure insert — skip the
+        # join: the empty probe frame is RDD-backed (createDataFrame
+        # of []), so Catalyst cannot fold the vestigial anti-join away
+        # and planned a full SortMergeJoin of the source against the
+        # provably-empty relation (two exchanges + sorts; r14, §2.4).
+        if rewrite_segs:
+            inserts = inserts.join(scan.select(*keys), keys, "left_anti")
         inserts_raw = inserts  # pre-identity lineage (restage re-mints)
         n_ins = 0
         ins_obs = None
@@ -4884,7 +4890,13 @@ def merge_into(
         inserts = source
         if delete_when is not None:
             inserts = inserts.filter(~F.coalesce(delete_when, F.lit(False)))
-        inserts = inserts.join(part.select(*keys), keys, "left_anti")
+        # with NO candidate files the merge is pure insert: the prune
+        # contract proves no file holds a source key, and the empty
+        # probe frame is RDD-backed, so Catalyst cannot fold the
+        # vestigial anti-join away (measured: SortMergeJoin LeftAnti of
+        # the whole source, two exchanges + sorts; r14, guide §2.4)
+        if rewrite_segs:
+            inserts = inserts.join(part.select(*keys), keys, "left_anti")
         inserts_raw = inserts  # pre-identity lineage (restage re-mints)
         if ident:
             # the hard part of IDENTITY: not-matched inserts mint fresh
@@ -4918,7 +4930,13 @@ def merge_into(
             # rewrite splits them into metadata-minting files
             ins_cols.append(F.lit(None).cast("long").alias(ROW_ID_COL))
             ins_cols.append(F.lit(None).cast("long").alias(ROW_CV_COL))
-        new_rows = rewritten.unionByName(inserts.select(*ins_cols))
+        # pure-insert merge (no candidate files): nothing was rewritten,
+        # so don't union the RDD-empty rewrite side into the write plan
+        new_rows = (
+            inserts.select(*ins_cols)
+            if not rewrite_segs
+            else rewritten.unionByName(inserts.select(*ins_cols))
+        )
 
     new_segment = _rewrite_segment(
         spark,
@@ -4961,7 +4979,9 @@ def merge_into(
                 table,
                 manifest,
                 rewrite_segs,
-                rewritten.unionByName(ins2.select(*cols2)),
+                ins2.select(*cols2)
+                if not rewrite_segs
+                else rewritten.unionByName(ins2.select(*cols2)),
                 schema=schema_json,
                 may_mint=tracked,
             )
