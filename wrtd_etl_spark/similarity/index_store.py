@@ -295,6 +295,9 @@ def write_ivfsq8_index(
         table,
         layout_by=["cell"],
         layout_files=layout_files,
+        # the cell domain is known exactly (assignment clamps to the
+        # centroid list) — skip the bounds aggregate over the corpus
+        layout_bounds=[(0.0, float(max(n_cells - 1, 1)))],
         stats_cols=[id_col],
         extra={
             "kind": "ivfsq8",
@@ -345,6 +348,8 @@ def ivfsq8_append(
         mode="append",
         layout_by=["cell"],
         layout_files=layout_files or info.get("layout_files"),
+        # cell domain known from the stored centroid list
+        layout_bounds=[(0.0, float(max(len(info["centroids"]) - 1, 1)))],
         stats_cols=[id_col],
         extra={**info, **(extra_update or {})},
     )

@@ -1813,6 +1813,7 @@ def write_snapshot(
     renames: dict[str, str] | None = None,
     layout_by: list[str] | None = None,
     layout_files: int | None = None,
+    layout_bounds: "list[tuple[float, float]] | None" = None,
     checks: list[dict] | None = None,
     quarantine: str | None = None,
     bloom_cols: list[str] | None = None,
@@ -1993,7 +1994,14 @@ def write_snapshot(
                 raise ValueError(
                     f"layout_by column(s) {missing} not in the batch"
                 )
-            df = _apply_layout(df, layout_by, layout_files)
+            # ``layout_bounds``: caller-known key domain (e.g. an IVF
+            # index's cell ids are exactly 0..n_cells-1) skips the
+            # min/max aggregate — one fewer execution of the batch plan
+            # (r14, guide §1.2); zorder_key clamps, so an over-wide
+            # domain only coarsens the curve
+            df = _apply_layout(
+                df, layout_by, layout_files, bounds=layout_bounds
+            )
             stats_cols = sorted(set(stats_cols or []) | set(layout_by))
         elif mode == "append":
             # an append to a clustered table ingests UNclustered (Delta
