@@ -108,6 +108,17 @@ def test_update_delete_job_budget(spark, base, tmp_path):
     )
 
 
+def test_pure_insert_merge_job_budget(spark, base, tmp_path):
+    """All source keys prune away -> no candidate files -> the merge is
+    pure insert and must skip the vestigial anti-join/union against the
+    RDD-backed empty probe frame (r14: was 6 jobs with a SortMergeJoin
+    of the source against a provably-empty relation)."""
+    t = str(tmp_path / "t")
+    write_snapshot(base, t, stats_cols=["k"])
+    src = base.filter("k % 50 = 0").withColumn("k", F.col("k") + 5_000_000)
+    assert _count_jobs(spark, lambda: merge_into(spark, t, src, ["k"])) <= 3
+
+
 def test_unique_gated_append_job_budget(spark, base, tmp_path):
     t = str(tmp_path / "t")
     write_snapshot(base, t, stats_cols=["k"])
